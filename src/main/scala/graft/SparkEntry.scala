@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The engine surface is assembled from per-domain [[QueryModule]]s:
+  *   - [[operators.Medallion]]      — the reference's bronze→silver→gold
+  *     pipeline operators (`glue/etl_api.py:24-49`) as parity queries;
+  *   - [[operators.Relational]]     — joins/aggregates/windows/set-ops core;
+  *   - [[operators.EventAnalytics]] — tumbling/sliding/session event-time;
+  *   - [[operators.TextAnalytics]]  — token/quality/lang-id/fingerprint;
+  *   - [[operators.Dedup]]          — exact / n-gram / MinHash-LSH / SimHash;
+  *   - [[operators.Similarity]]     — cosine top-k + LSH/IVF ANN;
+  *   - [[operators.Multimodal]]     — binary payload + metadata plumbing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val modules: Seq[QueryModule] = Seq(
+    Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's full silver+gold operator chain (scan → null-filter →
+    * dedup → when/otherwise → group-count), `glue/etl_api.py:24-45`. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Medallion.medallionGold(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the approximate operators
+    * (q36 MinHash-LSH, q39/q40 ANN) whose hash functions are Spark-specific;
+    * those are recall-checked against their exact counterparts in ScalaTest. */
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracles).toMap
 }

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level dense-vector math over `ArrayType` embedding columns.
+  *
+  * Everything here composes built-in higher-order functions (`zip_with`,
+  * `aggregate`, `transform`) — all Catalyst expressions that stay inside
+  * whole-stage codegen, with no UDF serialization boundary. The fold is a
+  * sequential left-fold, so the floating-point result is deterministic for a
+  * given element order (required for oracle comparison, and for reproducible
+  * ANN results at scale).
+  */
+object VectorFunctions {
+
+  /** Cast a float-array column to double elements (do all math in double). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product of two equal-length numeric array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Sum of squares (squared L2 norm). */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity: dot / (||a|| * ||b||). Inputs should already be
+    * double arrays (see [[asDouble]]). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+}

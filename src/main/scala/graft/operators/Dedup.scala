@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus deduplication for a training-data pipeline, four tiers:
+  *
+  *  1. exact  — hash-groupBy on a normalized-content fingerprint;
+  *  2. n-gram Jaccard — *exact* pairwise similarity computed via an
+  *     inverted-index (shingle) join, never an all-pairs cross join;
+  *  3. MinHash + LSH — approximate near-dup candidates via banded signature
+  *     buckets, verified with exact Jaccard (bucket-join, scale path);
+  *  4. SimHash — 32-bit content signature for hamming-style bucketing.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - the inverted-index join keys on the shingle, so cost is
+  *    Σ df(shingle)², not n² — and stays a plain shuffled equi-join. On a real
+  *    corpus you'd additionally drop ultra-frequent shingles (df cut) to bound
+  *    the hot keys; with ~27k distinct fixture shingles this is unnecessary.
+  *  - MinHash signatures are computed per-row with array lambdas (no explode,
+  *    no shuffle); only the banded LSH bucket join shuffles, on
+  *    (band_id, band_hash) — exactly the published MinHash-LSH layout.
+  *  - SimHash is pure per-row map work.
+  */
+object Dedup extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
+
+  /** Word 5-gram shingle set (distinct) from a pre-split token array column
+    * named `w`. 5-grams (not 3-grams) on purpose: shingle document frequency
+    * drives the inverted-index join's cost (Σ df²), and over a small
+    * vocabulary 3-grams are common enough to blow the join up ~50×. Longer
+    * shingles are near-unique per document while near-duplicates still share
+    * almost all of them — the standard w-shingling trade-off. */
+  val shingles5: Column =
+    array_distinct(expr(
+      "transform(sequence(1, greatest(size(w) - 4, 0)), " +
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
+        "element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))"))
+
+  /** doc_id + distinct 5-gram shingles, docs with >= 5 tokens only. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .select(col("doc_id"), shingles5.as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+
+  /** Exact pairwise Jaccard over all pairs sharing >= 1 shingle, via the
+    * inverted index: explode shingles → self-equi-join on the shingle →
+    * count common → |A∩B| / (|A|+|B|-|A∩B|). Pairs sharing nothing have
+    * similarity 0 and are correctly absent. */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // not cached: shingling is cheap per-row map work, and a cache pinned
+    // here would outlive the query in a long-lived session (memory leak)
+    val sh = shingled(s, dir)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val common = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    common
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jaccard"))
+  }
+
+  /** MinHash signature, k permutations, over a base-hash array column `hs`.
+    * Each shingle is hashed ONCE (xxhash64, see [[minhashLshPairs]]);
+    * permutation i is the universal hash a_i*h + b_i over the precomputed
+    * base hashes — k multiply-adds per shingle instead of k string
+    * re-hashes. The base hash is masked to 32 bits so the odd-multiplier
+    * permutation cannot overflow a long under ANSI arithmetic (32-bit
+    * min-hash values are the standard trade-off). Pure array lambdas — no
+    * shuffle, stays in codegen. */
+  def minhashSignature(k: Int = 32): Column =
+    expr(s"transform(sequence(0, ${k - 1}), i -> array_min(" +
+      "transform(hs, h -> (h & 4294967295) * (2 * cast(i AS bigint) + 1) " +
+      "+ cast(i AS bigint) * 1099511628211)))")
+
+  /** MinHash-LSH near-dup pairs: band the k=32 signature into 8 bands × 4
+    * rows, bucket-join on (band, band-hash), then verify candidates with
+    * exact Jaccard and keep pairs >= `threshold`.
+    *
+    * Never an all-pairs join: candidates only form inside an LSH bucket.
+    * With b=8, r=4 the detection probability at J=0.8 is
+    * 1-(1-0.8^4)^8 ≈ 0.985. */
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(s, dir)
+    val sig = sh
+      .withColumn("hs", expr("transform(shingles, sh -> xxhash64(sh))"))
+      .select(col("doc_id"), col("shingles"), minhashSignature().as("sig"))
+    val bands = sig.select(col("doc_id"), col("shingles"),
+        posexplode(expr("transform(sequence(0, 7), b -> xxhash64(b, slice(sig, b * 4 + 1, 4)))")))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over whitespace tokens. Token hashes come from the first
+    * 8 hex chars of md5 (not xxhash64) so the DuckDB oracle can replay the
+    * computation bit-for-bit. Per-bit vote = Σ ±1 across tokens (repeats
+    * count); bit set iff the vote is positive. Pure array lambdas. */
+  val simhash32: Column = expr(
+    """aggregate(
+      |  transform(sequence(0, 31), b ->
+      |    CASE WHEN aggregate(
+      |           transform(split(trim(text), ' '),
+      |                     tk -> cast(conv(substring(md5(tk), 1, 8), 16, 10) AS bigint)),
+      |           0,
+      |           (acc, h) -> acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END),
+      |  cast(0 AS bigint), (acc, x) -> acc + x)""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: group by content fingerprint, deterministic survivor
+    // (min doc_id), copy count. Hash-groupBy: one shuffle on the fingerprint.
+    "q34_exact_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+        .select(col("survivor_id"), col("fp"), col("n_copies"))
+        .orderBy(col("survivor_id"))),
+
+    // Exact n-gram Jaccard: top-20 most-similar pairs (fixtures contain
+    // planted near-duplicates at J≈0.98).
+    "q35_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(s, dir)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)),
+
+    // MinHash-LSH near-dup pairs at J>=0.8 (approximate candidates, exact
+    // verification). No oracle: xxhash64 is Spark-specific; the ScalaTest
+    // spec checks recall against q35's exact pairs instead.
+    "q36_minhash_lsh" -> ((s, dir) =>
+      minhashLshPairs(s, dir)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash signatures.
+    "q37_simhash" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), simhash32.as("simhash"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q34_exact_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT min(doc_id) AS survivor_id, fp, count(*) AS n_copies
+        |FROM fp GROUP BY fp ORDER BY survivor_id""".stripMargin,
+    "q35_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+        |       FROM toks WHERE len(w) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT id_a, id_b,
+        |       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "q37_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS th FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bv
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.ExactAgg._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-time analytics over the `events` table: tumbling, sliding and
+  * session windows — the engine-side upgrade of the reference's "Incremental"
+  * daily batch semantics (`airflow/dags/etl_api.py:74-78,85`), expressed with
+  * Spark's native window operators so the same code lifts directly onto
+  * Structured Streaming (see graft.streaming.EventStream).
+  *
+  * All window starts are emitted as epoch seconds (`BIGINT`) rather than
+  * timestamps: epoch math is timezone-free and parquet-logical-type-free, so
+  * the DuckDB oracle compares exactly. (Spark's ts→long cast floors; the
+  * oracles floor `epoch()` explicitly to match.)
+  *
+  * Scale: windowed group-bys shuffle on (window, key) — bounded cardinality —
+  * with map-side partial aggregation; session windows shuffle on user_id,
+  * which is the natural high-cardinality well-distributed key.
+  */
+object EventAnalytics extends QueryModule {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour windows: events + exact value sum per hour.
+    "q24_tumbling_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"), exactSum(col("value"), 2).as("sum_value"))
+        .select(col("window.start").cast(LongType).as("unix_hour"), col("n_events"), col("sum_value"))
+        .orderBy(col("unix_hour"))),
+
+    // Sliding windows: 1-hour duration, 30-minute slide (each event lands in
+    // exactly two windows).
+    "q25_sliding_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").cast(LongType).as("w_start"), col("n_events"))
+        .orderBy(col("w_start"))),
+
+    // Session windows: per-user sessions closed by a 10-minute inactivity gap.
+    // Spark merges an event into the open session iff ts < last_ts + gap, so
+    // an event exactly at the gap boundary opens a new session — the oracle
+    // reproduces this with a `>=` gaps-and-islands split.
+    "q26_session_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast(LongType).as("sess_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))),
+
+    // Keyed tumbling windows: hourly activity per event type.
+    "q27_event_type_hourly" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("window.start").cast(LongType).as("unix_hour"), col("n_events"))
+        .orderBy(col("event_type"), col("unix_hour")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS unix_hour,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_sliding_window" ->
+      """SELECT w_start, count(*) AS n_events FROM (
+        |  SELECT unnest([
+        |    CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) - 1800,
+        |    CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)]) AS w_start
+        |  FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 600 SECOND THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+    "q27_event_type_hourly" ->
+      """SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS unix_hour,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

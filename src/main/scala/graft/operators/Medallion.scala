@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's entire analytics surface: the bronze→silver→gold medallion
+  * pipeline of `glue/etl_api.py:24-49`, re-expressed as composable
+  * `DataFrame => DataFrame` stages plus parameterized write paths.
+  *
+  * Reference semantics reproduced (never its bugs — see SURVEY.md header):
+  *   - bronze: raw scan persisted as-is (`glue/etl_api.py:24-25`) — here with
+  *     an explicit schema instead of inference (scale hazard, SURVEY.md §1).
+  *   - silver: null-rejection filter (`glue/etl_api.py:30`), key dedup
+  *     (`glue/etl_api.py:31`), conditional derived column
+  *     (`glue/etl_api.py:34-35`), persisted partitioned by brewery location
+  *     (intent of `glue/etl_api.py:37-38`).
+  *   - gold: group-by count (`glue/etl_api.py:42-45`), persisted overwrite
+  *     (`glue/etl_api.py:49`).
+  *   - incremental daily window (`airflow/dags/etl_api.py:74-78`): a
+  *     `[start, end)` predicate over the ingest-date column, which partition-
+  *     prunes when the layer is laid out `partitionBy(dateCol)`.
+  *
+  * Scale notes: dedup uses `row_number` over the business key so the
+  * surviving row is deterministic (plain `dropDuplicates` picks an arbitrary
+  * row per key, which breaks re-runs / audits at scale); the silver write
+  * partitions by bounded-cardinality columns only.
+  */
+object Medallion extends QueryModule {
+
+  /** Schema of the reference's ingested record (FIXTURES.md §1 — the public
+    * Open Brewery DB payload plus the synthetic `value`/`ingest_date` the
+    * case study's rules imply). */
+  val brewerySchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("brewery_type", StringType),
+    StructField("address_1", StringType),
+    StructField("city", StringType),
+    StructField("state", StringType),
+    StructField("postal_code", StringType),
+    StructField("country", StringType),
+    StructField("longitude", DoubleType),
+    StructField("latitude", DoubleType),
+    StructField("value", DoubleType),
+    StructField("ingest_date", DateType)))
+
+  // ---- stages (pure, composable) ----------------------------------------
+
+  /** S2: bronze scan — raw JSON with a declared schema (`glue/etl_api.py:24`). */
+  def bronzeFromJson(spark: SparkSession, path: String, schema: StructType = brewerySchema): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** F1: keep rows whose required field is present (`glue/etl_api.py:30`). */
+  def requireField(requiredCol: String)(df: DataFrame): DataFrame =
+    df.filter(col(requiredCol).isNotNull)
+
+  /** D1: deterministic key dedup (`glue/etl_api.py:31`). Survivor = first row
+    * by `tiebreak` within each key — reproducible, unlike `dropDuplicates`. */
+  def dedupByKey(key: String, tiebreak: Column*)(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** P1: conditional status column (`glue/etl_api.py:34-35`). */
+  def withStatus(valueCol: String, threshold: Double = 100.0)(df: DataFrame): DataFrame =
+    df.withColumn("status",
+      when(col(valueCol) > threshold, lit("High")).otherwise(lit("Low")))
+
+  /** F3: incremental `[start, end)` window (`airflow/dags/etl_api.py:74-78`). */
+  def incrementalWindow(dateCol: String, startInclusive: String, endExclusive: String)(df: DataFrame): DataFrame =
+    df.filter(col(dateCol) >= lit(startInclusive).cast(TimestampType) &&
+              col(dateCol) <  lit(endExclusive).cast(TimestampType))
+
+  /** A1: gold rollup — rows per group (`glue/etl_api.py:42-45`). */
+  def goldRollup(k1: String, k2: String)(df: DataFrame): DataFrame =
+    df.groupBy(col(k1), col(k2)).agg(count(lit(1)).as("n_rows"))
+
+  // ---- write paths (K1-K3) ----------------------------------------------
+
+  /** K1: bronze overwrite (`glue/etl_api.py:25`). Parquet stands in for Delta
+    * (offline env, SURVEY.md §7): same overwrite-per-layer semantics. */
+  def writeBronze(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** K2: silver overwrite partitioned by brewery location — the *intent* of
+    * `glue/etl_api.py:37-38` (the code says `id`; the comment and README say
+    * location; `id` would mean one directory per row, which is catastrophic
+    * at scale — millions of tiny files). */
+  def writeSilver(df: DataFrame, path: String, partitionCols: Seq[String] = Seq("state", "city")): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** K3: gold overwrite (`glue/etl_api.py:49`). */
+  def writeGold(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** The full reference pipeline end-to-end over brewery-shaped raw JSON:
+    * bronze (raw persist) → silver (clean, dedup, derive, partitioned
+    * persist) → gold (rollup persist). Returns the gold DataFrame. */
+  def runPipeline(spark: SparkSession, rawJsonPath: String, outRoot: String): DataFrame = {
+    val bronze = bronzeFromJson(spark, rawJsonPath)
+    writeBronze(bronze, s"$outRoot/bronze")
+    val silver = bronze
+      .transform(requireField("id"))
+      .transform(dedupByKey("id", col("ingest_date").desc, col("name")))
+      .transform(withStatus("value"))
+    writeSilver(silver, s"$outRoot/silver")
+    val gold = goldRollup("brewery_type", "city")(silver)
+    writeGold(gold, s"$outRoot/gold")
+    gold
+  }
+
+  // ---- fixture-backed query surface (the driver-verified parity queries) --
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.read(s, dir, name)
+
+  /** Flagship: the reference's silver+gold semantics composed over `lineitem`
+    * (scan → isNotNull filter → key dedup → when/otherwise status → group-by
+    * count), exactly the operator chain of `glue/etl_api.py:24-45`. */
+  def medallionGold(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .transform(requireField("l_returnflag"))
+      .transform(df => {
+        // business key (l_orderkey, l_linenumber); the tiebreak must be a
+        // total order (the fixtures contain key-duplicates whose first few
+        // columns also collide) so the survivor is fully deterministic
+        val w = Window.partitionBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      })
+      .withColumn("status", when(col("l_extendedprice") > 30000, lit("High")).otherwise(lit("Low")))
+      .groupBy(col("l_returnflag"), col("status")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("status"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_medallion_gold" -> medallionGold,
+
+    // F1 — null-rejection filter (glue/etl_api.py:30)
+    "q02_null_filter" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // F2 — numeric comparison predicates (glue/etl_api.py:35)
+    "q03_predicate_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 25 && col("l_discount") < 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // F3 — incremental [start, end) date window (airflow/dags/etl_api.py:74-78)
+    "q04_date_window" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .transform(incrementalWindow("o_orderdate", "1996-01-01", "1997-01-01"))
+        .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("order_date"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // P1 — when/otherwise derived column (glue/etl_api.py:34-35)
+    "q05_casewhen_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("status", when(col("o_totalprice") > 100000, lit("High")).otherwise(lit("Low")))
+        .select(col("o_orderkey"), col("status"))
+        .orderBy(col("o_orderkey"))),
+
+    // P2/S4 — name-listing projection (airflow/dags/etl_api.py:33-35)
+    "q06_projection_names" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // D1 — deterministic key dedup (glue/etl_api.py:31); survivor = lowest
+    // linenumber within each order
+    "q07_dedup_by_key" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .transform(dedupByKey("l_orderkey", col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"))),
+
+    // A1 — group-by count (glue/etl_api.py:42-45)
+    "q08_group_count" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_medallion_gold" ->
+      """WITH d AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |            ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL)
+        |SELECT l_returnflag,
+        |       CASE WHEN l_extendedprice > 30000 THEN 'High' ELSE 'Low' END AS status,
+        |       count(*) AS n_rows
+        |FROM d WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_null_filter" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE text IS NOT NULL AND lang IS NOT NULL ORDER BY doc_id""".stripMargin,
+    "q03_predicate_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 25 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q04_date_window" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q05_casewhen_status" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 100000 THEN 'High' ELSE 'Low' END AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q06_projection_names" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+    "q07_dedup_by_key" ->
+      """WITH d AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM d WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q08_group_count" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

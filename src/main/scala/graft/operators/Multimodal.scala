@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal-column plumbing: images/audio/video ride through the engine as
+  * opaque `BinaryType` payloads plus a typed metadata struct, and per-batch
+  * "decode / feature-extract" runs as partition-local typed map work
+  * (`Dataset.mapPartitions` — the Scala analog of `mapInPandas`: one iterator
+  * per partition, batch-shaped, no driver involvement, no shuffle).
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * libraries): [[MultimodalStub.decodeImageStub]] is a clearly-marked
+  * deterministic fake that derives "pixel" features from the payload bytes.
+  * Everything around it — schema, binary column handling, partitioning,
+  * batch iterator shape — is real and is what carries over to a cluster with
+  * real codecs on the executors' classpath.
+  */
+object Multimodal extends QueryModule {
+
+  /** A multimodal record: opaque payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+                         width: Int, height: Int, channels: Int)
+
+  /** Extracted features (what a real decoder would emit per item). */
+  case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int, height: Int,
+                           mean_byte: Double, first_byte: Int)
+
+  object MultimodalStub {
+    /** STUB — deterministic fake decoder. A real deployment replaces this
+      * body with an actual codec (e.g. javax.imageio / ffmpeg bindings); the
+      * signature and the surrounding mapPartitions plumbing are the real
+      * contract. Features derive only from the payload bytes, so the fake is
+      * reproducible. */
+    def decodeImageStub(r: MediaRecord): MediaFeatures = {
+      val n = r.payload.length
+      val mean = if (n == 0) 0.0 else r.payload.map(b => (b & 0xff).toLong).sum.toDouble / n
+      MediaFeatures(r.doc_id, n.toLong, r.width, r.height, mean, if (n == 0) -1 else r.payload(0) & 0xff)
+    }
+  }
+
+  /** Attach a binary payload + metadata struct to the documents table (the
+    * fixtures carry no real media, so the payload is the UTF-8 text bytes —
+    * the *plumbing* under test, not the codec). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (((col("doc_id") % 64) + 1) * 16).cast("int").as("width"),
+      (((col("doc_id") % 48) + 1) * 16).cast("int").as("height"),
+      lit(3).as("channels"))
+
+  /** Partition-local batch decode: iterator-in/iterator-out per partition. */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(MultimodalStub.decodeImageStub))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata/payload pipeline, oracle-checkable subset of the features
+    // (byte length + first byte are decoder-independent).
+    "q41_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      val recs = withPayload(Tables.read(s, dir, "documents")).as[MediaRecord]
+      extractFeatures(recs).toDF()
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("first_byte"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q41_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       CAST(((doc_id % 64) + 1) * 16 AS INTEGER) AS width,
+        |       CAST(((doc_id % 48) + 1) * 16 AS INTEGER) AS height,
+        |       ascii(substring(text, 1, 1)) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

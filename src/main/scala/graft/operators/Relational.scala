@@ -1,0 +1,296 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.ExactAgg._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational core over the star schema: joins (broadcast dim, shuffled
+  * fact-fact, semi/anti), multi-metric aggregation, distinct aggregates,
+  * rollup, sorts/limits, set operations, and window functions.
+  *
+  * The reference itself has none of these (SURVEY.md §2.7) — its users get
+  * them from the surrounding Spark runtime — so this module is what makes the
+  * engine a complete replacement surface (north star, BASELINE.json).
+  *
+  * Scale posture:
+  *  - dimension joins (`region`, `nation`, filtered `customer`) are marked
+  *    `broadcast(...)` explicitly — no shuffle of the fact side's keys;
+  *  - fact-fact joins (`orders ⋈ lineitem`) shuffle on the join key and rely
+  *    on AQE for skew handling; aggregates are declared so Catalyst plans
+  *    partial (map-side) aggregation before the exchange;
+  *  - exact double sums use decimal-space accumulation (ExactAgg) which is
+  *    order-independent — bit-stable across cluster re-runs;
+  *  - no query collects to the driver.
+  */
+object Relational extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.read(s, dir, name)
+
+  /** revenue element: extendedprice * (1 - discount) — exact at scale 4. */
+  private val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
+    // here would be absurd at any scale; broadcast keeps the plan exchange-free.
+    "q09_join_broadcast" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))),
+
+    // Fact-fact join + aggregate: orders ⋈ lineitem on the natural key, then
+    // rollup per priority. Shuffles once on o_orderkey/l_orderkey, then once
+    // on the group key (partial agg first).
+    "q10_join_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact sum
+          exactAvg(col("l_extendedprice"), 2).as("avg_price"))
+        .orderBy(col("o_orderpriority"))),
+
+    // TPC-H Q1-shaped pricing summary: the canonical multi-metric scan-agg.
+    "q11_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          exactSum(discPrice, 4).as("sum_disc_price"),
+          exactSum(discPrice * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          exactAvg(col("l_extendedprice"), 2).as("avg_price"),
+          exactAvg(col("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Top-k: global sort + limit. Catalyst plans TakeOrderedAndProject — a
+    // per-partition top-k then a driver-side merge of k*partitions rows, not
+    // a full sort: exactly what you want at 100 TB.
+    "q12_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // Set ops over aligned projections.
+    "q13_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))),
+    "q14_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+    "q15_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    // Ranking window: top-5 customers by balance within each market segment.
+    "q16_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rnk"))
+    }),
+
+    // Analytic window: per-user previous event value (lag).
+    "q17_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("value"), col("prev_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Distinct aggregates (planned as expand + two-phase agg).
+    "q18_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    // Hierarchical rollup with subtotal rows surfaced via a sentinel label.
+    "q19_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+          col("n_orders"))
+        .orderBy(col("orderstatus"), col("orderpriority"))),
+
+    // Left-semi join: customers holding at least one big order. The filtered
+    // probe side shrinks before the join; semi-join never duplicates rows.
+    "q20_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Left-anti join: customers with no big order.
+    "q21_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // TPC-H Q3-shaped: segment-filtered 3-way join, revenue per order, top-10.
+    // customer(BUILDING) is small after the filter → broadcast; the
+    // orders ⋈ lineitem leg shuffles on the order key.
+    "q22_shipping_priority" -> ((s, dir) =>
+      broadcast(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"))
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < lit("1996-06-30").cast(TimestampType)),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-06-30").cast(TimestampType)),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(exactSum(discPrice, 4).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast(DateType).as("order_date"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+
+    // TPC-H Q5-shaped: full star join (region→nation→{customer,supplier}→
+    // orders→lineitem) with local-supplier condition; revenue per nation.
+    // All dimension legs broadcast; only fact legs shuffle.
+    "q23_local_supplier_volume" -> ((s, dir) => {
+      val asia = broadcast(
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey")))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(
+            col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-01-01").cast(TimestampType)),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(asia, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(exactSum(discPrice, 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q09_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q10_join_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       sum(l_quantity) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q12_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q13_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q14_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q15_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q16_window_rank" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q17_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q18_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+        |       coalesce(o_orderpriority, '(all)') AS orderpriority,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q20_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q21_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q22_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |             JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-30'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q23_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
+  * 64-dim):
+  *
+  *  1. brute-force cosine top-k — the exact baseline: broadcast the (small)
+  *     query set against the corpus, one pass, per-partition top-k;
+  *  2. random-hyperplane LSH ANN — sign-bit signatures bucket the corpus so
+  *     each probe only scans its bucket (the scale path: bucket count grows
+  *     with 2^bits, candidate lists stay small and the join is a plain
+  *     equi-join on the signature);
+  *  3. IVF-style ANN — coarse quantization by per-label centroid: probe the
+  *     nearest centroid's inverted list only.
+  *
+  * All vector math is built-in higher-order expressions (zip_with/aggregate)
+  * — codegen'd, no UDF. The query side of every join is broadcast: the
+  * corpus — the 100 TB side — is never shuffled.
+  */
+object Similarity extends QueryModule {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane i derives
+    * from md5(i:j), mapped to [-1, 1). Computed driver-side once (a constant
+    * literal in the plan), reproducible across runs and engines. */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (i, j) =>
+      val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+      val v = java.nio.ByteBuffer.wrap(h).getInt & 0x7fffffff
+      (v % 2000) / 1000.0 - 1.0
+    }
+  }
+
+  /** Sign-bit LSH signature of vector column `v` against `planes`. */
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact brute-force cosine top-k of `corpus` for each row of `queriesDf`
+    * (both with columns vec_id + v). Broadcast-joins the query set — the
+    * corpus streams through exactly once. */
+  def cosineTopK(queriesDf: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queriesDf.select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val scored = q.join(corpus, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("n_id"), col("sim"))
+  }
+
+  /** ANN via hyperplane LSH: bucket corpus by signature, probe each query's
+    * own bucket only, exact cosine within the bucket. Approximate — neighbors
+    * in other buckets are missed (recall measured in the ScalaTest spec). */
+  def annLsh(s: SparkSession, dir: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val e = emb(s, dir).withColumn("sig", lshSignature(col("v"), planes))
+    val q = broadcast(
+      e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig")))
+    val scored = q.join(e, col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("n_id"), col("sim"))
+  }
+
+  /** IVF-style ANN: per-label mean centroids (the labels act as the coarse
+    * quantizer's cell assignment), probe = nearest centroid by cosine, then
+    * exact search within that cell's inverted list. The centroid table is
+    * tiny (|labels| rows) and broadcast; the corpus is never shuffled. */
+  def annIvf(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = emb(s, dir)
+    // centroid[label][j] = mean of component j: posexplode + groupBy — the
+    // shuffled data is |corpus|×dim scalars reduced map-side first.
+    val cents = e.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("label")).agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("label").as("c_label"), expr("transform(ps, x -> x.m)").as("cv"))
+    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // nearest centroid per query (both sides tiny)
+    val probe = broadcast(
+      q.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("qv"), col("cv")))
+        .withColumn("rc", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_label"))))
+        .filter(col("rc") === 1)
+        .select(col("q_id"), col("qv"), col("c_label")))
+    val scored = probe.join(e, col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("n_id"), col("sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact cosine top-5 for query vectors vec_id < 3.
+    "q38_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      cosineTopK(e.filter(col("vec_id") < 3), e, 5)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Approximate NN via hyperplane-LSH buckets (no oracle: recall-checked
+    // against the exact top-k in ScalaTest).
+    "q39_ann_lsh" -> ((s, dir) =>
+      annLsh(s, dir, 5).orderBy(col("q_id"), col("rn"))),
+
+    // Approximate NN via IVF centroid probe (no oracle, same reason).
+    "q40_ann_ivf" -> ((s, dir) =>
+      annIvf(s, dir, 5).orderBy(col("q_id"), col("rn"))),
+
+    // Embedding corpus statistics per label: count + mean L2 norm.
+    "q42_embedding_stats" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), norm(col("v")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("nrm")) / count(lit(1)), 6).as("avg_norm"))
+        .orderBy(col("label")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q38_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+        |s AS (SELECT q_id, vec_id AS n_id,
+        |             round(list_cosine_similarity(qv, v), 6) AS sim
+        |      FROM q CROSS JOIN e WHERE vec_id != q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
+        |SELECT q_id, rn, n_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "q42_embedding_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+        |       round(sum(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |             x -> x * x), 'sum'))) / count(*), 6) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+}
