@@ -46,9 +46,9 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("w_start"))),
 
     // Session windows: per-user sessions closed by a 10-minute inactivity gap.
-    // Spark merges an event into the open session iff ts < last_ts + gap, so
-    // an event exactly at the gap boundary opens a new session — the oracle
-    // reproduces this with a `>=` gaps-and-islands split.
+    // Spark merges touching windows: an event exactly at last_ts + gap still
+    // joins the open session; only ts > last_ts + gap opens a new one. The
+    // oracle reproduces this with a strict `>` gaps-and-islands split.
     "q26_session_window" -> ((s, dir) =>
       ev(s, dir)
         .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
@@ -87,7 +87,7 @@ object EventAnalytics extends QueryModule {
         |  FROM events),
         |m AS (
         |  SELECT user_id, ts,
-        |         CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 600 SECOND THEN 1 ELSE 0 END AS new_s
+        |         CASE WHEN prev IS NULL OR ts > prev + INTERVAL 600 SECOND THEN 1 ELSE 0 END AS new_s
         |  FROM o),
         |s AS (
         |  SELECT user_id, ts,

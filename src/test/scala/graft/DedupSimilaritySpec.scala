@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The approximate operators (MinHash-LSH, SimHash, ANN) have no DuckDB
+  * oracle — their quality bars are checked here against the exact
+  * counterparts on the sf0.001 fixtures. */
+class DedupSimilaritySpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  test("MinHash-LSH recalls the exact near-duplicate pairs at J >= 0.8") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf0001)
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf0001, 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty // fixtures plant near-dups
+    // every LSH pair is exact-verified, so no false positives by construction
+    lsh.subsetOf(exact) shouldBe true
+    // recall: b=8, r=4 bands catch J>=0.8 with p≈0.985 each
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  test("SimHash: near-duplicate docs collide or nearly collide in hamming space") {
+    val top = Dedup.ngramJaccardPairs(spark, sf0001)
+      .orderBy(col("jaccard").desc).limit(5).collect()
+    val sims = SparkEntry.queries("q37_simhash")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (r <- top) {
+      val d = hamming(sims(r.getLong(0)), sims(r.getLong(1)))
+      d should be <= 6 // 32-bit simhash of ~98%-overlapping docs
+    }
+  }
+
+  test("ANN results are true cosine scores and overlap the exact top-k") {
+    val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val exactTop = Similarity.cosineTopK(e.filter(col("vec_id") < 3), e, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    for (q <- Seq("q39_ann_lsh", "q40_ann_ivf")) {
+      val ann = SparkEntry.queries(q)(spark, sf0001).collect()
+      ann should not be empty
+      ann.foreach { r =>
+        val sim = r.getDouble(3)
+        sim should (be >= -1.000001 and be <= 1.000001)
+      }
+      // approximate, but not random: some neighbors appear in the exact top-20
+      val hits = ann.map(r => (r.getLong(0), r.getLong(2))).count(exactTop.contains)
+      hits should be >= 1
+    }
+  }
+
+  test("exact dedup groups case/whitespace variants together") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other doc")
+    ).toDF("doc_id", "text")
+    val grouped = df
+      .select(col("doc_id"), graft.operators.TextAnalytics.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("survivor"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    grouped(1L) shouldBe 2L // docs 1+2 collapse, survivor=1
+    grouped(3L) shouldBe 1L
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalytics}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Boundary semantics for event-time windows, text metrics on known strings,
+  * and the multimodal stub plumbing. */
+class EventTextSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("session window: gap-boundary event merges; beyond the gap opens a new session") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), // s1
+      (1L, "2024-01-01 00:05:00"), // s1 (gap 5m < 10m)
+      (1L, "2024-01-01 00:15:00"), // s1: exactly prev+10m — touching windows merge
+      (1L, "2024-01-01 00:25:01"), // s2: 1s beyond the gap
+      (1L, "2024-01-01 01:00:00")  // s3
+    ).toDF("user_id", "t").select($"user_id", $"t".cast("timestamp").as("ts"))
+    val sessions = df
+      .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".cast("long").as("start"), $"n")
+      .orderBy($"start").collect()
+    sessions.map(_.getLong(1)).toSeq shouldBe Seq(3L, 1L, 1L)
+  }
+
+  test("tumbling window counts partition the input exactly") {
+    val df = Seq.tabulate(100)(i => (i.toLong, s"2024-01-01 0${i % 6}:3${i % 10}:00"))
+      .toDF("event_id", "t").select($"event_id", $"t".cast("timestamp").as("ts"))
+    val total = df.groupBy(window($"ts", "1 hour")).count()
+      .agg(sum("count")).head().getLong(0)
+    total shouldBe 100L
+  }
+
+  test("token metrics on known strings") {
+    val df = Seq((1L, "one two  three"), (2L, "a.b,c!")).toDF("doc_id", "text")
+    val m = df.select($"doc_id",
+      TextAnalytics.nTokens($"text").as("nt"),
+      TextAnalytics.nBpeTokens($"text").as("nb")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "one two  three": double space -> split yields an empty token too (4);
+    // BPE-ish: 3 letter-runs
+    m(1L)._2 shouldBe 3L
+    // "a.b,c!": 3 letter runs + 3 punct glyphs
+    m(2L)._2 shouldBe 6L
+  }
+
+  test("fingerprint is invariant to case and whitespace runs") {
+    val df = Seq((1L, "Foo  Bar"), (2L, "foo bar"), (3L, " FOO\tBAR ")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalytics.fingerprint($"text")).collect().map(_.getString(0))
+    fps.distinct.length shouldBe 1
+  }
+
+  test("multimodal stub decode is deterministic and reflects payload bytes") {
+    val r = Multimodal.MediaRecord(7L, "abc".getBytes("UTF-8"), 64, 48, 3)
+    val f1 = Multimodal.MultimodalStub.decodeImageStub(r)
+    val f2 = Multimodal.MultimodalStub.decodeImageStub(r)
+    f1 shouldBe f2
+    f1.byte_len shouldBe 3L
+    f1.first_byte shouldBe 'a'.toInt
+    f1.mean_byte shouldBe (('a' + 'b' + 'c').toDouble / 3)
+    // empty payload edge
+    val e = Multimodal.MultimodalStub.decodeImageStub(Multimodal.MediaRecord(8L, Array.empty, 1, 1, 3))
+    e.byte_len shouldBe 0L
+    e.first_byte shouldBe -1
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Relational
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Plan-shape and result-shape checks for the relational core. The oracle
+  * gate covers values; these tests pin the *physical plans* we want at scale:
+  * broadcast joins where a side is small, no cartesian products, pushed
+  * filters. */
+class RelationalSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    plan("q09_join_broadcast") should include("BroadcastHashJoin")
+    plan("q22_shipping_priority") should include("BroadcastHashJoin")
+    plan("q23_local_supplier_volume") should include("BroadcastHashJoin")
+  }
+
+  test("no cartesian products or nested-loop joins in equi-join queries") {
+    for (q <- Seq("q09_join_broadcast", "q10_join_agg", "q20_semi_join",
+                  "q21_anti_join", "q22_shipping_priority", "q23_local_supplier_volume")) {
+      val p = plan(q)
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
+  test("scan-level filter pushdown and column pruning reach the parquet reader") {
+    val p = plan("q03_predicate_filter")
+    p should include("PushedFilters")
+    p should include("GreaterThan(l_quantity")
+    // projection prunes to the 4 selected columns
+    p should include("ReadSchema")
+    p should not include "l_returnflag"
+  }
+
+  test("top-k plans as a bounded sort, not a global sort") {
+    plan("q12_topk_orders") should include("TakeOrderedAndProject")
+  }
+
+  test("semi/anti joins never duplicate left rows") {
+    val c = SparkEntry.queries("q20_semi_join")(spark, sf0001).count() +
+            SparkEntry.queries("q21_anti_join")(spark, sf0001).count()
+    val total = graft.sources.Tables.read(spark, sf0001, "customer").count()
+    c shouldBe total // semi + anti partition the customer set
+  }
+
+  test("window rank returns at most k rows per partition key") {
+    val rows = SparkEntry.queries("q16_window_rank")(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).values.foreach(_.length should be <= 5)
+    rows.foreach(_.getLong(1) should be <= 5L)
+  }
+}

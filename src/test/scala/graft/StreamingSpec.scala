@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.EventStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** End-to-end streaming: file source → watermarked windowed agg → memory
+  * sink, checked against hand-computed expectations. */
+class StreamingSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+
+  private def writeEvents(rows: Seq[(Long, String, Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
+    val w = new java.io.PrintWriter(s"$dir/batch0.json")
+    for ((id, ts, uid, typ) <- rows)
+      w.println(s"""{"event_id":$id,"ts":"2024-01-01T$ts.000Z","user_id":$uid,"event_type":"$typ","value":1.5,"props":"{}"}""")
+    w.close()
+    dir
+  }
+
+  test("streamed hourly aggregation matches hand-computed counts") {
+    val rows = (0 until 120).map { i =>
+      val ts = f"${i / 60}%02d:${i % 60}%02d:00"
+      (i.toLong, ts, (i % 5).toLong, if (i % 3 == 0) "click" else "view")
+    }
+    EventStream.runOnceToMemory(
+      EventStream.hourlyByType(EventStream.readEvents(spark, writeEvents(rows))), "hourly")
+    val streamed = spark.sql("SELECT unix_hour, event_type, n_events FROM hourly")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val h0 = 1704067200L // 2024-01-01T00:00:00Z
+    streamed.values.sum shouldBe 120L
+    streamed((h0, "click")) shouldBe 20L // hour 0: i%3==0 among 0..59
+    streamed((h0, "view")) shouldBe 40L
+    streamed.keys.map(_._1) shouldBe Set(h0, h0 + 3600L)
+  }
+
+  test("streamed sessionization produces per-user sessions") {
+    val rows = Seq(
+      (0L, "00:00:00", 1L, "view"), (1L, "00:01:00", 1L, "view"),
+      (2L, "00:31:00", 1L, "view"), // > 10m after the burst -> second session
+      (3L, "00:00:30", 2L, "view"), (4L, "00:02:00", 2L, "view"))
+    EventStream.runOnceToMemory(
+      EventStream.userSessions(EventStream.readEvents(spark, writeEvents(rows))), "sessions")
+    val got = spark.sql("SELECT user_id, sess_start, n_events FROM sessions ORDER BY user_id, sess_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val h0 = 1704067200L
+    got shouldBe Seq(
+      (1L, h0, 2L), (1L, h0 + 31 * 60L, 1L),
+      (2L, h0 + 30L, 2L))
+  }
+}
