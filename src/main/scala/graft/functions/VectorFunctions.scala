@@ -32,4 +32,12 @@ object VectorFunctions {
     * double arrays (see [[asDouble]]). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Cosine via the codegen'd native expression when the session has
+    * [[GraftExtensions]] installed, else the interpreted HOF fallback.
+    * Both compute the identical operation sequence — results are
+    * bit-identical; only throughput differs. */
+  def cosineFast(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_cosine")) call_function("graft_cosine", a, b)
+    else cosine(a, b)
 }

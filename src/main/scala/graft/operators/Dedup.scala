@@ -57,9 +57,20 @@ object Dedup extends QueryModule {
     // here would outlive the query in a long-lived session (memory leak)
     val sh = shingled(s, dir)
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val common = ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Posting-list formulation: one explode, one shuffle keyed on the
+    // shingle, then ordered pairs generated inside each posting list — no
+    // self-join (which would shuffle + sort the exploded table twice).
+    // Shingles with df=1 produce no pairs and vanish in the filter. At
+    // corpus scale an ultra-hot shingle (df=d) emits d²/2 pairs — 5-gram
+    // shingles keep d small; a df-cap would be the knob if the corpus had
+    // boilerplate (documented, not needed for these fixtures).
+    val common = ex.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
+          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("c"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     common
@@ -69,18 +80,25 @@ object Dedup extends QueryModule {
         round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jaccard"))
   }
 
-  /** MinHash signature, k permutations, over a base-hash array column `hs`.
-    * Each shingle is hashed ONCE (xxhash64, see [[minhashLshPairs]]);
-    * permutation i is the universal hash a_i*h + b_i over the precomputed
-    * base hashes — k multiply-adds per shingle instead of k string
-    * re-hashes. The base hash is masked to 32 bits so the odd-multiplier
-    * permutation cannot overflow a long under ANSI arithmetic (32-bit
-    * min-hash values are the standard trade-off). Pure array lambdas — no
-    * shuffle, stays in codegen. */
-  def minhashSignature(k: Int = 32): Column =
-    expr(s"transform(sequence(0, ${k - 1}), i -> array_min(" +
-      "transform(hs, h -> (h & 4294967295) * (2 * cast(i AS bigint) + 1) " +
-      "+ cast(i AS bigint) * 1099511628211)))")
+  /** MinHash signature, k permutations, computed the scalable way: the
+    * (doc_id, shingle) pairs are exploded once, each shingle hashed ONCE
+    * (xxhash64, masked to 32 bits so the permutation arithmetic cannot
+    * overflow a long under ANSI mode), and the k permutation minima run as k
+    * codegen'd `min` aggregates in a single doc_id-keyed hash aggregation —
+    * map-side partial mins first, so the shuffle carries k longs per doc.
+    * (The array-lambda formulation is shorter but evaluates interpreted:
+    * higher-order functions sit outside whole-stage codegen, and at corpus
+    * scale that per-element dispatch dominates.) Permutation i is the
+    * universal hash (2i+1)*h + i*PRIME over the base hash. */
+  def minhashSignatures(shingled: DataFrame, k: Int = 32): DataFrame = {
+    val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), (xxhash64(col("s")).bitwiseAND(lit(4294967295L))).as("h"))
+    val mins = (0 until k).map(i =>
+      min(col("h") * lit(2L * i + 1) + lit(i.toLong * 1099511628211L)).as(s"m$i"))
+    ex.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** MinHash-LSH near-dup pairs: band the k=32 signature into 8 bands × 4
     * rows, bucket-join on (band, band-hash), then verify candidates with
@@ -91,20 +109,25 @@ object Dedup extends QueryModule {
     * 1-(1-0.8^4)^8 ≈ 0.985. */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val sh = shingled(s, dir)
-    val sig = sh
-      .withColumn("hs", expr("transform(shingles, sh -> xxhash64(sh))"))
-      .select(col("doc_id"), col("shingles"), minhashSignature().as("sig"))
-    val bands = sig.select(col("doc_id"), col("shingles"),
+    // Candidate generation over NARROW rows only: (doc_id, band_id,
+    // band_hash). The wide shingle arrays never enter the explode or the
+    // bucket join — at corpus scale the banded join shuffles a few dozen
+    // bytes per row, and the payload is fetched afterwards for just the
+    // surviving candidate pairs (a tiny set by construction).
+    val bands = minhashSignatures(sh)
+      .select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 7), b -> xxhash64(b, slice(sig, b * 4 + 1, 4)))")))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // Exact-Jaccard verification on candidates only.
     cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))

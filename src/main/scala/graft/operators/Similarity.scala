@@ -20,9 +20,11 @@ import org.apache.spark.sql.types.LongType
   *  3. IVF-style ANN — coarse quantization by per-label centroid: probe the
   *     nearest centroid's inverted list only.
   *
-  * All vector math is built-in higher-order expressions (zip_with/aggregate)
-  * — codegen'd, no UDF. The query side of every join is broadcast: the
-  * corpus — the 100 TB side — is never shuffled.
+  * Vector math uses the engine's codegen'd [[graft.functions.CosineSimilarity]]
+  * expression when the session has GraftExtensions installed (Verify/Bench
+  * do), falling back to built-in higher-order expressions — never a UDF.
+  * The query side of every join is broadcast: the corpus — the 100 TB
+  * side — is never shuffled.
   */
 object Similarity extends QueryModule {
 
@@ -53,10 +55,11 @@ object Similarity extends QueryModule {
     * (both with columns vec_id + v). Broadcast-joins the query set — the
     * corpus streams through exactly once. */
   def cosineTopK(queriesDf: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val sp = queriesDf.sparkSession
     val q = broadcast(queriesDf.select(col("vec_id").as("q_id"), col("v").as("qv")))
     val scored = q.join(corpus, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(cosineFast(sp, col("qv"), col("v")), 6).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
@@ -74,7 +77,7 @@ object Similarity extends QueryModule {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig")))
     val scored = q.join(e, col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
@@ -97,14 +100,14 @@ object Similarity extends QueryModule {
     // nearest centroid per query (both sides tiny)
     val probe = broadcast(
       q.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col("qv"), col("cv")))
+        .withColumn("csim", cosineFast(s, col("qv"), col("cv")))
         .withColumn("rc", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_label"))))
         .filter(col("rc") === 1)
         .select(col("q_id"), col("qv"), col("c_label")))
     val scored = probe.join(e, col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)

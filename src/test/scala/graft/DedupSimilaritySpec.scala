@@ -58,6 +58,24 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("native graft_cosine expression matches the interpreted HOF cosine bit-for-bit") {
+    spark.catalog.functionExists("graft_cosine") shouldBe true
+    val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+      .limit(50)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv")).limit(5)
+    val both = q.crossJoin(e)
+      .select(
+        call_function("graft_cosine", col("qv"), col("v")).as("native"),
+        VectorFunctions.cosine(col("qv"), col("v")).as("hof"))
+      .collect()
+    both.length shouldBe 250
+    both.foreach { r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
   test("exact dedup groups case/whitespace variants together") {
     import spark.implicits._
     val df = Seq(
