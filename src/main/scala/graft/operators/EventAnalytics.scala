@@ -64,7 +64,16 @@ object EventAnalytics extends QueryModule {
         .groupBy(col("event_type"), window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("event_type"), col("window.start").cast(LongType).as("unix_hour"), col("n_events"))
-        .orderBy(col("event_type"), col("unix_hour")))
+        .orderBy(col("event_type"), col("unix_hour"))),
+
+    // Semi-structured props payload: extract the numeric field and roll up —
+    // the schema-on-read pattern for loosely-typed event attributes.
+    "q45_props_extract" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(LongType))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n_events"), exactSum(col("value"), 2).as("sum_value"))
+        .orderBy(col("k_mod")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -98,6 +107,11 @@ object EventAnalytics extends QueryModule {
     "q27_event_type_hourly" ->
       """SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS unix_hour,
         |       count(*) AS n_events
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q45_props_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

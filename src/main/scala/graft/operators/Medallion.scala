@@ -65,6 +65,23 @@ object Medallion extends QueryModule {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** D1 at scale: aggregate-based dedup. One `min(struct(tiebreak ++ rest))`
+    * aggregation instead of a sort + window — the survivor is the row
+    * minimizing the lexicographic tuple, identical to [[dedupByKey]]
+    * whenever the tiebreak is a total order. The win at 100 TB is the
+    * partial (map-side) combine: duplicates collapse before the exchange,
+    * so the shuffle carries at most one candidate per key per partition,
+    * where the window form must shuffle every row. (Struct-typed buffers
+    * plan as SortAggregate, not HashAggregate — the partial combine is the
+    * part that matters.) */
+  def dedupByKeyAgg(key: Seq[String], tiebreak: Seq[String])(df: DataFrame): DataFrame = {
+    val rest = df.columns.toSeq.filterNot(c => key.contains(c) || tiebreak.contains(c))
+    val tup = struct((tiebreak ++ rest).map(col): _*)
+    df.groupBy(key.map(col): _*)
+      .agg(min(tup).as("__r"))
+      .select(key.map(col) ++ (tiebreak ++ rest).map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** P1: conditional status column (`glue/etl_api.py:34-35`). */
   def withStatus(valueCol: String, threshold: Double = 100.0)(df: DataFrame): DataFrame =
     df.withColumn("status",
@@ -123,14 +140,13 @@ object Medallion extends QueryModule {
   def medallionGold(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .transform(requireField("l_returnflag"))
-      .transform(df => {
-        // business key (l_orderkey, l_linenumber); the tiebreak must be a
-        // total order (the fixtures contain key-duplicates whose first few
-        // columns also collide) so the survivor is fully deterministic
-        val w = Window.partitionBy(col("l_orderkey"), col("l_linenumber"))
-          .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
-        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-      })
+      // business key (l_orderkey, l_linenumber); the tiebreak must be a total
+      // order (the fixtures contain key-duplicates whose first few columns
+      // also collide) so the hash-agg survivor is fully deterministic and
+      // identical to the oracle's row_number()=1 pick
+      .transform(dedupByKeyAgg(
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")))
       .withColumn("status", when(col("l_extendedprice") > 30000, lit("High")).otherwise(lit("Low")))
       .groupBy(col("l_returnflag"), col("status")).agg(count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"), col("status"))
@@ -176,8 +192,8 @@ object Medallion extends QueryModule {
     // linenumber within each order
     "q07_dedup_by_key" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .transform(dedupByKey("l_orderkey", col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), col("l_quantity"), col("l_extendedprice")))
+        .transform(dedupByKeyAgg(Seq("l_orderkey"),
+          Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
         .orderBy(col("l_orderkey"))),
 

@@ -33,6 +33,22 @@ object Relational extends QueryModule {
   /** revenue element: extendedprice * (1 - discount) — exact at scale 4. */
   private val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** The SQL surface: one ANSI statement executed verbatim by BOTH engines —
+    * Spark (`spark.sql` over temp views of the fixture tables) and the
+    * DuckDB oracle. TPC-H Q10-shaped returned-item revenue report. */
+  val returnedItemsSql: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       n_name
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
@@ -191,7 +207,37 @@ object Relational extends QueryModule {
         .groupBy(col("n_name"))
         .agg(exactSum(discPrice, 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
-    })
+    }),
+
+    // Pure-SQL entry point: the engine accepts ANSI SQL directly; the same
+    // statement doubles as its own oracle.
+    "q43_sql_returned_items" -> ((s, dir) => {
+      for (name <- Seq("customer", "orders", "lineitem", "nation"))
+        t(s, dir, name).createOrReplaceTempView(name)
+      s.sql(returnedItemsSql)
+    }),
+
+    // Full cube over two dimensions, subtotals surfaced via sentinel labels.
+    "q44_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+          col("n_orders"))
+        .orderBy(col("orderstatus"), col("orderpriority"))),
+
+    // Dimension-enriched fact rollup over `part` (broadcast dim).
+    "q46_brand_volume" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          exactSum(discPrice, 4).as("revenue"))
+        .orderBy(col("p_brand")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -291,6 +337,18 @@ object Relational extends QueryModule {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q43_sql_returned_items" -> returnedItemsSql,
+    "q44_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+        |       coalesce(o_orderpriority, '(all)') AS orderpriority,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q46_brand_volume" ->
+      """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

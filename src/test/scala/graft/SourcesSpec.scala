@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Medallion
+import graft.sources.{PaginatedSource, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Source-side semantics: the paginated extract model, the hash-agg dedup
+  * equivalence, and partition pruning on a date-partitioned layout. */
+/** Fake page server — top-level so executor-side closures don't drag the
+  * (non-serializable) test class along. */
+object FakePages extends Serializable {
+  def page(p: Int): Seq[String] =
+    if (p > 3) Seq.empty
+    else (0 until 10).map(i =>
+      s"""{"id":"${p * 100 + i}","name":"b$p-$i","brewery_type":"micro","city":"C$p","state":"S","value":${p * 10.0},"ingest_date":"2024-01-0$p"}""")
+}
+
+class SourcesSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+  import FakePages.page
+
+  test("paginated fetch stops at the first empty page and applies the schema") {
+    val df = PaginatedSource.fetchAll(spark, Medallion.brewerySchema, page)
+    df.count() shouldBe 30
+    df.schema shouldBe Medallion.brewerySchema
+    df.select("city").distinct().count() shouldBe 3
+  }
+
+  test("distributed fetch matches the driver-side fetch") {
+    val a = PaginatedSource.fetchAll(spark, Medallion.brewerySchema, page)
+    val b = PaginatedSource.fetchDistributed(spark, Medallion.brewerySchema, 10, page)
+    b.count() shouldBe 30 // pages 4..10 are empty and contribute nothing
+    a.select("id").collect().map(_.getString(0)).sorted shouldBe
+      b.select("id").collect().map(_.getString(0)).sorted
+  }
+
+  test("hash-agg dedup is equivalent to window dedup under a total-order tiebreak") {
+    val li = Tables.read(spark, sf0001, "lineitem")
+    val win = Medallion.dedupByKey("l_orderkey",
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))(li)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    val agg = Medallion.dedupByKeyAgg(Seq("l_orderkey"),
+      Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"))(li)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    win.collect().toSet shouldBe agg.collect().toSet
+  }
+
+  test("date-partitioned layout prunes partitions on read") {
+    val out = Files.createTempDirectory("graft-part").toFile.getAbsolutePath
+    Tables.read(spark, sf0001, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(out)
+    val all = spark.read.parquet(out)
+    val pruned = all.filter(col("order_year") === 1996)
+    // the filter must reach the scan as a partition filter (directory-level
+    // pruning), not a row-level predicate
+    val plan = pruned.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters: [isnotnull(order_year")
+    plan should include("= 1996")
+    val expected = Tables.read(spark, sf0001, "orders")
+      .filter(year(col("o_orderdate")) === 1996).count()
+    pruned.count() shouldBe expected
+  }
+}
