@@ -180,7 +180,23 @@ object Dedup extends QueryModule {
     "q37_simhash" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), simhash32.as("simhash"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Embedding-cosine near-dup pairs, exact form: all pairs above the
+    // similarity threshold. The deliberate quadratic join is the *baseline*
+    // (fine at fixture scale; the fixtures carry no near-dup embeddings, so
+    // the threshold sits at the top of the observed similarity range) — at
+    // corpus scale the LSH-bucketed path (see Similarity.annLsh) generates
+    // candidates instead of the full cross product.
+    "q47_embedding_neardup" -> ((s, dir) => {
+      val e = Tables.read(s, dir, "embeddings")
+        .select(col("vec_id"), graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(graft.functions.VectorFunctions.cosineFast(s, col("a.v"), col("b.v")), 6).as("sim"))
+        .filter(col("sim") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +222,13 @@ object Dedup extends QueryModule {
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "q47_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q37_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
         |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS th FROM toks),

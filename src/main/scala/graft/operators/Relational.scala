@@ -228,6 +228,17 @@ object Relational extends QueryModule {
           col("n_orders"))
         .orderBy(col("orderstatus"), col("orderpriority"))),
 
+    // Windowed frame aggregation: per-user trailing 3-event moving average.
+    "q48_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("mov_avg", round(avg(col("value")).over(w), 6))
+        .select(col("event_id"), col("user_id"), col("value"), col("mov_avg"))
+        .orderBy(col("event_id"))
+    }),
+
     // Dimension-enriched fact rollup over `part` (broadcast dim).
     "q46_brand_volume" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -345,6 +356,11 @@ object Relational extends QueryModule {
         |       count(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q48_moving_avg" ->
+      """SELECT event_id, user_id, value,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+        |FROM events ORDER BY event_id""".stripMargin,
     "q46_brand_volume" ->
       """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
