@@ -59,6 +59,34 @@ object Multimodal extends QueryModule {
     records.mapPartitions(_.map(MultimodalStub.decodeImageStub))
   }
 
+  /** "Resize" every record to target dimensions — STUB: a real codec scales
+    * pixels; the fake deterministically re-samples the payload bytes to the
+    * target byte budget (truncate or cycle-pad), so downstream code sees the
+    * correct metadata + payload-size contract. Partition-local, no shuffle. */
+  def resize(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      val target = math.max(1, w * h * r.channels / 256) // fake byte budget
+      val p = if (r.payload.isEmpty) Array.fill[Byte](target)(0)
+      else Array.tabulate[Byte](target)(i => r.payload(i % r.payload.length))
+      MediaRecord(r.doc_id, p, w, h, r.channels)
+    })
+  }
+
+  /** Sample every Nth "frame" of a video-shaped payload — STUB: a real
+    * implementation seeks keyframes; the fake slices the payload into
+    * fixed-size chunks and keeps chunk indices ≡ 0 (mod n), emitting one
+    * record per kept frame (iterator-out > 1: the flatMap batch shape). */
+  def sampleFrames(records: Dataset[MediaRecord], frameBytes: Int, everyN: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (frame, idx) if idx % everyN == 0 =>
+          MediaRecord(r.doc_id * 1000 + idx, frame, r.width, r.height, r.channels)
+      }
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata/payload pipeline, oracle-checkable subset of the features
     // (byte length + first byte are decoder-independent).

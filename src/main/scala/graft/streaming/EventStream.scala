@@ -1,10 +1,9 @@
 package graft.streaming
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured-Streaming lift of the event-time analytics: the same
   * declarative transforms as graft.operators.EventAnalytics, but over
@@ -47,6 +46,58 @@ object EventStream {
       .select(col("user_id"),
         col("session_window.start").cast("long").as("sess_start"),
         col("n_events"))
+
+  // ---- custom state: flatMapGroupsWithState ------------------------------
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserSessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, sess_start: Long, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`: unlike the
+    * declarative `session_window` aggregate, the state type is ours — here it
+    * carries a running value sum, and a closed session is emitted the moment
+    * the event-time watermark passes its gap deadline. State per key is
+    * O(1); the watermark bounds how long a session can stay open, so
+    * executor state doesn't grow with history — the property that keeps this
+    * runnable forever on an unbounded stream. */
+  def sessionizeWithState(events: Dataset[UserEvent], gapSec: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start, s.n, s.sum))
+          } else {
+            // fold the batch in event-time order; emit sessions closed by
+            // intra-batch gaps, keep the trailing one in state
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            for (e <- sorted) {
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t <= s.lastTs + gapSec =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start, s.n, s.sum)
+                  cur = Some(UserSessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(UserSessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastTs + gapSec) * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Sink the aggregation to an in-memory table (tests / demos) and process
     * all data currently available, then stop. */

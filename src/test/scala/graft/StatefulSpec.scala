@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.{Medallion, Multimodal, Skew}
+import graft.sources.Tables
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Custom streaming state, skew-salted aggregation equivalence, bucketed
+  * co-located joins, and the multimodal resize/frame-sample plumbing. */
+class StatefulSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("flatMapGroupsWithState sessionization emits closed sessions as the watermark passes") {
+    val dir = Files.createTempDirectory("graft-state").toFile.getAbsolutePath
+    // batch 1: user 1 has two bursts 30m apart; batch 2 arrives 3h later,
+    // pushing the watermark far past every batch-1 session deadline
+    val w1 = new java.io.PrintWriter(s"$dir/a.json")
+    for ((t, v) <- Seq(("00:00:00", 1.0), ("00:01:00", 2.0), ("00:31:00", 4.0)))
+      w1.println(s"""{"event_id":0,"ts":"2024-01-01T$t.000Z","user_id":1,"event_type":"view","value":$v,"props":"{}"}""")
+    w1.close()
+    val w2 = new java.io.PrintWriter(s"$dir/b.json")
+    w2.println(s"""{"event_id":9,"ts":"2024-01-01T03:00:00.000Z","user_id":2,"event_type":"view","value":9.0,"props":"{}"}""")
+    w2.close()
+
+    val events = EventStream.readEvents(spark, dir)
+      .select($"user_id", $"ts", $"value").as[EventStream.UserEvent]
+    val q = EventStream.sessionizeWithState(events, gapSec = 600)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append())
+      .option("maxFilesPerTrigger", 1) // force two micro-batches so the watermark advances
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.sql("SELECT user_id, sess_start, n_events, sum_value FROM closed_sessions ORDER BY sess_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val h0 = 1704067200L
+    // both batch-1 sessions of user 1 closed (intra-batch gap + watermark timeout);
+    // user 2's session stays open (nothing after it) and must NOT be emitted
+    got shouldBe Seq((1L, h0, 2L, 3.0), (1L, h0 + 31 * 60L, 1L, 4.0))
+  }
+
+  test("salted aggregation equals the direct aggregation exactly") {
+    val direct = Tables.read(spark, TestSpark.sf0001, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedSumCount(
+      Tables.read(spark, TestSpark.sf0001, "events"), Seq("event_type"), "value", 2, 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    salted shouldBe direct
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = Files.createTempDirectory("graft-wh").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS graftbuck LOCATION '$wh'")
+      Tables.read(spark, TestSpark.sf0001, "orders")
+        .write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graftbuck.orders_b")
+      Tables.read(spark, TestSpark.sf0001, "customer")
+        .write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graftbuck.customer_b")
+      val joined = spark.table("graftbuck.customer_b")
+        .join(spark.table("graftbuck.orders_b"), $"c_custkey" === $"o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed layout: the join reads both sides bucket-by-bucket
+      plan should not include "Exchange hashpartitioning"
+      joined.count() should be > 0L
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graftbuck CASCADE")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("multimodal resize and frame sampling keep the batch contract") {
+    val recs = Multimodal.withPayload(
+      Tables.read(spark, TestSpark.sf0001, "documents").limit(10)).as[Multimodal.MediaRecord]
+    val resized = Multimodal.resize(recs, 32, 32).collect()
+    resized.length shouldBe 10
+    all(resized.map(_.payload.length)) shouldBe (32 * 32 * 3 / 256)
+    all(resized.map(_.width)) shouldBe 32
+
+    val frames = Multimodal.sampleFrames(recs, frameBytes = 16, everyN = 4).collect()
+    frames should not be empty
+    // every sampled frame is at a stride-aligned index and ≤ frameBytes long
+    frames.foreach { f =>
+      (f.doc_id % 1000) % 4 shouldBe 0
+      f.payload.length should be <= 16
+    }
+  }
+}
