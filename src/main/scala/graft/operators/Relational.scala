@@ -228,6 +228,21 @@ object Relational extends QueryModule {
           col("n_orders"))
         .orderBy(col("orderstatus"), col("orderpriority"))),
 
+    // TPC-H Q6-shaped: tightly-filtered single-pass sum. Every predicate
+    // reaches the parquet scan (PushedFilters + row-group min/max skipping) —
+    // at 100 TB this is the query shape where pushdown does almost all the
+    // work and the aggregate sees a tiny fraction of the data.
+    "q50_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(
+          exactSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     // Windowed frame aggregation: per-user trailing 3-event moving average.
     "q48_moving_avg" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -356,6 +371,13 @@ object Relational extends QueryModule {
         |       count(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q50_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
     "q48_moving_avg" ->
       """SELECT event_id, user_id, value,
         |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
