@@ -56,28 +56,27 @@ object Dedup extends QueryModule {
     // not cached: shingling is cheap per-row map work, and a cache pinned
     // here would outlive the query in a long-lived session (memory leak)
     val sh = shingled(s, dir)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     // Posting-list formulation: one explode, one shuffle keyed on the
     // shingle, then ordered pairs generated inside each posting list — no
     // self-join (which would shuffle + sort the exploded table twice).
+    // Each exploded row carries its document's shingle-set size, so the
+    // final Jaccard needs no joins back to the (recomputed) shingle table —
+    // the whole query is a single pipeline over one shingling pass.
     // Shingles with df=1 produce no pairs and vanish in the filter. At
     // corpus scale an ultra-hot shingle (df=d) emits d²/2 pairs — 5-gram
     // shingles keep d small; a df-cap would be the knob if the corpus had
     // boilerplate (documented, not needed for these fixtures).
-    val common = ex.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+    val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
+    ex.groupBy(col("s")).agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(
-        "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
-          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y.doc_id > x.doc_id), " +
+          "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, x.n AS na, y.n AS nb))))")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("c"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    common
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
-        round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jaccard"))
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
   }
 
   /** MinHash signature, k permutations, computed the scalable way: the
@@ -118,11 +117,16 @@ object Dedup extends QueryModule {
       .select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 7), b -> xxhash64(b, slice(sig, b * 4 + 1, 4)))")))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Bucket members per (band, hash) via collect_list, then emit ordered
+    // pairs inside each bucket — one pass over the signature pipeline
+    // instead of a self-join that would compute it twice.
+    val cand = bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
+          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     // Exact-Jaccard verification on candidates only.
     cand

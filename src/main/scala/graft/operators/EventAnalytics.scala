@@ -73,7 +73,30 @@ object EventAnalytics extends QueryModule {
         .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(LongType))
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n_events"), exactSum(col("value"), 2).as("sum_value"))
-        .orderBy(col("k_mod")))
+        .orderBy(col("k_mod"))),
+
+    // Pivot: one column per event type, counts per day — the wide-format
+    // report shape. Pivot values are declared explicitly (never inferred
+    // with an extra scan — at 100 TB the inference pass is a full read).
+    "q51_pivot" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("day", dayofmonth(col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))),
+
+    // Native JSON parsing of the props payload (from_json with a declared
+    // schema) rather than regex extraction.
+    "q52_from_json" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,6 +135,20 @@ object EventAnalytics extends QueryModule {
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q51_pivot" ->
+      """SELECT CAST(day(ts) AS INTEGER) AS day,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_from_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS min_k,
+        |       max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k,
+        |       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
