@@ -114,6 +114,34 @@ object Medallion extends QueryModule {
   def writeGold(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** The daily incremental run (`airflow/dags/etl_api.py:74-87`:
+    * `schedule_interval=timedelta(days=1)` re-running over a 1-day window)
+    * done the way it should work at scale: scope the raw input to the
+    * `[start, end)` ingest window, then write ONLY the touched
+    * `ingest_date=` partitions with dynamic partition overwrite — re-running
+    * a day is idempotent (the partition is replaced, never duplicated) and
+    * never rewrites history, where the reference's full-table overwrite
+    * (`glue/etl_api.py:38` `mode("overwrite")`) rewrites everything daily. */
+  def runIncremental(spark: SparkSession, rawJsonPath: String, silverRoot: String,
+                     startInclusive: String, endExclusive: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      bronzeFromJson(spark, rawJsonPath)
+        .filter(col("ingest_date") >= lit(startInclusive).cast(DateType) &&
+                col("ingest_date") <  lit(endExclusive).cast(DateType))
+        .transform(requireField("id"))
+        .transform(dedupByKey("id", col("ingest_date").desc, col("name")))
+        .transform(withStatus("value"))
+        .write.mode("overwrite").partitionBy("ingest_date").parquet(silverRoot)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** The full reference pipeline end-to-end over brewery-shaped raw JSON:
     * bronze (raw persist) → silver (clean, dedup, derive, partitioned
     * persist) → gold (rollup persist). Returns the gold DataFrame. */

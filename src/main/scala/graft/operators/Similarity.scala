@@ -47,7 +47,7 @@ object Similarity extends QueryModule {
   /** Sign-bit LSH signature of vector column `v` against `planes`. */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
       when(dot(v, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -75,6 +75,27 @@ class MedallionSpec extends AnyFunSuite with Matchers {
     filtered.count() should be <= df.count()
   }
 
+  test("incremental daily run: only the window's partitions are written; re-runs are idempotent") {
+    val out = Files.createTempDirectory("graft-incr").toFile.getAbsolutePath
+    val silver = s"$out/silver"
+    // day 1 run
+    Medallion.runIncremental(spark, rawJson(raw), silver, "2024-01-01", "2024-01-02")
+    val d1 = spark.read.parquet(silver)
+    d1.count() shouldBe 3 // ids 1 (old version), 2, 3 on day 1
+    // day 2 run: only id=1's newer record — day 1 partition untouched
+    Medallion.runIncremental(spark, rawJson(raw), silver, "2024-01-02", "2024-01-03")
+    val d2 = spark.read.parquet(silver)
+    d2.count() shouldBe 4
+    new java.io.File(s"$silver/ingest_date=2024-01-01").exists() shouldBe true
+    new java.io.File(s"$silver/ingest_date=2024-01-02").exists() shouldBe true
+    // re-run day 2: idempotent — partition replaced, not appended
+    Medallion.runIncremental(spark, rawJson(raw), silver, "2024-01-02", "2024-01-03")
+    spark.read.parquet(silver).count() shouldBe 4
+    // re-run an empty window: nothing written, nothing destroyed
+    Medallion.runIncremental(spark, rawJson(raw), silver, "2024-02-01", "2024-02-02")
+    spark.read.parquet(silver).count() shouldBe 4
+  }
+
   test("incremental window keeps [start, end) semantics") {
     val df = Seq("2024-01-01 00:00:00", "2024-01-02 00:00:00", "2024-01-03 00:00:00")
       .toDF("d").select(col("d").cast("timestamp").as("ts"))
