@@ -33,6 +33,16 @@ object Relational extends QueryModule {
   /** revenue element: extendedprice * (1 - discount) — exact at scale 4. */
   private val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Correlated scalar subquery, executed verbatim by both engines via the
+    * SQL surface: per-order priciest line item. Catalyst decorrelates this
+    * into a join — no per-row re-execution. */
+  val maxItemSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       (SELECT max(l_extendedprice) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_item
+      |FROM orders
+      |WHERE o_totalprice > 400000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** The SQL surface: one ANSI statement executed verbatim by BOTH engines —
     * Spark (`spark.sql` over temp views of the fixture tables) and the
     * DuckDB oracle. TPC-H Q10-shaped returned-item revenue report. */
@@ -228,6 +238,29 @@ object Relational extends QueryModule {
           col("n_orders"))
         .orderBy(col("orderstatus"), col("orderpriority"))),
 
+    // Sketch aggregates: HyperLogLog++ distinct counts + quantile sketches
+    // alongside their exact companions. Sketch internals are engine-specific
+    // so this query carries no DuckDB oracle (rows-only check); the accuracy
+    // bound vs the exact columns is pinned in ScalaTest. At 100 TB the
+    // sketch is the difference between one map-side-combining pass and an
+    // expand + dedup shuffle per distinct.
+    "q53_sketch_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_median_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    // Correlated scalar subquery via the SQL surface.
+    "q54_scalar_subquery" -> ((s, dir) => {
+      for (name <- Seq("orders", "lineitem"))
+        t(s, dir, name).createOrReplaceTempView(name)
+      s.sql(maxItemSql)
+    }),
+
     // TPC-H Q6-shaped: tightly-filtered single-pass sum. Every predicate
     // reaches the parquet scan (PushedFilters + row-group min/max skipping) —
     // at 100 TB this is the query shape where pushdown does almost all the
@@ -371,6 +404,7 @@ object Relational extends QueryModule {
         |       count(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q54_scalar_subquery" -> maxItemSql,
     "q50_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       count(*) AS n_items

@@ -49,6 +49,18 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     c shouldBe total // semi + anti partition the customer set
   }
 
+  test("sketch aggregates land within tolerance of their exact companions") {
+    val rows = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      math.abs(approx - exact) / exact should be <= 0.05 // HLL++ default rsd 5%
+      val median = r.getDouble(3)
+      median should (be > 0.0 and be < 200000.0)
+    }
+  }
+
   test("window rank returns at most k rows per partition key") {
     val rows = SparkEntry.queries("q16_window_rank")(spark, sf0001).collect()
     rows.groupBy(_.getString(0)).values.foreach(_.length should be <= 5)
