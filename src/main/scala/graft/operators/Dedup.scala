@@ -6,7 +6,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Corpus deduplication for a training-data pipeline, four tiers:
+/** Corpus deduplication for a training-data pipeline, following the
+  * published playbook — w-shingling + resemblance (Broder, "On the
+  * resemblance and containment of documents", 1997), MinHash-LSH banding
+  * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3), and
+  * SimHash (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", 2002) — four tiers:
   *
   *  1. exact  — hash-groupBy on a normalized-content fingerprint;
   *  2. n-gram Jaccard — *exact* pairwise similarity computed via an

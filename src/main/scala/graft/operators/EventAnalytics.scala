@@ -5,7 +5,7 @@ import graft.functions.ExactAgg._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DateType, LongType}
 
 /** Event-time analytics over the `events` table: tumbling, sliding and
   * session windows — the engine-side upgrade of the reference's "Incremental"
@@ -87,6 +87,37 @@ object EventAnalytics extends QueryModule {
         .na.fill(0L)
         .orderBy(col("day"))),
 
+    // Funnel: users whose first view precedes their first click precedes
+    // their first purchase. One grouped pass (conditional min per step) —
+    // no self-joins, no sequence scan.
+    "q55_funnel" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("vt"),
+          min(when(col("event_type") === "click", col("ts"))).as("ct"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("pt"))
+        .filter(col("vt").isNotNull && col("ct").isNotNull && col("pt").isNotNull &&
+          col("vt") < col("ct") && col("ct") < col("pt"))
+        .select(col("user_id"),
+          col("vt").cast(LongType).as("first_view"),
+          col("pt").cast(LongType).as("first_purchase"))
+        .orderBy(col("user_id"))),
+
+    // Day-over-day retention: users active on day d who return on d+1.
+    // Distinct (user, day) pairs self-joined on the next calendar day.
+    "q56_retention" -> ((s, dir) => {
+      val activity = ev(s, dir)
+        .select(col("user_id"), col("ts").cast(DateType).as("day")).distinct()
+      activity.as("a")
+        .join(activity.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.day") === date_add(col("a.day"), 1))
+        .groupBy(col("a.day").as("day"))
+        .agg(count(lit(1)).as("n_retained"))
+        .orderBy(col("day"))
+    }),
+
     // Native JSON parsing of the props payload (from_json with a declared
     // schema) rather than regex extraction.
     "q52_from_json" -> ((s, dir) =>
@@ -144,6 +175,25 @@ object EventAnalytics extends QueryModule {
         |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |       count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS vt,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS ct,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS pt
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(floor(epoch(vt)) AS BIGINT) AS first_view,
+        |       CAST(floor(epoch(pt)) AS BIGINT) AS first_purchase
+        |FROM f
+        |WHERE vt IS NOT NULL AND ct IS NOT NULL AND pt IS NOT NULL
+        |  AND vt < ct AND ct < pt
+        |ORDER BY user_id""".stripMargin,
+    "q56_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT a.day AS day, count(*) AS n_retained
+        |FROM act a JOIN act b ON a.user_id = b.user_id AND b.day = a.day + 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_from_json" ->
       """SELECT event_type, count(*) AS n_events,
         |       min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS min_k,

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 /** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
-  * 64-dim):
+  * 64-dim), the standard ANN ladder — random-hyperplane LSH (Charikar 2002)
+  * and IVF-style coarse quantization with inverted lists (Jégou et al.,
+  * "Product quantization for nearest neighbor search", 2011 — the coarse
+  * stage only; no PQ codes needed at this dimensionality):
   *
   *  1. brute-force cosine top-k — the exact baseline: broadcast the (small)
   *     query set against the corpus, one pass, per-partition top-k;
