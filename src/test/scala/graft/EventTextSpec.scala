@@ -35,6 +35,29 @@ class EventTextSpec extends AnyFunSuite with Matchers {
     total shouldBe 100L
   }
 
+  test("as-of join: most recent prior marker wins; same-instant resolves by event order") {
+    val df = Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:05:00", 1L, "view"),     // superseded by later purchase's view? no - this IS the latest view
+      (2L, "2024-01-01 00:10:00", 1L, "purchase"), // attributed to 00:05 view
+      (3L, "2024-01-01 00:20:00", 1L, "purchase"), // still the 00:05 view
+      (4L, "2024-01-01 00:20:00", 2L, "view"),     // same instant as purchase 5, smaller event_id
+      (5L, "2024-01-01 00:20:00", 2L, "purchase"), // attributed to the same-instant view
+      (6L, "2024-01-01 00:30:00", 3L, "purchase")  // no view at all -> null
+    ).toDF("event_id", "t", "user_id", "event_type")
+      .select($"event_id", $"t".cast("timestamp").as("ts"), $"user_id", $"event_type")
+    val got = graft.operators.AsOf.asofLast(df, $"user_id", Seq($"ts", $"event_id"),
+        $"event_type" === "view", $"ts", "last_view")
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"last_view".cast("long"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val base = 1704067200L
+    got(2L) shouldBe base + 300L
+    got(3L) shouldBe base + 300L
+    got(5L) shouldBe base + 1200L // same-instant view, earlier event_id
+    got(6L) shouldBe -1L          // never saw a view
+  }
+
   test("token metrics on known strings") {
     val df = Seq((1L, "one two  three"), (2L, "a.b,c!")).toDF("doc_id", "text")
     val m = df.select($"doc_id",
