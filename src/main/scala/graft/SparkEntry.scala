@@ -11,9 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - [[operators.Relational]]     — joins/aggregates/windows/set-ops core;
   *   - [[operators.EventAnalytics]] — tumbling/sliding/session event-time;
   *   - [[operators.TextAnalytics]]  — token/quality/lang-id/fingerprint;
-  *   - [[operators.Dedup]]          — exact / n-gram / MinHash-LSH / SimHash;
+  *   - [[operators.Dedup]]          — exact / n-gram / MinHash-LSH / SimHash
+  *     / embedding-cosine dedup;
   *   - [[operators.Similarity]]     — cosine top-k + LSH/IVF ANN;
-  *   - [[operators.Multimodal]]     — binary payload + metadata plumbing.
+  *   - [[operators.Multimodal]]     — binary payload + metadata plumbing;
+  *   - [[operators.Skew]]           — salted aggregation for hot keys;
+  *   - [[operators.AsOf]]           — as-of (most-recent-marker) join.
   */
 object SparkEntry {
 
