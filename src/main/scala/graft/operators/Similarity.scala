@@ -54,6 +54,23 @@ object Similarity extends QueryModule {
       when(dot(v, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Banded sign-bit values: planes are grouped `rowsPerBand` at a time and
+    * each band's bits pack into one long, yielding an array of
+    * `planes.length / rowsPerBand` band values. Two vectors are LSH
+    * candidates iff they agree on EVERY bit of at least one band — the
+    * banding trade-off (MMDS ch. 3): larger `rowsPerBand` prunes harder but
+    * recalls only closer pairs. Used by [[Dedup.embeddingNeardupLsh]]. */
+  def bandValues(v: Column, planes: Array[Array[Double]], rowsPerBand: Int): Column = {
+    require(planes.length % rowsPerBand == 0, "planes must divide into whole bands")
+    array((0 until planes.length / rowsPerBand).map { b =>
+      (0 until rowsPerBand).map { i =>
+        val p = planes(b * rowsPerBand + i)
+        val planeLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
+        when(dot(v, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** Exact brute-force cosine top-k of `corpus` for each row of `queriesDf`
     * (both with columns vec_id + v). Broadcast-joins the query set — the
     * corpus streams through exactly once. */

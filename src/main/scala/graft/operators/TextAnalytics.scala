@@ -54,14 +54,16 @@ object TextAnalytics extends QueryModule {
           nTokens(col("text")), 6).as("avg_token_len"))
         .orderBy(col("doc_id"))),
 
-    // Corpus rollup by language and source.
+    // Corpus rollup by language and source. avg_chars is rounded to 6dp on
+    // both sides per the determinism contract (README): an unrounded double
+    // division is not guaranteed bit-identical across engines.
     "q29_text_rollup" -> ((s, dir) =>
       docs(s, dir)
         .groupBy(col("lang"), col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
-          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
         .orderBy(col("lang"), col("source"))),
 
     // Language ID: argmax of marker-word scores, deterministic tiebreak
@@ -118,8 +120,9 @@ object TextAnalytics extends QueryModule {
         |             len(string_split(trim(text), ' ')), 6) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q29_text_rollup" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q30_lang_id" ->
       """SELECT doc_id,

@@ -103,10 +103,16 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
+  /** Session conf required to read the ns-timestamp events table. Set ONCE
+    * at session build (Verify/Bench/TestSpark all do) — a conf mutation
+    * inside every read would be racy in a multi-tenant session. */
+  val nanosConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /** Scan a fixture table with its declared schema (never inferred). */
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(spark.conf.getOption(nanosConf._1).contains(nanosConf._2),
+        s"session must be built with ${nanosConf._1}=${nanosConf._2} to read events")
       spark.read.schema(eventsOnDisk).parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -76,6 +76,66 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("df-cap drops boilerplate-only pairs and leaves organic near-dups untouched") {
+    import spark.implicits._
+    // 20 docs sharing ONLY a boilerplate sentence (plus unique filler), and
+    // one planted near-dup pair (21, 22) sharing organic content.
+    val boiler = "this content is provided under the standard license terms"
+    val organic = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docsDf = ((1L to 20L).map(i => (i, s"$boiler unique$i filler$i pad$i end$i")) ++
+      Seq((21L, organic + " tail one"), (22L, organic + " tail two"))).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairsFrom(docsDf, dfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramJaccardPairsFrom(docsDf, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // uncapped: the df=20 boilerplate shingles pair up all 20 docs
+    uncapped.keys.count(p => p._1 <= 20 && p._2 <= 20) shouldBe 190
+    // capped: boilerplate-only pairs vanish entirely
+    capped.keys.count(p => p._1 <= 20 && p._2 <= 20) shouldBe 0
+    // the organic near-dup pair survives with its Jaccard unchanged
+    capped((21L, 22L)) shouldBe uncapped((21L, 22L))
+    capped((21L, 22L)) should be > 0.5
+  }
+
+  test("embedding LSH near-dup: no false positives, recall floor, fixture equality") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs reference at a given threshold (test-only cross join)
+    def exactPairs(threshold: Double) = {
+      val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6).as("sim"))
+        .filter(col("sim") >= threshold)
+    }
+    // at a sub-threshold cut (0.45) banding misses occur — pin subset + floor
+    val exact45 = pairSet(exactPairs(0.45))
+    val lsh45 = pairSet(Dedup.embeddingNeardupLsh(spark, sf0001, threshold = 0.45))
+    exact45 should not be empty
+    lsh45.subsetOf(exact45) shouldBe true // exact verification: no false positives
+    (lsh45.size.toDouble / exact45.size) should be >= 0.5
+    // at the registered threshold (0.5) every fixture pair collides in a
+    // band: the LSH query equals the exact all-pairs result (the oracle)
+    pairSet(SparkEntry.queries("q47_embedding_neardup")(spark, sf0001)) shouldBe
+      pairSet(exactPairs(0.5))
+  }
+
+  test("SimHash hamming retrieval finds EVERY pair within the radius (pigeonhole)") {
+    val sigs = SparkEntry.queries("q37_simhash")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // brute-force ground truth over all signature pairs
+    val truth = (for {
+      i <- sigs.indices.iterator; j <- (i + 1) until sigs.length
+      d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if d <= 3
+      a = math.min(sigs(i)._1, sigs(j)._1); b = math.max(sigs(i)._1, sigs(j)._1)
+    } yield (a, b, d.toLong)).toSet
+    val got = SparkEntry.queries("q58_simhash_hamming")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    truth should not be empty
+    got shouldBe truth // guaranteed recall AND no false positives
+  }
+
   test("exact dedup groups case/whitespace variants together") {
     import spark.implicits._
     val df = Seq(

@@ -29,6 +29,15 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bucketed dedup/similarity pipelines never plan an all-pairs join") {
+    for (q <- Seq("q35_ngram_jaccard", "q36_minhash_lsh",
+                  "q47_embedding_neardup", "q58_simhash_hamming")) {
+      val p = plan(q)
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
   test("scan-level filter pushdown and column pruning reach the parquet reader") {
     val p = plan("q03_predicate_filter")
     p should include("PushedFilters")

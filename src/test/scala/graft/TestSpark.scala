@@ -11,6 +11,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config(graft.sources.Tables.nanosConf._1, graft.sources.Tables.nanosConf._2)
       .config("spark.ui.enabled", "false")
       .appName("graft-tests")
       .getOrCreate()
