@@ -191,17 +191,30 @@ object Dedup extends QueryModule {
   /** 32-bit SimHash over whitespace tokens. Token hashes come from the first
     * 8 hex chars of md5 (not xxhash64) so the DuckDB oracle can replay the
     * computation bit-for-bit. Per-bit vote = Σ ±1 across tokens (repeats
-    * count); bit set iff the vote is positive. Pure array lambdas. */
+    * count); bit set iff the vote is positive.
+    *
+    * Single-pass formulation on purpose: the token-hash array is the
+    * `aggregate`'s INPUT (evaluated once per document), and the accumulator
+    * is the 32-element vote vector updated via `zip_with` per token. The
+    * naive per-bit form — 32 inner aggregates each re-deriving the hashes —
+    * re-runs md5 over every token 32×, and hiding the hash array behind a
+    * prior projection doesn't help because CollapseProject inlines a
+    * single-use alias straight back into the lambda. This shape pins the
+    * hashing cost to one md5 per token by construction. */
   val simhash32: Column = expr(
     """aggregate(
-      |  transform(sequence(0, 31), b ->
-      |    CASE WHEN aggregate(
-      |           transform(split(trim(text), ' '),
-      |                     tk -> cast(conv(substring(md5(tk), 1, 8), 16, 10) AS bigint)),
-      |           0,
-      |           (acc, h) -> acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-      |         THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END),
-      |  cast(0 AS bigint), (acc, x) -> acc + x)""".stripMargin)
+      |  transform(split(trim(text), ' '), tk -> cast(conv(substring(md5(tk), 1, 8), 16, 10) AS bigint)),
+      |  array_repeat(0, 32),
+      |  (acc, h) -> zip_with(acc, sequence(0, 31),
+      |                       (a, b) -> a + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)),
+      |  acc -> aggregate(
+      |    zip_with(acc, sequence(0, 31),
+      |             (v, b) -> CASE WHEN v > 0 THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END),
+      |    cast(0 AS bigint), (s, x) -> s + x))""".stripMargin)
+
+  /** (doc_id, 32-bit simhash) for the fixture corpus — one md5 per token. */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), simhash32.as("sh"))
 
   /** SimHash hamming-radius retrieval with GUARANTEED recall: all pairs of
     * documents whose 32-bit SimHash signatures differ in at most `k` bits.
@@ -220,8 +233,7 @@ object Dedup extends QueryModule {
     * signature bits — i.e. genuinely clustered content. */
   def simhashHammingPairs(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     require(k == 3, "32-bit signature is chunked 4×8; pigeonhole guarantee holds for k <= 3")
-    val sigs = docs(s, dir).select(col("doc_id"), simhash32.as("sh"))
-    sigs
+    simhashSignatures(s, dir)
       .select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), c -> shiftright(sh, c * 8) & 255)")))
       .groupBy(col("pos"), col("col"))
@@ -309,8 +321,8 @@ object Dedup extends QueryModule {
 
     // SimHash signatures.
     "q37_simhash" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), simhash32.as("simhash"))
+      simhashSignatures(s, dir)
+        .select(col("doc_id"), col("sh").as("simhash"))
         .orderBy(col("doc_id"))),
 
     // Embedding-cosine near-dup pairs >= 0.5 via banded hyperplane-LSH

@@ -114,6 +114,16 @@ object Medallion extends QueryModule {
   def writeGold(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** K4: JSON staging dump (`airflow/dags/etl_api.py:135-136` stages the
+    * fetched pages as a local JSON file before upload). Engine-side form:
+    * distributed line-delimited JSON, one file per partition — the driver
+    * never materializes the data (the reference buffers the whole payload
+    * in the Python process, which caps out at driver memory). Readable back
+    * by [[bronzeFromJson]] with the declared schema. Timestamps are written
+    * ISO-8601 so a re-read under the same schema round-trips exactly. */
+  def stageJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** The daily incremental run (`airflow/dags/etl_api.py:74-87`:
     * `schedule_interval=timedelta(days=1)` re-running over a 1-day window)
     * done the way it should work at scale: scope the raw input to the

@@ -287,6 +287,48 @@ object Relational extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // Explicit GROUPING SETS (beyond rollup/cube): per-status, per-priority,
+    // and per-(status, priority) totals in ONE pass — planned as a single
+    // Expand + aggregate, where three separate groupBys would scan the fact
+    // table three times. Subtotal rows surface via the sentinel label.
+    "q59_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq(col("o_orderstatus"), col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice"), 2).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("orderstatus"), col("orderpriority"))),
+
+    // Full outer join: BUILDING-segment customers vs big-order rollups.
+    // Unmatched rows survive on BOTH sides (non-BUILDING customers appear
+    // only via their orders; BUILDING customers without big orders carry
+    // zero counts), keys coalesce into a never-null output key. Plans as a
+    // sort-merge join — full outer cannot broadcast, and at 100 TB both
+    // legs shuffle on the join key exactly once.
+    "q60_full_outer" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val big = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 250000)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big_orders"),
+          exactSum(col("o_totalprice"), 2).as("big_total"))
+      cust.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"),
+          coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+          coalesce(col("big_total"), lit(0.0)).as("big_total"))
+        .orderBy(col("custkey"))
+    }),
+
     // Dimension-enriched fact rollup over `part` (broadcast dim).
     "q46_brand_volume" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -405,6 +447,25 @@ object Relational extends QueryModule {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY orderstatus, orderpriority""".stripMargin,
     "q54_scalar_subquery" -> maxItemSql,
+    "q59_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+        |       coalesce(o_orderpriority, '(all)') AS orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q60_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_custkey, count(*) AS n_big_orders,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        |      FROM orders WHERE o_totalprice > 250000 GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        |       coalesce(n_big_orders, 0) AS n_big_orders,
+        |       coalesce(big_total, 0.0) AS big_total
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q50_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       count(*) AS n_items

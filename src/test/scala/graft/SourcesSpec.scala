@@ -37,6 +37,19 @@ class SourcesSpec extends AnyFunSuite with Matchers {
       b.select("id").collect().map(_.getString(0)).sorted
   }
 
+  test("JSON staging dump round-trips through the bronze reader (K4)") {
+    val out = Files.createTempDirectory("graft-stage").toFile.getAbsolutePath
+    val fetched = PaginatedSource.fetchAll(spark, Medallion.brewerySchema, page)
+    Medallion.stageJson(fetched, out)
+    val back = Medallion.bronzeFromJson(spark, out)
+    back.schema shouldBe Medallion.brewerySchema
+    back.count() shouldBe fetched.count()
+    back.select("id", "name", "value").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2))).sorted shouldBe
+      fetched.select("id", "name", "value").collect().map(r =>
+        (r.getString(0), r.getString(1), r.getDouble(2))).sorted
+  }
+
   test("hash-agg dedup is equivalent to window dedup under a total-order tiebreak") {
     val li = Tables.read(spark, sf0001, "lineitem")
     val win = Medallion.dedupByKey("l_orderkey",
