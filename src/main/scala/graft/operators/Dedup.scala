@@ -41,22 +41,31 @@ object Dedup extends QueryModule {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
 
-  /** Word 5-gram shingle set (distinct) from a pre-split token array column
-    * named `w`. 5-grams (not 3-grams) on purpose: shingle document frequency
+  /** Word 5-gram shingle set (distinct) over the whitespace tokens of
+    * `text`. 5-grams (not 3-grams) on purpose: shingle document frequency
     * drives the inverted-index join's cost (Σ df²), and over a small
     * vocabulary 3-grams are common enough to blow the join up ~50×. Longer
     * shingles are near-unique per document while near-duplicates still share
-    * almost all of them — the standard w-shingling trade-off. */
+    * almost all of them — the standard w-shingling trade-off.
+    *
+    * The token array is LET-BOUND as the lambda variable of an outer
+    * single-element `transform` so the split runs exactly once per document.
+    * Projecting it as a named column first doesn't survive the optimizer:
+    * CollapseProject inlines a single-use alias into the shingle lambda,
+    * re-running `split` for every element access (~5× per shingle — measured
+    * 25× slower end-to-end on the sf0.1 corpus). A lambda variable cannot be
+    * inlined. */
   val shingles5: Column =
     array_distinct(expr(
-      "transform(sequence(1, greatest(size(w) - 4, 0)), " +
-        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
-        "element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))"))
+      """flatten(transform(array(split(trim(text), ' ')),
+        |  w -> CASE WHEN size(w) >= 5
+        |       THEN transform(sequence(1, size(w) - 4),
+        |              i -> array_join(slice(w, i, 5), ' '))
+        |       ELSE slice(w, 1, 0) END))""".stripMargin))
 
   /** doc_id + distinct 5-gram shingles from a `(doc_id, text)` frame. */
   def shingledFrom(docsDf: DataFrame): DataFrame =
     docsDf
-      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .select(col("doc_id"), shingles5.as("shingles"))
       .filter(size(col("shingles")) >= 1)
 

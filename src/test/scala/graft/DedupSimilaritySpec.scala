@@ -83,7 +83,8 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     val boiler = "this content is provided under the standard license terms"
     val organic = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docsDf = ((1L to 20L).map(i => (i, s"$boiler unique$i filler$i pad$i end$i")) ++
-      Seq((21L, organic + " tail one"), (22L, organic + " tail two"))).toDF("doc_id", "text")
+      Seq((21L, organic + " tail one"), (22L, organic + " tail two"),
+        (23L, "too short"))).toDF("doc_id", "text") // <5 tokens: no shingles, no crash
     val uncapped = Dedup.ngramJaccardPairsFrom(docsDf, dfCap = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val capped = Dedup.ngramJaccardPairsFrom(docsDf, dfCap = 10)
