@@ -47,6 +47,43 @@ object EventStream {
         col("session_window.start").cast("long").as("sess_start"),
         col("n_events"))
 
+  /** Streaming ingest dedup: drop events whose `event_id` was already seen
+    * within the watermark horizon — the standard first stage of a streaming
+    * training-data pipeline (at-least-once sources redeliver; exactly-once
+    * ingest is reconstructed here). `dropDuplicatesWithinWatermark` keeps
+    * per-key state only until the watermark passes, so executor state is
+    * O(events per horizon), not O(history) — the property a plain
+    * `dropDuplicates` on a stream lacks (its state grows forever). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: attribute each action to a same-user
+    * impression at most `horizonMin` minutes earlier. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so each
+    * side's buffered state is capped by watermark + horizon — the canonical
+    * bounded-state stream-stream join layout. An unbounded condition (plain
+    * equi-join of two streams) would require infinite state; Spark rejects
+    * it — by design, and so does this engine. */
+  def attributeActions(impressions: DataFrame, actions: DataFrame,
+                       horizonMin: Int = 60): DataFrame = {
+    val i = impressions.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("i_user"), col("ts").as("i_ts"),
+        col("event_id").as("impression_id"))
+    val a = actions.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+        col("event_id").as("action_id"))
+    a.join(i,
+      col("a_user") === col("i_user") &&
+        col("i_ts") <= col("a_ts") &&
+        col("i_ts") >= col("a_ts") - expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("a_user").as("user_id"), col("action_id"),
+        col("impression_id"),
+        col("a_ts").cast("long").as("action_ts"),
+        col("i_ts").cast("long").as("impression_ts"))
+  }
+
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

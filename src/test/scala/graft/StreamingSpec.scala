@@ -73,6 +73,41 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     spark.read.parquet(sink).count() shouldBe 11
   }
 
+  test("streaming dedup drops redelivered event_ids within the watermark") {
+    // ids 0..9, with 0..4 redelivered (same id, same payload)
+    val rows = (0 until 10).map(i => (i.toLong, s"00:0$i:00", 1L, "view")) ++
+      (0 until 5).map(i => (i.toLong, s"00:0$i:00", 1L, "view"))
+    val dir = writeEvents(rows)
+    val q = EventStream.dedupedEvents(EventStream.readEvents(spark, dir))
+      .select(org.apache.spark.sql.functions.col("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.sql("SELECT event_id FROM deduped").collect()
+      .map(_.getLong(0)).sorted shouldBe (0L until 10L).toArray
+  }
+
+  test("stream-stream join attributes actions to in-horizon impressions only") {
+    val imps = writeEvents(Seq(
+      (100L, "00:00:00", 1L, "impression"),
+      (101L, "02:00:00", 1L, "impression"), // later than both actions
+      (102L, "00:05:00", 2L, "impression")))
+    val acts = writeEvents(Seq(
+      (200L, "00:30:00", 1L, "click"),   // 30m after imp 100 -> attributed
+      (201L, "01:30:00", 1L, "click"),   // 90m after imp 100 -> outside horizon
+      (202L, "00:10:00", 3L, "click")))  // no impression for user 3
+    val joined = EventStream.attributeActions(
+      EventStream.readEvents(spark, imps), EventStream.readEvents(spark, acts))
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.sql("SELECT user_id, action_id, impression_id FROM attributed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, 200L, 100L))
+  }
+
   test("streamed sessionization produces per-user sessions") {
     val rows = Seq(
       (0L, "00:00:00", 1L, "view"), (1L, "00:01:00", 1L, "view"),
