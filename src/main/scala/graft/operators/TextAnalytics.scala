@@ -35,12 +35,41 @@ object TextAnalytics extends QueryModule {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   private val stopPat = "\\b(the|a|of|and|in|to|is)\\b"
+  private val enPat = "\\b(the|a|of|and|in|to)\\b"
+  private val dePat = "\\b(der|die|das|und|ist|nicht)\\b"
+  private val esPat = "\\b(el|la|los|que|es|una)\\b"
 
   /** Marker-word language scores. On real corpora these would be char-n-gram
     * profiles; the heuristic stays deterministic + SQL-expressible so the
     * oracle can replay it. */
   private def langScore(text: Column, pat: String): Column =
     regexp_count(lower(text), lit(pat)).cast(LongType)
+
+  /** Language ID: argmax of the marker scores, deterministic tiebreak
+    * (en > de > es order on ties). */
+  def predictedLang: Column = {
+    val sEn = langScore(col("text"), enPat)
+    val sDe = langScore(col("text"), dePat)
+    val sEs = langScore(col("text"), esPat)
+    when(sEn >= sDe && sEn >= sEs, lit("en"))
+      .when(sDe >= sEs, lit("de"))
+      .otherwise(lit("es"))
+  }
+
+  /** Stopword density over whitespace tokens. */
+  def stopRatio: Column =
+    langScore(col("text"), stopPat).cast("double") / nTokens(col("text")).cast("double")
+
+  /** Punctuation density over characters. */
+  def punctRatio: Column =
+    regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+      length(col("text")).cast("double")
+
+  /** Quality score (rounded 6dp): bounded length credit + stopword density
+    * - punctuation density, a linear proxy for "natural prose" filters. */
+  def qualityScore: Column =
+    round(lit(0.5) * least(lit(1.0), length(col("text")).cast("double") / 500.0) +
+      lit(0.3) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 6)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -66,36 +95,24 @@ object TextAnalytics extends QueryModule {
           round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
         .orderBy(col("lang"), col("source"))),
 
-    // Language ID: argmax of marker-word scores, deterministic tiebreak
-    // (en > de > es order on ties).
-    "q30_lang_id" -> ((s, dir) => {
-      val sEn = langScore(col("text"), "\\b(the|a|of|and|in|to)\\b")
-      val sDe = langScore(col("text"), "\\b(der|die|das|und|ist|nicht)\\b")
-      val sEs = langScore(col("text"), "\\b(el|la|los|que|es|una)\\b")
+    // Language ID per document (scores + argmax).
+    "q30_lang_id" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
-        sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"),
-        when(sEn >= sDe && sEn >= sEs, lit("en"))
-          .when(sDe >= sEs, lit("de"))
-          .otherwise(lit("es")).as("predicted"))
-        .orderBy(col("doc_id"))
-    }),
+        langScore(col("text"), enPat).as("s_en"),
+        langScore(col("text"), dePat).as("s_de"),
+        langScore(col("text"), esPat).as("s_es"),
+        predictedLang.as("predicted"))
+        .orderBy(col("doc_id"))),
 
-    // Quality score: bounded length credit + stopword density - punctuation
-    // density, a linear proxy for "natural prose" filters.
-    "q31_quality_score" -> ((s, dir) => {
-      val lenC = length(col("text")).cast("double")
-      val toks = nTokens(col("text")).cast("double")
-      val stopR = langScore(col("text"), stopPat).cast("double") / toks
-      val punctR = regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / lenC
+    // Quality score per document.
+    "q31_quality_score" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
-        round(stopR, 6).as("stop_ratio"),
-        round(punctR, 6).as("punct_ratio"),
-        round(lit(0.5) * least(lit(1.0), lenC / 500.0) + lit(0.3) * stopR +
-          lit(0.2) * (lit(1.0) - punctR), 6).as("quality"))
-        .orderBy(col("doc_id"))
-    }),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        qualityScore.as("quality"))
+        .orderBy(col("doc_id"))),
 
     // Token counting: whitespace vs BPE-ish pre-tokenization.
     "q32_token_count" -> ((s, dir) =>
@@ -108,7 +125,33 @@ object TextAnalytics extends QueryModule {
     // Content fingerprint per document.
     "q33_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // The flagship training-data curation pipeline, end to end in ONE query:
+    // language-ID → quality filter → exact dedup (deterministic min-doc_id
+    // survivor) → per-language curated-corpus stats. Composes the proven
+    // q30/q31/q33/q34 pieces; every stage is per-row map work or a
+    // partial-aggregating shuffle, so the whole pipeline is two shuffles
+    // (fingerprint groupBy, language groupBy) at any corpus size.
+    "q61_corpus_curation" -> ((s, dir) => {
+      val scored = docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        fingerprint(col("text")).as("fp"),
+        nTokens(col("text")).as("n_tokens"),
+        predictedLang.as("predicted"),
+        qualityScore.as("quality"))
+      scored.filter(col("quality") >= 0.5)
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("predicted"),
+          col("quality"), col("n_tokens"))).as("r"))
+        .select(col("r.lang").as("lang"), col("r.predicted").as("predicted"),
+          col("r.quality").as("quality"), col("r.n_tokens").as("n_tokens"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          graft.functions.ExactAgg.exactAvg(col("quality"), 6).as("avg_quality"))
+        .orderBy(col("lang"), col("predicted"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,6 +195,29 @@ object TextAnalytics extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q61_corpus_curation" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         len(string_split(trim(text), ' ')) AS n_tokens,
+        |         CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+        |               AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b'))
+        |              THEN 'en'
+        |              WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b'))
+        |              THEN 'de' ELSE 'es' END AS predicted,
+        |         round(0.5 * least(1.0, length(text) / 500.0)
+        |             + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |                      len(string_split(trim(text), ' ')))
+        |             + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |                      length(text)), 6) AS quality
+        |  FROM documents),
+        |filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+        |survivors AS (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp),
+        |curated AS (SELECT f.* FROM filtered f JOIN survivors s ON f.doc_id = s.doc_id)
+        |SELECT lang, predicted, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality
+        |FROM curated GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
