@@ -51,6 +51,26 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     plan("q12_topk_orders") should include("TakeOrderedAndProject")
   }
 
+  test("grouping sets plan as one Expand pass, not three scans") {
+    val p = plan("q59_grouping_sets")
+    p should include("Expand")
+    "FileScan".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("full outer join plans as a sort-merge join with both sides shuffled once") {
+    val p = plan("q60_full_outer")
+    p should include("SortMergeJoin")
+    p should include("FullOuter")
+  }
+
+  test("the curation composite stays a two-shuffle pipeline (plus the final sort)") {
+    // fingerprint groupBy + language groupBy + output orderBy = at most 3
+    // exchanges; anything more means a stage re-reads or re-partitions
+    val p = plan("q61_corpus_curation")
+    "Exchange".r.findAllIn(p).size should be <= 3
+    "FileScan".r.findAllIn(p).size shouldBe 1
+  }
+
   test("semi/anti joins never duplicate left rows") {
     val c = SparkEntry.queries("q20_semi_join")(spark, sf0001).count() +
             SparkEntry.queries("q21_anti_join")(spark, sf0001).count()
