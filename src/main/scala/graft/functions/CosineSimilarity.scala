@@ -99,5 +99,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_cosine requires exactly 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[LshBands].getName, "graft_lsh_bands"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_lsh_bands requires exactly 3 arguments, got ${children.length}")
+        LshBands(children.head, children(1), children(2))
+      }))
   }
 }

@@ -283,7 +283,7 @@ object Dedup extends QueryModule {
     // the bucket shuffle — the 64-dim payload is fetched afterwards for the
     // surviving candidate pairs via keyed equi-joins.
     val cand = e
-      .select(col("vec_id"), posexplode(Similarity.bandValues(col("v"), planes, rowsPerBand)))
+      .select(col("vec_id"), posexplode(Similarity.bandValuesFast(s, col("v"), planes, rowsPerBand)))
       .groupBy(col("pos"), col("col"))
       .agg(collect_list(col("vec_id")).as("ds"))
       .filter(size(col("ds")) >= 2)

@@ -59,7 +59,8 @@ object Similarity extends QueryModule {
     * `planes.length / rowsPerBand` band values. Two vectors are LSH
     * candidates iff they agree on EVERY bit of at least one band — the
     * banding trade-off (MMDS ch. 3): larger `rowsPerBand` prunes harder but
-    * recalls only closer pairs. Used by [[Dedup.embeddingNeardupLsh]]. */
+    * recalls only closer pairs. Used by [[Dedup.embeddingNeardupLsh]].
+    * Interpreted HOF form; see [[bandValuesFast]] for the codegen'd path. */
   def bandValues(v: Column, planes: Array[Array[Double]], rowsPerBand: Int): Column = {
     require(planes.length % rowsPerBand == 0, "planes must divide into whole bands")
     array((0 until planes.length / rowsPerBand).map { b =>
@@ -70,6 +71,17 @@ object Similarity extends QueryModule {
       }.reduce(_ + _)
     }: _*)
   }
+
+  /** [[bandValues]] via the native codegen'd `graft_lsh_bands` expression
+    * when the session has GraftExtensions, else the (bit-identical) HOF
+    * form. The banding kernel runs dim×nPlanes multiplies per corpus row —
+    * the hottest vector loop in the near-dup/ANN pipelines after cosine. */
+  def bandValuesFast(spark: SparkSession, v: Column,
+                     planes: Array[Array[Double]], rowsPerBand: Int): Column =
+    if (spark.catalog.functionExists("graft_lsh_bands"))
+      call_function("graft_lsh_bands", v,
+        typedlit(planes.toSeq.flatten), lit(rowsPerBand))
+    else bandValues(v, planes, rowsPerBand)
 
   /** Exact brute-force cosine top-k of `corpus` for each row of `queriesDf`
     * (both with columns vec_id + v). Broadcast-joins the query set — the

@@ -137,6 +137,20 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     got shouldBe truth // guaranteed recall AND no false positives
   }
 
+  test("native graft_lsh_bands matches the interpreted HOF band values exactly") {
+    spark.catalog.functionExists("graft_lsh_bands") shouldBe true
+    val planes = Similarity.hyperplanes(60, 64)
+    val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val both = e.select(
+      Similarity.bandValuesFast(spark, col("v"), planes, 5).as("native"),
+      Similarity.bandValues(col("v"), planes, 5).as("hof")).collect()
+    both should not be empty
+    both.foreach { r =>
+      r.getSeq[Long](0) shouldBe r.getSeq[Long](1)
+    }
+  }
+
   test("exact dedup groups case/whitespace variants together") {
     import spark.implicits._
     val df = Seq(
