@@ -103,7 +103,9 @@ object Similarity extends QueryModule {
     * in other buckets are missed (recall measured in the ScalaTest spec). */
   def annLsh(s: SparkSession, dir: String, k: Int, nPlanes: Int = 8): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
-    val e = emb(s, dir).withColumn("sig", lshSignature(col("v"), planes))
+    // one r=nPlanes band == the packed signature; native codegen when available
+    val e = emb(s, dir).withColumn("sig",
+      element_at(bandValuesFast(s, col("v"), planes, nPlanes), 1))
     val q = broadcast(
       e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig")))
