@@ -240,9 +240,13 @@ object Dedup extends QueryModule {
     * bucket's posting list, no join back (the signature rides along). A
     * chunk bucket is hot only when many documents share 8 identical
     * signature bits — i.e. genuinely clustered content. */
-  def simhashHammingPairs(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def simhashHammingPairs(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    simhashHammingPairsFrom(docs(s, dir), k)
+
+  /** [[simhashHammingPairs]] over any `(doc_id, text)` frame. */
+  def simhashHammingPairsFrom(docsDf: DataFrame, k: Int = 3): DataFrame = {
     require(k == 3, "32-bit signature is chunked 4×8; pigeonhole guarantee holds for k <= 3")
-    simhashSignatures(s, dir)
+    docsDf.select(col("doc_id"), simhash32.as("sh"))
       .select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), c -> shiftright(sh, c * 8) & 255)")))
       .groupBy(col("pos"), col("col"))

@@ -53,6 +53,39 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("hamming retrieval equals brute force on random corpora (pigeonhole)") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.chooseNum(5, 12).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(25, docGen)
+    check(Prop.forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sigs = df.select($"doc_id", graft.operators.Dedup.simhash32.as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val truth = (for {
+        i <- sigs.indices; j <- (i + 1) until sigs.length
+        d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if d <= 3
+      } yield (math.min(sigs(i)._1, sigs(j)._1), math.max(sigs(i)._1, sigs(j)._1), d.toLong)).toSet
+      val got = graft.operators.Dedup.simhashHammingPairsFrom(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got == truth
+    })
+  }
+
+  test("df-cap only removes pairs, never adds or changes surviving similarities") {
+    val wordGen = Gen.oneOf("a1", "b2", "c3", "d4", "e5", "f6", "g7", "h8", "i9", "j0")
+    val docGen = Gen.chooseNum(6, 14).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(18, docGen)
+    check(Prop.forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def pairs(cap: Int) = graft.operators.Dedup.ngramJaccardPairsFrom(df, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val uncapped = pairs(Int.MaxValue)
+      val capped = pairs(4)
+      // capped pair set is a subset, and a pair's jaccard can only shrink
+      capped.forall { case (k, j) => uncapped.contains(k) && j <= uncapped(k) }
+    })
+  }
+
   test("status column is exhaustive and matches the threshold rule") {
     check(Prop.forAll(dataGen) { data =>
       val df = data.toDF("id", "value", "grp")
