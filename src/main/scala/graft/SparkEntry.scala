@@ -21,7 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal, Skew, AsOf)
+    Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal, Skew,
+    AsOf, RangeJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full silver+gold operator chain (scan → null-filter →
