@@ -56,6 +56,35 @@ class StatefulSpec extends AnyFunSuite with Matchers {
     salted shouldBe direct
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~98% of the fact rows land on key 1 -> one reducer partition dwarfs
+      // the median; AQE must split it instead of letting it straggle
+      val fact = spark.range(200000).select(
+        when($"id" % 100 < 98, lit(1L)).otherwise($"id" % 1000).as("k"),
+        concat(lit("payload-"), $"id").as("payload"))
+      val dim = spark.range(1000).select($"id".as("k"), lit("d").as("attr"))
+      val joined = fact.join(dim, "k")
+      // execute THIS frame's plan (count() would build a sibling query and
+      // leave joined.queryExecution un-finalized)
+      joined.collect().length shouldBe 200000
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("isFinalPlan=true")
+      plan should include("skew=true")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft-wh").toFile.getAbsolutePath
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
