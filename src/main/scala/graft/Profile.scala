@@ -45,7 +45,7 @@ object Profile {
     time("minhash signatures")(Dedup.minhashSignatures(sh).count())
     time("q36 full")(SparkEntry.queries("q36_minhash_lsh")(spark, sfDir).count())
     time("simhash signatures")(Dedup.simhashSignatures(spark, sfDir).count())
-    time("q58 full")(SparkEntry.queries("q58_simhamming_x".replace("simhamming_x", "simhash_hamming"))(spark, sfDir).count())
+    time("q58 full")(SparkEntry.queries("q58_simhash_hamming")(spark, sfDir).count())
     spark.stop()
   }
 }
