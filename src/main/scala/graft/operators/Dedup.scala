@@ -80,6 +80,22 @@ object Dedup extends QueryModule {
     * boilerplate (license headers, navigation chrome) cannot melt a task. */
   val DefaultDfCap: Int = 8192
 
+  /** Streams ordered pairs out of a posting-list column without ever
+    * materializing the O(df²) pair array in one row: explode the list once
+    * (each output row carries the ≤ dfCap-entry list, a few hundred KB at
+    * worst), then explode the `y > x` suffix per row. The old
+    * `flatten(transform(...))` form built the ENTIRE pair array inside a
+    * single aggregation row first — at the df-cap ceiling (8,192) that is
+    * ~33.5M structs ≈ 1 GB in one unsafe row, an executor OOM waiting for a
+    * hot key. This form bounds per-row memory by the capped LIST size while
+    * keeping the same single-shuffle, no-self-join plan (both Generates
+    * pipeline row-at-a-time). `ds` must be array<struct> with a `doc_id`
+    * field; emits columns `x` and `y` (the pair's two posting entries). */
+  private def streamPairs(postings: DataFrame): DataFrame =
+    postings
+      .select(col("ds"), explode(col("ds")).as("x"))
+      .select(col("x"), explode(expr("filter(ds, y -> y.doc_id > x.doc_id)")).as("y"))
+
   /** Exact pairwise Jaccard over all pairs sharing >= 1 uncapped shingle,
     * via the inverted index: explode shingles → group by shingle (posting
     * list) → emit ordered pairs inside each list → count common →
@@ -107,13 +123,11 @@ object Dedup extends QueryModule {
     // Shingles with df=1 produce no pairs and vanish in the filter; shingles
     // with df>dfCap are boilerplate and are dropped (see scaladoc).
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
-    ex.groupBy(col("s")).agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+    val postings = ex.groupBy(col("s")).agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .filter(size(col("ds")).between(2, dfCap))
-      .select(explode(expr(
-        "flatten(transform(ds, x -> transform(filter(ds, y -> y.doc_id > x.doc_id), " +
-          "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, x.n AS na, y.n AS nb))))")).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
+    streamPairs(postings)
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .agg(count(lit(1)).as("c"))
       .select(col("id_a"), col("id_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
