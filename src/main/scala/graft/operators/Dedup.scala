@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.LongType
   *     inverted-index (shingle) join, never an all-pairs cross join;
   *  3. MinHash + LSH — approximate near-dup candidates via banded signature
   *     buckets, verified with exact Jaccard (bucket-join, scale path);
-  *  4. SimHash — 32-bit content signature, plus *guaranteed-recall*
+  *  4. SimHash — 64-bit content signature, plus *guaranteed-recall*
   *     hamming-radius pair retrieval via chunk buckets (pigeonhole);
   *  5. embedding near-dup — cosine-threshold pairs via banded hyperplane-LSH
   *     candidates with exact cosine verification.
@@ -81,20 +81,25 @@ object Dedup extends QueryModule {
   val DefaultDfCap: Int = 8192
 
   /** Streams ordered pairs out of a posting-list column without ever
-    * materializing the O(df²) pair array in one row: explode the list once
-    * (each output row carries the ≤ dfCap-entry list, a few hundred KB at
-    * worst), then explode the `y > x` suffix per row. The old
-    * `flatten(transform(...))` form built the ENTIRE pair array inside a
-    * single aggregation row first — at the df-cap ceiling (8,192) that is
-    * ~33.5M structs ≈ 1 GB in one unsafe row, an executor OOM waiting for a
-    * hot key. This form bounds per-row memory by the capped LIST size while
-    * keeping the same single-shuffle, no-self-join plan (both Generates
-    * pipeline row-at-a-time). `ds` must be array<struct> with a `doc_id`
-    * field; emits columns `x` and `y` (the pair's two posting entries). */
-  private def streamPairs(postings: DataFrame): DataFrame =
+    * materializing the O(|bucket|²) pair array in one row: explode the list
+    * once (each output row carries the one bucket list — O(|bucket|), a few
+    * hundred KB at the df-cap ceiling), then explode the ordered suffix per
+    * row. The old `flatten(transform(...))` form built the ENTIRE pair array
+    * inside a single aggregation row first — at df=8,192 that is ~33.5M
+    * structs ≈ 1 GB in one unsafe row, an executor OOM waiting for a hot
+    * key; for the UNCAPPED bucket lists (MinHash bands, SimHash chunks, LSH
+    * bands) the hazard was unbounded. This form bounds per-row memory by the
+    * LIST size while keeping the same single-shuffle, no-self-join plan
+    * (both Generates pipeline row-at-a-time).
+    *
+    * `postings` must carry an array column `ds`; `ordered` is the strict
+    * ordering predicate over lambda variables `x`/`y` that keeps exactly one
+    * of each unordered pair (`"y > x"` for scalar ids, `"y.doc_id >
+    * x.doc_id"` for structs). Emits columns `x` and `y`. */
+  private def streamPairs(postings: DataFrame, ordered: String = "y.doc_id > x.doc_id"): DataFrame =
     postings
       .select(col("ds"), explode(col("ds")).as("x"))
-      .select(col("x"), explode(expr("filter(ds, y -> y.doc_id > x.doc_id)")).as("y"))
+      .select(col("x"), explode(expr(s"filter(ds, y -> $ordered)")).as("y"))
 
   /** Exact pairwise Jaccard over all pairs sharing >= 1 uncapped shingle,
     * via the inverted index: explode shingles → group by shingle (posting
@@ -187,13 +192,11 @@ object Dedup extends QueryModule {
     // Bucket members per (band, hash) via collect_list, then emit ordered
     // pairs inside each bucket — one pass over the signature pipeline
     // instead of a self-join that would compute it twice.
-    val cand = bands.groupBy(col("band_id"), col("band_hash"))
+    val buckets = bands.groupBy(col("band_id"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
-          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val cand = streamPairs(buckets, "y > x")
+      .select(col("x").as("id_a"), col("y").as("id_b"))
       .distinct()
     // Exact-Jaccard verification: one shingle-table pass via pair legs.
     val legs = cand.select(col("id_a"), col("id_b"), col("id_a").as("doc_id"))
@@ -211,66 +214,75 @@ object Dedup extends QueryModule {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 32-bit SimHash over whitespace tokens. Token hashes come from the first
-    * 8 hex chars of md5 (not xxhash64) so the DuckDB oracle can replay the
-    * computation bit-for-bit. Per-bit vote = Σ ±1 across tokens (repeats
-    * count); bit set iff the vote is positive.
+  /** 64-bit SimHash over whitespace tokens. Token hashes come from the first
+    * 16 hex chars of md5 (not xxhash64) so the DuckDB oracle can replay the
+    * computation bit-for-bit; the value assembles from two 32-bit halves
+    * (`shiftleft(hi, 32) | lo` — pure bitwise, so ANSI overflow checks never
+    * fire) because a single 16-hex-char `conv` would exceed BIGINT range.
+    * Per-bit vote = Σ ±1 across tokens (repeats count); bit set iff the vote
+    * is positive. 64 bits (not 32) on purpose: the hamming-retrieval chunk
+    * buckets below get a 65,536-value space per chunk instead of 256, which
+    * is what keeps in-bucket pair generation sub-quadratic at corpus scale.
     *
     * Single-pass formulation on purpose: the token-hash array is the
     * `aggregate`'s INPUT (evaluated once per document), and the accumulator
-    * is the 32-element vote vector updated via `zip_with` per token. The
-    * naive per-bit form — 32 inner aggregates each re-deriving the hashes —
-    * re-runs md5 over every token 32×, and hiding the hash array behind a
+    * is the 64-element vote vector updated via `zip_with` per token. The
+    * naive per-bit form — 64 inner aggregates each re-deriving the hashes —
+    * re-runs md5 over every token 64×, and hiding the hash array behind a
     * prior projection doesn't help because CollapseProject inlines a
-    * single-use alias straight back into the lambda. This shape pins the
-    * hashing cost to one md5 per token by construction. */
-  val simhash32: Column = expr(
+    * single-use alias straight back into the lambda. The md5 hex string is
+    * let-bound by its own inner `transform` so the digest runs exactly once
+    * per token even though both halves slice it. */
+  val simhash64: Column = expr(
     """aggregate(
-      |  transform(split(trim(text), ' '), tk -> cast(conv(substring(md5(tk), 1, 8), 16, 10) AS bigint)),
-      |  array_repeat(0, 32),
-      |  (acc, h) -> zip_with(acc, sequence(0, 31),
+      |  transform(transform(split(trim(text), ' '), tk -> md5(tk)),
+      |    m -> shiftleft(cast(conv(substring(m, 1, 8), 16, 10) AS bigint), 32)
+      |         | cast(conv(substring(m, 9, 8), 16, 10) AS bigint)),
+      |  array_repeat(0, 64),
+      |  (acc, h) -> zip_with(acc, sequence(0, 63),
       |                       (a, b) -> a + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)),
       |  acc -> aggregate(
-      |    zip_with(acc, sequence(0, 31),
+      |    zip_with(acc, sequence(0, 63),
       |             (v, b) -> CASE WHEN v > 0 THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END),
       |    cast(0 AS bigint), (s, x) -> s + x))""".stripMargin)
 
-  /** (doc_id, 32-bit simhash) for the fixture corpus — one md5 per token. */
+  /** (doc_id, 64-bit simhash) for the fixture corpus — one md5 per token. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), simhash32.as("sh"))
+    docs(s, dir).select(col("doc_id"), simhash64.as("sh"))
 
   /** SimHash hamming-radius retrieval with GUARANTEED recall: all pairs of
-    * documents whose 32-bit SimHash signatures differ in at most `k` bits.
+    * documents whose 64-bit SimHash signatures differ in at most `k` bits.
     *
-    * The 32-bit signature splits into `k+1` chunks; by pigeonhole, any pair
-    * within hamming distance k agrees exactly on at least one whole chunk —
-    * so bucketing on (chunk_id, chunk_value) and verifying candidates with
-    * `bit_count(a ^ b) <= k` retrieves EVERY qualifying pair (unlike
+    * The 64-bit signature splits into `k+1` chunks of 16 bits; by pigeonhole,
+    * any pair within hamming distance k agrees exactly on at least one whole
+    * chunk — so bucketing on (chunk_id, chunk_value) and verifying candidates
+    * with `bit_count(a ^ b) <= k` retrieves EVERY qualifying pair (unlike
     * cosine/Jaccard LSH, which is probabilistic). This is the classic
     * Charikar/Manku-Jain-Sarma near-duplicate layout.
     *
     * Scale shape: one per-row signature pass, one shuffle of narrow
     * (chunk_id, chunk_value, doc_id, sig) rows, pairs generated inside each
-    * bucket's posting list, no join back (the signature rides along). A
-    * chunk bucket is hot only when many documents share 8 identical
-    * signature bits — i.e. genuinely clustered content. */
+    * bucket's posting list, no join back (the signature rides along). Each
+    * chunk ranges over 65,536 values (4 chunks × 16 bits — NOT the earlier
+    * 4×8 layout, whose fixed 1,024-bucket space made in-bucket pair counts
+    * grow Θ(n²/1024) with corpus size), so a bucket is hot only when many
+    * documents share 16 identical signature bits — genuinely clustered
+    * content, which near-dup retrieval *should* pair up. */
   def simhashHammingPairs(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     simhashHammingPairsFrom(docs(s, dir), k)
 
   /** [[simhashHammingPairs]] over any `(doc_id, text)` frame. */
   def simhashHammingPairsFrom(docsDf: DataFrame, k: Int = 3): DataFrame = {
-    require(k == 3, "32-bit signature is chunked 4×8; pigeonhole guarantee holds for k <= 3")
-    docsDf.select(col("doc_id"), simhash32.as("sh"))
+    require(k == 3, "64-bit signature is chunked 4×16; pigeonhole guarantee holds for k <= 3")
+    docsDf.select(col("doc_id"), simhash64.as("sh"))
       .select(col("doc_id"), col("sh"),
-        posexplode(expr("transform(sequence(0, 3), c -> shiftright(sh, c * 8) & 255)")))
+        posexplode(expr("transform(sequence(0, 3), c -> shiftright(sh, c * 16) & 65535)")))
       .groupBy(col("pos"), col("col"))
       .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ds, x -> transform(filter(ds, y -> y.doc_id > x.doc_id), " +
-          "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, x.sh AS sh_a, y.sh AS sh_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        expr("bit_count(p.sh_a ^ p.sh_b)").cast(LongType).as("hamming"))
+      .transform(streamPairs(_))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        expr("bit_count(x.sh ^ y.sh)").cast(LongType).as("hamming"))
       .filter(col("hamming") <= k)
       .distinct()
   }
@@ -300,15 +312,13 @@ object Dedup extends QueryModule {
     // Narrow candidate generation: only (vec_id, band_id, band_value) enters
     // the bucket shuffle — the 64-dim payload is fetched afterwards for the
     // surviving candidate pairs via keyed equi-joins.
-    val cand = e
+    val buckets = e
       .select(col("vec_id"), posexplode(Similarity.bandValuesFast(s, col("v"), planes, rowsPerBand)))
       .groupBy(col("pos"), col("col"))
       .agg(collect_list(col("vec_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
-          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val cand = streamPairs(buckets, "y > x")
+      .select(col("x").as("id_a"), col("y").as("id_b"))
       .distinct()
     cand
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
@@ -398,25 +408,41 @@ object Dedup extends QueryModule {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // The 64-bit oracle reads the md5 halves separately (DuckDB's BIGINT <<
+    // raises on overflow and its hex cast tops out at 15 hex chars, so the
+    // combined value can't be assembled) and special-cases bit 63, whose
+    // two's-complement place value is -2^63.
     "q37_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
-        |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS th FROM toks),
+        |h AS (SELECT doc_id,
+        |        CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS hi,
+        |        CAST(concat('0x', substring(md5(tk), 9, 8)) AS BIGINT) AS lo
+        |      FROM toks),
         |bits AS (
         |  SELECT doc_id, b,
-        |         CASE WHEN sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
-        |              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bv
-        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
+        |         CASE WHEN sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) ELSE (hi >> (b - 32)) END & 1) = 1
+        |                           THEN 1 ELSE -1 END) > 0
+        |              THEN (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |                         ELSE (CAST(1 AS BIGINT) << b) END)
+        |              ELSE 0 END AS bv
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)
         |  GROUP BY doc_id, b)
         |SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q58_simhash_hamming" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
-        |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS th FROM toks),
+        |h AS (SELECT doc_id,
+        |        CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS hi,
+        |        CAST(concat('0x', substring(md5(tk), 9, 8)) AS BIGINT) AS lo
+        |      FROM toks),
         |bits AS (
         |  SELECT doc_id, b,
-        |         CASE WHEN sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
-        |              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bv
-        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
+        |         CASE WHEN sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) ELSE (hi >> (b - 32)) END & 1) = 1
+        |                           THEN 1 ELSE -1 END) > 0
+        |              THEN (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |                         ELSE (CAST(1 AS BIGINT) << b) END)
+        |              ELSE 0 END AS bv
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)
         |  GROUP BY doc_id, b),
         |s AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS sh FROM bits GROUP BY doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

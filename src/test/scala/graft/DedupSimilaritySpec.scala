@@ -36,7 +36,7 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     for (r <- top) {
       val d = hamming(sims(r.getLong(0)), sims(r.getLong(1)))
-      d should be <= 6 // 32-bit simhash of ~98%-overlapping docs
+      d should be <= 12 // 64-bit simhash of ~98%-overlapping docs
     }
   }
 

@@ -59,7 +59,7 @@ class PropertySpec extends AnyFunSuite with Matchers {
     val corpusGen = Gen.listOfN(25, docGen)
     check(Prop.forAll(corpusGen) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-      val sigs = df.select($"doc_id", graft.operators.Dedup.simhash32.as("sh"))
+      val sigs = df.select($"doc_id", graft.operators.Dedup.simhash64.as("sh"))
         .collect().map(r => r.getLong(0) -> r.getLong(1))
       val truth = (for {
         i <- sigs.indices; j <- (i + 1) until sigs.length
