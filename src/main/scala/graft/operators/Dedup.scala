@@ -144,17 +144,19 @@ object Dedup extends QueryModule {
 
   /** MinHash signature, k permutations, computed the scalable way: the
     * (doc_id, shingle) pairs are exploded once, each shingle hashed ONCE
-    * (xxhash64, masked to 32 bits so the permutation arithmetic cannot
-    * overflow a long under ANSI mode), and the k permutation minima run as k
-    * codegen'd `min` aggregates in a single doc_id-keyed hash aggregation —
-    * map-side partial mins first, so the shuffle carries k longs per doc.
-    * (The array-lambda formulation is shorter but evaluates interpreted:
-    * higher-order functions sit outside whole-stage codegen, and at corpus
-    * scale that per-element dispatch dominates.) Permutation i is the
-    * universal hash (2i+1)*h + i*PRIME over the base hash. */
+    * (the first 8 hex chars of md5 — a 32-bit value, so the permutation
+    * arithmetic cannot overflow a long under ANSI mode; md5 rather than
+    * xxhash64 so the DuckDB oracle can replay signatures bit-for-bit), and
+    * the k permutation minima run as k codegen'd `min` aggregates in a
+    * single doc_id-keyed hash aggregation — map-side partial mins first, so
+    * the shuffle carries k longs per doc. (The array-lambda formulation is
+    * shorter but evaluates interpreted: higher-order functions sit outside
+    * whole-stage codegen, and at corpus scale that per-element dispatch
+    * dominates.) Permutation i is the universal hash (2i+1)*h + i*PRIME
+    * over the base hash. */
   def minhashSignatures(shingled: DataFrame, k: Int = 32): DataFrame = {
     val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), (xxhash64(col("s")).bitwiseAND(lit(4294967295L))).as("h"))
+      .select(col("doc_id"), expr("cast(conv(substring(md5(s), 1, 8), 16, 10) AS bigint)").as("h"))
     val mins = (0 until k).map(i =>
       min(col("h") * lit(2L * i + 1) + lit(i.toLong * 1099511628211L)).as(s"m$i"))
     ex.groupBy(col("doc_id"))
@@ -170,38 +172,49 @@ object Dedup extends QueryModule {
     * With b=8, r=4 the detection probability at J=0.8 is
     * 1-(1-0.8^4)^8 ≈ 0.985.
     *
-    * The verification stage re-reads the corpus ONCE (not once per pair
-    * side): each surviving candidate pair unfolds into two (pair, doc_id)
-    * legs, the legs hash-join the shingle table a single time, and the pair
-    * regroups to put both shingle sets side by side. Shingling therefore
-    * runs twice per query (signature pass + verification pass) instead of
-    * three times; the alternative — carrying the wide shingle arrays through
-    * the signature shuffle — would multiply that exchange's volume by the
+    * The verification stage shingles ONLY the candidate documents: the
+    * candidate pair ids semi-join the corpus before the second shingling
+    * pass, so its cost is proportional to the (tiny by construction)
+    * survivor set, not the corpus. The candidate subtree appears several
+    * times in the plan (two pair legs + the semi-join filter), but each
+    * repeat sits above the same shuffle exchange, so Spark's ReuseExchange
+    * computes the bucket pipeline once and the repeats read its shuffle
+    * output. The alternative — carrying the wide shingle arrays through the
+    * signature shuffle — would multiply that exchange's volume by the
     * document size, a far worse trade at corpus scale. */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingled(s, dir)
+    val docsDf = docs(s, dir)
+    val sh = shingledFrom(docsDf)
     // Candidate generation over NARROW rows only: (doc_id, band_id,
-    // band_hash). The wide shingle arrays never enter the explode or the
+    // band_sig). The wide shingle arrays never enter the explode or the
     // bucket join — at corpus scale the banded join shuffles a few dozen
-    // bytes per row, and the payload is fetched afterwards for just the
-    // surviving candidate pairs (a tiny set by construction).
+    // bytes per row (the band signature is 4 longs), and the payload is
+    // fetched afterwards for just the surviving candidate pairs. Bucketing
+    // keys on the band-signature VALUES, not a hash of them: same shuffle
+    // layout, no hash-collision false-candidate class, and the DuckDB
+    // oracle can replay bucket membership exactly.
     val bands = minhashSignatures(sh)
       .select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 7), b -> xxhash64(b, slice(sig, b * 4 + 1, 4)))")))
-      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
-    // Bucket members per (band, hash) via collect_list, then emit ordered
-    // pairs inside each bucket — one pass over the signature pipeline
-    // instead of a self-join that would compute it twice.
-    val buckets = bands.groupBy(col("band_id"), col("band_hash"))
+        posexplode(expr("transform(sequence(0, 7), b -> slice(sig, b * 4 + 1, 4))")))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_sig")
+    // Bucket members per (band, signature) via collect_list, then emit
+    // ordered pairs inside each bucket — one pass over the signature
+    // pipeline instead of a self-join that would compute it twice.
+    val buckets = bands.groupBy(col("band_id"), col("band_sig"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
     val cand = streamPairs(buckets, "y > x")
       .select(col("x").as("id_a"), col("y").as("id_b"))
       .distinct()
-    // Exact-Jaccard verification: one shingle-table pass via pair legs.
+    // Exact-Jaccard verification: shingle only the candidate docs, then one
+    // pass over that pruned shingle table via pair legs.
+    val candDocs = cand.select(col("id_a").as("doc_id"))
+      .unionByName(cand.select(col("id_b").as("doc_id")))
+      .distinct()
+    val shCand = shingledFrom(docsDf.join(candDocs, "doc_id"))
     val legs = cand.select(col("id_a"), col("id_b"), col("id_a").as("doc_id"))
       .unionByName(cand.select(col("id_a"), col("id_b"), col("id_b").as("doc_id")))
-    legs.join(sh, "doc_id")
+    legs.join(shCand, "doc_id")
       .groupBy(col("id_a"), col("id_b"))
       .agg(
         // exactly one non-null per side within a pair group; min = that value
@@ -350,8 +363,10 @@ object Dedup extends QueryModule {
         .limit(20)),
 
     // MinHash-LSH near-dup pairs at J>=0.8 (approximate candidates, exact
-    // verification). No oracle: xxhash64 is Spark-specific; the ScalaTest
-    // spec checks recall against q35's exact pairs instead.
+    // verification). Oracled: the md5-derived base hash and the band-value
+    // bucketing are both DuckDB-replayable, so the oracle reproduces the
+    // exact candidate set AND the exact verified pairs. The ScalaTest spec
+    // additionally checks recall against q35's exact pairs.
     "q36_minhash_lsh" -> ((s, dir) =>
       minhashLshPairs(s, dir)
         .orderBy(col("id_a"), col("id_b"))),
@@ -401,6 +416,42 @@ object Dedup extends QueryModule {
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+    // The q36 oracle replays the full MinHash-LSH pipeline — md5-derived
+    // base hash, 32 universal-hash permutation minima, 8 bands × 4 rows,
+    // band-value bucket join, exact-Jaccard verification — so it checks the
+    // CANDIDATE GENERATION exactly, not just the verified similarity math.
+    // The 32 min-aggregates and 8 band projections are generated by code.
+    "q36_minhash_lsh" -> {
+      val mins = (0 until 32)
+        .map(i => s"min((2*$i+1)*h + $i*1099511628211) AS m$i").mkString(", ")
+      val bandSelects = (0 until 8)
+        .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
+          s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+         |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+         |       FROM toks WHERE len(w) >= 5),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h FROM ex),
+         |sigs AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.b0 = b.b0 AND a.b1 = b.b1
+         |          AND a.b2 = b.b2 AND a.b3 = b.b3 AND a.doc_id < b.doc_id),
+         |common AS (SELECT c.id_a, c.id_b, count(*) AS c
+         |           FROM cand c JOIN ex ea ON ea.doc_id = c.id_a
+         |                       JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+         |           GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+         |SELECT cm.id_a, cm.id_b,
+         |       round(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c), 6) AS jaccard
+         |FROM common cm JOIN sizes sa ON sa.doc_id = cm.id_a
+         |               JOIN sizes sb ON sb.doc_id = cm.id_b
+         |WHERE round(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q47_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
