@@ -43,7 +43,13 @@ object Bench {
     // total aggregates successful queries only — comparable run-to-run
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawJson,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    // Raw per-run timings go on their OWN line, printed FIRST: the driver
+    // records only the tail of stdout, and in earlier rounds this long
+    // section pushed the headline total and the per-query minima out of the
+    // captured window. The canonical one-line summary must be the LAST line
+    // so tail-truncation can never eat it.
+    println(s"""{"metric":"runs","reps":$reps,"runs":$rawJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

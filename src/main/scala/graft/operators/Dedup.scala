@@ -31,7 +31,9 @@ import org.apache.spark.sql.types.LongType
   *    [[ngramJaccardPairsFrom]] for the dropped-pair semantics);
   *  - MinHash signatures are computed per-row with array lambdas (no explode,
   *    no shuffle); only the banded LSH bucket join shuffles, on
-  *    (band_id, band_hash) — exactly the published MinHash-LSH layout;
+  *    (band_id, band_sig values) — the published MinHash-LSH layout, keyed
+  *    on the raw band-signature values (no hash, so no collision-induced
+  *    false-candidate class and the oracle replays bucket membership);
   *  - SimHash is pure per-row map work; hamming retrieval shuffles only
   *    (chunk_id, chunk_value, doc_id, signature) — a few dozen bytes per row;
   *  - no tier ever plans a CartesianProduct or BroadcastNestedLoopJoin
@@ -165,7 +167,7 @@ object Dedup extends QueryModule {
   }
 
   /** MinHash-LSH near-dup pairs: band the k=32 signature into 8 bands × 4
-    * rows, bucket-join on (band, band-hash), then verify candidates with
+    * rows, bucket-join on (band, band-signature values), then verify candidates with
     * exact Jaccard and keep pairs >= `threshold`.
     *
     * Never an all-pairs join: candidates only form inside an LSH bucket.
@@ -179,9 +181,13 @@ object Dedup extends QueryModule {
     * times in the plan (two pair legs + the semi-join filter), but each
     * repeat sits above the same shuffle exchange, so Spark's ReuseExchange
     * computes the bucket pipeline once and the repeats read its shuffle
-    * output. The alternative — carrying the wide shingle arrays through the
-    * signature shuffle — would multiply that exchange's volume by the
-    * document size, a far worse trade at corpus scale. */
+    * output — a property ASSERTED, not assumed: RelationalSpec's exchange-
+    * reuse test finalizes this query's adaptive plan and checks the final
+    * plan contains ReusedExchange nodes and at most 2 corpus FileScans
+    * (signature pass + verification pass). The alternative — carrying the
+    * wide shingle arrays through the signature shuffle — would multiply
+    * that exchange's volume by the document size, a far worse trade at
+    * corpus scale. */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val docsDf = docs(s, dir)
     val sh = shingledFrom(docsDf)

@@ -71,6 +71,27 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     "FileScan".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q36's candidate pipeline is computed once and reused (AQE exchange reuse)") {
+    // minhashLshPairs references the candidate subtree from several legs
+    // (semi-join filter + two candDocs legs + two pair legs) and relies on
+    // exchange reuse to compute the bucket pipeline once. Assert it on the
+    // FINAL adaptive plan: collect() runs the Dataset's own QueryExecution,
+    // so AQE finalizes this plan in place (count() would spawn a fresh one).
+    val df = SparkEntry.queries("q36_minhash_lsh")(spark, sf0001)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    full should include("isFinalPlan=true")
+    // the adaptive toString prints the final plan first, then the initial
+    // plan — only the final section reflects what actually ran
+    val finalPlan = full.split("== Initial Plan ==").head
+    finalPlan should include("ReusedExchange")
+    // exactly two corpus scans survive: the signature pass and the
+    // candidates-only verification pass; more means a reuse regression
+    withClue("corpus re-scan count in the final plan:\n") {
+      "FileScan".r.findAllIn(finalPlan).size should be <= 2
+    }
+  }
+
   test("semi/anti joins never duplicate left rows") {
     val c = SparkEntry.queries("q20_semi_join")(spark, sf0001).count() +
             SparkEntry.queries("q21_anti_join")(spark, sf0001).count()
