@@ -1,53 +1,104 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Dependency-free versioned table layer reproducing the Delta-format
   * semantics the reference actually relies on (`glue/etl_api.py:25,38,49`
   * persists every layer `format("delta")` with `mode("overwrite")`):
   * atomic full-snapshot overwrite — readers never observe a half-written
-  * layer — plus version time travel. (The offline build environment carries
-  * no Delta/Iceberg jars; this reconstructs the reader-visible contract on
-  * plain parquet.)
+  * layer — plus version time travel and multi-writer commit arbitration.
+  * (The offline build environment carries no Delta/Iceberg jars; this
+  * reconstructs the reader-visible contract on plain parquet.)
   *
-  * Layout: `root/v=N/` parquet snapshots plus a `root/_latest` pointer file.
-  * A write materializes the new snapshot COMPLETELY under the next `v=N`
-  * directory, then publishes it by atomically renaming a temp pointer over
-  * `_latest` (`FileContext.rename(OVERWRITE)` — atomic on HDFS and POSIX
-  * filesystems). Readers resolve the pointer once at plan time, so:
+  * Layout under `root/`:
+  *   - `v=N/`          parquet snapshot directories;
+  *   - `_claims/N`     claim files — the arbitration log (who owns number N);
+  *   - `_commits/N`    commit markers — the publication log. A version is
+  *                     readable iff its commit marker exists; everything
+  *                     else (`_staged-*`, claimed-but-unmarked `v=N`) is
+  *                     invisible writer debris until [[vacuum]].
+  *
+  * Commit protocol (Delta-style optimistic arbitration, filesystem-only):
+  *   1. stage: the writer materializes the snapshot COMPLETELY under a
+  *      writer-unique scratch directory `root/_staged-<uuid>` — no two
+  *      writers ever touch the same staging path;
+  *   2. claim: it picks N = (highest claimed-or-committed) + 1 and tries to
+  *      create `_claims/N` exclusively. Exclusive create is the
+  *      filesystem's compare-and-swap — atomic on HDFS (the NameNode
+  *      serializes namespace mutations) and on POSIX via O_EXCL (local
+  *      filesystems go through `java.nio` precisely because the Hadoop
+  *      local-FS shim's create is check-then-act, not atomic). Losing the
+  *      race just advances N and retries the (cheap) claim — the snapshot
+  *      itself is never rewritten;
+  *   3. publish: owning N, the writer clears any uncommitted `v=N` debris a
+  *      crashed predecessor left, renames its staging directory to `v=N`,
+  *      and creates `_commits/N`. Both steps are uncontended — only ever
+  *      executed by the unique claim winner of N.
+  *
+  * Consequences readers can rely on:
+  *   - concurrent writers serialize: every commit gets a distinct version,
+  *     and the highest committed marker is the published snapshot
+  *     (blind-overwrite snapshots commute — the same answer Delta gives
+  *     concurrent `mode("overwrite")` writers after its own retry loop);
   *   - a reader that resolved version N keeps reading N's immutable files
   *     even while N+1 lands (snapshot isolation);
-  *   - a writer that dies before the pointer swap leaves `_latest` — and
-  *     every reader — untouched (atomicity);
+  *   - a writer that dies at ANY step leaves the committed state — and
+  *     every reader — untouched (atomicity): it leaves a `_staged-*`
+  *     orphan, a dangling claim, or an unmarked `v=N`, all invisible;
   *   - old snapshots stay readable by version until [[vacuum]] (time travel).
   *
-  * Honest scope notes: single concurrent writer assumed (Delta arbitrates
-  * writer races through its commit log's CAS; reproducing that needs a
-  * coordination service, and the reference's daily-batch cadence —
-  * `airflow/dags/etl_api.py:85` — has exactly one writer). On object stores
-  * without atomic rename (raw S3) the pointer swap needs a consistent store
-  * or a commit service, same as every table format. */
+  * Honest scope notes: on object stores without atomic exclusive-create
+  * (raw S3) the claim step needs a consistent store or a commit service —
+  * the same deployment constraint every filesystem-log table format has.
+  * [[vacuum]] must not run concurrently with writers (it may collect an
+  * in-flight writer's debris) — the standard retention caveat. */
 object VersionedLayer {
+
+  private val MaxClaimAttempts = 1000
 
   private def conf(spark: SparkSession) = spark.sparkContext.hadoopConfiguration
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(conf(spark))
 
-  /** Currently published version, if any write ever completed. */
-  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
-    val f = fs(spark, root)
-    val p = new Path(root, "_latest")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
+  private def claimDir(root: String) = new Path(root, "_claims")
+  private def commitDir(root: String) = new Path(root, "_commits")
 
-  /** All snapshot versions present on disk (published or not). */
+  private def listVersionFiles(f: FileSystem, d: Path): Seq[Long] =
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+
+  /** Exclusive create — the arbitration CAS. True = this writer owns the
+    * file. HDFS `create(overwrite=false)` is namespace-atomic; the Hadoop
+    * local shim's is check-then-act, so local paths use O_EXCL via nio. */
+  private def createExclusive(f: FileSystem, p: Path): Boolean =
+    try {
+      f match {
+        case _: LocalFileSystem | _: RawLocalFileSystem =>
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+        case _ =>
+          f.create(p, false).close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+
+  /** Committed versions in ascending order — the publication log. */
+  def committedVersions(spark: SparkSession, root: String): Seq[Long] =
+    listVersionFiles(fs(spark, root), commitDir(root))
+
+  /** Currently published version, if any write ever committed. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    committedVersions(spark, root).lastOption
+
+  /** All snapshot versions present on disk (committed or not — uncommitted
+    * ones are crashed/in-flight writers' claims, invisible to [[read]]). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
     val r = new Path(root)
@@ -57,37 +108,69 @@ object VersionedLayer {
   }
 
   /** Atomic full-snapshot overwrite: write `df` as the next version and
-    * publish it. Returns the published version number. Re-running after a
-    * mid-write failure is safe: the orphan `v=N` directory is simply
-    * overwritten by the retry and only the pointer swap publishes. */
+    * publish it. Returns the committed version number. Safe under writer
+    * crashes (debris stays invisible; a retry claims the next free number)
+    * and under concurrent writers (the claim CAS arbitrates — see the
+    * commit protocol above). */
   def write(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
-    val next = latestVersion(spark, root).getOrElse(0L) + 1
-    df.write.mode("overwrite").parquet(s"$root/v=$next")
     val f = fs(spark, root)
-    val tmp = new Path(root, s"_latest.tmp")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(new Path(root).toUri, conf(spark))
-    fc.rename(tmp, new Path(root, "_latest"), Options.Rename.OVERWRITE)
-    next
+    val staged = new Path(root, s"_staged-${UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(staged.toString)
+    f.mkdirs(claimDir(root))
+    def nextFree: Long =
+      (listVersionFiles(f, claimDir(root)) ++ listVersionFiles(f, commitDir(root)))
+        .maxOption.getOrElse(0L) + 1
+    var n = nextFree
+    var attempts = 0
+    while (!createExclusive(f, new Path(claimDir(root), n.toString))) {
+      attempts += 1
+      if (attempts >= MaxClaimAttempts)
+        throw new IllegalStateException(
+          s"could not claim a version under $root after $MaxClaimAttempts attempts")
+      n = math.max(nextFree, n + 1)
+    }
+    // publish: this writer is the unique owner of n from here on
+    val dest = new Path(root, s"v=$n")
+    if (f.exists(dest)) f.delete(dest, true) // a crashed predecessor's unmarked debris
+    if (!f.rename(staged, dest))
+      throw new IllegalStateException(s"failed to move $staged to $dest")
+    f.mkdirs(commitDir(root))
+    f.create(new Path(commitDir(root), n.toString), false).close()
+    n
   }
 
-  /** Read the published snapshot, or a specific version (time travel). */
+  /** Read the published snapshot, or a specific committed version (time
+    * travel). Uncommitted `v=N` debris is not readable. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(latestVersion(spark, root)).getOrElse(
-      throw new IllegalStateException(s"no published version under $root"))
+    val committed = committedVersions(spark, root)
+    val v = version match {
+      case Some(x) =>
+        if (!committed.contains(x))
+          throw new IllegalStateException(s"version $x is not committed under $root")
+        x
+      case None => committed.lastOption.getOrElse(
+        throw new IllegalStateException(s"no published version under $root"))
+    }
     spark.read.parquet(s"$root/v=$v")
   }
 
-  /** Drop all snapshots older than the `keepLast` most recent published-or-
-    * below versions (never the published one). Time travel to vacuumed
-    * versions stops working — same contract as Delta's VACUUM. */
+  /** Drop all snapshots older than the `keepLast` most recent committed
+    * versions (never the published one), their claim/commit log entries,
+    * and writer debris — staged directories and unmarked claims. Time
+    * travel to vacuumed versions stops working, and vacuum must not run
+    * concurrently with writers — same contract as Delta's VACUUM. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit = {
-    val keep = versions(spark, root).takeRight(math.max(keepLast, 1)).toSet ++
-      latestVersion(spark, root)
     val f = fs(spark, root)
+    val keep = committedVersions(spark, root).takeRight(math.max(keepLast, 1)).toSet
     for (v <- versions(spark, root) if !keep.contains(v))
       f.delete(new Path(root, s"v=$v"), true)
+    for (d <- Seq(claimDir(root), commitDir(root)); v <- listVersionFiles(f, d)
+         if !keep.contains(v))
+      f.delete(new Path(d, v.toString), false)
+    val r = new Path(root)
+    if (f.exists(r))
+      for (st <- f.listStatus(r) if st.getPath.getName.startsWith("_staged-"))
+        f.delete(st.getPath, true)
   }
 }

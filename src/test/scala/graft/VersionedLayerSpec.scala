@@ -43,13 +43,44 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
   test("an unpublished (crashed) write leaves readers on the old version") {
     val root = tmpRoot()
     VersionedLayer.write(Seq((1, "a")).toDF("k", "s"), root)
-    // simulate a writer that materialized v=2 but died before the pointer swap
+    // simulate a writer that materialized v=2 but died before its marker
     Seq((9, "x")).toDF("k", "s").write.parquet(root + "/v=2")
     VersionedLayer.latestVersion(spark, root) shouldBe Some(1L)
     VersionedLayer.read(spark, root).collect().map(_.getInt(0)) shouldBe Array(1)
-    // the retry overwrites the orphan and publishes normally
+    // the retry claims the unclaimed number, clears the debris, publishes
     VersionedLayer.write(Seq((2, "b")).toDF("k", "s"), root) shouldBe 2L
     VersionedLayer.read(spark, root).collect().map(_.getInt(0)) shouldBe Array(2)
+    // the dead writer's data is gone, not resurrected under v=2
+    VersionedLayer.read(spark, root, Some(2L)).collect().map(_.getInt(0)) shouldBe Array(2)
+  }
+
+  test("concurrent writers serialize onto distinct versions (commit arbitration)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = tmpRoot()
+    VersionedLayer.write(Seq(0).toDF("k"), root)
+    val writers = 8
+    // writer i commits a snapshot of i rows, all equal to i — so every
+    // committed version can be traced back to exactly one writer
+    val results = Await.result(
+      Future.sequence((1 to writers).map(i =>
+        Future(i -> VersionedLayer.write(Seq.fill(i)(i).toDF("k"), root)))),
+      5.minutes)
+    // every writer won a distinct version; the race produced a contiguous log
+    results.map(_._2).sorted shouldBe (2L to (writers + 1).toLong)
+    VersionedLayer.latestVersion(spark, root) shouldBe Some((writers + 1).toLong)
+    // each version time-travels to the exact snapshot its writer staged —
+    // no interleaving ever mixed two writers' files under one version
+    for ((i, v) <- results) {
+      val rows = VersionedLayer.read(spark, root, Some(v)).collect().map(_.getInt(0))
+      rows.length shouldBe i
+      rows.toSet shouldBe Set(i)
+    }
+    // the published snapshot is the last committed writer's, in full
+    val lastWriter = results.maxBy(_._2)._1
+    VersionedLayer.read(spark, root).collect().map(_.getInt(0)).toSet shouldBe Set(lastWriter)
+    VersionedLayer.versions(spark, root) shouldBe (1L to (writers + 1).toLong)
   }
 
   test("vacuum drops old snapshots but never the published one") {
