@@ -16,13 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - [[operators.Similarity]]     — cosine top-k + LSH/IVF ANN;
   *   - [[operators.Multimodal]]     — binary payload + metadata plumbing;
   *   - [[operators.Skew]]           — salted aggregation for hot keys;
-  *   - [[operators.AsOf]]           — as-of (most-recent-marker) join.
+  *   - [[operators.AsOf]]           — as-of (most-recent-marker) join;
+  *   - [[operators.Sampling]]       — deterministic hash sampling, mixture
+  *     planning, context-window packing.
   */
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal, Skew,
-    AsOf, RangeJoin)
+    AsOf, RangeJoin, Sampling)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full silver+gold operator chain (scan → null-filter →

@@ -100,6 +100,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_l2sq requires exactly 2 arguments, got ${children.length}")
+        L2Squared(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_lsh_bands"),
       new ExpressionInfo(classOf[LshBands].getName, "graft_lsh_bands"),
       (children: Seq[Expression]) => {

@@ -33,6 +33,10 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
+  /** Squared L2 distance (sequential fold of (x-y)²). */
+  def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
   /** Cosine via the codegen'd native expression when the session has
     * [[GraftExtensions]] installed, else the interpreted HOF fallback.
     * Both compute the identical operation sequence — results are
@@ -40,4 +44,10 @@ object VectorFunctions {
   def cosineFast(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
     if (spark.catalog.functionExists("graft_cosine")) call_function("graft_cosine", a, b)
     else cosine(a, b)
+
+  /** [[distSq]] via the native `graft_l2sq` expression when available —
+    * same fast/fallback contract as [[cosineFast]]. */
+  def distSqFast(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_l2sq")) call_function("graft_l2sq", a, b)
+    else distSq(a, b)
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data sampling and packing over the `documents` corpus — the
+  * operations that sit between curation and the training loop of an LLM
+  * data pipeline:
+  *
+  *  1. deterministic stratified hash sampling (q63) — per-stratum keep
+  *     rates applied via a content hash, not `rand()`: reruns, retries and
+  *     different cluster layouts all select the SAME rows, which is what
+  *     makes a 100 TB sampling job idempotent and auditable;
+  *  2. mixture-rate planning (q64) — given per-language corpus counts,
+  *     compute the downsampling rate per language that balances the mix to
+  *     the smallest stratum (the "uniform mixture" plan);
+  *  3. context-window packing (q65) — assign documents to fixed token-budget
+  *     chunks per language by running token count, the deterministic
+  *     sequential-fill layout used to batch documents into training windows.
+  *
+  * Scale design: q63 is a pure per-row filter (no shuffle at all — the
+  * sampling decision is row-local); q64 reduces to |languages| rows with
+  * map-side partial counts; q65's only wide operation is the window sort on
+  * (lang, doc_id) — one shuffle, and the running sum is a single streaming
+  * pass per partition. Nothing materializes driver-side.
+  */
+object Sampling extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
+
+  /** Per-language keep rates for the stratified sample: en is kept at 90%,
+    * the mid-resource languages at half, the long tail at a quarter. */
+  val SampleRates: Map[String, Double] = Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.5)
+  val DefaultRate = 0.25
+
+  /** Uniform hash in [0, 1): first 8 hex chars of md5(doc_id) over 2^32.
+    * md5 (not xxhash64) so the DuckDB oracle replays the sample exactly. */
+  def hashUniform(docId: Column): Column =
+    expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) AS bigint)")
+      .cast("double") / lit(4294967296.0)
+
+  /** q63: the stratified sample — keep a row iff its content hash falls
+    * under its language's rate. Row-local, shuffle-free, idempotent. */
+  def hashSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldLeft(lit(DefaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs(s, dir)
+      .withColumn("u", round(hashUniform(col("doc_id")), 6))
+      .filter(hashUniform(col("doc_id")) < rate)
+      .select(col("doc_id"), col("lang"), col("u"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q63_hash_sample" -> ((s, dir) =>
+      hashSample(s, dir).orderBy(col("doc_id"))),
+
+    // Downsample-to-smallest mixture plan: rate(lang) = min stratum / stratum.
+    // The unpartitioned window runs AFTER the group-by, over |languages|
+    // rows — the single-partition warning it triggers is about those few
+    // rows, not the corpus.
+    "q64_mixture_rates" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("rate",
+          round(min(col("n_docs")).over(Window.partitionBy())
+            .cast("double") / col("n_docs"), 6))
+        .select(col("lang"), col("n_docs"), col("rate"))
+        .orderBy(col("lang"))),
+
+    // Sequential-fill packing: chunk b holds the docs whose RUNNING token
+    // count (per language, doc_id order) starts inside [b*512, (b+1)*512).
+    "q65_pack_chunks" -> ((s, dir) => {
+      val n = TextAnalytics.nTokens(col("text"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), n.as("n"))
+        .withColumn("chunk_id",
+          floor((sum(col("n")).over(w) - col("n")).cast("double") / lit(512.0)).cast("long"))
+        .groupBy(col("lang"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("chunk_tokens"))
+        .orderBy(col("lang"), col("chunk_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q63_hash_sample" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |  CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       AS DOUBLE) / 4294967296.0 AS uu
+        |  FROM documents)
+        |SELECT doc_id, lang, round(uu, 6) AS u FROM u
+        |WHERE uu < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+        |                     ELSE 0.25 END
+        |ORDER BY doc_id""".stripMargin,
+    "q64_mixture_rates" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(CAST(min(count(*)) OVER () AS DOUBLE) / count(*), 6) AS rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q65_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(trim(text), ' ')) AS n FROM documents),
+        |r AS (SELECT doc_id, lang, n,
+        |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |      FROM t)
+        |SELECT lang, CAST(floor(CAST(running - n AS DOUBLE) / 512.0) AS BIGINT) AS chunk_id,
+        |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS chunk_tokens
+        |FROM r GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
+  )
+}

@@ -20,8 +20,8 @@ import org.apache.spark.sql.types.LongType
   *     each probe only scans its bucket (the scale path: bucket count grows
   *     with 2^bits, candidate lists stay small and the join is a plain
   *     equi-join on the signature);
-  *  3. IVF-style ANN — coarse quantization by per-label centroid: probe the
-  *     nearest centroid's inverted list only.
+  *  3. IVF ANN — a Lloyd's-trained coarse quantizer buckets the corpus into
+  *     inverted lists; a probe scans only its nearest centroid's list.
   *
   * Vector math uses the engine's codegen'd [[graft.functions.CosineSimilarity]]
   * expression when the session has GraftExtensions installed (Verify/Bench
@@ -101,13 +101,14 @@ object Similarity extends QueryModule {
   /** ANN via hyperplane LSH: bucket corpus by signature, probe each query's
     * own bucket only, exact cosine within the bucket. Approximate — neighbors
     * in other buckets are missed (recall measured in the ScalaTest spec). */
-  def annLsh(s: SparkSession, dir: String, k: Int, nPlanes: Int = 8): DataFrame = {
+  def annLsh(s: SparkSession, dir: String, k: Int, nPlanes: Int = 8,
+             queryPred: Column = col("vec_id") < 3): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
     // one r=nPlanes band == the packed signature; native codegen when available
     val e = emb(s, dir).withColumn("sig",
       element_at(bandValuesFast(s, col("v"), planes, nPlanes), 1))
     val q = broadcast(
-      e.filter(col("vec_id") < 3)
+      e.filter(queryPred)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig")))
     val scored = q.join(e, col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -118,28 +119,85 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("rn"), col("n_id"), col("sim"))
   }
 
-  /** IVF-style ANN: per-label mean centroids (the labels act as the coarse
-    * quantizer's cell assignment), probe = nearest centroid by cosine, then
-    * exact search within that cell's inverted list. The centroid table is
-    * tiny (|labels| rows) and broadcast; the corpus is never shuffled. */
-  def annIvf(s: SparkSession, dir: String, k: Int): DataFrame = {
+  /** Nearest-centroid cell id (0-based) of vector column `v` against the
+    * centroid literals — per-row map work only, no join, no shuffle; ties
+    * break to the lowest cell id (`array_position` finds the FIRST minimum).
+    * The distance kernel is the native `graft_l2sq` expression when the
+    * session has GraftExtensions (each centroid constant-folds to one array
+    * literal and the loop codegens tight — the HOF form's k×dim inlined
+    * lambda tree cost ~10 s of analysis/codegen PER training iteration),
+    * falling back to the bit-identical HOF fold. The input column is
+    * let-bound as a lambda variable (the 1-element `transform` trick) so an
+    * expensive `v` — e.g. the float→double cast transform — evaluates once,
+    * not once per centroid. */
+  def cellOf(s: SparkSession, v: Column, cents: Array[Array[Double]]): Column = {
+    def centLit(c: Array[Double]): Column =
+      array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
+    def argmin(vv: Column): Column = {
+      val ds = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        cents.map(c => distSqFast(s, vv, centLit(c)))): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    element_at(transform(array(v), vv => argmin(vv)), 1)
+  }
+
+  /** Lloyd's k-means for the IVF coarse quantizer, the shape that scales:
+    * each iteration is ONE pass over the training set — assignment is
+    * per-row array math against the current centroids (compiled into the
+    * plan as literals, the moral equivalent of a broadcast), and the update
+    * reduces to k×dim component sums with map-side partial aggregation.
+    * Only the k×dim centroid table ever reaches the driver (the standard
+    * k-means driver loop — MLlib's own KMeans iterates the same way).
+    *
+    * `trainFrac` < 1 trains the quantizer on a deterministic md5-hash
+    * sample of the corpus — the published IVF practice (the coarse
+    * quantizer needs a representative sample, not every vector; at 100 TB
+    * you train on ~1e6 vectors and ASSIGN everything).
+    *
+    * Deterministic: seeds are the k lowest-`vec_id` vectors, the training
+    * sample is content-hashed (not `rand()`), assignment ties break to the
+    * lowest cell, and the folds are sequential. Squared-L2 assignment +
+    * mean update is the classic Lloyd's pair, so each iteration's total
+    * quantization cost is non-increasing (asserted in DedupSimilaritySpec).
+    * Empty cells keep their previous centroid. */
+  def trainCentroids(corpus: DataFrame, k: Int = 8, iters: Int = 3,
+                     trainFrac: Double = 1.0): Array[Array[Double]] = {
+    val s = corpus.sparkSession
+    val training =
+      if (trainFrac >= 1.0) corpus
+      else corpus.filter(
+        expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) AS bigint)")
+          .cast("double") / lit(4294967296.0) < trainFrac)
+    var cents: Array[Array[Double]] = training.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cents.length == k, s"training set has fewer than $k vectors")
+    for (_ <- 1 to iters) {
+      val means = training.select(cellOf(s, col("v"), cents).as("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      cents = Array.tabulate(k)(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF ANN: Lloyd's-trained coarse quantizer (see [[trainCentroids]]),
+    * corpus bucketed into inverted lists by nearest centroid, probe =
+    * exact cosine search within the query's own cell only (nProbe=1; a
+    * query's nearest centroid IS its cell since assignment is shared).
+    * The corpus is never shuffled: assignment is per-row math and the
+    * query side of the probe join is broadcast. */
+  def annIvf(s: SparkSession, dir: String, k: Int, kCells: Int = 8,
+             iters: Int = 3, queryPred: Column = col("vec_id") < 3): DataFrame = {
     val e = emb(s, dir)
-    // centroid[label][j] = mean of component j: posexplode + groupBy — the
-    // shuffled data is |corpus|×dim scalars reduced map-side first.
-    val cents = e.select(col("label"), posexplode(col("v")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("m"))
-      .groupBy(col("label")).agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-      .select(col("label").as("c_label"), expr("transform(ps, x -> x.m)").as("cv"))
-    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("v").as("qv"))
-    // nearest centroid per query (both sides tiny)
-    val probe = broadcast(
-      q.crossJoin(broadcast(cents))
-        .withColumn("csim", cosineFast(s, col("qv"), col("cv")))
-        .withColumn("rc", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_label"))))
-        .filter(col("rc") === 1)
-        .select(col("q_id"), col("qv"), col("c_label")))
-    val scored = probe.join(e, col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+    val cents = trainCentroids(e, kCells, iters)
+    val withCell = e.withColumn("cell", cellOf(s, col("v"), cents))
+    val q = broadcast(withCell.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("q_cell")))
+    val scored = q.join(withCell, col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))

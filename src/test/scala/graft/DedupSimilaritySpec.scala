@@ -58,6 +58,50 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("IVF training: Lloyd's iterations never increase quantization cost; cells partition the corpus") {
+    val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    def cost(cents: Array[Array[Double]]): Double = {
+      // total squared-L2 distance of every vector to its assigned centroid
+      val lits = cents.map(c => array(c.map(lit).toIndexedSeq: _*))
+      e.select(lits.map(cl =>
+          aggregate(zip_with(col("v"), cl, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x))
+        .reduce(least(_, _)).as("d"))
+        .agg(sum(col("d"))).collect()(0).getDouble(0)
+    }
+    val seeds = Similarity.trainCentroids(e, k = 4, iters = 0)
+    val costs = (0 to 3).map(i => cost(Similarity.trainCentroids(e, k = 4, iters = i)))
+    // Lloyd's monotonicity: assignment(argmin) + mean update never increases
+    // the objective; training must beat (or match) the raw seeds
+    costs.sliding(2).foreach { case Seq(a, b) => b should be <= a + 1e-9 }
+    costs.last should be < cost(seeds) + 1e-9
+    // the quantizer partitions: every vector lands in exactly one cell 0..k-1
+    val trained = Similarity.trainCentroids(e, k = 4, iters = 3)
+    val cells = e.select(Similarity.cellOf(spark, col("v"), trained).as("cell"))
+      .groupBy(col("cell")).count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cells.keySet.forall(c => c >= 0 && c < 4) shouldBe true
+    cells.values.sum shouldBe e.count()
+  }
+
+  test("native graft_l2sq expression matches the interpreted HOF distance bit-for-bit") {
+    spark.catalog.functionExists("graft_l2sq") shouldBe true
+    val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+      .limit(50)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv")).limit(5)
+    val both = q.crossJoin(e)
+      .select(
+        call_function("graft_l2sq", col("qv"), col("v")).as("native"),
+        VectorFunctions.distSq(col("qv"), col("v")).as("hof"))
+      .collect()
+    both.length shouldBe 250
+    both.foreach { r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
   test("native graft_cosine expression matches the interpreted HOF cosine bit-for-bit") {
     spark.catalog.functionExists("graft_cosine") shouldBe true
     val e = graft.sources.Tables.read(spark, sf0001, "embeddings")

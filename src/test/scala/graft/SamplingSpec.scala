@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Structural guarantees of the sampling/packing operators (values are
+  * covered by the DuckDB oracle gate). */
+class SamplingSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  test("hash sampling is deterministic, a subset, and tracks its target rates") {
+    val a = SparkEntry.queries("q63_hash_sample")(spark, sf0001).collect()
+    val b = SparkEntry.queries("q63_hash_sample")(spark, sf0001).collect()
+    a.map(_.getLong(0)) shouldBe b.map(_.getLong(0)) // content-hash, not rand()
+    val total = graft.sources.Tables.read(spark, sf0001, "documents").count()
+    a.length.toLong should be < total
+    // per-language realized rate is within a loose band of the configured
+    // rate (the hash is uniform; sf0.001 strata are small, so band is wide)
+    val byLang = graft.sources.Tables.read(spark, sf0001, "documents")
+      .groupBy(col("lang")).count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    for ((lang, n) <- byLang) {
+      val rate = Sampling.SampleRates.getOrElse(lang, Sampling.DefaultRate)
+      val realized = kept.getOrElse(lang, 0L).toDouble / n
+      realized should be >= math.max(0.0, rate - 0.35)
+      realized should be <= math.min(1.0, rate + 0.35)
+    }
+  }
+
+  test("mixture rates downsample every language to the smallest stratum") {
+    val rows = SparkEntry.queries("q64_mixture_rates")(spark, sf0001).collect()
+    val minN = rows.map(_.getLong(1)).min
+    rows.foreach { r =>
+      r.getDouble(2) should be > 0.0
+      r.getDouble(2) should be <= 1.0
+      // rate * stratum size recovers the min stratum (up to rounding)
+      (r.getDouble(2) * r.getLong(1)) shouldBe minN.toDouble +- 0.01 * r.getLong(1)
+    }
+    rows.filter(_.getLong(1) == minN).foreach(_.getDouble(2) shouldBe 1.0)
+  }
+
+  test("packing fills chunks sequentially within the token budget") {
+    val rows = SparkEntry.queries("q65_pack_chunks")(spark, sf0001).collect()
+    val docs = graft.sources.Tables.read(spark, sf0001, "documents")
+    val maxDocTokens = docs
+      .select(max(graft.operators.TextAnalytics.nTokens(col("text")))).collect()(0).getLong(0)
+    rows.groupBy(_.getString(0)).foreach { case (_, chunks) =>
+      // chunk ids are contiguous from 0 per language
+      chunks.map(_.getLong(1)).sorted shouldBe (0L until chunks.length.toLong).toArray
+      // a chunk only ever overflows by the one doc that crossed the boundary
+      chunks.foreach(_.getLong(3) should be < 512L + maxDocTokens)
+      // sequential fill leaves no sparse chunk: a non-last chunk spans from
+      // its first doc's start (≤ boundary + max doc overflow) to past the
+      // next boundary, so it holds at least budget − maxDocTokens tokens
+      chunks.sortBy(_.getLong(1)).dropRight(1)
+        .foreach(_.getLong(3) should be >= 512L - maxDocTokens)
+    }
+    // packing partitions the corpus: doc counts sum to the table size
+    rows.map(_.getLong(2)).sum shouldBe docs.count()
+  }
+}
