@@ -36,9 +36,14 @@ object Bench {
       if (runs.forall(_._2)) Some(name -> runs.map(_._1).min)
       else { failed += name; None } // a failing query must not pollute totals
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Timings round to 4 decimals (0.1 ms): keeps the canonical summary line
+    // compact enough that the driver's stdout-tail capture can never
+    // truncate it (full-precision doubles tripled the line length and cost
+    // round 6 its parsed bench).
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val rawJson = raw.map { case (k, vs) => "\"" + k + "\":" + vs.mkString("[", ",", "]") }
+    val rawJson = raw.map { case (k, vs) => "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // total aggregates successful queries only — comparable run-to-run
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -49,7 +54,7 @@ object Bench {
     // captured window. The canonical one-line summary must be the LAST line
     // so tail-truncation can never eat it.
     println(s"""{"metric":"runs","reps":$reps,"runs":$rawJson}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

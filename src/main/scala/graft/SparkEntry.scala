@@ -18,13 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - [[operators.Skew]]           — salted aggregation for hot keys;
   *   - [[operators.AsOf]]           — as-of (most-recent-marker) join;
   *   - [[operators.Sampling]]       — deterministic hash sampling, mixture
-  *     planning, context-window packing.
+  *     planning, context-window packing, holdout split, training order;
+  *   - [[operators.Scrub]]          — pattern scrubbing, repetition metrics,
+  *     curriculum bucketing.
   */
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal, Skew,
-    AsOf, RangeJoin, Sampling)
+    AsOf, RangeJoin, Sampling, Scrub)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full silver+gold operator chain (scan → null-filter →

@@ -19,13 +19,25 @@ import org.apache.spark.sql.functions._
   *     the smallest stratum (the "uniform mixture" plan);
   *  3. context-window packing (q65) — assign documents to fixed token-budget
   *     chunks per language by running token count, the deterministic
-  *     sequential-fill layout used to batch documents into training windows.
+  *     sequential-fill layout used to batch documents into training windows;
+  *  4. train/val/test split (q68) — every row hashes itself into a split
+  *     (salted so the split is independent of the q63 sampling hash), the
+  *     standard leak-proof holdout: membership is a pure function of the
+  *     key, so re-runs, late-arriving shards and incremental appends can
+  *     never move a document across the boundary;
+  *  5. sharded training order (q70) — the global shuffle a training loader
+  *     consumes: hash-assign each document to a shard, order within the
+  *     shard by a second content hash. Deliberately NOT a global
+  *     `row_number` (an unpartitioned window serializes the corpus through
+  *     one task); per-shard numbering keeps every window partition-parallel
+  *     while round-robin reads over shards reproduce a uniform global order.
   *
   * Scale design: q63 is a pure per-row filter (no shuffle at all — the
   * sampling decision is row-local); q64 reduces to |languages| rows with
   * map-side partial counts; q65's only wide operation is the window sort on
   * (lang, doc_id) — one shuffle, and the running sum is a single streaming
-  * pass per partition. Nothing materializes driver-side.
+  * pass per partition; q68 is row-local + a |lang×split|-row group-by; q70
+  * shuffles once on the shard key. Nothing materializes driver-side.
   */
 object Sampling extends QueryModule {
 
@@ -84,6 +96,35 @@ object Sampling extends QueryModule {
         .groupBy(col("lang"), col("chunk_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("chunk_tokens"))
         .orderBy(col("lang"), col("chunk_id"))
+    }),
+
+    // Leak-proof holdout: bucket = md5(doc_id || ':split') mod 100 →
+    // 80/10/10. The ':split' salt decorrelates holdout membership from the
+    // q63 sampling hash (same key, different hash → independent decisions).
+    "q68_split_assign" -> ((s, dir) => {
+      val b = expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':split')), 1, 4), 16, 10) as bigint) % 100")
+      docs(s, dir)
+        .select(col("lang"),
+          when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test")).as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
+    // Sharded training order: shard by one content hash, order within the
+    // shard by another — windows stay partition-parallel (see scaladoc).
+    "q70_training_order" -> ((s, dir) => {
+      val orderKey = md5(col("doc_id").cast("string"))
+      val shard = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 8")
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), orderKey.as("ok"), shard.as("shard"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy(col("shard"))
+            .orderBy(col("ok"), col("doc_id"))).cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
+        .orderBy(col("shard"), col("pos"))
     })
   )
 
@@ -109,6 +150,21 @@ object Sampling extends QueryModule {
         |      FROM t)
         |SELECT lang, CAST(floor(CAST(running - n AS DOUBLE) / 512.0) AS BIGINT) AS chunk_id,
         |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS chunk_tokens
-        |FROM r GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
+        |FROM r GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
+    "q68_split_assign" ->
+      """SELECT lang, split, count(*) AS n_docs FROM (
+        |  SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |                    ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |          CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4)) AS BIGINT) % 100 AS b
+        |        FROM documents))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q70_training_order" ->
+      """WITH k AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS ok,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS pos,
+        |       doc_id, lang
+        |FROM k ORDER BY shard, pos""".stripMargin
   )
 }

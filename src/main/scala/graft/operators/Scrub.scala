@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus governance operators over the `documents` table — the scrub /
+  * filter / stratify stages that run between raw ingest and training:
+  *
+  *  1. pattern scrubbing (q66) — redact every match of a sensitive-term
+  *     regex and count the hits per document. On a real corpus the pattern
+  *     set is PII-shaped (emails, phone numbers, ID formats); the fixture
+  *     vocabulary has no PII, so the registered query scrubs a stand-in
+  *     term with the identical machinery (`regexp_replace` + `regexp_count`,
+  *     both codegen'd). The output carries md5(scrubbed text) rather than
+  *     the scrubbed text itself so the oracle verifies the replacement
+  *     byte-for-byte without shipping full documents through the compare;
+  *  2. intra-document repetition metrics (q67) — type-token ratio and the
+  *     top single-token frequency share, the standard signals for dropping
+  *     degenerate/boilerplate documents (low TTR = the document repeats
+  *     itself). Entirely row-local: the token array is let-bound once per
+  *     row (a 1-element `transform`, so the split cannot be inlined into
+  *     each lambda use) and every metric derives from that bound variable;
+  *  3. curriculum bucketing (q71) — quartile documents by quality score
+  *     ([[TextAnalytics.qualityScore]]) using exact percentile thresholds.
+  *     Two passes: a tiny 1-row threshold aggregate, broadcast back, then a
+  *     row-local bucket assignment + per-bucket stats. Never a global-order
+  *     window: `ntile` over an unpartitioned window would serialize the
+  *     corpus through one task, while the threshold form keeps both passes
+  *     fully parallel (the published design for quantile bucketing at
+  *     scale).
+  *
+  * Scale design: q66 and q67 are pure per-row map work followed only by the
+  * presentation sort; q71's wide operations are one scalar aggregate and one
+  * |buckets|-row group-by. No shuffle ever carries document text.
+  */
+object Scrub extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
+
+  /** Stand-in sensitive-term pattern (see scaladoc: fixture text has no real
+    * PII; the machinery is pattern-agnostic). */
+  val ScrubPattern = "\\bcustomer\\b"
+  val ScrubReplacement = "[REDACTED]"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q66_pattern_scrub" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(ScrubPattern)).cast(LongType).as("n_hits"),
+        md5(regexp_replace(col("text"), ScrubPattern, ScrubReplacement)).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))),
+
+    "q67_repetition_metrics" -> ((s, dir) => {
+      // Let-bind the token array once per row: `w` is a lambda variable, so
+      // unlike a projected alias it cannot be inlined (re-split) per use.
+      val metrics = element_at(
+        transform(array(split(trim(col("text")), " ")), w => {
+          val n = size(w).cast("double")
+          val dn = size(array_distinct(w)).cast("double")
+          val topf = array_max(
+            transform(array_distinct(w), t => size(filter(w, x => x === t)))).cast("double")
+          struct(
+            size(w).cast(LongType).as("n_tokens"),
+            size(array_distinct(w)).cast(LongType).as("n_distinct"),
+            round(dn / n, 6).as("ttr"),
+            round(topf / n, 6).as("top_tok_ratio"))
+        }), 1)
+      docs(s, dir)
+        .select(col("doc_id"), metrics.as("m"))
+        .select(col("doc_id"), col("m.n_tokens"), col("m.n_distinct"),
+          col("m.ttr"), col("m.top_tok_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q71_curriculum_buckets" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .select(col("doc_id"), TextAnalytics.qualityScore.as("score"))
+      // Exact quartile thresholds: one 1-row aggregate, broadcast back.
+      // `percentile` (exact, interpolated) matches DuckDB's percentile_cont:
+      // when the rank lands between two order statistics both engines return
+      // a strict convex combination, so no score can sit exactly on a
+      // threshold unless the neighbors are equal — in which case both
+      // engines return that value exactly. Bucket assignment is therefore
+      // engine-independent despite the floating-point interpolation.
+      val th = scored.agg(
+        expr("percentile(score, 0.25)").as("p25"),
+        expr("percentile(score, 0.50)").as("p50"),
+        expr("percentile(score, 0.75)").as("p75"))
+      scored.crossJoin(broadcast(th))
+        .withColumn("bucket",
+          when(col("score") <= col("p25"), lit(1))
+            .when(col("score") <= col("p50"), lit(2))
+            .when(col("score") <= col("p75"), lit(3))
+            .otherwise(lit(4)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("score")), 6).as("avg_score"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("bucket"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q66_pattern_scrub" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '\bcustomer\b')) AS n_hits,
+        |       md5(regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q67_repetition_metrics" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+        |       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+        |       round(CAST(list_max(list_transform(list_distinct(toks),
+        |                 t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks), 6) AS top_tok_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q71_curriculum_buckets" ->
+      """WITH s AS (SELECT doc_id,
+        |  round(0.5 * least(1.0, length(text) / 500.0)
+        |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |               len(string_split(trim(text), ' ')))
+        |      + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |               length(text)), 6) AS score
+        |  FROM documents),
+        |b AS (SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY score) AS p25,
+        |             percentile_cont(0.50) WITHIN GROUP (ORDER BY score) AS p50,
+        |             percentile_cont(0.75) WITHIN GROUP (ORDER BY score) AS p75 FROM s)
+        |SELECT CASE WHEN score <= p25 THEN 1 WHEN score <= p50 THEN 2
+        |            WHEN score <= p75 THEN 3 ELSE 4 END AS bucket,
+        |       count(*) AS n_docs, round(avg(score), 6) AS avg_score,
+        |       min(score) AS min_score, max(score) AS max_score
+        |FROM s, b GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

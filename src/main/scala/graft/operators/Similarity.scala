@@ -231,7 +231,37 @@ object Similarity extends QueryModule {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           round(sum(col("nrm")) / count(lit(1)), 6).as("avg_norm"))
-        .orderBy(col("label")))
+        .orderBy(col("label"))),
+
+    // Int8 scalar quantization: per-vector (min, max) range, 256 levels,
+    // reconstruction RMSE — the storage tier under every large ANN index
+    // (IVF lists store codes, not floats; 4x smaller scans). Row-local map
+    // work. min/max are LET-BOUND as lambda variables (1-element transform)
+    // so they are computed once per vector, not once per element — projected
+    // aliases would be inlined into the lambda by CollapseProject.
+    // floor(x + 0.5) rather than round(): identical halfway behavior in
+    // Spark and DuckDB for the non-negative scaled domain, so the oracle
+    // replays the quantizer bit-for-bit.
+    "q69_embedding_quantize" -> ((s, dir) => {
+      val rep = element_at(transform(array(col("v")), w =>
+        element_at(transform(
+          array(struct(array_min(w).as("mn"), array_max(w).as("mx"))), b => {
+            val mn = b.getField("mn")
+            val mx = b.getField("mx")
+            val sc = when(mx === mn, lit(1.0)).otherwise((mx - mn) / lit(255.0))
+            val sqErr = aggregate(w, lit(0.0), (acc, x) =>
+              acc + pow(x - (mn + floor((x - mn) / sc + lit(0.5)) * sc), lit(2.0)))
+            struct(mn.as("vmin"), mx.as("vmax"),
+              sqrt(sqErr / size(w).cast("double")).as("rmse"))
+          }), 1)), 1)
+      emb(s, dir)
+        .select(col("vec_id"), rep.as("r"))
+        .select(col("vec_id"),
+          round(col("r.vmin"), 6).as("vmin"),
+          round(col("r.vmax"), 6).as("vmax"),
+          round(col("r.rmse"), 6).as("rmse"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,6 +277,15 @@ object Similarity extends QueryModule {
       """SELECT label, count(*) AS n_vecs,
         |       round(sum(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
         |             x -> x * x), 'sum'))) / count(*), 6) AS avg_norm
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q69_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx FROM e),
+        |q AS (SELECT vec_id, v, mn, mx,
+        |        CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS sc FROM m)
+        |SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+        |  round(sqrt(list_aggregate(list_transform(v,
+        |          x -> pow(x - (mn + floor((x - mn) / sc + 0.5) * sc), 2)), 'sum') / len(v)), 6) AS rmse
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

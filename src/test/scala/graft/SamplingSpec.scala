@@ -60,4 +60,38 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     // packing partitions the corpus: doc counts sum to the table size
     rows.map(_.getLong(2)).sum shouldBe docs.count()
   }
+
+  test("holdout split partitions the corpus near the 80/10/10 target, independent of the sample hash") {
+    val rows = SparkEntry.queries("q68_split_assign")(spark, sf0001).collect()
+    val total = graft.sources.Tables.read(spark, sf0001, "documents").count()
+    rows.map(_.getLong(2)).sum shouldBe total // every doc lands in exactly one split
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    bySplit.keySet shouldBe Set("train", "val", "test")
+    val trainFrac = bySplit("train").toDouble / total
+    trainFrac shouldBe 0.8 +- 0.12 // uniform hash, small corpus → wide band
+    // the ':split' salt decorrelates the holdout from q63's sampling hash:
+    // sampled-out documents must appear in every split, not pool in one
+    val sampled = SparkEntry.queries("q63_hash_sample")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val perDocSplit = graft.sources.Tables.read(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':split')), 1, 4), 16, 10) as bigint) % 100").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val droppedSplits = perDocSplit.filterNot(p => sampled(p._1)).map(_._2 < 80).toSet
+    droppedSplits shouldBe Set(true, false) // dropped docs span train and holdout
+  }
+
+  test("training order shards are contiguous, complete, and deterministic") {
+    val rows = SparkEntry.queries("q70_training_order")(spark, sf0001).collect()
+    val docs = graft.sources.Tables.read(spark, sf0001, "documents")
+    rows.length.toLong shouldBe docs.count() // a permutation, not a sample
+    rows.map(_.getLong(2)).distinct.length shouldBe rows.length
+    rows.groupBy(_.getLong(0)).foreach { case (_, shard) =>
+      // positions are 1..n with no gaps inside every shard
+      shard.map(_.getLong(1)).sorted shouldBe (1L to shard.length.toLong).toArray
+    }
+    val again = SparkEntry.queries("q70_training_order")(spark, sf0001).collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Scrub
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Structural guarantees of the governance operators (q66/q67/q71) and the
+  * quantizer (q69); exact values are covered by the DuckDB oracle gate. */
+class ScrubSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  test("pattern scrub is idempotent and removes every match") {
+    val docs = graft.sources.Tables.read(spark, sf0001, "documents")
+    val once = regexp_replace(col("text"), Scrub.ScrubPattern, Scrub.ScrubReplacement)
+    val twice = regexp_replace(once, Scrub.ScrubPattern, Scrub.ScrubReplacement)
+    // the replacement token contains no match, so scrubbing is a fixpoint
+    docs.filter(md5(once) =!= md5(twice)).count() shouldBe 0L
+    // no residual matches survive a scrub
+    docs.filter(regexp_count(once, lit(Scrub.ScrubPattern)) > 0).count() shouldBe 0L
+    // and the fixture actually exercises it: some documents have hits, and
+    // exactly the hit documents change under scrubbing
+    val q = SparkEntry.queries("q66_pattern_scrub")(spark, sf0001).collect()
+    q.map(_.getLong(1)).sum should be > 0L
+    val changed = docs.select(col("doc_id"), (md5(col("text")) =!= md5(once)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.foreach(r => changed(r.getLong(0)) shouldBe (r.getLong(1) > 0L))
+  }
+
+  test("repetition metrics satisfy their algebraic bounds row-locally") {
+    val rows = SparkEntry.queries("q67_repetition_metrics")(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (n, dn, ttr, topf) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      dn should be >= 1L
+      dn should be <= n
+      ttr should be > 0.0
+      ttr should be <= 1.0
+      // the most frequent token is at least the mean token multiplicity
+      topf * dn should be >= 1.0 - 1e-6
+      (topf * n).round should be >= (n.toDouble / dn).floor.toLong
+    }
+    // row-local + presentation sort only: exactly one exchange in the plan
+    val plan = SparkEntry.queries("q67_repetition_metrics")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    "(?i)exchange".r.findAllIn(plan).length shouldBe 1
+  }
+
+  test("int8 quantization reconstruction error is bounded by half a step") {
+    val rows = SparkEntry.queries("q69_embedding_quantize")(spark, sf0001).collect()
+    rows.length.toLong shouldBe
+      graft.sources.Tables.read(spark, sf0001, "embeddings").count()
+    rows.foreach { r =>
+      val (mn, mx, rmse) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      mx should be >= mn
+      rmse should be >= 0.0
+      // per-element error ≤ step/2 ⇒ RMSE ≤ (mx-mn)/255/2; allow rounding slop
+      rmse should be <= (mx - mn) / 255.0 / 2.0 + 1e-6
+    }
+  }
+
+  test("curriculum buckets partition the corpus into monotone quality bands") {
+    val rows = SparkEntry.queries("q71_curriculum_buckets")(spark, sf0001).collect()
+    rows.map(_.getInt(0)).sorted shouldBe Array(1, 2, 3, 4)
+    rows.map(_.getLong(1)).sum shouldBe
+      graft.sources.Tables.read(spark, sf0001, "documents").count()
+    // quartiles are balanced up to threshold ties
+    val counts = rows.map(_.getLong(1))
+    counts.max.toDouble / counts.min should be <= 1.5
+    rows.foreach { r =>
+      r.getDouble(2) should be >= r.getDouble(3) // avg within [min, max]
+      r.getDouble(2) should be <= r.getDouble(4)
+    }
+    // bands are disjoint and ordered: bucket b starts at or above where b-1 ends
+    val sorted = rows.sortBy(_.getInt(0))
+    sorted.sliding(2).foreach { case Array(lo, hi) =>
+      hi.getDouble(3) should be >= lo.getDouble(4)
+    }
+  }
+}
