@@ -23,7 +23,24 @@ import org.apache.spark.sql.types.LongType
   *     itself). Entirely row-local: the token array is let-bound once per
   *     row (a 1-element `transform`, so the split cannot be inlined into
   *     each lambda use) and every metric derives from that bound variable;
-  *  3. curriculum bucketing (q71) — quartile documents by quality score
+  *  3. benchmark decontamination (q72) — flag training documents whose
+  *     5-gram shingles overlap a held-out evaluation set (here: the
+  *     `doc_id % 97 == 0` slice standing in for a benchmark corpus), the
+  *     standard eval-leakage scan. The eval shingle set is tiny relative to
+  *     the corpus, so the overlap check is a broadcast semi-join against
+  *     the exploded training shingles — the corpus is never shuffled on
+  *     shingle, and shingling reuses [[Dedup.shingles5]] (let-bound, one
+  *     split per row);
+  *  4. unigram LM scoring (q73) — per-document mean log10 probability under
+  *     the corpus's own unigram distribution, the CCNet-shaped fluency /
+  *     outlier signal. Two passes: token counts (map-side combined), then a
+  *     broadcast rejoin of the frequency table so the exploded tokens never
+  *     shuffle — each document's tokens stay in their scan partition, which
+  *     also makes the per-document float sum order deterministic. (At a
+  *     100 TB vocabulary the frequency side graduates from broadcast to a
+  *     shuffled join with decimal-space recombination — the salted-agg
+  *     escape hatch already in [[Skew]]);
+  *  5. curriculum bucketing (q71) — quartile documents by quality score
   *     ([[TextAnalytics.qualityScore]]) using exact percentile thresholds.
   *     Two passes: a tiny 1-row threshold aggregate, broadcast back, then a
   *     row-local bucket assignment + per-bucket stats. Never a global-order
@@ -76,6 +93,40 @@ object Scrub extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Eval-leakage scan: contamination(doc) = |shingles(doc) ∩ eval shingles|
+    // / |shingles(doc)| over the training slice. Docs with < 5 tokens have
+    // no shingles and are out of scope (same domain as q35).
+    "q72_decontamination" -> ((s, dir) => {
+      val sh = Dedup.shingledFrom(docs(s, dir))
+      val ev = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("shingles")).as("s")).distinct()
+      val tr = sh.filter(col("doc_id") % 97 =!= 0)
+      val hits = tr.select(col("doc_id"), explode(col("shingles")).as("s"))
+        .join(broadcast(ev), Seq("s"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      tr.select(col("doc_id"), size(col("shingles")).cast(LongType).as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_shingles"), 6).as("contamination"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram LM score: mean log10 token probability under the corpus's own
+    // unigram counts (see scaladoc for the broadcast-vs-shuffle scale note).
+    "q73_unigram_logprob" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("total"))
+      toks.join(broadcast(freq), Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log10(col("cnt").cast("double") / col("total"))), 6).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q71_curriculum_buckets" -> ((s, dir) => {
       val scored = docs(s, dir)
         .select(col("doc_id"), TextAnalytics.qualityScore.as("score"))
@@ -118,6 +169,29 @@ object Scrub extends QueryModule {
         |       round(CAST(list_max(list_transform(list_distinct(toks),
         |                 t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks), 6) AS top_tok_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q72_decontamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+        |       FROM toks WHERE len(w) >= 5),
+        |ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 97 <> 0),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM tr),
+        |hit AS (SELECT doc_id, count(*) AS n_hit FROM ex
+        |        WHERE s IN (SELECT s FROM ev) GROUP BY 1)
+        |SELECT t.doc_id, len(t.shingles) AS n_shingles,
+        |       COALESCE(h.n_hit, 0) AS n_hit,
+        |       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(t.shingles), 6) AS contamination
+        |FROM tr t LEFT JOIN hit h ON h.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "q73_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(log10(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+        |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q71_curriculum_buckets" ->
       """WITH s AS (SELECT doc_id,
         |  round(0.5 * least(1.0, length(text) / 500.0)

@@ -58,6 +58,53 @@ class ScrubSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("decontamination scans exactly the training slice and bounds the overlap") {
+    val rows = SparkEntry.queries("q72_decontamination")(spark, sf0001).collect()
+    val docs = graft.sources.Tables.read(spark, sf0001, "documents")
+    // domain: shingle-bearing (≥5 tokens) docs outside the eval slice
+    val expected = docs
+      .filter(graft.operators.TextAnalytics.nTokens(col("text")) >= 5 &&
+        col("doc_id") % 97 =!= 0)
+      .count()
+    rows.length.toLong shouldBe expected
+    rows.foreach { r =>
+      r.getLong(0) % 97 should not be 0L // eval docs never appear as subjects
+      r.getLong(2) should be <= r.getLong(1) // hits bounded by shingle count
+      r.getDouble(3) should (be >= 0.0 and be <= 1.0)
+    }
+    // a verbatim copy of an eval document must flag as fully contaminated:
+    // check via a planted frame rather than hoping the fixture has one
+    val evalDoc = docs.filter(col("doc_id") % 97 === 0 &&
+      graft.operators.TextAnalytics.nTokens(col("text")) >= 5).limit(1).collect()(0)
+    val planted = docs.unionByName(
+      spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(999983L, evalDoc.getAs[String]("text"),
+          evalDoc.getAs[String]("lang"), evalDoc.getAs[String]("source"),
+          evalDoc.getAs[Long]("n_chars"))), docs.schema))
+    val sh = graft.operators.Dedup.shingledFrom(planted)
+    val ev = sh.filter(col("doc_id") % 97 === 0).select(explode(col("shingles")).as("s")).distinct()
+    val hit = sh.filter(col("doc_id") === 999983L)
+      .select(explode(col("shingles")).as("s")).join(ev, Seq("s"), "left_semi").count()
+    hit shouldBe sh.filter(col("doc_id") === 999983L)
+      .select(explode(col("shingles"))).count() // overlap == all shingles → ratio 1.0
+  }
+
+  test("unigram log-probabilities stay inside the corpus frequency envelope") {
+    val rows = SparkEntry.queries("q73_unigram_logprob")(spark, sf0001).collect()
+    val docs = graft.sources.Tables.read(spark, sf0001, "documents")
+    val toks = docs.select(explode(split(trim(col("text")), " ")).as("tok"))
+    val total = toks.count()
+    rows.map(_.getLong(1)).sum shouldBe total // every token scored exactly once
+    val maxCnt = toks.groupBy(col("tok")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    val hi = math.log10(maxCnt.toDouble / total)
+    val lo = math.log10(1.0 / total)
+    rows.foreach { r =>
+      r.getDouble(2) should be <= hi + 1e-6 // mean can't beat the modal token
+      r.getDouble(2) should be >= lo - 1e-6 // nor undercut a singleton-only doc
+    }
+  }
+
   test("curriculum buckets partition the corpus into monotone quality bands") {
     val rows = SparkEntry.queries("q71_curriculum_buckets")(spark, sf0001).collect()
     rows.map(_.getInt(0)).sorted shouldBe Array(1, 2, 3, 4)
