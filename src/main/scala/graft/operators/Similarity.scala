@@ -99,17 +99,31 @@ object Similarity extends QueryModule {
   }
 
   /** ANN via hyperplane LSH: bucket corpus by signature, probe each query's
-    * own bucket only, exact cosine within the bucket. Approximate — neighbors
-    * in other buckets are missed (recall measured in the ScalaTest spec). */
+    * own bucket — plus, with `multiProbe`, every single-bit-flip neighbor
+    * bucket (the standard multi-probe recall lever: a near neighbor that
+    * disagrees on exactly one hyperplane lands one Hamming step away, and
+    * probing those nPlanes buckets recovers it without adding hash tables).
+    * The probe fan-out happens on the BROADCAST query side (queries ×
+    * (nPlanes+1) rows — still tiny); the corpus is hashed once and the join
+    * stays a plain equi-join on the signature, so the 100 TB side is never
+    * shuffled and never rescanned. Approximate — recall measured against
+    * the exact top-k in the ScalaTest spec, where multi-probe must dominate
+    * the single-probe form. */
   def annLsh(s: SparkSession, dir: String, k: Int, nPlanes: Int = 8,
-             queryPred: Column = col("vec_id") < 3): DataFrame = {
+             queryPred: Column = col("vec_id") < 3,
+             multiProbe: Boolean = true): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
     // one r=nPlanes band == the packed signature; native codegen when available
     val e = emb(s, dir).withColumn("sig",
       element_at(bandValuesFast(s, col("v"), planes, nPlanes), 1))
+    val probes =
+      if (!multiProbe) array(col("sig"))
+      else array((Seq(col("sig")) ++
+        (0 until nPlanes).map(i => col("sig").bitwiseXOR(lit(1L << i)))): _*)
     val q = broadcast(
       e.filter(queryPred)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig")))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(probes).as("qsig")))
     val scored = q.join(e, col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))

@@ -58,6 +58,30 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("multi-probe LSH recall dominates single-probe against the exact top-k") {
+    val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val exactTop = Similarity.cosineTopK(e.filter(col("vec_id") < 3), e, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 4 planes on the tiny corpus: 16 buckets, so both probe modes have
+    // non-degenerate bucket populations to differ on (at 8 planes the
+    // fixture's 50 vectors are ~all singletons and both recalls are 0)
+    def recallOf(multiProbe: Boolean): Double = {
+      val ann = Similarity.annLsh(spark, sf0001, 5, nPlanes = 4, multiProbe = multiProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (ann & exactTop).size.toDouble / exactTop.size
+    }
+    val single = recallOf(multiProbe = false)
+    val multi = recallOf(multiProbe = true)
+    info(f"single-probe recall=$single%.3f multi-probe recall=$multi%.3f")
+    multi should be > single  // bit-flip probes strictly recover more here
+    multi should be >= 0.3    // absolute floor (measured 0.333)
+    // the probe fan-out must stay on the broadcast side: corpus hashed once
+    val plan = Similarity.annLsh(spark, sf0001, 5).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("IVF training: Lloyd's iterations never increase quantization cost; cells partition the corpus") {
     val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
