@@ -140,6 +140,58 @@ object VersionedLayer {
     n
   }
 
+  /** Keyed upsert (MERGE semantics, whole-row update): publish a new
+    * version holding `delta`'s rows plus every published row whose key is
+    * absent from `delta` — matched keys take the delta row, unmatched delta
+    * keys insert. A missing/empty layer makes the delta the first snapshot.
+    * Returns the committed version.
+    *
+    * Scale shape: ONE wide operation — the left-anti join of the (100 TB)
+    * base against the delta's keys; a small delta broadcasts (AQE decides),
+    * so the common incremental-load case never shuffles the base. The new
+    * snapshot is staged completely before the claim CAS, so readers keep
+    * snapshot isolation and crashes leave only invisible debris, exactly as
+    * [[write]].
+    *
+    * Concurrency contract: version arbitration still serializes writers
+    * onto distinct versions, but merge derives its snapshot from the
+    * version it READ — two simultaneous mergers both reading N would each
+    * publish a child of N and the later one silently drops the earlier
+    * delta (the lost-update anomaly Delta detects with its conflict
+    * checker). Run one merger at a time per layer — the same
+    * single-operator caveat as [[vacuum]]; concurrent blind [[write]]
+    * overwrites remain safe. */
+  def merge(delta: DataFrame, root: String, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = delta.sparkSession
+    val snapshot = latestVersion(spark, root) match {
+      case None => delta
+      case Some(v) =>
+        val base = read(spark, root, Some(v))
+        delta.unionByName(base.join(delta.select(keyCols.map(delta(_)): _*)
+          .dropDuplicates(keyCols), keyCols, "left_anti"))
+    }
+    write(snapshot, root)
+  }
+
+  /** Compact the published snapshot into `targetFiles` parquet files and
+    * publish the rewrite as a NEW version (contents identical — asserted in
+    * the spec; prior versions stay time-travelable until [[vacuum]]). The
+    * small-file problem is operational reality at scale: a day of
+    * incremental merges leaves thousands of files whose per-file open/footer
+    * cost dominates scans; compaction trades one rewrite for every future
+    * read. `coalesce` (not `repartition`) — narrowing file count must not
+    * shuffle the data. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 1): Long =
+    write(read(spark, root).coalesce(math.max(targetFiles, 1)), root)
+
+  /** Data files of a committed version (for file-count/size accounting). */
+  def dataFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {
+    val f = fs(spark, root)
+    f.listStatus(new Path(root, s"v=$version")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+  }
+
   /** Read the published snapshot, or a specific committed version (time
     * travel). Uncommitted `v=N` debris is not readable. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {

@@ -92,4 +92,40 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
     VersionedLayer.read(spark, root).collect().map(_.getInt(0)) shouldBe Array(4)
     intercept[Exception](VersionedLayer.read(spark, root, Some(1L)).collect())
   }
+
+  test("merge upserts matched keys, inserts new ones, and preserves time travel") {
+    val root = tmpRoot()
+    // first merge on an empty layer bootstraps it
+    VersionedLayer.merge(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s"),
+      root, Seq("k")) shouldBe 1L
+    // update k=2, insert k=4; duplicate delta keys collapse in the anti-join
+    VersionedLayer.merge(Seq((2, "B"), (4, "d")).toDF("k", "s"),
+      root, Seq("k")) shouldBe 2L
+    VersionedLayer.read(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).sorted shouldBe
+      Array(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d")
+    // the pre-merge snapshot is still intact (merge is a new version)
+    VersionedLayer.read(spark, root, Some(1L)).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).sorted shouldBe
+      Array(1 -> "a", 2 -> "b", 3 -> "c")
+    // idempotence: replaying the same delta changes nothing but the version
+    VersionedLayer.merge(Seq((2, "B"), (4, "d")).toDF("k", "s"), root, Seq("k"))
+    VersionedLayer.read(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).sorted shouldBe
+      Array(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d")
+  }
+
+  test("compact shrinks the file count without changing contents") {
+    val root = tmpRoot()
+    // many tiny files: one per incremental merge batch
+    VersionedLayer.write((1 to 40).toDF("k").repartition(8), root)
+    val before = VersionedLayer.dataFiles(spark, root, 1L)
+    before.size should be > 4
+    val v = VersionedLayer.compact(spark, root, targetFiles = 2)
+    VersionedLayer.dataFiles(spark, root, v).size should be <= 2
+    VersionedLayer.read(spark, root).collect().map(_.getInt(0)).sorted shouldBe
+      (1 to 40).toArray
+    // the un-compacted version remains readable until vacuum
+    VersionedLayer.read(spark, root, Some(1L)).count() shouldBe 40
+  }
 }
