@@ -101,12 +101,14 @@ object Scrub extends QueryModule {
       val ev = sh.filter(col("doc_id") % 97 === 0)
         .select(explode(col("shingles")).as("s")).distinct()
       val tr = sh.filter(col("doc_id") % 97 =!= 0)
-      val hits = tr.select(col("doc_id"), explode(col("shingles")).as("s"))
-        .join(broadcast(ev), Seq("s"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      tr.select(col("doc_id"), size(col("shingles")).cast(LongType).as("n_shingles"))
-        .join(hits, Seq("doc_id"), "left")
-        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      // ONE pass over the training side: a marker-column broadcast left join
+      // scores each exploded shingle in place, so n_shingles (count) and
+      // n_hit (count of markers) fall out of the same aggregation — no
+      // second corpus scan for sizes, no rejoin of the counts.
+      tr.select(col("doc_id"), explode(col("shingles")).as("s"))
+        .join(broadcast(ev.withColumn("hit", lit(1))), Seq("s"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
         .select(col("doc_id"), col("n_shingles"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_shingles"), 6).as("contamination"))
         .orderBy(col("doc_id"))
