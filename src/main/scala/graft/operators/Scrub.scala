@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -40,7 +40,19 @@ import org.apache.spark.sql.types.LongType
   *     100 TB vocabulary the frequency side graduates from broadcast to a
   *     shuffled join with decimal-space recombination — the salted-agg
   *     escape hatch already in [[Skew]]);
-  *  5. curriculum bucketing (q71) — quartile documents by quality score
+  *  5. winnowing fingerprints (q74/q75) — the Schleimer–Wilkerson–Aiken
+  *     local-minima fingerprint scheme (MOSS; the substring-level dedup
+  *     signal of Lee et al.'s "Deduplicating Training Data"): hash every
+  *     token 5-gram, slide a w=4 window over the hash sequence, keep each
+  *     window's minimum. Any shared token run of ≥ k+w−1 = 8 tokens is
+  *     GUARANTEED to surface a shared fingerprint (asserted on a planted
+  *     pair in the spec) at ~2/(w+1) the density of full shingling. q74 is
+  *     pure row-local map work over let-bound arrays; q75 turns shared
+  *     fingerprints into candidate pairs with the same df-capped
+  *     posting-list equi-join as the q35 Jaccard tier — pair generation
+  *     streams through a join, never a collect_list buffer, and no
+  *     all-pairs join exists at any scale;
+  *  6. curriculum bucketing (q71) — quartile documents by quality score
   *     ([[TextAnalytics.qualityScore]]) using exact percentile thresholds.
   *     Two passes: a tiny 1-row threshold aggregate, broadcast back, then a
   *     row-local bucket assignment + per-bucket stats. Never a global-order
@@ -61,6 +73,28 @@ object Scrub extends QueryModule {
     * PII; the machinery is pattern-agnostic). */
   val ScrubPattern = "\\bcustomer\\b"
   val ScrubReplacement = "[REDACTED]"
+
+  /** Winnowed fingerprints of `text` as `struct(n_grams, fps)`: hash every
+    * token 5-gram (first 8 md5 hex chars as a BIGINT — replayable by the
+    * oracle), slide a w=4 window, keep each window's minimum, distinct the
+    * survivors. Both the token array and the hash sequence are let-bound
+    * lambda variables (1-element `transform`s), so the split and the gram
+    * hashing each run exactly once per row. Callers must pre-filter to
+    * >= 8 tokens (one full window); `sequence` on a shorter doc would run
+    * backwards. */
+  private val winnowed: Column =
+    element_at(transform(array(split(trim(col("text")), " ")), w => {
+      val hashes = transform(sequence(lit(1), size(w) - 4), i =>
+        conv(substring(md5(array_join(slice(w, i, lit(5)), " ")), 1, 8), 16, 10).cast("long"))
+      element_at(transform(array(hashes), h =>
+        struct(size(h).cast(LongType).as("n_grams"),
+          array_distinct(transform(sequence(lit(1), size(h) - 3), j =>
+            array_min(slice(h, j, lit(4))))).as("fps"))), 1)
+    }), 1)
+
+  /** The winnowed fingerprint SET of `text` (spec hook for the detection
+    * guarantee; same >= 8-token domain requirement as [[winnowed]]). */
+  def winnowedFps: Column = winnowed.getField("fps")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -129,6 +163,40 @@ object Scrub extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowed fingerprint summary per document (see scaladoc item 5).
+    // Domain: docs with >= 8 tokens (k+w-1), the minimum for one window.
+    "q74_winnow_fingerprints" -> ((s, dir) =>
+      docs(s, dir).filter(TextAnalytics.nTokens(col("text")) >= 8)
+        .select(col("doc_id"), winnowed.as("fp"))
+        .select(col("doc_id"), col("fp.n_grams"),
+          size(col("fp.fps")).cast(LongType).as("n_fingerprints"),
+          round(size(col("fp.fps")).cast("double") /
+            (col("fp.n_grams") - lit(3)).cast("double"), 6).as("density"))
+        .orderBy(col("doc_id"))),
+
+    // Substring-level near-dup candidates: docs sharing >= 2 winnowed
+    // fingerprints. Same scale layout as q35: explode once, one shuffle on
+    // the fingerprint into df-capped posting lists, then ordered pairs
+    // STREAM out of each list (explode + suffix-filter explode — per-row
+    // memory bounded by the list, never the pair array), aggregate the
+    // shared count. Cost is Σ df², never n²; no self-join, no second
+    // shuffle of the exploded table.
+    "q75_winnow_pairs" -> ((s, dir) => {
+      val fps = docs(s, dir).filter(TextAnalytics.nTokens(col("text")) >= 8)
+        .select(col("doc_id"), winnowed.as("fp"))
+        .select(col("doc_id"), explode(col("fp.fps")).as("f"))
+      val postings = fps.groupBy(col("f"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")).between(2, 1024))
+      postings
+        .select(col("ds"), explode(col("ds")).as("id_a"))
+        .select(col("id_a"), explode(expr("filter(ds, y -> y > id_a)")).as("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+    }),
+
     "q71_curriculum_buckets" -> ((s, dir) => {
       val scored = docs(s, dir)
         .select(col("doc_id"), TextAnalytics.qualityScore.as("score"))
@@ -194,6 +262,32 @@ object Scrub extends QueryModule {
         |       round(avg(log10(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q74_winnow_fingerprints" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(len(w) - 4), i ->
+        |        CAST(concat('0x', substring(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]), 1, 8)) AS BIGINT)) AS h
+        |      FROM t WHERE len(w) >= 8),
+        |f AS (SELECT doc_id, len(h) AS n_grams,
+        |        list_distinct(list_transform(range(len(h) - 3), j -> list_min(h[j+1:j+4]))) AS fps
+        |      FROM g)
+        |SELECT doc_id, n_grams, len(fps) AS n_fingerprints,
+        |       round(CAST(len(fps) AS DOUBLE) / (n_grams - 3), 6) AS density
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q75_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(len(w) - 4), i ->
+        |        CAST(concat('0x', substring(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]), 1, 8)) AS BIGINT)) AS h
+        |      FROM t WHERE len(w) >= 8),
+        |f AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(len(h) - 3), j -> list_min(h[j+1:j+4]))) AS fps
+        |      FROM g),
+        |ex AS (SELECT doc_id, unnest(fps) AS f FROM f),
+        |capped AS (SELECT f FROM ex GROUP BY f HAVING count(*) BETWEEN 2 AND 1024)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+        |WHERE a.f IN (SELECT f FROM capped)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_shared DESC, id_a, id_b""".stripMargin,
     "q71_curriculum_buckets" ->
       """WITH s AS (SELECT doc_id,
         |  round(0.5 * least(1.0, length(text) / 500.0)

@@ -105,6 +105,30 @@ class ScrubSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("winnowing keeps 1/w..1 of windows and guarantees detection of 8-token overlaps") {
+    val rows = SparkEntry.queries("q74_winnow_fingerprints")(spark, sf0001).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (nGrams, nFp) = (r.getLong(1), r.getLong(2))
+      val nWindows = nGrams - 3
+      nFp should be <= nWindows // one (deduped) min per window, at most
+      // adjacent windows share minima, but a value survives at most w=4
+      // consecutive windows, so at least ceil(windows/4) distinct mins
+      nFp should be >= (nWindows + 3) / 4
+    }
+    // the winnowing guarantee: two documents sharing a run of >= k+w-1 = 8
+    // tokens MUST share a fingerprint — plant one and check
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val planted = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, s"one two three four five six seven $shared", "en", "t", 0L),
+      org.apache.spark.sql.Row(2L, s"$shared red orange yellow green blue indigo", "en", "t", 0L)),
+      graft.sources.Tables.read(spark, sf0001, "documents").schema)
+    val sets = planted
+      .select(col("doc_id"), graft.operators.Scrub.winnowedFps.as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (sets(1L) & sets(2L)) should not be empty
+  }
+
   test("curriculum buckets partition the corpus into monotone quality bands") {
     val rows = SparkEntry.queries("q71_curriculum_buckets")(spark, sf0001).collect()
     rows.map(_.getInt(0)).sorted shouldBe Array(1, 2, 3, 4)
