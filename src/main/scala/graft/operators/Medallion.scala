@@ -73,9 +73,21 @@ object Medallion extends QueryModule {
     * so the shuffle carries at most one candidate per key per partition,
     * where the window form must shuffle every row. (Struct-typed buffers
     * plan as SortAggregate, not HashAggregate — the partial combine is the
-    * part that matters.) */
-  def dedupByKeyAgg(key: Seq[String], tiebreak: Seq[String])(df: DataFrame): DataFrame = {
-    val rest = df.columns.toSeq.filterNot(c => key.contains(c) || tiebreak.contains(c))
+    * part that matters.)
+    *
+    * `keep` prunes the carried payload: `Some(cols)` keeps only those
+    * non-key, non-tiebreak columns; `None` keeps the full row. Catalyst
+    * cannot prune fields inside `min(struct(...))` itself (dropping a
+    * struct field would normally change the lexicographic order), but the
+    * documented total-order precondition on `tiebreak` means the
+    * comparison is always decided inside the tiebreak prefix — the payload
+    * fields are inert cargo, so pruning them preserves the survivor
+    * exactly while letting the parquet scan read only what the query
+    * consumes (q01 drops from an 11-column to a 7-column ReadSchema). */
+  def dedupByKeyAgg(key: Seq[String], tiebreak: Seq[String],
+                    keep: Option[Seq[String]] = None)(df: DataFrame): DataFrame = {
+    val rest0 = df.columns.toSeq.filterNot(c => key.contains(c) || tiebreak.contains(c))
+    val rest = keep.fold(rest0)(ks => rest0.filter(ks.contains))
     val tup = struct((tiebreak ++ rest).map(col): _*)
     df.groupBy(key.map(col): _*)
       .agg(min(tup).as("__r"))
@@ -184,7 +196,10 @@ object Medallion extends QueryModule {
       // identical to the oracle's row_number()=1 pick
       .transform(dedupByKeyAgg(
         Seq("l_orderkey", "l_linenumber"),
-        Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")))
+        Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"),
+        // gold consumes only returnflag (+ extendedprice, already a tiebreak
+        // column) — pruning the other 4 payload columns narrows the scan
+        keep = Some(Seq("l_returnflag"))))
       .withColumn("status", when(col("l_extendedprice") > 30000, lit("High")).otherwise(lit("Low")))
       .groupBy(col("l_returnflag"), col("status")).agg(count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"), col("status"))
@@ -231,7 +246,8 @@ object Medallion extends QueryModule {
     "q07_dedup_by_key" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .transform(dedupByKeyAgg(Seq("l_orderkey"),
-          Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")))
+          Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"),
+          keep = Some(Nil))) // output is entirely key + tiebreak columns
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
         .orderBy(col("l_orderkey"))),
 

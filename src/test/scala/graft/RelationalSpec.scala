@@ -47,6 +47,16 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     p should not include "l_returnflag"
   }
 
+  test("dedup payload pruning narrows the q01 scan to consumed columns") {
+    // the min(struct) survivor is decided inside the total-order tiebreak,
+    // so the unconsumed payload columns must not survive into the scan
+    val p = plan("q01_medallion_gold")
+    p should include("ReadSchema")
+    for (dropped <- Seq("l_shipdate", "l_linestatus", "l_discount", "l_tax"))
+      p should not include dropped
+    p should include("l_returnflag") // the one consumed payload column stays
+  }
+
   test("top-k plans as a bounded sort, not a global sort") {
     plan("q12_topk_orders") should include("TakeOrderedAndProject")
   }
