@@ -20,13 +20,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - [[operators.Sampling]]       — deterministic hash sampling, mixture
   *     planning, context-window packing, holdout split, training order;
   *   - [[operators.Scrub]]          — pattern scrubbing, repetition metrics,
-  *     curriculum bucketing.
+  *     curriculum bucketing;
+  *   - [[operators.Cluster]]        — near-dup cluster collapse via
+  *     large-star/small-star connected components + survivor selection.
   */
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal, Skew,
-    AsOf, RangeJoin, Sampling, Scrub)
+    AsOf, RangeJoin, Sampling, Scrub, Cluster)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full silver+gold operator chain (scan → null-filter →

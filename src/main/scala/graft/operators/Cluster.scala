@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTER formation — the step that turns pairwise dedup
+  * output (q35/q36/q58/q47) into an actually deduplicated corpus. Pairs
+  * alone under-merge: near-duplication is transitive in practice (A≈B, B≈C
+  * ⇒ keep one of {A,B,C}), so the pair graph must be collapsed into
+  * connected components and one survivor kept per component. The fixture
+  * corpus contains such a transitive triple, so the oracle comparison
+  * exercises real multi-hop merging, not just pair relabeling.
+  *
+  * Components are computed with alternating Large-Star / Small-Star
+  * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014): each round
+  * rewires every node's strictly-greater neighbors (large-star) and then its
+  * smaller neighbors (small-star) to the minimum of its closed neighborhood.
+  * The edge set converges to per-component stars rooted at the component
+  * minimum in O(log² n) rounds REGARDLESS of graph diameter — a 64-node
+  * chain converges in ~6 rounds where naive min-label propagation needs 64
+  * (asserted in ClusterSpec).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - a round is two shuffled min-aggregations + two equi-joins over narrow
+  *    (BIGINT, BIGINT) edge rows — never a neighbor-list `collect_set` (a
+  *    hot node under star contraction can accumulate millions of neighbors;
+  *    as a map-side-combined `min` aggregate it costs one long per task,
+  *    as a list row it would OOM the reducer);
+  *  - per-round `localCheckpoint` truncates the iterative lineage so the
+  *    plan does not grow exponentially with rounds (on a multi-executor
+  *    cluster a reliable `checkpoint` to the DFS does the same job with
+  *    fault tolerance across executor loss);
+  *  - convergence is detected from a per-round (count, hash-sum) scalar
+  *    aggregate — a driver-side SCALAR, never a collected edge list;
+  *  - the driver loop is O(log² n) rounds, each a constant number of jobs.
+  *
+  * Reference scope: the reference pipeline dedups by exact key only
+  * (`glue/etl_api.py:31`); cluster-collapse is part of the training-data
+  * tier this engine adds on top (SURVEY §2 extension table).
+  */
+object Cluster extends QueryModule {
+
+  /** Canonical undirected edge list: (u, v) with u < v, self-loops dropped,
+    * duplicates collapsed. */
+  private def canon(ab: DataFrame): DataFrame =
+    ab.select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** Connected components of an undirected graph given as an `(a, b)` edge
+    * frame (any orientation, duplicates/self-loops tolerated). Returns
+    * `(node, cluster_id)` for every NON-ROOT node, where cluster_id is the
+    * component's minimum node id; roots and isolated nodes are absent (their
+    * label is their own id — join with coalesce, see [[dedupClusters]]).
+    * Also returns the round count (for the convergence-rate spec). */
+  def connectedComponentsWithRounds(edges0: DataFrame, maxRounds: Int = 30): (DataFrame, Int) = {
+    def fingerprint(e: DataFrame): (Long, String) = {
+      // hash-sum in DECIMAL(38,0): xxhash64 spans the full long range and a
+      // long sum would trip ANSI overflow on ~3 edges
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    var edges = canon(edges0).localCheckpoint()
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var done = fp._1 == 0L
+    while (!done && rounds < maxRounds) {
+      // Large-star: m(u) = min(Γ(u) ∪ {u}); rewire every neighbor v > u to
+      // m(u). The min is computed over the symmetrized edges as a plain
+      // aggregate (map-side combine), then joined back — no neighbor lists.
+      val sym = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = canon(
+        sym.filter(col("v") > col("u")).join(lsMin, "u")
+          .select(col("v").as("a"), col("m").as("b")))
+      // Small-star on the canonical (u < v) orientation: for each node v,
+      // m = min of its smaller neighbors; rewire those neighbors and v to m.
+      val ssMin = ls.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val ss = canon(
+        ls.join(ssMin, "v").select(col("u").as("a"), col("m").as("b"))
+          .unionAll(ssMin.select(col("v").as("a"), col("m").as("b"))))
+      val next = ss.localCheckpoint()
+      val fp2 = fingerprint(next)
+      done = fp2 == fp
+      fp = fp2
+      edges = next
+      rounds += 1
+    }
+    require(done, s"connected components did not converge in $maxRounds rounds")
+    // At the fixpoint the edge set is per-component stars (root = component
+    // min on the u side); min() per node is a belt on top of the theorem.
+    (edges.groupBy(col("v")).agg(min(col("u")).as("cluster_id"))
+      .select(col("v").as("node"), col("cluster_id")), rounds)
+  }
+
+  /** [[connectedComponentsWithRounds]] without the round count. */
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 30): DataFrame =
+    connectedComponentsWithRounds(edges0, maxRounds)._1
+
+  /** (doc_id, cluster_id) for EVERY document: near-dup edges are the exact
+    * n-gram Jaccard pairs at `threshold` (the q35 pipeline, uncapped —
+    * inverted-index join, never all-pairs), collapsed into components;
+    * documents in no pair keep their own id (singleton clusters). */
+  def dedupClusters(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val edges = Dedup.ngramJaccardPairs(s, dir)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val labels = connectedComponents(edges)
+    Tables.read(s, dir, "documents")
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Cluster assignment for the whole corpus: transitive closure of the
+    // exact near-dup pairs at J>=0.8, labeled by component minimum.
+    "q76_dedup_clusters" -> ((s, dir) =>
+      dedupClusters(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))),
+
+    // The deduplicated corpus: one survivor (the component-minimum doc) per
+    // cluster, reported per source — docs kept / dropped and surviving
+    // character volume, the numbers a curation run reports after collapse.
+    "q77_cluster_survivors" -> ((s, dir) =>
+      dedupClusters(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("doc_id") === col("cluster_id"), col("n_chars"))
+            .otherwise(0L)).as("chars_kept"))
+        .orderBy(col("source")))
+  )
+
+  /** Shared oracle CTE: q35's shingle/pair pipeline → edges at J>=0.8 →
+    * transitive closure by recursive CTE → component minimum per doc.
+    * DuckDB's recursive UNION computes the closure exactly; at audit scale
+    * (sf0.01) the edge set is tiny, so closure cost is irrelevant — the
+    * point is bit-exact cluster labels against the Spark star-contraction. */
+  private val clusterCte: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+      |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+      |       FROM toks WHERE len(w) >= 5),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
+      |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           WHERE a.s IN (SELECT s FROM capped)
+      |           GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM common
+      |            JOIN sizes sa ON sa.doc_id = id_a
+      |            JOIN sizes sb ON sb.doc_id = id_b
+      |          WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8),
+      |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      |reach(u, v) AS (SELECT u, v FROM sym
+      |                UNION
+      |                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+      |clusters AS (
+      |  SELECT d.doc_id, d.source, d.n_chars,
+      |         CAST(least(d.doc_id, coalesce(l.mn, d.doc_id)) AS BIGINT) AS cluster_id
+      |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q76_dedup_clusters" ->
+      (clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    "q77_cluster_survivors" ->
+      (clusterCte +
+        """
+          |SELECT source, count(*) AS n_docs,
+          |       sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS n_kept,
+          |       sum(CASE WHEN doc_id = cluster_id THEN n_chars ELSE 0 END) AS chars_kept
+          |FROM clusters GROUP BY source ORDER BY source""".stripMargin)
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Cluster
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Connected-components correctness on planted graphs (the fixture-corpus
+  * values are covered by the q76/q77 oracle gate) plus the two properties
+  * that matter at scale: logarithmic round count on high-diameter graphs and
+  * an all-equi-join plan. */
+class ClusterSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  private def cc(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (labels, rounds) =
+      Cluster.connectedComponentsWithRounds(edges.toDF("a", "b"))
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (m, rounds)
+  }
+
+  /** Reference union-find for the planted graphs. */
+  private def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap.filter { case (k, v) => k != v }
+  }
+
+  test("two cliques joined by a bridge collapse to one component") {
+    val cliqueA = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val (labels, _) = cc(cliqueA ++ cliqueB ++ Seq((3L, 10L)))
+    labels.values.toSet shouldBe Set(0L)
+    labels.keySet shouldBe (1L to 3L).toSet ++ (10L to 13L).toSet
+  }
+
+  test("a 64-node chain converges in O(log n) rounds, not O(diameter)") {
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val (labels, rounds) = cc(chain)
+    labels.values.toSet shouldBe Set(0L)
+    labels.keySet shouldBe (1L to 63L).toSet
+    // naive min-label propagation needs ~63 rounds here; star contraction
+    // is O(log² n) — leave slack above log2(64)=6 but stay far below 63
+    rounds should be <= 12
+  }
+
+  test("star contraction matches union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(200)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val (labels, _) = cc(edges)
+    labels shouldBe brute(edges)
+  }
+
+  test("empty and self-loop-only edge sets yield no labels") {
+    cc(Seq.empty)._1 shouldBe Map.empty
+    cc(Seq((5L, 5L)))._1 shouldBe Map.empty
+  }
+
+  test("q76 plans only equi-joins (no cartesian / nested-loop)") {
+    val p = SparkEntry.queries("q76_dedup_clusters")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q77 survivor counts are consistent with q76 cluster labels") {
+    val cl = SparkEntry.queries("q76_dedup_clusters")(spark, sf0001).collect()
+    val kept = cl.count(r => r.getLong(0) == r.getLong(1))
+    val surv = SparkEntry.queries("q77_cluster_survivors")(spark, sf0001).collect()
+    surv.map(_.getLong(2)).sum shouldBe kept
+    surv.map(_.getLong(1)).sum shouldBe cl.length
+  }
+}
