@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the corpus via the inverted-index statistics a
+  * search tier needs: per-document term frequencies, corpus document
+  * frequencies, TF-IDF term weighting, Okapi BM25 ranking (Robertson &
+  * Zaragoza, "The Probabilistic Relevance Framework: BM25 and Beyond",
+  * 2009 — the Lucene `ln(1 + (N-df+0.5)/(df+0.5))` idf variant, positive
+  * for every df), and conjunctive (AND) keyword search by posting-list
+  * intersection.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - the term-frequency table is the single source for everything
+  *    downstream — one tokenize+explode pass, one (doc_id, term) shuffle;
+  *    document frequencies, document lengths, and postings all derive from
+  *    it without re-reading the corpus;
+  *  - df joins tf on the TERM key — a plain shuffled equi-join that AQE can
+  *    broadcast when the vocabulary is small (as here) but that degrades
+  *    gracefully to shuffle when it is not (web-scale vocabularies do not
+  *    broadcast);
+  *  - corpus scalars (N, avgdl) attach via a broadcast of a ONE-ROW
+  *    aggregate, never a driver collect in the query path;
+  *  - ranking is top-k (TakeOrderedAndProject) or a per-document window —
+  *    never a global sort of the full score table;
+  *  - conjunctive search is a count-match over the posting rows of the query
+  *    terms (`HAVING count = |terms|`), the standard posting-intersection
+  *    shape — cost scales with the query terms' postings, not the corpus.
+  *
+  * Determinism vs the DuckDB oracle: scores are rounded to 6 decimals
+  * BEFORE ranking on both sides (ties then break on the term / doc id), and
+  * avgdl is itself rounded before use so double summation-order noise
+  * cannot leak into any score.
+  */
+object Retrieval extends QueryModule {
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Default conjunctive / ranked query terms for the fixture queries. */
+  val QueryTerms: Seq[String] = Seq("spark", "vector", "merge")
+
+  /** (doc_id, term, tf) from a `(doc_id, text)` frame — the inverted-index
+    * base table; one explode, one shuffle. */
+  def termFreqs(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (term, df): number of documents containing each term. */
+  def docFreqs(tf: DataFrame): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Top-`k` terms per document by TF-IDF (idf = ln(N/df)), with rank.
+    * Scores are rounded before ranking; ties break on the term. */
+  def tfidfTopTerms(docsDf: DataFrame, k: Int = 3): DataFrame = {
+    val tf = termFreqs(docsDf)
+    val df = docFreqs(tf)
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
+  /** BM25 score of every document matching any of `terms`, top-`k`. */
+  def bm25Search(docsDf: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val tf = termFreqs(docsDf)
+    val df = docFreqs(tf)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("double").as("dl"))
+    val stats = tf.agg(countDistinct(col("doc_id")).as("n"))
+      .crossJoin(broadcast(dl.agg(round(avg(col("dl")), 6).as("avgdl"))))
+    val idf: Column = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm: Column = col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))
+    tf.filter(col("term").isin(terms: _*))
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      // multiply as idf * (tf * (k1+1)) / norm — the exact association the
+      // oracle uses, so the doubles agree bit-for-bit before rounding
+      .select(col("doc_id"), (idf * (col("tf") * lit(K1 + 1)) / norm).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Documents containing ALL of `terms` (posting-list intersection), with
+    * the total number of hits across the query terms. */
+  def keywordAndSearch(docsDf: DataFrame, terms: Seq[String]): DataFrame =
+    termFreqs(docsDf)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_hits"))
+      .filter(col("n_terms") === terms.length)
+      .select(col("doc_id"), col("total_hits"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Top-3 TF-IDF terms per document — the per-doc keyword profile a
+    // curation/tagging pass emits.
+    "q78_tfidf_topterms" -> ((s, dir) =>
+      tfidfTopTerms(docs(s, dir))
+        .orderBy(col("doc_id"), col("rnk"))),
+
+    // BM25-ranked keyword search, top 20 for the fixture query.
+    "q79_bm25_search" -> ((s, dir) =>
+      bm25Search(docs(s, dir), QueryTerms)),
+
+    // Conjunctive keyword search: docs containing every query term.
+    "q80_keyword_and" -> ((s, dir) =>
+      keywordAndSearch(docs(s, dir), QueryTerms)
+        .orderBy(col("doc_id")))
+  )
+
+  private val invIndexCte: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q78_tfidf_topterms" ->
+      (invIndexCte +
+        """,
+          |scored AS (SELECT doc_id, tf.term, tf.tf, df.df,
+          |                  round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+          |           FROM tf JOIN df USING (term) CROSS JOIN n),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |                        ORDER BY tfidf DESC, term) AS rnk
+          |           FROM scored)
+          |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked
+          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    "q79_bm25_search" ->
+      (invIndexCte +
+        """,
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+          |ad AS (SELECT round(avg(dl), 6) AS avgdl FROM dl),
+          |w AS (SELECT tf.doc_id,
+          |             ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+          |             (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS w
+          |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+          |      WHERE tf.term IN ('spark', 'vector', 'merge'))
+          |SELECT doc_id, round(sum(w), 6) AS bm25
+          |FROM w GROUP BY doc_id
+          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+    "q80_keyword_and" ->
+      (invIndexCte +
+        """
+          |SELECT doc_id, sum(tf) AS total_hits
+          |FROM tf WHERE term IN ('spark', 'vector', 'merge')
+          |GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Retrieval
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Ranking-behavior checks for the retrieval tier (values vs DuckDB are
+  * covered by the q78–q80 oracle gate): BM25's two defining monotonicities
+  * on a planted corpus, conjunctive-search semantics, and the plan shape. */
+class RetrievalSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark spark spark filler filler filler filler filler"), // high tf, short
+    (2L, "spark filler filler filler filler filler filler filler"), // low tf, short
+    (3L, "spark " + Seq.fill(60)("filler").mkString(" ")), // low tf, long
+    (4L, "rare filler filler filler filler filler filler filler"), // rare term
+    (5L, "filler filler filler filler filler filler filler filler")
+  ).toDF("doc_id", "text")
+
+  private def scores(terms: Seq[String]): Map[Long, Double] =
+    Retrieval.bm25Search(corpus, terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("bm25 rewards term frequency and penalizes document length") {
+    val s = scores(Seq("spark"))
+    s(1L) should be > s(2L) // more occurrences, same length
+    s(2L) should be > s(3L) // same occurrences, shorter doc
+    s should not contain key(5L) // no match, no score
+  }
+
+  test("bm25 weights rare terms above common ones at equal tf and length") {
+    // 'rare' appears in 1 doc, 'spark' in 3 — doc 4 must outrank doc 2
+    val s = scores(Seq("spark", "rare"))
+    s(4L) should be > s(2L)
+  }
+
+  test("conjunctive search returns exactly the docs containing every term") {
+    val hits = Retrieval.keywordAndSearch(corpus, Seq("spark", "filler"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    hits.keySet shouldBe Set(1L, 2L, 3L)
+    hits(1L) shouldBe 8L // 3 spark + 5 filler
+  }
+
+  test("tfidf ranks a doc's distinctive term first") {
+    val top = Retrieval.tfidfTopTerms(corpus, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    top(1L) shouldBe "spark"
+    top(4L) shouldBe "rare"
+    top(5L) shouldBe "filler"
+  }
+
+  test("bm25 ranking plans as bounded top-k, never a nested-loop join") {
+    val p = SparkEntry.queries("q79_bm25_search")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    p should include("TakeOrderedAndProject")
+    // (the one-row broadcast scalar attach is a nested-loop join by nature;
+    // what must never appear is an all-pairs product over data tables)
+    p should not include "CartesianProduct"
+  }
+}
