@@ -24,13 +24,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - [[operators.Cluster]]        — near-dup cluster collapse via
   *     large-star/small-star connected components + survivor selection;
   *   - [[operators.Retrieval]]      — inverted-index keyword retrieval:
-  *     TF-IDF top terms, BM25 ranking, conjunctive posting intersection.
+  *     TF-IDF top terms, BM25 ranking, conjunctive posting intersection;
+  *   - [[operators.Tokenizer]]      — tokenizer-induction statistics: BPE
+  *     adjacent-pair merge candidates, PMI collocations.
   */
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal, Skew,
-    AsOf, RangeJoin, Sampling, Scrub, Cluster, Retrieval)
+    AsOf, RangeJoin, Sampling, Scrub, Cluster, Retrieval, Tokenizer)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full silver+gold operator chain (scan → null-filter →

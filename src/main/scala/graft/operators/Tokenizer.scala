@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-induction statistics over the corpus — the two counting passes
+  * a vocabulary-training run is built from:
+  *
+  *  - adjacent-pair (bigram) frequencies: the per-iteration statistic of
+  *    byte-pair encoding (Sennrich, Haddow, Birch, "Neural Machine
+  *    Translation of Rare Words with Subword Units", 2016 — each BPE merge
+  *    step picks the most frequent adjacent pair; this operator is that
+  *    argmax scan expressed as one distributed pass);
+  *  - pointwise mutual information collocations (Church & Hanks, "Word
+  *    Association Norms, Mutual Information, and Lexicography", 1990):
+  *    pairs that co-occur far above chance — multi-word-unit candidates.
+  *
+  * Scale design: adjacent pairs are generated ROW-LOCALLY from each
+  * document's token array (an index-zip lambda — no explode-then-self-join,
+  * which would shuffle the token table twice and pair across document
+  * boundaries); the only shuffles are the count aggregations keyed on the
+  * pair/token, all map-side combined. Corpus totals attach as one-row
+  * broadcasts; rankings are bounded top-k (TakeOrderedAndProject). PMI is
+  * rounded to 6 decimals BEFORE ranking, and the Spark double expression
+  * replays the oracle's operand sequence exactly.
+  */
+object Tokenizer extends QueryModule {
+
+  /** Adjacent token pairs of each document, exploded: (t1, t2) per
+    * occurrence. The zip runs inside the row over the let-bound token
+    * array; documents shorter than 2 tokens contribute nothing. */
+  private def bigramsOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(explode(expr(
+        // the ELSE branch builds an EMPTY struct array (sequence(1, 0)
+        // would descend, pairing w[0] with a null neighbor)
+        """flatten(transform(array(split(trim(text), ' ')),
+          |  w -> CASE WHEN size(w) >= 2
+          |       THEN transform(sequence(1, size(w) - 1),
+          |              i -> struct(w[i - 1] AS t1, w[i] AS t2))
+          |       ELSE transform(slice(w, 1, 0), x -> struct(x AS t1, x AS t2)) END))""".stripMargin)).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+
+  /** (t1, t2, n_pairs): adjacent-pair frequencies — the BPE merge-candidate
+    * table, top `k` by count. */
+  def bigramMergeCandidates(docsDf: DataFrame, k: Int = 20): DataFrame =
+    bigramsOf(docsDf)
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("t1"), col("t2"))
+      .limit(k)
+
+  /** Collocations by PMI over adjacent pairs with count >= `minCount`,
+    * top `k` by rounded PMI. */
+  def pmiCollocations(docsDf: DataFrame, minCount: Long = 10, k: Int = 20): DataFrame = {
+    val uni = docsDf
+      .select(explode(split(trim(col("text")), " ")).as("t"))
+    val uc = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val un = uni.agg(count(lit(1)).as("u"))
+    val big = bigramsOf(docsDf)
+    val bc = big.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
+    val bn = big.agg(count(lit(1)).as("b"))
+    bc.filter(col("c12") >= minCount)
+      .join(uc.select(col("t").as("t1"), col("c").as("c1")), "t1")
+      .join(uc.select(col("t").as("t2"), col("c").as("c2")), "t2")
+      .crossJoin(broadcast(bn))
+      .crossJoin(broadcast(un))
+      // ln((c12/B) / ((c1/U) * (c2/U))) — the oracle's exact operand order
+      .withColumn("pmi", round(log(
+        (col("c12").cast("double") / col("b")) /
+          ((col("c1").cast("double") / col("u")) * (col("c2").cast("double") / col("u")))), 6))
+      .select(col("t1"), col("t2"), col("c12"), col("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The BPE argmax scan: most frequent adjacent token pairs.
+    "q81_bigram_merges" -> ((s, dir) => bigramMergeCandidates(docs(s, dir))),
+
+    // PMI collocations: adjacent pairs co-occurring above chance.
+    "q82_collocation_pmi" -> ((s, dir) => pmiCollocations(docs(s, dir)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q81_bigram_merges" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |big AS (SELECT unnest(list_transform(range(len(w) - 1), i -> {'t1': w[i+1], 't2': w[i+2]})) AS p
+        |        FROM toks WHERE len(w) >= 2),
+        |cnt AS (SELECT p.t1 AS t1, p.t2 AS t2, count(*) AS n_pairs FROM big GROUP BY 1, 2)
+        |SELECT t1, t2, n_pairs FROM cnt ORDER BY n_pairs DESC, t1, t2 LIMIT 20""".stripMargin,
+    "q82_collocation_pmi" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS t FROM toks),
+        |uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+        |un AS (SELECT count(*) AS u FROM uni),
+        |big AS (SELECT unnest(list_transform(range(len(w) - 1), i -> {'t1': w[i+1], 't2': w[i+2]})) AS p
+        |        FROM toks WHERE len(w) >= 2),
+        |bc AS (SELECT p.t1 AS t1, p.t2 AS t2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |bn AS (SELECT count(*) AS b FROM big),
+        |pmi AS (SELECT t1, t2, c12,
+        |               round(ln((CAST(c12 AS DOUBLE) / bn.b) /
+        |                        ((CAST(a.c AS DOUBLE) / un.u) * (CAST(d.c AS DOUBLE) / un.u))), 6) AS pmi
+        |        FROM bc JOIN uc a ON a.t = bc.t1 JOIN uc d ON d.t = bc.t2
+        |        CROSS JOIN bn CROSS JOIN un
+        |        WHERE c12 >= 10)
+        |SELECT t1, t2, c12, pmi FROM pmi ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin
+  )
+}

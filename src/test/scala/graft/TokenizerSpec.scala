@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Tokenizer
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Semantics checks for the tokenizer-induction statistics on planted
+  * corpora (fixture values are covered by the q81/q82 oracle gate). */
+class TokenizerSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("bigram counting is adjacent-only and never crosses document boundaries") {
+    val corpus = Seq(
+      (1L, "a b c"),   // pairs: (a,b) (b,c)
+      (2L, "c a b"),   // pairs: (c,a) (a,b)
+      (3L, "b"),       // no pairs
+      (4L, "")         // no pairs
+    ).toDF("doc_id", "text")
+    val got = Tokenizer.bigramMergeCandidates(corpus, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    got shouldBe Map(("a", "b") -> 2L, ("b", "c") -> 1L, ("c", "a") -> 1L)
+    // ("c","b") would require pairing across doc 1's end and doc 3 — absent
+  }
+
+  test("the top merge candidate is the planted dominant pair (BPE argmax)") {
+    val corpus = (0L until 50L).map(i => (i, "new york new york city and more tokens"))
+      .toDF("doc_id", "text")
+    val top = Tokenizer.bigramMergeCandidates(corpus, k = 1).head()
+    (top.getString(0), top.getString(1)) shouldBe ("new", "york")
+    top.getLong(2) shouldBe 100L
+  }
+
+  test("pmi ranks an exclusive pair above a frequent-but-independent one") {
+    // 'hong kong' always and only together; 'the cat' shares 'the' with
+    // many other right-neighbors, so its PMI must be lower
+    val corpus = (0L until 30L).map(i =>
+      (i, s"hong kong the cat the dog the fish the bird w$i")).toDF("doc_id", "text")
+    val pmi = Tokenizer.pmiCollocations(corpus, minCount = 10, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    pmi(("hong", "kong")) should be > pmi(("the", "cat"))
+  }
+}
