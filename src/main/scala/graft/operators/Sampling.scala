@@ -66,6 +66,28 @@ object Sampling extends QueryModule {
       .select(col("doc_id"), col("lang"), col("u"))
   }
 
+  /** Overlapping token-window chunking (the context-prep step a RAG /
+    * training pipeline runs before embedding or packing): windows of
+    * `chunk` tokens starting every `stride` tokens, so consecutive chunks
+    * share `chunk - stride` tokens and no token span longer than the
+    * overlap is ever split across a chunk boundary. Entirely ROW-LOCAL —
+    * the token array is let-bound once per document and the windows are an
+    * index-sequence transform inside the row; the explode multiplies rows
+    * ~len/stride-fold but nothing shuffles. A document shorter than one
+    * window yields exactly one (short) chunk. */
+  def chunkOverlap(docsDf: DataFrame, chunk: Int = 64, stride: Int = 48): DataFrame =
+    docsDf
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(array(split(trim(text), ' ')),
+           |  w -> transform(
+           |         sequence(0, CASE WHEN size(w) <= $chunk THEN 0
+           |                      ELSE cast(ceil(cast(size(w) - $chunk AS double) / $stride) AS int) END),
+           |         j -> struct(cast(j AS bigint) AS chunk_id,
+           |                     slice(w, j * $stride + 1, $chunk) AS c))))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.chunk_id"),
+        size(col("p.c")).cast("long").as("n_tokens"),
+        array_join(col("p.c"), " ").as("chunk_text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q63_hash_sample" -> ((s, dir) =>
@@ -125,7 +147,12 @@ object Sampling extends QueryModule {
             .orderBy(col("ok"), col("doc_id"))).cast("long"))
         .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
         .orderBy(col("shard"), col("pos"))
-    })
+    }),
+
+    // Overlapping 64-token windows, stride 48 (16-token overlap).
+    "q83_chunk_overlap" -> ((s, dir) =>
+      chunkOverlap(docs(s, dir))
+        .orderBy(col("doc_id"), col("chunk_id")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +192,18 @@ object Sampling extends QueryModule {
         |  FROM documents)
         |SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS pos,
         |       doc_id, lang
-        |FROM k ORDER BY shard, pos""".stripMargin
+        |FROM k ORDER BY shard, pos""".stripMargin,
+    "q83_chunk_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |spans AS (SELECT doc_id, w,
+        |                 CASE WHEN len(w) <= 64 THEN 0
+        |                      ELSE CAST(ceil(CAST(len(w) - 64 AS DOUBLE) / 48) AS INT) END AS last_j
+        |          FROM toks),
+        |chunks AS (SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+        |                  list_slice(w, j * 48 + 1, j * 48 + 64) AS c
+        |           FROM spans, unnest(range(0, last_j + 1)) AS t(j))
+        |SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_tokens,
+        |       array_to_string(c, ' ') AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

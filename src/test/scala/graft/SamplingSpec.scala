@@ -94,4 +94,25 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
   }
+
+  test("overlapping chunking covers every token and overlaps by chunk-stride") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"t$i").mkString(" ") // 150 tokens
+    val corpus = Seq((1L, text), (2L, "a b c")).toDF("doc_id", "text")
+    val rows = Sampling.chunkOverlap(corpus, chunk = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    val doc1 = rows.filter(_.getLong(0) == 1L).map(r => r.getString(3).split(" ").toSeq)
+    // 150 tokens, chunk 64, stride 48 -> starts 0/48/96, last covers to 150
+    doc1.length shouldBe 3
+    doc1(0).length shouldBe 64
+    doc1(2) shouldBe (97 to 150).map(i => s"t$i") // final short window
+    // consecutive windows share exactly chunk - stride = 16 tokens
+    doc1(0).takeRight(16) shouldBe doc1(1).take(16)
+    // every source token appears in some chunk, in order
+    (doc1(0) ++ doc1(1).drop(16) ++ doc1(2).drop(16)) shouldBe (1 to 150).map(i => s"t$i")
+    // a doc shorter than one window yields exactly one short chunk
+    val doc2 = rows.filter(_.getLong(0) == 2L)
+    doc2.length shouldBe 1
+    doc2.head.getString(3) shouldBe "a b c"
+  }
 }
