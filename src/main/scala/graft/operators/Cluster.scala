@@ -137,7 +137,17 @@ object Cluster extends QueryModule {
           sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("doc_id") === col("cluster_id"), col("n_chars"))
             .otherwise(0L)).as("chars_kept"))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // Duplicate-mass report: how many clusters exist at each size — the
+    // histogram a curation run publishes ("N singletons, M pairs, one
+    // 12-way pile-up"). Two cheap aggregations over the label table.
+    "q84_cluster_sizes" -> ((s, dir) =>
+      dedupClusters(s, dir)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"))
+        .orderBy(col("cluster_size")))
   )
 
   /** Shared oracle CTE: q35's shingle/pair pipeline → edges at J>=0.8 →
@@ -181,6 +191,12 @@ object Cluster extends QueryModule {
           |SELECT source, count(*) AS n_docs,
           |       sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS n_kept,
           |       sum(CASE WHEN doc_id = cluster_id THEN n_chars ELSE 0 END) AS chars_kept
-          |FROM clusters GROUP BY source ORDER BY source""".stripMargin)
+          |FROM clusters GROUP BY source ORDER BY source""".stripMargin),
+    "q84_cluster_sizes" ->
+      (clusterCte +
+        """,
+          |sz AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id)
+          |SELECT sz AS cluster_size, count(*) AS n_clusters
+          |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin)
   )
 }

@@ -168,8 +168,14 @@ object VersionedLayer {
       case None => delta
       case Some(v) =>
         val base = read(spark, root, Some(v))
+        // allowMissingColumns = additive schema evolution (Delta's
+        // mergeSchema): a column new in the delta widens the table with
+        // nulls for pre-existing rows; a column the delta dropped arrives
+        // null on the delta's rows. Key columns are always present on both
+        // sides (the anti-join requires them), so keys never null-fill.
         delta.unionByName(base.join(delta.select(keyCols.map(delta(_)): _*)
-          .dropDuplicates(keyCols), keyCols, "left_anti"))
+          .dropDuplicates(keyCols), keyCols, "left_anti"),
+          allowMissingColumns = true)
     }
     write(snapshot, root)
   }

@@ -128,4 +128,22 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
     // the un-compacted version remains readable until vacuum
     VersionedLayer.read(spark, root, Some(1L)).count() shouldBe 40
   }
+
+  test("merge evolves the schema additively (new delta column, null backfill)") {
+    val root = tmpRoot()
+    VersionedLayer.merge(Seq((1, "a"), (2, "b")).toDF("k", "s"), root, Seq("k"))
+    // the delta carries a NEW column q: table widens, old rows read null
+    VersionedLayer.merge(Seq((2, "B", 9L), (3, "c", 7L)).toDF("k", "s", "q"),
+      root, Seq("k"))
+    val rows = VersionedLayer.read(spark, root)
+      .select("k", "s", "q").collect()
+      .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1)
+    rows shouldBe Array((1, "a", None), (2, "B", Some(9L)), (3, "c", Some(7L)))
+    // a later delta WITHOUT q still merges; its rows arrive with q = null
+    VersionedLayer.merge(Seq((4, "d")).toDF("k", "s"), root, Seq("k"))
+    val r4 = VersionedLayer.read(spark, root).filter("k = 4").head()
+    r4.isNullAt(r4.fieldIndex("q")) shouldBe true
+    VersionedLayer.read(spark, root).count() shouldBe 4L
+  }
 }
