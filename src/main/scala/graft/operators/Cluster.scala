@@ -189,8 +189,8 @@ object Cluster extends QueryModule {
       (clusterCte +
         """
           |SELECT source, count(*) AS n_docs,
-          |       sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS n_kept,
-          |       sum(CASE WHEN doc_id = cluster_id THEN n_chars ELSE 0 END) AS chars_kept
+          |       CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |       CAST(sum(CASE WHEN doc_id = cluster_id THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
           |FROM clusters GROUP BY source ORDER BY source""".stripMargin),
     "q84_cluster_sizes" ->
       (clusterCte +

@@ -158,7 +158,7 @@ object Retrieval extends QueryModule {
     "q80_keyword_and" ->
       (invIndexCte +
         """
-          |SELECT doc_id, sum(tf) AS total_hits
+          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_hits
           |FROM tf WHERE term IN ('spark', 'vector', 'merge')
           |GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id""".stripMargin)
   )
