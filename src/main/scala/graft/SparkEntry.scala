@@ -21,6 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     planning, context-window packing, holdout split, training order;
   *   - [[operators.Scrub]]          — pattern scrubbing, repetition metrics,
   *     curriculum bucketing;
+  *   - [[operators.Curation]]       — duplicated-span fraction, normalized
+  *     dedup, incremental batch-vs-corpus dedup, per-source caps;
   *   - [[operators.Cluster]]        — near-dup cluster collapse via
   *     large-star/small-star connected components + survivor selection;
   *   - [[operators.Retrieval]]      — inverted-index keyword retrieval:
@@ -32,7 +34,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal, Skew,
-    AsOf, RangeJoin, Sampling, Scrub, Cluster, Retrieval, Tokenizer)
+    AsOf, RangeJoin, Sampling, Scrub, Curation, Cluster, Retrieval, Tokenizer)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full silver+gold operator chain (scan → null-filter →

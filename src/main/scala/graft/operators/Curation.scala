@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-curation operators over the `documents` table — the second
+  * governance tier (first tier: [[Scrub]]), covering the dedup-adjacent
+  * decisions a training-data pipeline makes between scrubbing and sampling:
+  *
+  *  1. duplicated-span fraction (q85) — per-document fraction of token
+  *     8-gram windows whose exact text occurs in >= 2 distinct documents:
+  *     the *exhaustive* exact-substring duplication signal of Lee et al.,
+  *     "Deduplicating Training Data Makes Language Models Better" (2021)
+  *     §4.1 (their suffix-array ExactSubstr at window granularity). The
+  *     winnowing tier ([[Scrub]] q74/q75) *samples* fingerprints for pair
+  *     finding; this measures, for every document, how much of its content
+  *     is duplicated anywhere in the corpus — the drop/keep curation score.
+  *  2. normalization-tier dedup (q86) — exact dedup after text
+  *     canonicalization (lowercase, punctuation → space, whitespace
+  *     collapse): catches the near-exact copies (case/punctuation variants)
+  *     that raw-byte fingerprints miss and near-dup tiers over-pay for.
+  *     Sits between [[Dedup]] tier 1 (exact) and tier 2 (Jaccard).
+  *  3. incremental batch-vs-corpus dedup (q87) — dedup a NEW ingest batch
+  *     against the existing corpus without re-deduping the corpus: batch
+  *     fingerprints anti-join the corpus fingerprint set, then collapse
+  *     within-batch copies to a deterministic survivor. The growing-corpus
+  *     operation every continuously-ingesting pipeline runs daily.
+  *  4. per-source document cap (q88) — keep at most N documents per source,
+  *     chosen by a deterministic content-independent hash order (the
+  *     C4/RefinedWeb-style domain cap that stops one crawl domain from
+  *     dominating the mixture). Hash order, not "first N": stable under
+  *     re-partitioning, re-ingestion order, and incremental appends.
+  *
+  * Scale design (the 100 TB reading):
+  *  - q85 shuffles (doc_id, 32-char window hash) pairs — never text — and
+  *    scores hits with the same one-pass marker left-join as q72: window
+  *    counts and duplicated-window counts fall out of one aggregation, no
+  *    second corpus scan. The duplicated-hash set is unbounded (it grows
+  *    with corpus duplication), so it is joined on the hash key, NOT
+  *    broadcast; Spark/AQE may still pick broadcast when it measures small.
+  *  - q86's window functions partition on the 32-byte fingerprint: one
+  *    shuffle of (doc_id, fp) rows, perfectly spread (fp is a hash), text
+  *    never leaves the scan.
+  *  - q87 joins fingerprints only (32 bytes/doc); the anti-join is a
+  *    shuffled equi-join on fp — at a 100 TB corpus the fingerprint side is
+  *    ~TB-scale, far beyond broadcast, and fp-keyed shuffle spreads
+  *    uniformly by construction.
+  *  - q88's rank window partitions by source, so a mega-source serializes
+  *    its rows through one task's sort. The order key is a uniform hash,
+  *    which at real scale admits the two-phase refinement (per-partition
+  *    pre-cap to N before the window — local top-N bounds each task's
+  *    input at N·partitions); the fixture registers the canonical
+  *    single-window form and the cap keeps outputs small.
+  */
+object Curation extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
+
+  /** Token window width for the duplicated-span scan. 8 tokens: long enough
+    * that organic text rarely collides (the fixture vocabulary makes 8-grams
+    * near-unique per document), short enough that a copied sentence still
+    * spans several windows. Lee et al. use 50 unicode tokens at web scale;
+    * the knob is a parameter. */
+  val SpanWindow: Int = 8
+
+  /** md5 hashes of every token `k`-gram window of `text` (positions, not
+    * distinct — a doc repeating a span counts each occurrence). The token
+    * array is LET-BOUND as an outer 1-element `transform` lambda variable so
+    * the split runs once per document (CollapseProject would inline a
+    * single-use alias into every element access — see [[Dedup.shingles5]]).
+    * Domain: callers pre-filter to >= k tokens (`sequence` would run
+    * backwards on shorter docs). */
+  private def spanHashes(k: Int): Column =
+    element_at(transform(array(split(trim(col("text")), " ")), w =>
+      transform(sequence(lit(1), size(w) - lit(k - 1)),
+        i => md5(array_join(slice(w, i, lit(k)), " ")))), 1)
+
+  /** Per-document duplicated-span stats from a `(doc_id, text)` frame:
+    * `(doc_id, n_windows, n_dup, dup_fraction)` where a window is
+    * duplicated iff its exact text occurs in >= 2 *distinct* documents
+    * (intra-document repeats are [[Scrub]] q67's signal, not duplication).
+    * One explode pass; the duplicated-hash set marker-joins back so both
+    * counts come from a single aggregation. */
+  def dupSpanStatsFrom(docsDf: DataFrame, k: Int = SpanWindow): DataFrame = {
+    val win = docsDf
+      .filter(TextAnalytics.nTokens(col("text")) >= k)
+      .select(col("doc_id"), explode(spanHashes(k)).as("h"))
+    val dup = win.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("hit"))
+    win.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("hit")).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_windows"), 6).as("dup_fraction"))
+  }
+
+  /** Canonicalized-content fingerprint: md5 of lowercase text with
+    * punctuation folded to spaces and whitespace collapsed. Punctuation maps
+    * to a SPACE (not empty) so `"a.b"` and `"a b"` canonicalize equal but
+    * `"ab"` stays distinct. */
+  val normalizedFingerprint: Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** Normalization-tier dedup labels from a `(doc_id, text)` frame:
+    * `(doc_id, fp, cluster_size, keep)` — keep = this doc is its cluster's
+    * deterministic survivor (minimum doc_id). Both window functions share
+    * one fp-partitioned shuffle of narrow (doc_id, fp) rows. */
+  def normalizedDedupFrom(docsDf: DataFrame): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+    docsDf.select(col("doc_id"), normalizedFingerprint.as("fp"))
+      .select(col("doc_id"), col("fp"),
+        count(lit(1)).over(byFp).as("cluster_size"),
+        (col("doc_id") === min(col("doc_id")).over(byFp)).as("keep"))
+  }
+
+  /** Incremental dedup: rows of `batch` whose fingerprint does not already
+    * exist in `corpus`, collapsed to one deterministic survivor (min doc_id)
+    * per within-batch fingerprint. Both inputs are `(doc_id, text)` frames;
+    * returns `(doc_id, fp)`. Only fingerprints are joined — text never
+    * enters the shuffle. */
+  def incrementalDedupFrom(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val fpOf = (df: DataFrame) => df.select(col("doc_id"), md5(col("text")).as("fp"))
+    fpOf(batch)
+      .join(fpOf(corpus).select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** Per-source cap: the <= `n` documents kept per source, ranked by a
+    * deterministic uniform hash of the doc id (content-independent, stable
+    * across re-partitioning and appends), with doc_id itself as the total-
+    * order tiebreak. Returns `(doc_id, source, rk)`. */
+  def sourceCapFrom(docsDf: DataFrame, n: Int): DataFrame = {
+    val order = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docsDf.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(order).cast(LongType))
+      .filter(col("rk") <= n)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q85_dup_spans" -> ((s, dir) =>
+      dupSpanStatsFrom(docs(s, dir))
+        .orderBy(col("doc_id"))),
+
+    "q86_normalized_dedup" -> ((s, dir) =>
+      normalizedDedupFrom(docs(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // The fixture has no ingest-time column, so the batch/corpus split is a
+    // deterministic id slice: doc_id % 10 == 0 stands in for "today's
+    // batch", the rest for the standing corpus.
+    "q87_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      incrementalDedupFrom(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q88_source_cap" -> ((s, dir) =>
+      sourceCapFrom(docs(s, dir), n = 50)
+        .orderBy(col("source"), col("rk")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q85_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |win AS (SELECT doc_id, unnest(list_transform(range(len(w) - 7),
+        |          i -> md5(array_to_string(w[i+1:i+8], ' ')))) AS h
+        |        FROM t WHERE len(w) >= 8),
+        |dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, count(*) AS n_windows,
+        |       count(CASE WHEN h IN (SELECT h FROM dup) THEN 1 END) AS n_dup,
+        |       round(CAST(count(CASE WHEN h IN (SELECT h FROM dup) THEN 1 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_fraction
+        |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q86_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                          ' +', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp,
+        |       count(*) OVER (PARTITION BY fp) AS cluster_size,
+        |       doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q87_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |b AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 0),
+        |c AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0)
+        |SELECT min(doc_id) AS doc_id, fp
+        |FROM b WHERE fp NOT IN (SELECT fp FROM c)
+        |GROUP BY fp ORDER BY doc_id""".stripMargin,
+    "q88_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 50
+        |ORDER BY source, rk""".stripMargin
+  )
+}

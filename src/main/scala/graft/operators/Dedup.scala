@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.LongType
   * algorithms", 2002) — five tiers:
   *
   *  1. exact  — hash-groupBy on a normalized-content fingerprint;
-  *  2. n-gram Jaccard — *exact* pairwise similarity computed via an
+  *  2. n-gram Jaccard + containment — *exact* pairwise resemblance AND
+  *     asymmetric containment (quote/subset inclusion) computed via one
   *     inverted-index (shingle) join, never an all-pairs cross join;
   *  3. MinHash + LSH — approximate near-dup candidates via banded signature
   *     buckets, verified with exact Jaccard (bucket-join, scale path);
@@ -103,21 +104,22 @@ object Dedup extends QueryModule {
       .select(col("ds"), explode(col("ds")).as("x"))
       .select(col("x"), explode(expr(s"filter(ds, y -> $ordered)")).as("y"))
 
-  /** Exact pairwise Jaccard over all pairs sharing >= 1 uncapped shingle,
-    * via the inverted index: explode shingles → group by shingle (posting
-    * list) → emit ordered pairs inside each list → count common →
-    * |A∩B| / (|A|+|B|-|A∩B|).
+  /** Shared-shingle pair counts `(id_a, id_b, na, nb, c)` over all pairs
+    * sharing >= 1 uncapped shingle, via the inverted index: explode
+    * shingles → group by shingle (posting list) → emit ordered pairs inside
+    * each list → count common. Both resemblance (Jaccard) and containment
+    * derive from these three numbers (Broder '97 §2).
     *
     * `dfCap` semantics: a shingle whose document frequency exceeds the cap
     * contributes NO pairs and NO intersection counts. Pairs that share only
     * boilerplate disappear entirely (the desired behavior — boilerplate
     * overlap is not duplication); pairs that also share organic shingles
-    * keep those counts, so their Jaccard is a slight *underestimate* (the
+    * keep those counts, so their similarity is a slight *underestimate* (the
     * capped shingle still counts in |A| and |B| via the carried set sizes).
     * This is the standard df-cut of the published shingling pipelines: at
     * corpus scale an uncapped hot shingle with df=10⁶ would emit 5·10¹¹
     * pairs through a single reducer. */
-  def ngramJaccardPairsFrom(docsDf: DataFrame, dfCap: Int = DefaultDfCap): DataFrame = {
+  private def sharedShinglePairCounts(docsDf: DataFrame, dfCap: Int): DataFrame = {
     // not cached: shingling is cheap per-row map work, and a cache pinned
     // here would outlive the query in a long-lived session (memory leak)
     val sh = shingledFrom(docsDf)
@@ -125,8 +127,8 @@ object Dedup extends QueryModule {
     // shingle, then ordered pairs generated inside each posting list — no
     // self-join (which would shuffle + sort the exploded table twice).
     // Each exploded row carries its document's shingle-set size, so the
-    // final Jaccard needs no joins back to the (recomputed) shingle table —
-    // the whole query is a single pipeline over one shingling pass.
+    // final similarity needs no joins back to the (recomputed) shingle
+    // table — the whole query is a single pipeline over one shingling pass.
     // Shingles with df=1 produce no pairs and vanish in the filter; shingles
     // with df>dfCap are boilerplate and are dropped (see scaladoc).
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
@@ -136,9 +138,27 @@ object Dedup extends QueryModule {
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         col("x.n").as("na"), col("y.n").as("nb"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** Exact pairwise Jaccard |A∩B| / (|A|+|B|-|A∩B|) over all pairs sharing
+    * >= 1 uncapped shingle (see [[sharedShinglePairCounts]] for the layout
+    * and the df-cap semantics). */
+  def ngramJaccardPairsFrom(docsDf: DataFrame, dfCap: Int = DefaultDfCap): DataFrame =
+    sharedShinglePairCounts(docsDf, dfCap)
       .select(col("id_a"), col("id_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
-  }
+
+  /** Exact pairwise *containment* max(|A∩B|/|A|, |A∩B|/|B|) =
+    * |A∩B|/min(|A|,|B|) over pairs sharing >= 1 uncapped shingle — Broder
+    * '97's asymmetric resemblance, the signal Jaccard misses: a short
+    * document quoted wholesale inside a much longer one has containment
+    * ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a Jaccard-threshold dedup never
+    * sees it. Same single-pipeline posting-list layout as the Jaccard
+    * tier; only the final scalar expression differs. */
+  def ngramContainmentPairsFrom(docsDf: DataFrame, dfCap: Int = DefaultDfCap): DataFrame =
+    sharedShinglePairCounts(docsDf, dfCap)
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6).as("containment"))
 
   /** [[ngramJaccardPairsFrom]] over the fixture `documents` table. */
   def ngramJaccardPairs(s: SparkSession, dir: String, dfCap: Int = DefaultDfCap): DataFrame =
@@ -368,6 +388,14 @@ object Dedup extends QueryModule {
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
+    // Exact n-gram containment: top-20 pairs by |A∩B|/min(|A|,|B|) — the
+    // quote/subset-inclusion detector that a Jaccard threshold misses (see
+    // ngramContainmentPairsFrom). Same posting-list pipeline as q35.
+    "q89_containment" -> ((s, dir) =>
+      ngramContainmentPairsFrom(docs(s, dir))
+        .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+        .limit(20)),
+
     // MinHash-LSH near-dup pairs at J>=0.8 (approximate candidates, exact
     // verification). Oracled: the md5-derived base hash and the band-value
     // bucketing are both DuckDB-replayable, so the oracle reproduces the
@@ -422,6 +450,24 @@ object Dedup extends QueryModule {
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "q89_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+        |       FROM toks WHERE len(w) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           WHERE a.s IN (SELECT s FROM capped)
+        |           GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT id_a, id_b,
+        |       round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |ORDER BY containment DESC, id_a, id_b LIMIT 20""".stripMargin,
     // The q36 oracle replays the full MinHash-LSH pipeline — md5-derived
     // base hash, 32 universal-hash permutation minima, 8 bands × 4 rows,
     // band-value bucket join, exact-Jaccard verification — so it checks the
