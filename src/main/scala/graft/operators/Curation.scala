@@ -38,10 +38,14 @@ import org.apache.spark.sql.types.LongType
   * Scale design (the 100 TB reading):
   *  - q85 shuffles (doc_id, 32-char window hash) pairs — never text — and
   *    scores hits with the same one-pass marker left-join as q72: window
-  *    counts and duplicated-window counts fall out of one aggregation, no
-  *    second corpus scan. The duplicated-hash set is unbounded (it grows
-  *    with corpus duplication), so it is joined on the hash key, NOT
-  *    broadcast; Spark/AQE may still pick broadcast when it measures small.
+  *    counts and duplicated-window counts fall out of ONE aggregation. The
+  *    corpus is scanned twice (the duplicated-hash set derives from its own
+  *    countDistinct pass) — the deliberate trade: the one-scan alternative
+  *    buffers a collect_list posting list per hash, which a hot boilerplate
+  *    span makes unbounded, while window generation is cheap per-row map
+  *    work. The duplicated-hash set is itself unbounded (it grows with
+  *    corpus duplication), so it is joined on the hash key, NOT broadcast;
+  *    Spark/AQE may still pick broadcast when it measures small.
   *  - q86's window functions partition on the 32-byte fingerprint: one
   *    shuffle of (doc_id, fp) rows, perfectly spread (fp is a hash), text
   *    never leaves the scan.

@@ -31,7 +31,8 @@ class RelationalSpec extends AnyFunSuite with Matchers {
 
   test("bucketed dedup/similarity pipelines never plan an all-pairs join") {
     for (q <- Seq("q35_ngram_jaccard", "q36_minhash_lsh",
-                  "q47_embedding_neardup", "q58_simhash_hamming", "q62_range_join")) {
+                  "q47_embedding_neardup", "q58_simhash_hamming", "q62_range_join",
+                  "q85_dup_spans", "q87_incremental_dedup", "q89_containment")) {
       val p = plan(q)
       p should not include "CartesianProduct"
       p should not include "BroadcastNestedLoopJoin"
@@ -79,6 +80,28 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     val p = plan("q61_corpus_curation")
     "Exchange".r.findAllIn(p).size should be <= 3
     "FileScan".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("containment rides q35's single-shingling-pass posting-list pipeline") {
+    // one corpus scan (the posting list carries both set sizes, so no join
+    // back to a recomputed shingle table) and two shuffles: posting-list
+    // groupBy + pair-counts groupBy; the top-20 output is a bounded sort
+    val p = plan("q89_containment")
+    "FileScan".r.findAllIn(p).size shouldBe 1
+    "Exchange".r.findAllIn(p).size should be <= 2
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q85's duplicated-span scan shuffles hashes, never text") {
+    // two corpus scans by design (the duplicated-hash set derives from its
+    // own aggregation pass — the alternative, collect_list posting buffers,
+    // is unbounded per hot span); every exchange carries only (doc_id, h)
+    // or aggregated counts
+    val p = plan("q85_dup_spans")
+    "FileScan".r.findAllIn(p).size shouldBe 2
+    // both passes prune the 5-column documents scan to the 2 consumed columns
+    "ReadSchema: struct<doc_id:bigint,text:string>".r
+      .findAllIn(p).size shouldBe 2
   }
 
   test("q36's candidate pipeline is computed once and reused (AQE exchange reuse)") {
