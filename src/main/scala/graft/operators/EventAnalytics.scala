@@ -5,7 +5,7 @@ import graft.functions.ExactAgg._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, LongType}
+import org.apache.spark.sql.types.{DateType, DecimalType, LongType}
 
 /** Event-time analytics over the `events` table: tumbling, sliding and
   * session windows — the engine-side upgrade of the reference's "Incremental"
@@ -25,6 +25,41 @@ import org.apache.spark.sql.types.{DateType, LongType}
 object EventAnalytics extends QueryModule {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "events")
+
+  /** Hourly volume-anomaly buckets from a `(ts, event_type, …)` events
+    * frame: per event type, the hourly buckets whose event count deviates
+    * >= `threshold` standard deviations from that type's per-bucket mean
+    * (the ops-monitoring z-score scan). Types with zero count variance
+    * have no anomaly scale and are excluded.
+    *
+    * Determinism: the moment sums are exact integers (counts, summed in
+    * decimal space so a 100 TB bucket-count square cannot overflow a
+    * BIGINT), and every double operation downstream — two divisions, one
+    * subtraction, one multiply, sqrt — is IEEE-correctly-rounded with the
+    * oracle's exact operand sequence, so z-scores agree bit-for-bit.
+    * Scale: bucket counting shuffles on (type, hour) with map-side
+    * combine; the per-type stats frame is |event types| rows, broadcast
+    * back. */
+  def volumeAnomalies(events: DataFrame, threshold: Double = 1.5): DataFrame = {
+    val buckets = events
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("w.start").cast(LongType).as("unix_hour"),
+        col("n_events"))
+    val stats = buckets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("n_events").cast(DecimalType(38, 0))).as("s1"),
+        // square in decimal space: long*long would overflow ANSI-fatally
+        // once a bucket tops ~3B events
+        sum(col("n_events").cast(DecimalType(19, 0)) * col("n_events")).as("s2"))
+    val mean = col("s1").cast("double") / col("nb")
+    val variance = col("s2").cast("double") / col("nb") - mean * mean
+    buckets.join(broadcast(stats), "event_type")
+      .filter(variance > 0)
+      .select(col("event_type"), col("unix_hour"), col("n_events"),
+        round((col("n_events") - mean) / sqrt(variance), 6).as("zscore"))
+      .filter(abs(col("zscore")) >= threshold)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -118,6 +153,11 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Volume-anomaly detection (z-score scan; see volumeAnomalies).
+    "q90_event_anomaly" -> ((s, dir) =>
+      volumeAnomalies(ev(s, dir))
+        .orderBy(col("event_type"), col("unix_hour"))),
+
     // Native JSON parsing of the props payload (from_json with a declared
     // schema) rather than regex extraction.
     "q52_from_json" -> ((s, dir) =>
@@ -131,6 +171,21 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q90_event_anomaly" ->
+      """WITH b AS (SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS unix_hour,
+        |                  count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS nb, sum(n_events) AS s1,
+        |              sum(CAST(n_events AS HUGEINT) * n_events) AS s2
+        |       FROM b GROUP BY 1),
+        |z AS (SELECT b.event_type, b.unix_hour, b.n_events,
+        |             round((b.n_events - CAST(s1 AS DOUBLE)/nb) /
+        |                   sqrt(CAST(s2 AS DOUBLE)/nb - (CAST(s1 AS DOUBLE)/nb)*(CAST(s1 AS DOUBLE)/nb)), 6) AS zscore
+        |      FROM b JOIN st USING (event_type)
+        |      WHERE CAST(s2 AS DOUBLE)/nb - (CAST(s1 AS DOUBLE)/nb)*(CAST(s1 AS DOUBLE)/nb) > 0)
+        |SELECT event_type, unix_hour, n_events, zscore FROM z
+        |WHERE abs(zscore) >= 1.5
+        |ORDER BY event_type, unix_hour""".stripMargin,
     "q24_tumbling_window" ->
       """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS unix_hour,
         |       count(*) AS n_events,

@@ -5,6 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Keyword retrieval over the corpus via the inverted-index statistics a
   * search tier needs: per-document term frequencies, corpus document
@@ -104,6 +105,62 @@ object Retrieval extends QueryModule {
       .filter(col("n_terms") === terms.length)
       .select(col("doc_id"), col("total_hits"))
 
+  /** df-cap for sparse-cosine candidate generation (rare-term blocking):
+    * only terms with df <= cap generate candidate pairs. High-df terms are
+    * the worst pair generators (Σ df² cost) and the weakest similarity
+    * evidence (idf → 0 as df → N), which is exactly the prefix-filtering /
+    * rare-token blocking argument of the set-similarity-join literature. */
+  val CosineDfCap: Int = 256
+
+  /** Pairwise TF-IDF (bag-of-words) cosine similarity, top-`k` pairs:
+    * candidates = pairs sharing at least one term with df <= `dfCap`
+    * (rare-term blocking, see [[CosineDfCap]]); each candidate then gets
+    * its EXACT cosine over ALL shared terms via keyed weight joins — the
+    * same candidates-then-verify layout as the MinHash and hyperplane-LSH
+    * tiers, so pair generation cost is Σ_{df<=cap} df², never n².
+    *
+    * Determinism: weights round to 6 decimals then live in DECIMAL(18,6);
+    * dot products and squared norms are DECIMAL sums (exact, order-
+    * independent — a cluster re-run cannot drift), and the final cosine is
+    * a fixed IEEE sequence (one divide, two sqrts, one multiply) over
+    * exact decimals, replayed verbatim by the oracle. */
+  def tfidfCosinePairs(docsDf: DataFrame, dfCap: Int = CosineDfCap, k: Int = 20): DataFrame = {
+    val tf = termFreqs(docsDf)
+    val dfq = docFreqs(tf)
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val w = tf.join(dfq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * round(log(col("n").cast("double") / col("df")), 6), 6)
+          .cast(DecimalType(18, 6)).as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum((col("w") * col("w")).cast(DecimalType(38, 12))).as("nsq"))
+    // rare-term posting lists stream ordered candidate pairs (same
+    // bounded-memory explode pattern as the dedup tiers — the pair array
+    // never materializes inside one row)
+    val rare = tf.join(dfq, "term").filter(col("df") <= dfCap)
+      .groupBy(col("term")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val cand = rare
+      .select(col("ds"), explode(col("ds")).as("x"))
+      .select(col("x"), explode(expr("filter(ds, y -> y > x)")).as("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"))
+      .distinct()
+    val dots = cand
+      .join(w.select(col("doc_id").as("id_a"), col("term"), col("w").as("wa")), Seq("id_a"))
+      .join(w.select(col("doc_id").as("id_b"), col("term"), col("w").as("wb")), Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("wa") * col("wb")).cast(DecimalType(38, 12))).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("id_a"), col("nsq").as("na")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("nsq").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -121,7 +178,11 @@ object Retrieval extends QueryModule {
     // Conjunctive keyword search: docs containing every query term.
     "q80_keyword_and" -> ((s, dir) =>
       keywordAndSearch(docs(s, dir), QueryTerms)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Sparse (bag-of-words TF-IDF) cosine top-20 pairs.
+    "q91_tfidf_cosine" -> ((s, dir) =>
+      tfidfCosinePairs(docs(s, dir)))
   )
 
   private val invIndexCte: String =
@@ -160,6 +221,28 @@ object Retrieval extends QueryModule {
         """
           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_hits
           |FROM tf WHERE term IN ('spark', 'vector', 'merge')
-          |GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id""".stripMargin)
+          |GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id""".stripMargin),
+    "q91_tfidf_cosine" ->
+      (invIndexCte +
+        """,
+          |wt AS (SELECT doc_id, term,
+          |              CAST(round(tf.tf * round(ln(CAST(n.n AS DOUBLE) / df.df), 6), 6)
+          |                   AS DECIMAL(18,6)) AS w
+          |       FROM tf JOIN df USING (term) CROSS JOIN n),
+          |nrm AS (SELECT doc_id, sum(CAST(w * w AS DECIMAL(38,12))) AS nsq
+          |        FROM wt GROUP BY doc_id),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |         FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+          |         WHERE a.term IN (SELECT term FROM df WHERE df <= 256)),
+          |dt AS (SELECT id_a, id_b, sum(CAST(wa.w * wb.w AS DECIMAL(38,12))) AS dot
+          |       FROM cand JOIN wt wa ON wa.doc_id = id_a
+          |                 JOIN wt wb ON wb.doc_id = id_b AND wb.term = wa.term
+          |       GROUP BY 1, 2)
+          |SELECT id_a, id_b,
+          |       round(CAST(dot AS DOUBLE) /
+          |             (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cosine
+          |FROM dt JOIN nrm na ON na.doc_id = id_a
+          |        JOIN nrm nb ON nb.doc_id = id_b
+          |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin)
   )
 }

@@ -35,6 +35,24 @@ class EventTextSpec extends AnyFunSuite with Matchers {
     total shouldBe 100L
   }
 
+  test("volume anomaly: a planted spike is flagged with the exact z-score; flat types are excluded") {
+    // 'spiky': hourly counts 10,10,10,10,30 → mean 14, var 64, z(30) = 2.0,
+    // z(10) = -0.5; 'steady': constant 7/hour → zero variance, no scale
+    val rows =
+      (for {
+        (cnt, h) <- Seq(10, 10, 10, 10, 30).zipWithIndex
+        i <- 0 until cnt
+      } yield (f"2024-01-01 0$h%d:00:${i % 60}%02d", "spiky")) ++
+      (for { h <- 0 until 5; i <- 0 until 7 } yield (s"2024-01-01 0$h:10:0$i", "steady"))
+    val ev = rows.toDF("t", "event_type")
+      .select($"t".cast("timestamp").as("ts"), $"event_type")
+    val out = graft.operators.EventAnalytics.volumeAnomalies(ev).collect()
+    out.length shouldBe 1
+    out.head.getString(0) shouldBe "spiky"
+    out.head.getLong(2) shouldBe 30L
+    out.head.getDouble(3) shouldBe 2.0
+  }
+
   test("as-of join: most recent prior marker wins; same-instant resolves by event order") {
     val df = Seq(
       (0L, "2024-01-01 00:00:00", 1L, "view"),

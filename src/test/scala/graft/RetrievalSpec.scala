@@ -51,6 +51,39 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     top(5L) shouldBe "filler"
   }
 
+  test("tfidf cosine: proportional vectors score 1.0, blocked-rare-term pairs only") {
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha beta beta gamma gamma"), // proportional to doc 1
+      (3L, "alpha beta nu"), // partial overlap with 1/2
+      (4L, "omega psi chi"), // disjoint vocabulary
+      (5L, "omega psi chi")
+    ).toDF("doc_id", "text")
+    val pairs = Retrieval.tfidfCosinePairs(d, dfCap = 256, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // cosine is scale-invariant: doubled counts are the same direction
+    pairs((1L, 2L)) shouldBe 1.0
+    pairs((4L, 5L)) shouldBe 1.0
+    // partial vocabulary overlap lands strictly between
+    pairs((1L, 3L)) should (be > 0.0 and be < 1.0)
+    // disjoint-vocabulary pairs never become candidates (no shared term)
+    pairs should not contain key((1L, 4L))
+    pairs should not contain key((3L, 5L))
+  }
+
+  test("tfidf cosine: a term above the df-cap generates no candidate pairs") {
+    // 'common' is in every doc (df=3 > cap=2) — with it blocked, no pair
+    // shares a rare term, so no candidates exist at all
+    val d = Seq(
+      (1L, "common aaa"),
+      (2L, "common bbb"),
+      (3L, "common ccc")
+    ).toDF("doc_id", "text")
+    Retrieval.tfidfCosinePairs(d, dfCap = 2, k = 100).count() shouldBe 0L
+    // raising the cap admits the common term and yields all 3 pairs
+    Retrieval.tfidfCosinePairs(d, dfCap = 3, k = 100).count() shouldBe 3L
+  }
+
   test("bm25 ranking plans as bounded top-k, never a nested-loop join") {
     val p = SparkEntry.queries("q79_bm25_search")(spark, sf0001)
       .queryExecution.executedPlan.toString
