@@ -161,6 +161,43 @@ object Retrieval extends QueryModule {
       .limit(k)
   }
 
+  /** Hybrid retrieval: a sparse (BM25) leg and a dense (embedding-cosine)
+    * leg fused by reciprocal-rank fusion, `rrf(d) = Σ_legs 1/(60 + rank)`
+    * (Cormack, Clarke & Buettcher, "Reciprocal rank fusion outperforms
+    * Condorcet and individual rank learning methods", SIGIR 2009) — the
+    * standard fusion of keyword and vector search in a modern retrieval
+    * stack. Documents and embeddings align on `doc_id = vec_id`.
+    *
+    * Scale: each leg is a bounded top-`legK` (TakeOrderedAndProject — the
+    * corpus is never globally sorted); the only unpartitioned window ranks
+    * the <= `legK` survivors of a leg, and the fusion join touches at most
+    * 2·`legK` rows. Rank positions are integers and `1/(60+rank)` is one
+    * IEEE division, so fused scores are deterministic to the bit. */
+  def hybridRrf(docsDf: DataFrame, embDf: DataFrame, terms: Seq[String],
+                queryVecId: Long = 0L, legK: Int = 100, k: Int = 20): DataFrame = {
+    val sp = docsDf.sparkSession
+    val sparse = bm25Search(docsDf, terms, legK)
+      .withColumn("rs", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rs"))
+    val qv = broadcast(embDf.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv")))
+    val dense = embDf.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(qv)
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorFunctions.cosineFast(sp, col("qv"), col("v")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(legK)
+      .withColumn("rd", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rd"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -182,7 +219,15 @@ object Retrieval extends QueryModule {
 
     // Sparse (bag-of-words TF-IDF) cosine top-20 pairs.
     "q91_tfidf_cosine" -> ((s, dir) =>
-      tfidfCosinePairs(docs(s, dir)))
+      tfidfCosinePairs(docs(s, dir))),
+
+    // Hybrid sparse+dense retrieval fused by RRF (query vector: vec_id 0).
+    "q92_hybrid_rrf" -> ((s, dir) => {
+      val e = Tables.read(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      hybridRrf(docs(s, dir), e, QueryTerms)
+    })
   )
 
   private val invIndexCte: String =
@@ -243,6 +288,29 @@ object Retrieval extends QueryModule {
           |             (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cosine
           |FROM dt JOIN nrm na ON na.doc_id = id_a
           |        JOIN nrm nb ON nb.doc_id = id_b
-          |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin)
+          |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin),
+    "q92_hybrid_rrf" ->
+      (invIndexCte +
+        """,
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+          |ad AS (SELECT round(avg(dl), 6) AS avgdl FROM dl),
+          |w AS (SELECT tf.doc_id,
+          |             ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+          |             (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS w
+          |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+          |      WHERE tf.term IN ('spark', 'vector', 'merge')),
+          |bm AS (SELECT doc_id, round(sum(w), 6) AS bm25 FROM w GROUP BY doc_id
+          |       ORDER BY bm25 DESC, doc_id LIMIT 100),
+          |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs FROM bm),
+          |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+          |dn AS (SELECT vec_id AS doc_id,
+          |              round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.v), 6) AS sim
+          |       FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+          |       ORDER BY sim DESC, doc_id LIMIT 100),
+          |dnr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rd FROM dn)
+          |SELECT doc_id,
+          |       round(COALESCE(1.0 / (60 + rs), 0) + COALESCE(1.0 / (60 + rd), 0), 6) AS rrf
+          |FROM bmr FULL OUTER JOIN dnr USING (doc_id)
+          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
   )
 }

@@ -84,6 +84,27 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     Retrieval.tfidfCosinePairs(d, dfCap = 3, k = 100).count() shouldBe 3L
   }
 
+  test("rrf fusion: consistent mid-rank across both legs beats a single-leg winner") {
+    val d = Seq(
+      (1L, "spark spark spark"), // sparse leg winner, absent from dense leg
+      (2L, "nothing relevant"), // dense leg winner, no sparse match
+      (3L, "spark filler") // rank 2 in BOTH legs
+    ).toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Array(1.0, 0.0)), // the query vector
+      (2L, Array(1.0, 0.0)), // cosine 1.0 → dense rank 1
+      (3L, Array(3.0, 1.0)) // cosine ~0.949 → dense rank 2
+    ).toDF("vec_id", "v")
+    val out = Retrieval.hybridRrf(d, e, Seq("spark"), queryVecId = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // 1/62 + 1/62 (doc 3) > 1/61 (either single-leg winner)
+    out.head._1 shouldBe 3L
+    out.head._2 shouldBe (2.0 / 62) +- 1e-6
+    // the single-leg winners tie at 1/61 and break on doc_id
+    out.map(_._1).toSeq shouldBe Seq(3L, 1L, 2L)
+    out(1)._2 shouldBe (1.0 / 61) +- 1e-6
+  }
+
   test("bm25 ranking plans as bounded top-k, never a nested-loop join") {
     val p = SparkEntry.queries("q79_bm25_search")(spark, sf0001)
       .queryExecution.executedPlan.toString
