@@ -4,7 +4,7 @@ import graft.QueryModule
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
   * token counting (whitespace + BPE-ish regex), quality scoring, language
@@ -133,6 +133,32 @@ object TextAnalytics extends QueryModule {
     // q30/q31/q33/q34 pieces; every stage is per-row map work or a
     // partial-aggregating shuffle, so the whole pipeline is two shuffles
     // (fingerprint groupBy, language groupBy) at any corpus size.
+    // Corpus datasheet: governance stats at three grouping levels —
+    // (lang, source), (lang), and corpus-wide — in ONE Expand pass over one
+    // scan (never three). avg_quality sums the (already 6-decimal) scores
+    // in decimal space so the average is summation-order-independent; the
+    // char/token sums are exact integers. The standard "datasheet for a
+    // dataset" reporting rollup.
+    "q93_corpus_datasheet" -> ((s, dir) => {
+      val scored = docs(s, dir).select(
+        col("lang"), col("source"), col("n_chars"),
+        nTokens(col("text")).as("n_toks"), qualityScore.as("q"))
+      scored
+        .groupingSets(
+          Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq()),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+          round(sum(col("q").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+            .as("avg_quality"))
+        .select(
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("n_docs"), col("n_tokens"), col("avg_chars"), col("avg_quality"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     "q61_corpus_curation" -> ((s, dir) => {
       val scored = docs(s, dir).select(
         col("doc_id"), col("lang"),
@@ -196,6 +222,22 @@ object TextAnalytics extends QueryModule {
     "q33_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q93_corpus_datasheet" ->
+      """WITH s AS (SELECT lang, source, n_chars,
+        |  len(string_split(trim(text), ' ')) AS n_toks,
+        |  round(0.5 * least(1.0, length(text) / 500.0)
+        |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |               len(string_split(trim(text), ' ')))
+        |      + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |               length(text)), 6) AS q
+        |  FROM documents)
+        |SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+        |       round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+        |FROM s GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        |ORDER BY lang, source""".stripMargin,
     "q61_corpus_curation" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

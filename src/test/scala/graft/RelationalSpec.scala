@@ -63,9 +63,11 @@ class RelationalSpec extends AnyFunSuite with Matchers {
   }
 
   test("grouping sets plan as one Expand pass, not three scans") {
-    val p = plan("q59_grouping_sets")
-    p should include("Expand")
-    "FileScan".r.findAllIn(p).size shouldBe 1
+    for (q <- Seq("q59_grouping_sets", "q93_corpus_datasheet")) {
+      val p = plan(q)
+      p should include("Expand")
+      "FileScan".r.findAllIn(p).size shouldBe 1
+    }
   }
 
   test("full outer join plans as a sort-merge join with both sides shuffled once") {
