@@ -4,6 +4,7 @@ import graft.QueryModule
 import graft.functions.ExactAgg._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DecimalType, LongType}
 
@@ -153,6 +154,40 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Exact per-type value percentiles (p50/p95/p99) — the ops-dashboard
+    // distribution summary. Spark's exact interpolated `percentile` matches
+    // DuckDB's percentile_cont (both return the same convex combination of
+    // the two order statistics — the q71 determinism argument); per-type
+    // groups aggregate in parallel, no global sort. At 100 TB the same
+    // query downgrades to approx_percentile with a documented error bound
+    // (the q53 sketch tier); the exact form is the oracle-checkable one.
+    "q94_value_percentiles" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy(col("event_type"))),
+
+    // Session path analysis: event-type transition counts (the Markov /
+    // clickstream bigram table). The lag window partitions on user_id —
+    // the natural high-cardinality key, so no unpartitioned window exists —
+    // with (ts, event_id) as the total event order (fixtures plant
+    // same-instant events on purpose). Only (type, type) pairs shuffle
+    // into the final count.
+    "q95_event_transitions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_type").as("next_type"),
+          lag(col("event_type"), 1).over(byUser).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // Volume-anomaly detection (z-score scan; see volumeAnomalies).
     "q90_event_anomaly" -> ((s, dir) =>
       volumeAnomalies(ev(s, dir))
@@ -171,6 +206,19 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q94_value_percentiles" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+        |       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95,
+        |       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q95_event_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS next_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |           FROM events)
+        |SELECT prev_type, next_type, count(*) AS n_transitions
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q90_event_anomaly" ->
       """WITH b AS (SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS unix_hour,
         |                  count(*) AS n_events

@@ -114,6 +114,30 @@ class CurationSpec extends AnyFunSuite with Matchers {
       .foreach { case (_, mx, dc) => mx shouldBe 10L; dc shouldBe 10L }
   }
 
+  test("containment >= jaccard for every pair on the fixture corpus") {
+    // |A∩B|/min >= |A∩B|/union always; both sides compute from the same
+    // posting-list pass, so the inequality also guards against the two
+    // derivations drifting apart
+    val docs = graft.sources.Tables.read(TestSpark.spark, TestSpark.sf0001, "documents")
+    val j = Dedup.ngramJaccardPairsFrom(docs)
+    val c = Dedup.ngramContainmentPairsFrom(docs)
+    val joined = j.join(c, Seq("id_a", "id_b"), "full_outer")
+    // identical pair sets (same candidate pipeline)...
+    joined.filter($"jaccard".isNull || $"containment".isNull).count() shouldBe 0L
+    // ...and the pointwise inequality (1e-9 absorbs the independent 6dp rounds)
+    joined.filter($"containment" < $"jaccard" - 1e-9).count() shouldBe 0L
+  }
+
+  test("normalization fingerprint is idempotent: canonical text maps to itself") {
+    // normalizing already-normalized text is a fixpoint, so re-ingesting a
+    // cleaned corpus cannot re-cluster it differently
+    val d = df(1L -> "Mixed. CASE,, and   spacing!", 2L -> "plain text")
+    val once = d.select(Curation.normalizedFingerprint.as("fp"),
+      trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")).as("text"))
+    val twice = once.select($"fp".as("fp1"), Curation.normalizedFingerprint.as("fp2"))
+    twice.filter($"fp1" =!= $"fp2").count() shouldBe 0L
+  }
+
   test("q89: a wholesale-quoted short doc has containment 1.0 while Jaccard stays low") {
     val short = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10" // 10 tokens → 6 shingles
     val long = s"${filler(1, 30)} $short ${filler(2, 30)}"
