@@ -84,7 +84,33 @@ object Tokenizer extends QueryModule {
     "q81_bigram_merges" -> ((s, dir) => bigramMergeCandidates(docs(s, dir))),
 
     // PMI collocations: adjacent pairs co-occurring above chance.
-    "q82_collocation_pmi" -> ((s, dir) => pmiCollocations(docs(s, dir)))
+    "q82_collocation_pmi" -> ((s, dir) => pmiCollocations(docs(s, dir))),
+
+    // Vocabulary head: top terms by total occurrences with document
+    // frequency and cumulative corpus coverage — the stat a tokenizer-vocab
+    // size decision reads ("how much of the corpus do the top-V terms
+    // cover?"). Exact integer counts; the coverage share is one double
+    // division per row over the broadcast corpus total, and the running
+    // cumulative sums integers INSIDE the bounded top-k (a 30-row window —
+    // never a corpus-wide running sum).
+    "q96_vocab_head" -> ((s, dir) => {
+      val tf = Retrieval.termFreqs(docs(s, dir))
+      val terms = tf.groupBy(col("term"))
+        .agg(sum(col("tf")).as("n_occ"), count(lit(1)).as("df"))
+      val tot = terms.agg(sum(col("n_occ")).as("total"))
+      val head = terms
+        .orderBy(col("n_occ").desc, col("term"))
+        .limit(30)
+      val byRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occ").desc, col("term"))
+      head.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(byRank).cast("long"))
+        .withColumn("cum_occ", sum(col("n_occ")).over(
+          byRank.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("rank"), col("term"), col("n_occ"), col("df"),
+          round(col("cum_occ").cast("double") / col("total"), 6).as("cum_coverage"))
+        .orderBy(col("rank"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,6 +135,19 @@ object Tokenizer extends QueryModule {
         |        FROM bc JOIN uc a ON a.t = bc.t1 JOIN uc d ON d.t = bc.t2
         |        CROSS JOIN bn CROSS JOIN un
         |        WHERE c12 >= 10)
-        |SELECT t1, t2, c12, pmi FROM pmi ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin
+        |SELECT t1, t2, c12, pmi FROM pmi ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin,
+    "q96_vocab_head" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |terms AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n_occ, count(*) AS df FROM tf GROUP BY term),
+        |tot AS (SELECT sum(n_occ) AS total FROM terms),
+        |head AS (SELECT term, n_occ, df FROM terms ORDER BY n_occ DESC, term LIMIT 30),
+        |r AS (SELECT term, n_occ, df,
+        |             row_number() OVER (ORDER BY n_occ DESC, term) AS rank,
+        |             sum(n_occ) OVER (ORDER BY n_occ DESC, term ROWS UNBOUNDED PRECEDING) AS cum_occ
+        |      FROM head)
+        |SELECT rank, term, n_occ, df,
+        |       round(CAST(cum_occ AS DOUBLE) / total, 6) AS cum_coverage
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin
   )
 }

@@ -40,4 +40,18 @@ class TokenizerSpec extends AnyFunSuite with Matchers {
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
     pmi(("hong", "kong")) should be > pmi(("the", "cat"))
   }
+
+  test("vocab head: rank is dense, coverage is monotone and consistent with the corpus total") {
+    val rows = SparkEntry.queries("q96_vocab_head")(spark, TestSpark.sf0001).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe (1L to rows.length)
+    val cov = rows.map(_.getDouble(4))
+    cov.sliding(2).foreach { case Array(a, b) => b should be >= a; case _ => () }
+    cov.last should be <= 1.0 + 1e-9
+    // the final coverage equals (head occurrences) / (corpus tokens), recomputed independently
+    val docs = graft.sources.Tables.read(spark, TestSpark.sf0001, "documents")
+    val total = graft.operators.Retrieval.termFreqs(docs)
+      .agg(org.apache.spark.sql.functions.sum("tf")).head().getLong(0)
+    val headOcc = rows.map(_.getLong(2)).sum
+    cov.last shouldBe (headOcc.toDouble / total) +- 1e-6
+  }
 }
