@@ -138,6 +138,50 @@ object Curation extends QueryModule {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Content-defined chunking (q97): the LBFS boundary scheme (Muthitacharoen
+    * et al., "A Low-Bandwidth Network File System", SOSP 2001) at token
+    * granularity — a chunk boundary falls after token `i+4` whenever the
+    * rolling 5-gram hash starting at `i` is ≡ 0 (mod [[CdcDivisor]]), so
+    * boundaries depend only on LOCAL content. That is the property byte-shift
+    * dedup needs: inserting a sentence shifts every fixed-width window but
+    * re-synchronizes CDC boundaries within one expected chunk, so all
+    * unchanged chunks re-hash identically. Expected chunk length =
+    * divisor + 4 tokens; the final boundary candidate (i = n-4) is excluded
+    * so no empty trailing chunk exists.
+    *
+    * Entirely row-local array work (token array and cut positions are
+    * let-bound lambda variables — one split, one hash pass per document);
+    * only (source, chunk_md5, n_tokens) rows reach the one stats shuffle.
+    * Text never leaves the scan. */
+  val CdcDivisor: Int = 16
+
+  /** `array<struct<h,n>>` of CDC chunks of `text`: md5 + token count per
+    * chunk. Domain: callers pre-filter to >= 6 tokens (one boundary
+    * candidate; `sequence` runs backwards below that). */
+  def cdcChunks(divisor: Int = CdcDivisor): Column =
+    element_at(transform(array(split(trim(col("text")), " ")), w => {
+      val cuts = filter(sequence(lit(1), size(w) - 5), i =>
+        conv(substring(md5(array_join(slice(w, i, lit(5)), " ")), 1, 8), 16, 10)
+          .cast(LongType) % divisor === 0)
+      val starts = concat(array(lit(1)), transform(cuts, c => c + 5))
+      val ends = concat(transform(cuts, c => c + 4), array(size(w)))
+      zip_with(starts, ends, (a, b) =>
+        struct(md5(array_join(slice(w, a, b - a + 1), " ")).as("h"),
+          (b - a + 1).cast(LongType).as("n")))
+    }), 1)
+
+  /** Per-source CDC chunk-dedup stats from a `(doc_id, source, text)` frame:
+    * `(source, n_chunks, n_distinct, dup_fraction, avg_chunk_tokens)`. */
+  def cdcChunkStatsFrom(docsDf: DataFrame, divisor: Int = CdcDivisor): DataFrame =
+    docsDf.filter(TextAnalytics.nTokens(col("text")) >= 6)
+      .select(col("source"), explode(cdcChunks(divisor)).as("ck"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("ck.h")).as("n_distinct"),
+        round(lit(1.0) - countDistinct(col("ck.h")).cast("double") / count(lit(1)), 6)
+          .as("dup_fraction"),
+        round(avg(col("ck.n").cast("double")), 6).as("avg_chunk_tokens"))
+
   /** Per-source cap: the <= `n` documents kept per source, ranked by a
     * deterministic uniform hash of the doc id (content-independent, stable
     * across re-partitioning and appends), with doc_id itself as the total-
@@ -173,7 +217,12 @@ object Curation extends QueryModule {
 
     "q88_source_cap" -> ((s, dir) =>
       sourceCapFrom(docs(s, dir), n = 50)
-        .orderBy(col("source"), col("rk")))
+        .orderBy(col("source"), col("rk"))),
+
+    // Content-defined chunking dedup stats (see [[cdcChunkStatsFrom]]).
+    "q97_cdc_chunks" -> ((s, dir) =>
+      cdcChunkStatsFrom(docs(s, dir))
+        .orderBy(col("source")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -210,6 +259,27 @@ object Curation extends QueryModule {
         |                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |SELECT doc_id, source, rk FROM r WHERE rk <= 50
-        |ORDER BY source, rk""".stripMargin
+        |ORDER BY source, rk""".stripMargin,
+    "q97_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+        |d AS (SELECT * FROM t WHERE len(w) >= 6),
+        |c AS (SELECT doc_id, source, w,
+        |        list_filter(range(1, len(w) - 4), i ->
+        |          CAST(concat('0x', substring(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 8)) AS BIGINT) % 16 = 0) AS cuts
+        |      FROM d),
+        |b AS (SELECT doc_id, source, w,
+        |        list_concat([1], list_transform(cuts, x -> x + 5)) AS starts,
+        |        list_concat(list_transform(cuts, x -> x + 4), [len(w)]) AS ends
+        |      FROM c),
+        |ch AS (SELECT doc_id, source,
+        |         unnest(list_transform(range(len(starts)), j ->
+        |           struct_pack(h := md5(array_to_string(w[starts[j+1]:ends[j+1]], ' ')),
+        |                       n := ends[j+1] - starts[j+1] + 1))) AS ck
+        |       FROM b)
+        |SELECT source, count(*) AS n_chunks,
+        |       CAST(count(DISTINCT ck.h) AS BIGINT) AS n_distinct,
+        |       round(1.0 - CAST(count(DISTINCT ck.h) AS DOUBLE) / count(*), 6) AS dup_fraction,
+        |       round(avg(CAST(ck.n AS DOUBLE)), 6) AS avg_chunk_tokens
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin
   )
 }

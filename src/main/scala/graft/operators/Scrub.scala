@@ -52,7 +52,29 @@ import org.apache.spark.sql.types.LongType
   *     posting-list equi-join as the q35 Jaccard tier — pair generation
   *     streams through a join, never a collect_list buffer, and no
   *     all-pairs join exists at any scale;
-  *  6. curriculum bucketing (q71) — quartile documents by quality score
+  *  6. interpolated bigram LM scoring (q98) — per-document mean log10
+  *     probability under a Jelinek–Mercer-interpolated bigram model
+  *     (0.7·P(w2|w1) + 0.3·P(w2)) estimated from the corpus's own counts —
+  *     the next rung above q73's unigram fluency signal: it scores word
+  *     ORDER, so shuffled/boilerplate-stitched text that fools a unigram
+  *     model still scores low. Same scale layout as q73: count tables are
+  *     broadcast back onto the exploded bigrams, so each document's bigrams
+  *     never leave their scan partition (order-deterministic float sums);
+  *     at a 100 TB vocabulary the count joins graduate to shuffled
+  *     equi-joins keyed on the bigram — the exploded side is narrow
+  *     (doc_id + two tokens) and hash-spread by construction;
+  *  7. DSIR importance weights (q100) — Xie et al., "Data Selection for
+  *     Language Models via Importance Resampling" (2023): hashed-unigram
+  *     bucket counts estimate a target-slice distribution vs the raw-corpus
+  *     distribution (add-1 smoothing over [[DsirBuckets]] buckets), and each
+  *     document scores Σ log10(p_target(b)/p_raw(b)) over its tokens — the
+  *     importance weight that resamples raw data toward a quality target.
+  *     The bucket-count aggregations map-side-combine to <= 256 rows per
+  *     partition; totals derive from the tiny count tables (NO extra corpus
+  *     pass); the 256-row log-ratio table broadcasts back onto the token
+  *     stream. Log-ratios are pre-rounded at 9 decimals so the per-document
+  *     sum is a sum of identical addends on any engine;
+  *  8. curriculum bucketing (q71) — quartile documents by quality score
   *     ([[TextAnalytics.qualityScore]]) using exact percentile thresholds.
   *     Two passes: a tiny 1-row threshold aggregate, broadcast back, then a
   *     row-local bucket assignment + per-bucket stats. Never a global-order
@@ -73,6 +95,13 @@ object Scrub extends QueryModule {
     * PII; the machinery is pattern-agnostic). */
   val ScrubPattern = "\\bcustomer\\b"
   val ScrubReplacement = "[REDACTED]"
+
+  /** Hashed-feature space size for the DSIR importance weights (q100).
+    * 256 on the fixture vocabulary; DSIR's published configuration is 10k
+    * buckets over unigram+bigram features — the knob is a parameter and the
+    * layout (map-side-combined bucket counts + a broadcast log-ratio table)
+    * is bucket-count-independent. */
+  val DsirBuckets = 256
 
   /** Winnowed fingerprints of `text` as `struct(n_grams, fps)`: hash every
     * token 5-gram (first 8 md5 hex chars as a BIGINT — replayable by the
@@ -95,6 +124,66 @@ object Scrub extends QueryModule {
   /** The winnowed fingerprint SET of `text` (spec hook for the detection
     * guarantee; same >= 8-token domain requirement as [[winnowed]]). */
   def winnowedFps: Column = winnowed.getField("fps")
+
+  /** Interpolated bigram LM scores from a `(doc_id, text)` frame (scaladoc
+    * item 6): `(doc_id, n_bigrams, avg_logprob)` over docs with >= 2 tokens;
+    * count tables estimated from the frame itself. */
+  def bigramLogprobFrom(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+    val uc = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    // Bigram structs are built row-locally from a let-bound token array
+    // (one split per document), then exploded once.
+    val bigrams = element_at(transform(array(split(trim(col("text")), " ")), w =>
+      transform(sequence(lit(1), size(w) - 1), i =>
+        struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))), 1)
+    val bg = d.filter(TextAnalytics.nTokens(col("text")) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(uc.withColumnRenamed("tok", "w2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log10(lit(0.7) * col("c12").cast("double") / col("c1") +
+          lit(0.3) * col("cu").cast("double") / col("n"))), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR hashed-unigram importance weights from a `(doc_id, text)` frame
+    * (scaladoc item 7): `(doc_id, n_tokens, importance)` where the target
+    * distribution is estimated from rows matching `targetPred`. */
+  def dsirWeightsFrom(d: DataFrame, targetPred: Column): DataFrame = {
+    val s = d.sparkSession
+    val bt = d
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType) % DsirBuckets).as("b"))
+    val tc = bt.filter(targetPred).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rc = bt.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    // Totals fall out of the (tiny) bucket-count tables — no extra corpus pass.
+    val nt = tc.agg(sum(col("ct")).as("n_t"))
+    val nr = rc.agg(sum(col("cr")).as("n_r"))
+    val grid = s.range(DsirBuckets).select(col("id").as("b"))
+    val lr = grid.join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+      .crossJoin(nt).crossJoin(nr)
+      .select(col("b"),
+        round(log10(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("n_t") + DsirBuckets)) /
+          ((coalesce(col("cr"), lit(0L)) + 1).cast("double") / (col("n_r") + DsirBuckets))), 9)
+          .as("logratio"))
+    // The 9-dp-rounded log-ratios sum in DECIMAL space: the sum is then
+    // exact and order-independent, so the final 6-dp round cannot straddle
+    // a half-up boundary differently per engine (a raw double sum did).
+    bt.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("logratio").cast("decimal(18,9)")), 6).cast("double").as("importance"))
+      .orderBy(col("doc_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -197,6 +286,16 @@ object Scrub extends QueryModule {
         .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
     }),
 
+    // Interpolated bigram LM score (see scaladoc item 6). Domain: docs with
+    // >= 2 tokens (one bigram); unigram stats come from the full corpus.
+    "q98_bigram_logprob" -> ((s, dir) => bigramLogprobFrom(docs(s, dir))),
+
+    // DSIR hashed-unigram importance weights (see scaladoc item 7). The
+    // fixture's "target domain" is the doc_id % 7 == 0 slice (the same
+    // stand-in device as q72's eval slice).
+    "q100_dsir_weights" -> ((s, dir) =>
+      dsirWeightsFrom(docs(s, dir), col("doc_id") % 7 === 0)),
+
     "q71_curriculum_buckets" -> ((s, dir) => {
       val scored = docs(s, dir)
         .select(col("doc_id"), TextAnalytics.qualityScore.as("score"))
@@ -288,6 +387,39 @@ object Scrub extends QueryModule {
         |WHERE a.f IN (SELECT f FROM capped)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY n_shared DESC, id_a, id_b""".stripMargin,
+    "q98_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |bgf AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+        |          struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+        |        FROM t WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgf),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |uc AS (SELECT tok, count(*) AS cu FROM
+        |         (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents) GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM
+        |         (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(log10(0.7 * CAST(c12 AS DOUBLE) / c1 + 0.3 * CAST(cu AS DOUBLE) / n)), 6) AS avg_logprob
+        |FROM bg JOIN bc USING (w1, w2) JOIN c1 USING (w1) JOIN uc ON uc.tok = bg.w2 CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q100_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |bt AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 256 AS b FROM toks),
+        |tc AS (SELECT b, count(*) AS ct FROM bt WHERE doc_id % 7 = 0 GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM bt GROUP BY 1),
+        |nt AS (SELECT sum(ct) AS n FROM tc),
+        |nr AS (SELECT sum(cr) AS n FROM rc),
+        |lr AS (SELECT g.b AS b,
+        |         round(log10((CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / (nt.n + 256)) /
+        |                     (CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE) / (nr.n + 256))), 9) AS logratio
+        |       FROM (SELECT unnest(range(256)) AS b) g
+        |       LEFT JOIN tc ON tc.b = g.b LEFT JOIN rc ON rc.b = g.b
+        |       CROSS JOIN nt CROSS JOIN nr)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(round(sum(CAST(logratio AS DECIMAL(18,9))), 6) AS DOUBLE) AS importance
+        |FROM bt JOIN lr USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q71_curriculum_buckets" ->
       """WITH s AS (SELECT doc_id,
         |  round(0.5 * least(1.0, length(text) / 500.0)

@@ -220,6 +220,52 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("rn"), col("n_id"), col("sim"))
   }
 
+  /** SemDeDup (q99) — Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" (2023): cluster the embedding
+    * corpus with a coarse quantizer, then search for near-duplicates ONLY
+    * within each cluster — pairwise cost drops from n² to Σ|cluster|² ≈
+    * n²/k, and k grows with the corpus so per-cluster work stays bounded.
+    * Deterministic fixture configuration so the DuckDB oracle replays every
+    * step exactly: centroids are the k lowest-vec_id vectors (no Lloyd's
+    * iterations — [[trainCentroids]] is the trained variant, exercised by
+    * q40), assignment is argmax ROUNDED cosine with ties to the lowest
+    * centroid id, and a vector is dropped iff some SAME-CLUSTER vector with
+    * a lower vec_id has cosine >= `tau` (the paper's keep-one-per-group
+    * rule with lowest-id survivorship).
+    *
+    * Scale shape: assignment is a broadcast of k centroid rows against the
+    * corpus (per-row math, corpus unshuffled); the within-cluster pair
+    * search is ONE equi-join keyed on the cluster id — the join Spark
+    * shuffles both sides on, never a cartesian. Returns
+    * `(vec_id, cluster_id, max_lower_cos, keep)`. */
+  def semanticDedup(s: SparkSession, dir: String, k: Int = 8,
+                    tau: Double = 0.4): DataFrame =
+    semanticDedupFrom(emb(s, dir), k, tau)
+
+  /** [[semanticDedup]] over any `(vec_id, v)` frame (spec hook). */
+  def semanticDedupFrom(vecs: DataFrame, k: Int, tau: Double): DataFrame = {
+    val s = vecs.sparkSession
+    val e = vecs.select(col("vec_id"), col("v"))
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(cosineFast(s, col("v"), col("cv")), 6).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+    val av = assigned.join(e, Seq("vec_id"))
+    val maxLower = av.as("x").join(av.as("y"),
+        col("x.cid") === col("y.cid") && col("y.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        round(cosineFast(s, col("x.v"), col("y.v")), 6).as("cos"))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("mlc"))
+    assigned.join(maxLower, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        round(coalesce(col("mlc"), lit(-1.0)), 6).as("max_lower_cos"),
+        when(coalesce(col("mlc"), lit(-1.0)) >= tau, lit(0L)).otherwise(lit(1L)).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact cosine top-5 for query vectors vec_id < 3.
@@ -275,7 +321,11 @@ object Similarity extends QueryModule {
           round(col("r.vmax"), 6).as("vmax"),
           round(col("r.rmse"), 6).as("rmse"))
         .orderBy(col("vec_id"))
-    })
+    }),
+
+    // Semantic (embedding-cluster) dedup — see [[semanticDedup]].
+    "q99_semantic_dedup" -> ((s, dir) =>
+      semanticDedup(s, dir).orderBy(col("vec_id")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -300,6 +350,22 @@ object Similarity extends QueryModule {
         |SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
         |  round(sqrt(list_aggregate(list_transform(v,
         |          x -> pow(x - (mn + floor((x - mn) / sc + 0.5) * sc), 2)), 'sum') / len(v)), 6) AS rmse
-        |FROM q ORDER BY vec_id""".stripMargin
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q99_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM
+        |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a)
+        |        WHERE rn = 1),
+        |p AS (SELECT x.vec_id AS vec_id, max(round(list_cosine_similarity(xe.v, ye.v), 6)) AS mlc
+        |      FROM asg x JOIN asg y ON x.cid = y.cid AND y.vec_id < x.vec_id
+        |      JOIN e xe ON xe.vec_id = x.vec_id JOIN e ye ON ye.vec_id = y.vec_id
+        |      GROUP BY 1)
+        |SELECT asg.vec_id, asg.cid AS cluster_id,
+        |       round(coalesce(p.mlc, -1.0), 6) AS max_lower_cos,
+        |       CAST(CASE WHEN coalesce(p.mlc, -1.0) >= 0.4 THEN 0 ELSE 1 END AS BIGINT) AS keep
+        |FROM asg LEFT JOIN p ON p.vec_id = asg.vec_id
+        |ORDER BY asg.vec_id""".stripMargin
   )
 }

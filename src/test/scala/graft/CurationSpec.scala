@@ -148,4 +148,37 @@ class CurationSpec extends AnyFunSuite with Matchers {
     val jac = Dedup.ngramJaccardPairsFrom(d).collect()
     jac.head.getDouble(2) should be < 0.2 // quote inclusion is invisible to Jaccard
   }
+
+  private def chunkHashes(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+    d.select($"doc_id", Curation.cdcChunks().as("cks"))
+      .select($"doc_id", expr("transform(cks, c -> c.h)").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+  test("q97: CDC chunks partition every document (token counts sum to n_tokens)") {
+    val d = graft.sources.Tables.read(spark, TestSpark.sf0001, "documents")
+      .filter(graft.operators.TextAnalytics.nTokens($"text") >= 6)
+    val withC = d.select(graft.operators.TextAnalytics.nTokens($"text").as("n"),
+      Curation.cdcChunks().as("cks"))
+      .select($"n", expr("aggregate(transform(cks, c -> c.n), 0L, (a, x) -> a + x)").as("s"),
+        expr("size(filter(cks, c -> c.n < 1))").as("empties"))
+    withC.filter($"n" =!= $"s").count() shouldBe 0L
+    withC.filter($"empties" > 0).count() shouldBe 0L
+  }
+
+  test("q97: content-defined boundaries re-synchronize after a prefix insertion") {
+    // The CDC property fixed-width chunking lacks: prepending text shifts
+    // every fixed window, but content-defined cuts re-align within one
+    // expected chunk, so the shared suffix re-hashes into identical chunks.
+    val a = (0 until 60).map(i => s"cdctok$i").mkString(" ")
+    val b = (0 until 10).map(i => s"prefix$i").mkString(" ") + " " + a
+    val hs = chunkHashes(df(1L -> a, 2L -> b))
+    val (ha, hb) = (hs(1L), hs(2L))
+    ha.size should be >= 2 // the fixture text does produce interior cuts
+    // every chunk of A after its first cut reappears verbatim in B
+    val resync = ha.drop(1).toSet
+    resync.subsetOf(hb.toSet) shouldBe true
+    // and the differing region is confined to the seam: at most two extra
+    // chunks of B (its prefix region) are not chunks of A
+    (hb.toSet -- ha.toSet).size should be <= 2
+  }
 }

@@ -231,4 +231,33 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     grouped(1L) shouldBe 2L // docs 1+2 collapse, survivor=1
     grouped(3L) shouldBe 1L
   }
+
+  test("SemDeDup: an exact copy is dropped inside its cluster, spread vectors survive") {
+    import spark.implicits._
+    // k=2 centroids are vecs 0 and 1. vec 2 leans toward centroid 0, vec 3
+    // toward centroid 1, vec 4 is an exact copy of vec 2 (same cluster,
+    // cosine 1), vec 5 is orthogonal to both centroids (ties break to the
+    // lowest cluster id).
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.5, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.5, 0.0)),
+      (4L, Seq(1.0, 0.5, 0.0, 0.0)),
+      (5L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("vec_id", "v")
+    val out = Similarity.semanticDedupFrom(vecs, k = 2, tau = 0.95).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    out(0L)._1 shouldBe 0L
+    out(1L)._1 shouldBe 1L
+    out(2L)._1 shouldBe 0L
+    out(3L)._1 shouldBe 1L
+    out(4L)._1 shouldBe 0L
+    out(5L)._1 shouldBe 0L // orthogonal tie → lowest centroid id
+    // only the exact copy is dropped, with its duplicate's cosine recorded
+    out(4L)._2 shouldBe 1.0
+    out(4L)._3 shouldBe 0L
+    out.filter(_._1 != 4L).values.foreach(_._3 shouldBe 1L)
+    // the copy's survivor (lower id twin) stays
+    out(2L)._3 shouldBe 1L
+  }
 }

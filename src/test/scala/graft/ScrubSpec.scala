@@ -147,4 +147,42 @@ class ScrubSpec extends AnyFunSuite with Matchers {
       hi.getDouble(3) should be >= lo.getDouble(4)
     }
   }
+
+  test("bigram LM scores word order: predictable text outscores shuffled-unique text") {
+    import spark.implicits._
+    // doc 1 repeats one bigram (its transitions are near-certain); doc 2 has
+    // ten tokens that each occur once (every transition is maximally
+    // surprising under the corpus's own counts). Both are 10 tokens, so the
+    // unigram leg alone cannot explain the gap.
+    val d = Seq(
+      1L -> "up down up down up down up down up down",
+      2L -> "k0 k1 k2 k3 k4 k5 k6 k7 k8 k9").toDF("doc_id", "text")
+    val out = Scrub.bigramLogprobFrom(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out(1L)._1 shouldBe 9L
+    out(2L)._1 shouldBe 9L
+    out.values.foreach(_._2 should be < 0.0) // log10 of probabilities < 1
+    out(1L)._2 should be > out(2L)._2
+  }
+
+  test("DSIR importance ranks target-like documents above off-target ones") {
+    import spark.implicits._
+    // target slice = docs 1-2; doc 3 repeats the target vocabulary, doc 4 is
+    // disjoint from it. Same length, so the scores differ only through the
+    // target/raw ratio.
+    val d = Seq(
+      1L -> "alpha beta gamma alpha beta gamma",
+      2L -> "alpha gamma beta beta alpha gamma",
+      3L -> "alpha beta gamma gamma beta alpha",
+      4L -> "omega psi chi phi upsilon tau",
+      5L -> "alpha beta gamma phi upsilon tau").toDF("doc_id", "text")
+    val out = Scrub.dsirWeightsFrom(d, col("doc_id") <= 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // monotone in target-vocabulary mass: all-target > half > none. (The
+    // absolute sign is not asserted: with add-1 smoothing over 256 buckets
+    // and a 12-token target slice, the smoothing mass dominates p_target,
+    // which is exactly the regime the bucket-count knob exists for.)
+    out(3L) should be > out(5L)
+    out(5L) should be > out(4L)
+  }
 }
