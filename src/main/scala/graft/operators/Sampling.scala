@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *     makes a 100 TB sampling job idempotent and auditable;
   *  2. mixture-rate planning (q64) — given per-language corpus counts,
   *     compute the downsampling rate per language that balances the mix to
-  *     the smallest stratum (the "uniform mixture" plan);
+  *     the smallest stratum (the "uniform mixture" plan); and
+  *     temperature-scaled mixture shares (q101) — p_s ∝ n_s^0.7, the
+  *     UniMax-style compromise between proportional and uniform sampling
+  *     that keeps big sources from dominating without over-repeating the
+  *     small ones;
   *  3. context-window packing (q65) — assign documents to fixed token-budget
   *     chunks per language by running token count, the deterministic
   *     sequential-fill layout used to batch documents into training windows;
@@ -93,6 +97,27 @@ object Sampling extends QueryModule {
     "q63_hash_sample" -> ((s, dir) =>
       hashSample(s, dir).orderBy(col("doc_id"))),
 
+    // Temperature-scaled mixture shares (q101): the UniMax / multilingual-
+    // sampling rule p_s ∝ n_s^T (T = 0.7 here): between proportional (T=1,
+    // big sources dominate) and uniform (T=0, small sources over-repeat).
+    // Reduces to |sources| rows with map-side partial counts; the pow()
+    // weight is rounded at 6 dp and summed in DECIMAL space so the
+    // normalizing total is exact and order-independent, then both shares
+    // divide as identical doubles on any engine.
+    "q101_temperature_mix" -> ((s, dir) => {
+      val t = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalytics.nTokens(col("text"))).as("n_tokens"))
+        .withColumn("wt", round(pow(col("n_tokens").cast("double"), 0.7), 6)
+          .cast("decimal(28,6)"))
+      val tots = t.agg(sum(col("n_tokens")).as("tot_tokens"), sum(col("wt")).as("tot_w"))
+      t.crossJoin(broadcast(tots))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot_tokens"), 6).as("raw_share"),
+          round(col("wt").cast("double") / col("tot_w").cast("double"), 6).as("temp_share"))
+        .orderBy(col("source"))
+    }),
+
     // Downsample-to-smallest mixture plan: rate(lang) = min stratum / stratum.
     // The unpartitioned window runs AFTER the group-by, over |languages|
     // rows — the single-partition warning it triggers is about those few
@@ -165,6 +190,18 @@ object Sampling extends QueryModule {
         |WHERE uu < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
         |                     ELSE 0.25 END
         |ORDER BY doc_id""".stripMargin,
+    "q101_temperature_mix" ->
+      """WITH t AS (SELECT source, count(*) AS n_docs,
+        |             CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |        CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6) AS DECIMAL(28,6)) AS wt
+        |      FROM t),
+        |tots AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens, sum(wt) AS tot_w FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS raw_share,
+        |       round(CAST(wt AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS temp_share
+        |FROM w CROSS JOIN tots ORDER BY source""".stripMargin,
     "q64_mixture_rates" ->
       """SELECT lang, count(*) AS n_docs,
         |       round(CAST(min(count(*)) OVER () AS DOUBLE) / count(*), 6) AS rate

@@ -71,7 +71,70 @@ object TextAnalytics extends QueryModule {
     round(lit(0.5) * least(lit(1.0), length(col("text")).cast("double") / 500.0) +
       lit(0.3) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 6)
 
+  /** Trained naive-Bayes language classifier (q102) — the stand-in for the
+    * fastText-style model-based filters every published LLM pipeline runs
+    * (CCNet's language ID, Llama's quality classifier): TRAIN multinomial-NB
+    * unigram log-probabilities (add-1 smoothing over the training
+    * vocabulary) plus log priors on one corpus slice, CLASSIFY the held-out
+    * slice by argmax summed log-likelihood. Unlike q30's fixed marker lists,
+    * the model here is LEARNED from the data — the operator is the
+    * train-then-score dataflow itself.
+    *
+    * Scale shape: training reduces to (lang × vocab) count rows with
+    * map-side combine; the model (log-prob + prior tables) broadcasts back
+    * onto the eval token stream, which is never shuffled — each document's
+    * per-class sums aggregate from its scan partition (the q73 layout). At a
+    * 100 TB vocabulary the model join graduates to a shuffled equi-join on
+    * (lang, tok). Determinism: per-token log-probs pre-rounded at 9 dp and
+    * summed in DECIMAL space; argmax ties break to the lexicographically
+    * first class.
+    *
+    * Returns `(doc_id, true_lang, pred_lang, score, correct)` over the
+    * held-out slice (`doc_id % 2 == 1`; training is the even slice). */
+  def nbLangIdFrom(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), col("lang"),
+      explode(split(trim(col("text")), " ")).as("tok"))
+    val tr = toks.filter(col("doc_id") % 2 === 0)
+    val vocab = tr.agg(countDistinct(col("tok")).as("v"))
+    val langs = tr.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val ltot = langs.agg(sum(col("n_lang")).as("n_all"))
+    val cnt = tr.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    // Smoothed log-prob for EVERY (class, training-vocab token) pair, so a
+    // token seen only under other classes still scores its floor.
+    val grid = langs.crossJoin(tr.select(col("tok")).distinct())
+      .join(cnt, Seq("lang", "tok"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("lang").as("cand"), col("tok"),
+        round(log10((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n_lang") + col("v"))), 9).as("logp"))
+    val prior = langs.crossJoin(broadcast(ltot)).crossJoin(broadcast(vocab))
+      .select(col("lang").as("cand"), col("n_lang"), col("v"),
+        round(log10(col("n_lang").cast("double") / col("n_all")), 9).as("logprior"))
+    val ev = toks.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("tok"))
+    val scored = ev.crossJoin(broadcast(prior))
+      .join(broadcast(grid), Seq("cand", "tok"), "left")
+      // unseen eval tokens fall back to the uniform smoothing floor per class
+      .select(col("doc_id"), col("true_lang"), col("cand"), col("logprior"),
+        coalesce(col("logp"),
+          round(log10(lit(1.0) / (col("n_lang") + col("v"))), 9)).as("t"))
+      .groupBy(col("doc_id"), col("true_lang"), col("cand"), col("logprior"))
+      .agg(round(sum(col("t").cast("decimal(18,9)")), 6).cast("double").as("ssum"))
+      .select(col("doc_id"), col("true_lang"), col("cand"),
+        (col("ssum") + col("logprior")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"), col("cand").as("pred_lang"),
+        round(col("score"), 6).as("score"),
+        when(col("cand") === col("true_lang"), lit(1L)).otherwise(lit(0L)).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Trained naive-Bayes language classifier over the held-out slice.
+    "q102_nb_langid" -> ((s, dir) => nbLangIdFrom(docs(s, dir))),
 
     // Per-document surface metrics.
     "q28_text_metrics" -> ((s, dir) =>
@@ -181,6 +244,36 @@ object TextAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q102_nb_langid" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr),
+        |langs AS (SELECT lang, count(*) AS n_lang FROM tr GROUP BY 1),
+        |ltot AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_all FROM langs),
+        |cnt AS (SELECT lang, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+        |grid AS (SELECT l.lang, t.tok, coalesce(c.c, 0) AS c, l.n_lang
+        |         FROM langs l CROSS JOIN (SELECT DISTINCT tok FROM tr) t
+        |         LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = t.tok),
+        |lp AS (SELECT lang, tok,
+        |         round(log10(CAST(c + 1 AS DOUBLE) / (n_lang + (SELECT v FROM vocab))), 9) AS logp
+        |       FROM grid),
+        |prior AS (SELECT lang, n_lang,
+        |            round(log10(CAST(n_lang AS DOUBLE) / n_all), 9) AS logprior
+        |          FROM langs CROSS JOIN ltot),
+        |ev AS (SELECT doc_id, lang AS true_lang, tok FROM toks WHERE doc_id % 2 = 1),
+        |sc AS (SELECT ev.doc_id, ev.true_lang, p.lang AS cand,
+        |         CAST(round(sum(CAST(coalesce(lp.logp,
+        |              round(log10(1.0 / (p.n_lang + (SELECT v FROM vocab))), 9)) AS DECIMAL(18,9))), 6) AS DOUBLE)
+        |           + p.logprior AS score
+        |       FROM ev CROSS JOIN prior p
+        |       LEFT JOIN lp ON lp.lang = p.lang AND lp.tok = ev.tok
+        |       GROUP BY ev.doc_id, ev.true_lang, p.lang, p.n_lang, p.logprior),
+        |rk AS (SELECT doc_id, true_lang, cand AS pred_lang, round(score, 6) AS score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |       FROM sc)
+        |SELECT doc_id, true_lang, pred_lang, score,
+        |       CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q28_text_metrics" ->
       """SELECT doc_id,
         |       length(text) AS len_chars,

@@ -11,6 +11,28 @@ class EventTextSpec extends AnyFunSuite with Matchers {
   import TestSpark.spark
   import spark.implicits._
 
+  test("naive-Bayes classifier learns planted class vocabularies perfectly") {
+    // Two classes with disjoint vocabularies; even ids train, odd ids eval.
+    // Eval docs reuse their class's vocabulary, so a learned model must
+    // classify them perfectly — q30's fixed marker lists know nothing about
+    // these tokens, which is exactly what separates the trained operator.
+    val d = Seq(
+      (0L, "aa", "foo bar foo baz"), (2L, "aa", "bar foo baz foo"),
+      (4L, "bb", "qux quux corge qux"), (6L, "bb", "quux qux corge corge"),
+      (1L, "aa", "foo baz bar"), (3L, "bb", "qux corge quux"),
+      (5L, "aa", "baz foo foo"), (7L, "bb", "corge quux qux"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalytics.nbLangIdFrom(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(4)))).toMap
+    out.keySet shouldBe Set(1L, 3L, 5L, 7L) // held-out slice only
+    out.values.foreach { case (truth, pred, correct) =>
+      pred shouldBe truth
+      correct shouldBe 1L
+    }
+    // scores are log-probabilities: strictly negative
+    TextAnalytics.nbLangIdFrom(d).collect().foreach(_.getDouble(3) should be < 0.0)
+  }
+
   test("session window: gap-boundary event merges; beyond the gap opens a new session") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00"), // s1

@@ -115,4 +115,18 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     doc2.length shouldBe 1
     doc2.head.getString(3) shouldBe "a b c"
   }
+
+  test("temperature mixture compresses source spread and still sums to one") {
+    val rows = SparkEntry.queries("q101_temperature_mix")(spark, sf0001).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4))) // (raw_share, temp_share)
+    rows.length should be > 1
+    rows.map(_._1).sum shouldBe 1.0 +- 1e-4
+    rows.map(_._2).sum shouldBe 1.0 +- 1e-4
+    // T=0.7 < 1 flattens the mixture: the big/small ratio strictly shrinks
+    val rawSpread = rows.map(_._1).max / rows.map(_._1).min
+    val tempSpread = rows.map(_._2).max / rows.map(_._2).min
+    tempSpread should be < rawSpread
+    // and ordering is preserved (monotone transform)
+    rows.sortBy(_._1).map(_._2) shouldBe rows.map(_._2).sorted
+  }
 }
