@@ -125,6 +125,42 @@ object Scrub extends QueryModule {
     * guarantee; same >= 8-token domain requirement as [[winnowed]]). */
   def winnowedFps: Column = winnowed.getField("fps")
 
+  /** Gopher-style duplicate-n-gram coverage (q103) — Rae et al., "Scaling
+    * Language Models: ... Gopher" (2021) Table A1: the fraction of a
+    * document covered by token 3-grams that repeat WITHIN the document, the
+    * repetition filter that catches looping/boilerplate text q67's
+    * type-token ratio under-weights (a doc can have high TTR overall yet
+    * one pathologically repeated phrase). Positions covered by any
+    * occurrence of a duplicated gram count ONCE (interval union via
+    * countDistinct), so the score is a true fraction in [0, 1].
+    *
+    * Scale shape: one explode, one (doc_id, gram)-keyed window to flag
+    * duplicated grams (hash-spread by construction), a 3-position explode of
+    * the flagged rows only, and a per-doc countDistinct — all linear in
+    * corpus tokens; no row-local O(n²) gram matching. */
+  def dupNgramFracFrom(d: DataFrame): DataFrame = {
+    val grams = element_at(transform(array(split(trim(col("text")), " ")), w =>
+      transform(sequence(lit(1), size(w) - 2), i =>
+        array_join(slice(w, i, lit(3)), " "))), 1)
+    val base = d.filter(TextAnalytics.nTokens(col("text")) >= 3)
+      .select(col("doc_id"), TextAnalytics.nTokens(col("text")).as("n_tokens"))
+    val g = d.filter(TextAnalytics.nTokens(col("text")) >= 3)
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("i"), col("gram"))
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("gram"))
+    val cov = g.withColumn("c", count(lit(1)).over(byGram))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), explode(array(col("i"), col("i") + 1, col("i") + 2)).as("p"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("covered"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Interpolated bigram LM scores from a `(doc_id, text)` frame (scaladoc
     * item 6): `(doc_id, n_bigrams, avg_logprob)` over docs with >= 2 tokens;
     * count tables estimated from the frame itself. */
@@ -290,6 +326,9 @@ object Scrub extends QueryModule {
     // >= 2 tokens (one bigram); unigram stats come from the full corpus.
     "q98_bigram_logprob" -> ((s, dir) => bigramLogprobFrom(docs(s, dir))),
 
+    // Gopher duplicate-3-gram coverage (see [[dupNgramFracFrom]]).
+    "q103_dup_ngram_frac" -> ((s, dir) => dupNgramFracFrom(docs(s, dir))),
+
     // DSIR hashed-unigram importance weights (see scaladoc item 7). The
     // fixture's "target domain" is the doc_id % 7 == 0 slice (the same
     // stand-in device as q72's eval slice).
@@ -403,6 +442,20 @@ object Scrub extends QueryModule {
         |       round(avg(log10(0.7 * CAST(c12 AS DOUBLE) / c1 + 0.3 * CAST(cu AS DOUBLE) / n)), 6) AS avg_logprob
         |FROM bg JOIN bc USING (w1, w2) JOIN c1 USING (w1) JOIN uc ON uc.tok = bg.w2 CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q103_dup_ngram_frac" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |d AS (SELECT doc_id, len(w) AS n, w FROM t WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, n, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |      FROM (SELECT doc_id, n, w, unnest(range(1, len(w) - 1)) AS i FROM d)),
+        |dup AS (SELECT doc_id, gram FROM g GROUP BY 1, 2 HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM
+        |          (SELECT g.doc_id, unnest([g.i, g.i + 1, g.i + 2]) AS p
+        |           FROM g JOIN dup USING (doc_id, gram))
+        |        GROUP BY 1)
+        |SELECT d.doc_id, d.n AS n_tokens,
+        |       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
+        |       round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / d.n, 6) AS dup_gram_frac
+        |FROM d LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q100_dsir_weights" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
         |bt AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 256 AS b FROM toks),

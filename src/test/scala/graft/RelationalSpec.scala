@@ -39,6 +39,22 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the scoring/semantic tier cross-joins only broadcast scalars, never big sides") {
+    // q98/q100/q102 broadcast 1-row totals and <=|vocab| model tables;
+    // q99's centroid probe broadcasts k rows. Those legitimately plan
+    // BroadcastNestedLoopJoin; what must NEVER appear is a non-broadcast
+    // CartesianProduct (two big sides). q99's within-cluster pair search
+    // must additionally survive as a cluster-keyed shuffled equi-join.
+    for (q <- Seq("q97_cdc_chunks", "q98_bigram_logprob", "q99_semantic_dedup",
+                  "q100_dsir_weights", "q101_temperature_mix", "q102_nb_langid")) {
+      plan(q) should not include "CartesianProduct"
+    }
+    val p99 = plan("q99_semantic_dedup")
+    (p99.contains("SortMergeJoin") || p99.contains("ShuffledHashJoin")) shouldBe true
+    // q97 is pure row-local map work + one stats aggregation: no join at all
+    plan("q97_cdc_chunks") should not include "Join"
+  }
+
   test("scan-level filter pushdown and column pruning reach the parquet reader") {
     val p = plan("q03_predicate_filter")
     p should include("PushedFilters")

@@ -165,6 +165,22 @@ class ScrubSpec extends AnyFunSuite with Matchers {
     out(1L)._2 should be > out(2L)._2
   }
 
+  test("duplicate-3-gram coverage unions overlapping occurrences exactly") {
+    import spark.implicits._
+    // "x y z" repeats at positions 1 and 6 → covered {1,2,3,6,7,8} = 6 of 10
+    // tokens; the all-distinct doc scores 0; a doc below the 3-token domain
+    // is excluded.
+    val d = Seq(
+      1L -> "x y z a b x y z c d",
+      2L -> "p q r s t u v w",
+      3L -> "a b").toDF("doc_id", "text")
+    val out = Scrub.dupNgramFracFrom(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L) shouldBe ((10L, 6L, 0.6))
+    out(2L) shouldBe ((8L, 0L, 0.0))
+  }
+
   test("DSIR importance ranks target-like documents above off-target ones") {
     import spark.implicits._
     // target slice = docs 1-2; doc 3 repeats the target vocabulary, doc 4 is
