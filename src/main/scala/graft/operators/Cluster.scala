@@ -117,7 +117,68 @@ object Cluster extends QueryModule {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
   }
 
+  /** PageRank over an undirected `(a, b)` edge frame, restricted to
+    * `nodes0` (one `node` column covering every vertex, edge-incident or
+    * isolated). The canonical iterative-graph shape on Spark:
+    *
+    *  - each of the `iters` rounds is ONE narrow equi-join (edge × rank,
+    *    keyed on the source node) followed by ONE partial-aggregating sum
+    *    keyed on the destination — (BIGINT, DOUBLE) rows only, never an
+    *    adjacency list, so a celebrity node costs map-side-combined
+    *    additions rather than a reducer-resident neighbor array;
+    *  - out-degrees are computed once and ride along the checkpointed edge
+    *    frame; per-round `localCheckpoint` truncates the lineage exactly as
+    *    in [[connectedComponentsWithRounds]] (a durable `checkpoint` on a
+    *    real cluster);
+    *  - only the two driver scalars (node count, loop index) ever leave the
+    *    executors.
+    *
+    * Dangling nodes (no out-edges) re-emit nothing — their damped mass
+    * leaks rather than redistributing, the simple deterministic variant
+    * (documented; both engines compute the identical recurrence, and rank
+    * ORDER is unaffected for the uniform-teleport case). Returns
+    * `(node, r)` unrounded. */
+  def pageRankFrom(nodes0: DataFrame, edges0: DataFrame,
+                   iters: Int = 6, damping: Double = 0.85): DataFrame = {
+    val nodes = nodes0.select(col("node")).localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one node")
+    val sym = canon(edges0.select(col("a"), col("b")))
+    val e = sym.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(sym.select(col("v").as("src"), col("u").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = e.join(deg, "src").localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("m"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Graph importance over the near-dup graph: PageRank picks the most
+    // central document of each duplicate cluster (the canonical-survivor
+    // signal that min-doc_id survivorship approximates), and ranks hub
+    // documents that near-duplicate MANY others — the curation view that
+    // pairwise output can't give. Top 20 by rank; isolated docs share the
+    // floor rank (1-d)/N and tie-break by doc_id.
+    "q107_pagerank" -> ((s, dir) => {
+      val edges = Dedup.ngramJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val nodes = Tables.read(s, dir, "documents").select(col("doc_id").as("node"))
+      pageRankFrom(nodes, edges)
+        .select(col("node").as("doc_id"), round(col("r"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+        .limit(20)
+    }),
 
     // Cluster assignment for the whole corpus: transitive closure of the
     // exact near-dup pairs at J>=0.8, labeled by component minimum.
@@ -150,12 +211,10 @@ object Cluster extends QueryModule {
         .orderBy(col("cluster_size")))
   )
 
-  /** Shared oracle CTE: q35's shingle/pair pipeline → edges at J>=0.8 →
-    * transitive closure by recursive CTE → component minimum per doc.
-    * DuckDB's recursive UNION computes the closure exactly; at audit scale
-    * (sf0.01) the edge set is tiny, so closure cost is irrelevant — the
-    * point is bit-exact cluster labels against the Spark star-contraction. */
-  private val clusterCte: String =
+  /** Shared oracle prefix: q35's shingle/pair pipeline → canonical near-dup
+    * `edges` at J>=0.8. Reused by the component oracles (below) and the
+    * PageRank oracle (which iterates over the same edge set). */
+  private val edgeCte: String =
     """WITH RECURSIVE
       |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
@@ -171,7 +230,15 @@ object Cluster extends QueryModule {
       |edges AS (SELECT id_a AS u, id_b AS v FROM common
       |            JOIN sizes sa ON sa.doc_id = id_a
       |            JOIN sizes sb ON sb.doc_id = id_b
-      |          WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8),
+      |          WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8)""".stripMargin
+
+  /** [[edgeCte]] extended with a recursive-CTE transitive closure →
+    * component minimum per doc. DuckDB's recursive UNION computes the
+    * closure exactly; at audit scale (sf0.01) the edge set is tiny, so
+    * closure cost is irrelevant — the point is bit-exact cluster labels
+    * against the Spark star-contraction. */
+  private val clusterCte: String = edgeCte +
+    """,
       |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
       |reach(u, v) AS (SELECT u, v FROM sym
       |                UNION
@@ -182,7 +249,34 @@ object Cluster extends QueryModule {
       |         CAST(least(d.doc_id, coalesce(l.mn, d.doc_id)) AS BIGINT) AS cluster_id
       |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)""".stripMargin
 
+  /** q107 oracle: [[edgeCte]]'s near-dup edges, then the PageRank
+    * recurrence unrolled as 6 chained CTEs — the same arithmetic
+    * (`(1 - 0.85) / n + 0.85 * Σ r/deg`) the Spark loop computes, so the
+    * iterated doubles agree to the last few ulps and round(6) compares
+    * exactly. */
+  private val pageRankOracle: String = {
+    val iterCtes = (1 to 6).map { i =>
+      s"""r$i AS (SELECT d.doc_id AS node,
+         |        (1 - 0.85) / nn.n + 0.85 * coalesce(sum(r${i - 1}.r / pdeg.deg), 0) AS r
+         |        FROM documents d CROSS JOIN nn
+         |        LEFT JOIN psym ON psym.dst = d.doc_id
+         |        LEFT JOIN pdeg ON pdeg.src = psym.src
+         |        LEFT JOIN r${i - 1} ON r${i - 1}.node = psym.src
+         |        GROUP BY d.doc_id, nn.n)""".stripMargin
+    }.mkString(",\n")
+    edgeCte +
+      s""",
+         |psym AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v AS src, u AS dst FROM edges),
+         |pdeg AS (SELECT src, count(*) AS deg FROM psym GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |r0 AS (SELECT doc_id AS node, 1.0 / nn.n AS r FROM documents CROSS JOIN nn),
+         |$iterCtes
+         |SELECT node AS doc_id, round(r, 6) AS rank FROM r6
+         |ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q107_pagerank" -> pageRankOracle,
     "q76_dedup_clusters" ->
       (clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
     "q77_cluster_survivors" ->

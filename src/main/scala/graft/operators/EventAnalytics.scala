@@ -193,6 +193,54 @@ object EventAnalytics extends QueryModule {
       volumeAnomalies(ev(s, dir))
         .orderBy(col("event_type"), col("unix_hour"))),
 
+    // Tukey-fence outlier census per event type: exact quartiles (q94's
+    // percentile machinery), fences at q1/q3 ∓ 1.5·IQR, then one counting
+    // pass against the fences. The quartile table is event-type-cardinality
+    // tiny, so the second pass joins it BROADCAST — the events scan streams
+    // once per pass and nothing wide ever shuffles. Fences are rounded to
+    // 6 dp before the comparison so the kept/outlier split is reproducible
+    // across engines (an unrounded interpolated quantile differs in the
+    // last ulp between implementations; a planted boundary value would flip).
+    "q105_value_outliers" -> ((s, dir) => {
+      val fences = ev(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(expr("percentile(value, 0.25)"), 6).as("q1"),
+          round(expr("percentile(value, 0.75)"), 6).as("q3"))
+        .withColumn("lo", round(col("q1") - (col("q3") - col("q1")) * 1.5, 6))
+        .withColumn("hi", round(col("q3") + (col("q3") - col("q1")) * 1.5, 6))
+      ev(s, dir).join(broadcast(fences), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Session-path mining: the top 20 opening event-type sequences (first 5
+    // events per user). Ranks the paths users actually take — the sequence
+    // analogue of q95's transition bigrams. The row_number window partitions
+    // on user_id (high-cardinality, well-distributed); each user then
+    // reduces to ONE short path string via an ordered in-group sort of ≤5
+    // structs, and only (path, count) rows reach the final (tiny) rollup,
+    // which TakeOrderedAndProject caps at 20 — nothing driver-side, no
+    // unpartitioned window anywhere.
+    "q106_session_paths" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val first5 = ev(s, dir)
+        .select(col("user_id"), col("event_type"),
+          row_number().over(byUser).as("rn"))
+        .filter(col("rn") <= 5)
+      first5.groupBy(col("user_id"))
+        .agg(concat_ws(">",
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
     // Native JSON parsing of the props payload (from_json with a declared
     // schema) rather than regex extraction.
     "q52_from_json" -> ((s, dir) =>
@@ -212,6 +260,28 @@ object EventAnalytics extends QueryModule {
         |       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95,
         |       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q105_value_outliers" ->
+      """WITH f AS (SELECT event_type, count(*) AS n_events,
+        |         round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS q1,
+        |         round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) AS q3
+        |       FROM events GROUP BY 1),
+        |g AS (SELECT event_type, n_events, q1, q3,
+        |             round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+        |             round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM f)
+        |SELECT e.event_type, max(g.n_events) AS n_events,
+        |       max(g.q1) AS q1, max(g.q3) AS q3,
+        |       CAST(sum(CASE WHEN e.value < g.lo OR e.value > g.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers
+        |FROM events e JOIN g ON e.event_type = g.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q106_session_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |       FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 5 GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p
+        |GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
     "q95_event_transitions" ->
       """WITH t AS (SELECT user_id, event_type AS next_type,
         |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type

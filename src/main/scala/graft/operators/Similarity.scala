@@ -266,7 +266,112 @@ object Similarity extends QueryModule {
         when(coalesce(col("mlc"), lit(-1.0)) >= tau, lit(0L)).otherwise(lit(1L)).as("keep"))
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011, the PQ stage this
+    * time): the vector splits into `m` subvectors of dim/m components and
+    * each subspace gets its own `ks`-centroid Lloyd's codebook, so a vector
+    * stores as `m` small codes — at (m=8, ks=32) a 64-dim float vector
+    * compresses 32× (256 B → 8 B of codes), the memory step that makes
+    * billion-vector ANN fit an executor cache.
+    *
+    * Trains ALL subspaces in one pass per iteration: subvectors explode to
+    * (vec_id, sub, sv) rows ONCE (checkpointed), assignment is a per-row
+    * branch on `sub` into that subspace's argmin (the same codegen'd
+    * `graft_l2sq` kernel as IVF), and the update is one
+    * (sub, cell, pos)-keyed mean aggregation — so an iteration costs one
+    * scan regardless of `m`, and only the m×ks×(dim/m) codebook table
+    * reaches the driver. Seeds are the `ks` lowest-vec_id vectors'
+    * subvectors; empty cells keep their previous centroid; folds are
+    * sequential — fully deterministic. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 8, ks: Int = 32,
+                       iters: Int = 2, dim: Int = 64): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, "m must divide dim")
+    val s = corpus.sparkSession
+    val subDim = dim / m
+    val subs = corpus.select(col("vec_id"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), b -> slice(v, b * $subDim + 1, $subDim))")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+      .localCheckpoint()
+    val seedVecs = corpus.orderBy(col("vec_id")).limit(ks)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length == ks, s"corpus has fewer than $ks vectors")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(b => seedVecs.map(v => v.slice(b * subDim, (b + 1) * subDim)))
+    for (_ <- 1 to iters) {
+      val cell = books.zipWithIndex.foldLeft(lit(-1): Column) { case (acc, (book, b)) =>
+        when(col("sub") === b, cellOf(s, col("sv"), book)).otherwise(acc)
+      }
+      val means = subs.select(col("sub"), cell.as("cell"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cell"), col("pos")).agg(avg(col("col")).as("mv"))
+        .collect().groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Array.tabulate(m)(b => Array.tabulate(ks)(c =>
+        means.get((b, c))
+          .map(_.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+          .getOrElse(books(b)(c))))
+    }
+    books
+  }
+
+  /** PQ code assignment: `(vec_id, codes)` where codes(b) is the nearest
+    * centroid of subspace b — per-row map work against codebook literals,
+    * no join, no shuffle; the corpus never moves. */
+  def pqCodes(corpus: DataFrame, books: Array[Array[Array[Double]]],
+              dim: Int = 64): DataFrame = {
+    val s = corpus.sparkSession
+    val m = books.length
+    val subDim = dim / m
+    corpus.select(col("vec_id"),
+      array((0 until m).map(b =>
+        cellOf(s, slice(col("v"), b * subDim + 1, subDim), books(b))): _*).as("codes"))
+  }
+
+  /** ANN via PQ asymmetric-distance computation (ADC) + exact re-rank: the
+    * corpus is scanned as CODES ONLY (the 32×-compressed representation —
+    * at 100 TB of vectors this is the difference between scanning 100 TB
+    * and scanning ~1.6 TB), each query scores a code row by summing
+    * per-subspace exact L2 to the looked-up centroid (`element_at` into the
+    * codebook literal — codegen'd, no UDF), keeps an `rerank`-deep ADC
+    * shortlist, and re-scores ONLY that shortlist against the raw vectors
+    * (one semi-join-sized fetch) — the published ADC + re-rank pipeline.
+    * Queries are broadcast; the corpus is never shuffled. Approximate —
+    * recall vs the exact L2 top-k is asserted in DedupSimilaritySpec. */
+  def annPqAdc(s: SparkSession, dir: String, k: Int, m: Int = 8, ks: Int = 32,
+               iters: Int = 2, rerank: Int = 64,
+               queryPred: Column = col("vec_id") < 3): DataFrame = {
+    val e = emb(s, dir)
+    val books = trainPqCodebooks(e.select(col("vec_id"), col("v")), m, ks, iters)
+    val subDim = 64 / m
+    val coded = pqCodes(e.select(col("vec_id"), col("v")), books)
+    val q = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val adist = (0 until m).map { b =>
+      distSqFast(s, slice(col("qv"), b * subDim + 1, subDim),
+        element_at(typedlit(books(b).map(_.toSeq).toSeq),
+          (element_at(col("codes"), b + 1) + 1).cast("int")))
+    }.reduce(_ + _)
+    val shortlist = q.join(coded, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), adist.as("adist"))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    val survivors = shortlist.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= rerank)
+      .select(col("q_id"), col("qv"), col("n_id"))
+    // exact re-rank of the shortlist only: fetch the raw vectors by key
+    val rescored = survivors
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(distSqFast(s, col("qv"), col("nv")), 6).as("dist_sq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist_sq"), col("n_id"))
+    rescored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("n_id"), col("dist_sq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Approximate NN via PQ codes + ADC shortlist + exact re-rank (no
+    // oracle: data-trained codebooks are not SQL-expressible; recall is
+    // asserted against the exact L2 top-k in ScalaTest).
+    "q108_pq_adc" -> ((s, dir) =>
+      annPqAdc(s, dir, 5).orderBy(col("q_id"), col("rn"))),
 
     // Exact cosine top-5 for query vectors vec_id < 3.
     "q38_cosine_topk" -> ((s, dir) => {

@@ -131,10 +131,42 @@ object TextAnalytics extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document unigram Shannon entropy + type-token ratio (see the q104
+    * registration comment). H = log2(N) - (Σ c·log2 c)/N computed from the
+    * per-(doc, token) counts in one fold. */
+  def tokenEntropyFrom(d: DataFrame): DataFrame = {
+    val wc = d
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("c")).as("n_tokens"),
+        round(log2(sum(col("c"))) -
+          sum(col("c").cast("double") * log2(col("c"))) / sum(col("c")),
+          6).as("entropy"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("ttr"),
+        col("entropy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Trained naive-Bayes language classifier over the held-out slice.
     "q102_nb_langid" -> ((s, dir) => nbLangIdFrom(docs(s, dir))),
+
+    // Per-document unigram Shannon entropy — the information-density quality
+    // signal (a low-entropy document is template/boilerplate even when its
+    // token COUNT looks healthy; Gopher-style repetition filters catch exact
+    // repeats, entropy catches skewed-but-varied token distributions).
+    // H = log2(N) - (Σ c·log2 c)/N over per-doc token counts — computed in
+    // that single-aggregate form so the plan is two partial-aggregating
+    // shuffles (doc×token count, then per-doc fold) over narrow rows; the
+    // type-token ratio rides along for free. Both shuffles key on doc_id
+    // (token-skew-free: the inner key is (doc_id, token), never the global
+    // token), so the layout holds at corpus scale.
+    "q104_token_entropy" -> ((s, dir) =>
+      tokenEntropyFrom(docs(s, dir)).orderBy(col("doc_id"))),
 
     // Per-document surface metrics.
     "q28_text_metrics" -> ((s, dir) =>
@@ -244,6 +276,17 @@ object TextAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q104_token_entropy" ->
+      """WITH wc AS (SELECT doc_id, w, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+        |       round(log2(CAST(sum(c) AS DOUBLE)) -
+        |             sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+        |             6) AS entropy
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q102_nb_langid" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
         |tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),

@@ -78,4 +78,66 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     surv.map(_.getLong(2)).sum shouldBe kept
     surv.map(_.getLong(1)).sum shouldBe cl.length
   }
+
+  /** Driver-side reference PageRank, the identical recurrence. */
+  private def refPageRank(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                          iters: Int = 6, d: Double = 0.85): Map[Long, Double] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      .flatMap(e => Seq(e, e.swap))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = sym.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(v => v -> ((1 - d) / n + d * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  private def pr(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    import spark.implicits._
+    Cluster.pageRankFrom(nodes.toDF("node"), edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("pagerank matches the reference recurrence on a planted hub graph") {
+    // hub 0 touches 1..4; 5-6 form an isolated pair; 7..9 fully isolated
+    val nodes = (0L to 9L)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L))
+    val got = pr(nodes, edges)
+    val want = refPageRank(nodes, edges)
+    got.keySet shouldBe want.keySet
+    got.foreach { case (v, r) => r shouldBe want(v) +- 1e-12 }
+    // the hub outranks its spokes, spokes outrank the isolated pair's
+    // members, and fully isolated nodes sit exactly at the teleport floor
+    got(0L) should be > got(1L)
+    got(1L) should be > got(7L)
+    (7L to 9L).foreach(v => got(v) shouldBe (1 - 0.85) / 10 +- 1e-15)
+    // total mass never exceeds 1 (dangling mass leaks, by construction)
+    got.values.sum should be <= 1.0 + 1e-9
+  }
+
+  test("pagerank is invariant to edge orientation and duplicate edges") {
+    val nodes = (0L to 4L)
+    val a = pr(nodes, Seq((0L, 1L), (1L, 2L)))
+    val b = pr(nodes, Seq((1L, 0L), (2L, 1L), (0L, 1L), (1L, 2L)))
+    a.foreach { case (v, r) => r shouldBe b(v) +- 1e-15 }
+  }
+
+  test("q107 plans only equi-joins and tie-breaks deterministically") {
+    val df = SparkEntry.queries("q107_pagerank")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    val rows = df.collect()
+    rows.length should be <= 20
+    // sorted by rank desc then doc_id asc
+    val pairs = rows.map(r => (r.getDouble(1), r.getLong(0)))
+    pairs.sliding(2).foreach { case Array((r1, d1), (r2, d2)) =>
+      assert(r1 > r2 || (r1 == r2 && d1 < d2))
+    case _ => ()
+    }
+  }
 }

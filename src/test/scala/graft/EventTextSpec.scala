@@ -111,6 +111,46 @@ class EventTextSpec extends AnyFunSuite with Matchers {
     m(2L)._2 shouldBe 6L
   }
 
+  test("token entropy: zero for constant docs, log2(n) for all-distinct docs") {
+    val d = Seq(
+      (1L, "a a a a a a a a"),          // constant: H = 0, TTR = 1/8
+      (2L, "a b c d e f g h"),          // uniform distinct: H = log2(8) = 3
+      (3L, "a a a a b b c d"))          // mixed: H = 1.75 exactly
+      .toDF("doc_id", "text")
+    val out = TextAnalytics.tokenEntropyFrom(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    out(1L) shouldBe ((8L, 1L, 0.125, 0.0))
+    out(2L) shouldBe ((8L, 8L, 1.0, 3.0))
+    // H = log2(8) - (4·log2 4 + 2·log2 2)/8 = 3 - 10/8 = 1.75
+    out(3L) shouldBe ((8L, 4L, 0.5, 1.75))
+  }
+
+  test("q105/q106 fixture invariants: fences bracket the median; paths cap at 5 steps") {
+    val outl = SparkEntry.queries("q105_value_outliers")(TestSpark.spark, TestSpark.sf0001).collect()
+    outl should not be empty
+    outl.foreach { r =>
+      val (n, q1, q3, nOut) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      q1 should be <= q3
+      nOut should be <= n
+      // Tukey fences keep at least the inter-quartile half of the data
+      nOut.toDouble / n should be <= 0.5
+    }
+    val paths = SparkEntry.queries("q106_session_paths")(TestSpark.spark, TestSpark.sf0001).collect()
+    paths should not be empty
+    paths.length should be <= 20
+    paths.foreach { r =>
+      r.getString(0).split(">").length should be <= 5
+      r.getLong(1) should be >= 1L
+    }
+    // ranked by n_users desc, path asc
+    paths.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) > b.getLong(1) ||
+          (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+      case _ => ()
+    }
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val df = Seq((1L, "Foo  Bar"), (2L, "foo bar"), (3L, " FOO\tBAR ")).toDF("doc_id", "text")
     val fps = df.select(TextAnalytics.fingerprint($"text")).collect().map(_.getString(0))
