@@ -193,6 +193,33 @@ object EventAnalytics extends QueryModule {
       volumeAnomalies(ev(s, dir))
         .orderBy(col("event_type"), col("unix_hour"))),
 
+    // Time-decayed engagement (q110): per event type, the half-life-weighted
+    // value mass sum(value · 2^(−age/half_life)) with a 7-day half-life
+    // anchored at the corpus max timestamp — the freshness-weighted score a
+    // recommendation/curation pipeline keeps per entity (recent signal
+    // dominates, stale signal decays geometrically, nothing is ever
+    // dropped). One pass: the 1-row max-ts anchor broadcasts back over the
+    // scan, each row's decayed term is per-row math ROUNDED at 6 dp, and
+    // the per-type sum runs in decimal space (order-independent, map-side
+    // partial) — the same exact-sum discipline as q24. Scale: group
+    // cardinality = |event types|; the anchor at 100 TB comes from the
+    // ingest watermark rather than a corpus scan, but the corpus-max form
+    // keeps the query self-contained and oracle-replayable.
+    "q110_time_decay" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val anchor = e.agg(max(col("ts").cast(LongType)).as("tmax"))
+      e.crossJoin(broadcast(anchor))
+        .select(col("event_type"),
+          round(col("value") *
+            pow(lit(0.5),
+              (col("tmax") - col("ts").cast(LongType)).cast("double") / lit(604800.0)),
+            6).as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w").cast(DecimalType(28, 6))).cast("double").as("decayed_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Tukey-fence outlier census per event type: exact quartiles (q94's
     // percentile machinery), fences at q1/q3 ∓ 1.5·IQR, then one counting
     // pass against the fences. The quartile table is event-type-cardinality
@@ -289,6 +316,15 @@ object EventAnalytics extends QueryModule {
         |SELECT prev_type, next_type, count(*) AS n_transitions
         |FROM t WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q110_time_decay" ->
+      """WITH anchor AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events),
+        |w AS (SELECT event_type,
+        |             round(value * pow(0.5,
+        |               CAST(tmax - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) / 604800.0), 6) AS w
+        |      FROM events CROSS JOIN anchor)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS decayed_value
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q90_event_anomaly" ->
       """WITH b AS (SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS unix_hour,
         |                  count(*) AS n_events

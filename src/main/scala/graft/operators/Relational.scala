@@ -107,6 +107,28 @@ object Relational extends QueryModule {
         .limit(10)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // Equi-depth histogram (q112): ntile(8) over the full price order
+    // splits `orders` into 8 equal-population buckets; one group-by then
+    // reports each bucket's boundaries and mass — the exact form of the
+    // statistics an optimizer keeps per column and a data profiler reports.
+    // Deterministic: the sort key is tie-broken by o_orderkey, so bucket
+    // membership is total-order-unique. Scale: ntile over an unpartitioned
+    // window is a global sort (range-partitioned, not single-node, but
+    // still a full sort+shuffle) — the EXACT variant; at 100 TB the same
+    // report comes from approx_percentile cutpoints (one aggregation, no
+    // sort) at bounded error. The exact form is what the oracle can replay.
+    "q112_equidepth_hist" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("bucket",
+          ntile(8).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          exactSum(col("o_totalprice"), 2).as("bucket_mass"))
+        .orderBy(col("bucket"))),
+
     // Set ops over aligned projections.
     "q13_union" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -368,6 +390,14 @@ object Relational extends QueryModule {
     "q12_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q112_equidepth_hist" ->
+      """WITH b AS (SELECT o_totalprice,
+        |             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |           FROM orders)
+        |SELECT bucket, count(*) AS n_orders,
+        |       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_mass
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q13_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION

@@ -70,6 +70,27 @@ object Sampling extends QueryModule {
       .select(col("doc_id"), col("lang"), col("u"))
   }
 
+  /** q111: fixed-COUNT-per-stratum sample — exactly `n` docs per source,
+    * chosen by content-hash order (the complement of q63's rate-based
+    * sample: eval/calibration sets need "exactly 10k per language", not
+    * "roughly 25%"). Deterministic and append-stable under corpus growth
+    * ONLY for surviving rows' identity being hash-ordered (a new doc can
+    * displace the current max — by design: the sample is always the n
+    * hash-smallest, so any two runs over the same corpus agree exactly).
+    * Scale: one shuffle on `source` for the per-stratum `row_number`; at
+    * extreme per-stratum cardinality the same plan runs as a per-partition
+    * top-n (rank ≤ n survives partial aggregation) — Spark already prunes
+    * with WindowGroupLimit below the window sort. */
+  def stratumTopN(s: SparkSession, dir: String, n: Int = 40): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("u_exact"), col("doc_id"))
+    docs(s, dir)
+      .withColumn("u_exact", hashUniform(col("doc_id")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .select(col("source"), col("rn"), col("doc_id"), round(col("u_exact"), 6).as("u"))
+  }
+
   /** Overlapping token-window chunking (the context-prep step a RAG /
     * training pipeline runs before embedding or packing): windows of
     * `chunk` tokens starting every `stride` tokens, so consecutive chunks
@@ -96,6 +117,10 @@ object Sampling extends QueryModule {
 
     "q63_hash_sample" -> ((s, dir) =>
       hashSample(s, dir).orderBy(col("doc_id"))),
+
+    // Fixed-count-per-stratum sample (see stratumTopN).
+    "q111_stratum_topn" -> ((s, dir) =>
+      stratumTopN(s, dir).orderBy(col("source"), col("rn"))),
 
     // Temperature-scaled mixture shares (q101): the UniMax / multilingual-
     // sampling rule p_s ∝ n_s^T (T = 0.7 here): between proportional (T=1,
@@ -190,6 +215,16 @@ object Sampling extends QueryModule {
         |WHERE uu < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
         |                     ELSE 0.25 END
         |ORDER BY doc_id""".stripMargin,
+    "q111_stratum_topn" ->
+      """WITH u AS (SELECT source, doc_id,
+        |  CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       AS DOUBLE) / 4294967296.0 AS uu
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, uu,
+        |        row_number() OVER (PARTITION BY source ORDER BY uu, doc_id) AS rn
+        |      FROM u)
+        |SELECT source, rn, doc_id, round(uu, 6) AS u FROM r
+        |WHERE rn <= 40 ORDER BY source, rn""".stripMargin,
     "q101_temperature_mix" ->
       """WITH t AS (SELECT source, count(*) AS n_docs,
         |             CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens

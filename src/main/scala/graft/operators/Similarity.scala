@@ -220,6 +220,56 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("rn"), col("n_id"), col("sim"))
   }
 
+  /** Fully-declarative Lloyd's k-means (q109) — the ORACLE-REPLAYABLE twin
+    * of [[trainCentroids]]: the same assignment/update pair, but expressed
+    * end-to-end as a DataFrame plan (centroids stay a k-row frame, nothing
+    * reaches the driver) with every float rounded at 6 dp so DuckDB replays
+    * each iteration bit-for-bit — a HASH-EXACT trained-clustering query,
+    * where q40's IVF is recall-checked only.
+    *
+    * Deterministic configuration: seeds are the k lowest-`vec_id` vectors,
+    * assignment is argmin ROUNDED squared-L2 with ties to the lowest
+    * centroid id, the update mean is rounded per component, empty cells
+    * drop out (both engines lose them from the group-by identically).
+    *
+    * Scale shape: per iteration, assignment expands the corpus against a
+    * BROADCAST k-row centroid frame and collapses back with map-side
+    * partial `min(struct(d2, cid))` — the shuffle carries ONE narrow row
+    * per vector; the update is a (cid, pos) component mean — k×dim cells
+    * with map-side partial sums — reassembled into k array rows by a
+    * k-row `collect_list` (bounded by dim, never corpus-sized). The vector
+    * itself rides the assignment shuffle (dim×8 B/row); at 100 TB prefer
+    * [[trainCentroids]], which folds centroids into plan literals and never
+    * shuffles the corpus — the trade documented there. */
+  def kmeansRefine(vecs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val s = vecs.sparkSession
+    val e = vecs.select(col("vec_id"), col("v"))
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(LongType).as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"),
+          struct(round(distSqFast(s, col("v"), col("cv")), 6).as("d2"),
+            col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        // first(v) is well-defined: every grouped row carries the same v
+        .agg(min(col("dc")).as("m"), first(col("v")).as("v"))
+      cents = assigned
+        .select(col("m.cid").as("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("m").as("v")))),
+          x => x.getField("v")).as("cv"))
+    }
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(round(distSqFast(s, col("v"), col("cv")), 6).as("d2"), col("cid")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+  }
+
   /** SemDeDup (q99) — Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication" (2023): cluster the embedding
     * corpus with a coarse quantizer, then search for near-duplicates ONLY
@@ -373,6 +423,12 @@ object Similarity extends QueryModule {
     "q108_pq_adc" -> ((s, dir) =>
       annPqAdc(s, dir, 5).orderBy(col("q_id"), col("rn"))),
 
+    // Hash-exact Lloyd's k-means: 2 declarative assignment/update rounds,
+    // every float rounded at 6 dp so the DuckDB oracle replays the trained
+    // clustering bit-for-bit (q40's IVF is the literal-centroid scale twin).
+    "q109_kmeans_refine" -> ((s, dir) =>
+      kmeansRefine(emb(s, dir)).orderBy(col("vec_id"))),
+
     // Exact cosine top-5 for query vectors vec_id < 3.
     "q38_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -434,6 +490,33 @@ object Similarity extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // Two unrolled Lloyd's iterations; zipped unnest(range)/unnest(v) is the
+    // per-component explode for the centroid-mean update.
+    "q109_kmeans_refine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d1 AS (SELECT e.vec_id, c0.cid, e.v,
+        |         round(list_aggregate(list_transform(range(len(e.v)), i -> pow(e.v[i+1] - c0.cv[i+1], 2)), 'sum'), 6) AS d2
+        |       FROM e CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, cid, v FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
+        |x1 AS (SELECT cid, unnest(range(len(v))) AS i, unnest(v) AS x FROM a1),
+        |m1 AS (SELECT cid, i, round(avg(x), 6) AS m FROM x1 GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
+        |d2_ AS (SELECT e.vec_id, c1.cid, e.v,
+        |         round(list_aggregate(list_transform(range(len(e.v)), i -> pow(e.v[i+1] - c1.cv[i+1], 2)), 'sum'), 6) AS d2
+        |       FROM e CROSS JOIN c1),
+        |a2 AS (SELECT vec_id, cid, v FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2_) WHERE rn = 1),
+        |x2 AS (SELECT cid, unnest(range(len(v))) AS i, unnest(v) AS x FROM a2),
+        |m2 AS (SELECT cid, i, round(avg(x), 6) AS m FROM x2 GROUP BY cid, i),
+        |c2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),
+        |fin AS (SELECT e.vec_id, c2.cid,
+        |         round(list_aggregate(list_transform(range(len(e.v)), i -> pow(e.v[i+1] - c2.cv[i+1], 2)), 'sum'), 6) AS d2
+        |       FROM e CROSS JOIN c2)
+        |SELECT vec_id, cid, d2 FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM fin) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "q38_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),

@@ -329,4 +329,19 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     // the copy's survivor (lower id twin) stays
     out(2L)._3 shouldBe 1L
   }
+
+  test("declarative k-means refinement lowers total cost and keeps all vectors") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+      .select(col("vec_id"), graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val n = e.count()
+    val refined = Similarity.kmeansRefine(e, k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    refined.length.toLong shouldBe n                 // every vector assigned
+    refined.map(_._2).distinct.foreach(c => c should (be >= 0L and be < 8L))
+    // Lloyd's monotonicity: cost after refinement <= the seed assignment's
+    val seed = Similarity.kmeansRefine(e, k = 8, iters = 0)
+      .agg(sum(col("d2"))).head().getDouble(0)
+    refined.map(_._3).sum should be <= seed + 1e-6
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -166,5 +167,28 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     val rows = SparkEntry.queries("q16_window_rank")(spark, sf0001).collect()
     rows.groupBy(_.getString(0)).values.foreach(_.length should be <= 5)
     rows.foreach(_.getLong(1) should be <= 5L)
+  }
+
+  test("equi-depth histogram: 8 buckets, balanced populations, ordered disjoint ranges") {
+    val rows = SparkEntry.queries("q112_equidepth_hist")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    rows.map(_._1) shouldBe (1L to 8L).toArray
+    val sizes = rows.map(_._2)
+    (sizes.max - sizes.min) should be <= 1L   // the ntile population guarantee
+    rows.foreach { case (_, _, lo, hi) => lo should be <= hi }
+    rows.sliding(2).foreach { case Array(a, b) => a._4 should be <= b._3 case _ => }
+  }
+
+  test("time-decayed engagement preserves event counts and is bounded by undecayed mass") {
+    val rows = SparkEntry.queries("q110_time_decay")(spark, sf0001).collect()
+    val raw = graft.sources.Tables.read(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(abs(col("value"))).as("mass"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (n, mass) = raw(r.getString(0))
+      r.getLong(1) shouldBe n                      // decay never drops events
+      math.abs(r.getDouble(2)) should be <= mass + 1e-6 // |weights| <= 1
+    }
   }
 }

@@ -29,6 +29,23 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("fixed-count stratum sample keeps exactly min(n, stratum) per source, hash-ordered") {
+    val n = 40
+    val rows = SparkEntry.queries("q111_stratum_topn")(spark, sf0001).collect()
+    val strata = graft.sources.Tables.read(spark, sf0001, "documents")
+      .groupBy(col("source")).count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = rows.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    for ((src, total) <- strata)
+      kept.getOrElse(src, 0L) shouldBe math.min(n.toLong, total)
+    // rn is 1..k and u is non-decreasing within each stratum (hash order)
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      sorted.map(_.getLong(1)) shouldBe (1L to sorted.length.toLong).toArray
+      val us = sorted.map(_.getDouble(3))
+      us.zip(us.tail).foreach { case (a, b) => a should be <= b }
+    }
+  }
+
   test("mixture rates downsample every language to the smallest stratum") {
     val rows = SparkEntry.queries("q64_mixture_rates")(spark, sf0001).collect()
     val minN = rows.map(_.getLong(1)).min
