@@ -158,9 +158,10 @@ object VersionedLayer {
     * version it READ — two simultaneous mergers both reading N would each
     * publish a child of N and the later one silently drops the earlier
     * delta (the lost-update anomaly Delta detects with its conflict
-    * checker). Run one merger at a time per layer — the same
-    * single-operator caveat as [[vacuum]]; concurrent blind [[write]]
-    * overwrites remain safe. */
+    * checker). Run one merger at a time per layer — or use
+    * [[mergeSerializable]], which adds Delta's conflict-detection retry
+    * loop and makes racing mergers serializable; concurrent blind
+    * [[write]] overwrites remain safe either way. */
   def merge(delta: DataFrame, root: String, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = delta.sparkSession
@@ -178,6 +179,74 @@ object VersionedLayer {
           allowMissingColumns = true)
     }
     write(snapshot, root)
+  }
+
+  /** [[merge]] with Delta's optimistic-concurrency discipline on top: the
+    * lost-update anomaly documented on [[merge]] (two mergers reading the
+    * same base each publish a child of it; the later commit silently drops
+    * the earlier delta) is eliminated by pinning the commit NUMBER to the
+    * base: a serializable merge may only publish version base+1. The claim
+    * CAS then arbitrates conflicting mergers directly — exactly one writer
+    * per version number — and the loser RE-READS the (now advanced) base,
+    * re-derives its snapshot so the winner's rows are included, and retries
+    * against the new base+1. Versions therefore commit densely and in
+    * order, which is what makes "my base is the latest commit" a
+    * serializability proof: when this writer owns claim base+1 and base is
+    * the newest commit marker, no unseen merge can ever slot between them.
+    *
+    * Liveness is bounded, not unconditional (the same trade every
+    * filesystem-log format makes): a claim owner that died before
+    * publishing holds base+1 hostage, so losers wait `waitMs` per attempt
+    * for the marker to appear and give up after `maxRetries` with a
+    * diagnosis naming the dangling claim ([[vacuum]] collects it). Each
+    * retry re-stages the derived snapshot — the price of deriving from a
+    * moved base; the delta itself is never recomputed (cache it upstream
+    * if it is expensive).
+    *
+    * Concurrent [[mergeSerializable]] callers with commuting deltas all
+    * land (asserted in VersionedLayerSpec with racing threads); mixing in
+    * concurrent blind [[write]]s keeps every snapshot well-formed but a
+    * blind overwrite that wins the race supersedes earlier merges by
+    * design (it is later in the serial order and replaces the table). */
+  def mergeSerializable(delta: DataFrame, root: String, keyCols: Seq[String],
+                        maxRetries: Int = 30, waitMs: Long = 200): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = delta.sparkSession
+    val f = fs(spark, root)
+    var attempts = 0
+    while (attempts < maxRetries) {
+      val base = latestVersion(spark, root)
+      val snapshot = base match {
+        case None => delta
+        case Some(v) =>
+          val b = read(spark, root, Some(v))
+          delta.unionByName(b.join(delta.select(keyCols.map(delta(_)): _*)
+            .dropDuplicates(keyCols), keyCols, "left_anti"),
+            allowMissingColumns = true)
+      }
+      val n = base.getOrElse(0L) + 1
+      val staged = new Path(root, s"_staged-${UUID.randomUUID()}")
+      snapshot.write.mode("overwrite").parquet(staged.toString)
+      f.mkdirs(claimDir(root))
+      if (createExclusive(f, new Path(claimDir(root), n.toString))) {
+        val dest = new Path(root, s"v=$n")
+        if (f.exists(dest)) f.delete(dest, true)
+        if (!f.rename(staged, dest))
+          throw new IllegalStateException(s"failed to move $staged to $dest")
+        f.mkdirs(commitDir(root))
+        f.create(new Path(commitDir(root), n.toString), false).close()
+        return n
+      }
+      // lost the claim: another writer owns base+1. Drop our stale staging,
+      // give the winner a beat to publish, re-derive from the moved base.
+      f.delete(staged, true)
+      if (latestVersion(spark, root).getOrElse(0L) < n) Thread.sleep(waitMs)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"mergeSerializable lost the commit race $maxRetries times under $root; " +
+        s"if no concurrent writer is live, a crashed writer's dangling claim " +
+        s"${latestVersion(spark, root).getOrElse(0L) + 1} is blocking the log — vacuum reclaims it")
   }
 
   /** Compact the published snapshot into `targetFiles` parquet files and

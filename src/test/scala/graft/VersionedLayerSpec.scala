@@ -83,6 +83,30 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
     VersionedLayer.versions(spark, root) shouldBe (1L to (writers + 1).toLong)
   }
 
+  test("racing serializable mergers lose no deltas (conflict-detection retry)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = tmpRoot()
+    VersionedLayer.write(Seq((0, "base")).toDF("k", "s"), root)
+    val mergers = 6
+    // merger i upserts the single key i — commuting deltas; plain merge()
+    // racing would let a later commit drop an earlier one (the documented
+    // lost-update anomaly), so EVERY key surviving is the serializability
+    // proof, not just the absence of crashes
+    val versions = Await.result(
+      Future.sequence((1 to mergers).map(i =>
+        Future(VersionedLayer.mergeSerializable(
+          Seq((i, s"w$i")).toDF("k", "s"), root, Seq("k"))))),
+      5.minutes)
+    versions.sorted shouldBe (2L to (mergers + 1).toLong) // dense, in-order log
+    val rows = VersionedLayer.read(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    rows.keySet shouldBe (0 to mergers).toSet          // no delta lost
+    (1 to mergers).foreach(i => rows(i) shouldBe s"w$i")
+    rows(0) shouldBe "base"
+  }
+
   test("vacuum drops old snapshots but never the published one") {
     val root = tmpRoot()
     (1 to 4).foreach(i => VersionedLayer.write(Seq(i).toDF("k"), root))
