@@ -161,7 +161,47 @@ object Cluster extends QueryModule {
     ranks
   }
 
+  /** Triangle census over a canonical `(u, v)` edge frame: exact triangle
+    * count, wedge (length-2 path) count, and the global clustering
+    * coefficient 3·triangles/wedges — the graph-cohesion statistic that
+    * separates a near-dup graph of tight template families (cc → 1) from
+    * chains of marginal pairwise matches (cc → 0), i.e. whether collapsing
+    * components (q76) merges true duplicate groups or daisy-chains.
+    *
+    * The u<v orientation counts each triangle exactly ONCE as
+    * (e1.u<e1.v=e2.u<e2.v) + the closing edge — two narrow equi-joins on
+    * single BIGINT keys, never a cartesian. Join fan-out per key is the
+    * out-degree under the orientation; at 100 TB the standard hardening is
+    * orienting by (degree, id) instead of raw id — bounds out-degree by
+    * O(√m) for any power-law graph — an orientation change only, the count
+    * is invariant. Wedges are Σ d(d−1)/2 over symmetrized degrees —
+    * map-side-combined counts, k rows. The (tiny) edge frame is
+    * localCheckpointed once so the three self-join legs and the degree scan
+    * read materialized rows instead of re-running the upstream pair
+    * pipeline. */
+  def triangleCensus(edges0: DataFrame): DataFrame = {
+    val e = canon(edges0.select(col("u").as("a"), col("v").as("b"))).localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.u") === col("e1.v"))
+      .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .agg(coalesce((sum(col("d") * (col("d") - 1)) / 2).cast("bigint"), lit(0L))
+        .as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(tri).crossJoin(wedges)
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        round(when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 6).as("global_cc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Triangle census of the near-dup graph (see triangleCensus).
+    "q114_triangle_census" -> ((s, dir) =>
+      triangleCensus(Dedup.ngramJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a").as("u"), col("id_b").as("v")))),
 
     // Graph importance over the near-dup graph: PageRank picks the most
     // central document of each duplicate cluster (the canonical-survivor
@@ -279,6 +319,21 @@ object Cluster extends QueryModule {
     "q107_pagerank" -> pageRankOracle,
     "q76_dedup_clusters" ->
       (clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    "q114_triangle_census" ->
+      (edgeCte +
+        """,
+          |tri AS (SELECT count(*) AS n_triangles
+          |        FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+          |             JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+          |deg AS (SELECT n, count(*) AS d FROM
+          |          (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+          |        GROUP BY n),
+          |wdg AS (SELECT COALESCE(CAST(sum(d * (d - 1)) / 2 AS BIGINT), 0) AS n_wedges FROM deg),
+          |ecnt AS (SELECT count(*) AS n_edges FROM edges)
+          |SELECT n_edges, n_triangles, n_wedges,
+          |       round(CASE WHEN n_wedges = 0 THEN 0.0
+          |                  ELSE 3.0 * n_triangles / n_wedges END, 6) AS global_cc
+          |FROM ecnt CROSS JOIN tri CROSS JOIN wdg""".stripMargin),
     "q77_cluster_survivors" ->
       (clusterCte +
         """

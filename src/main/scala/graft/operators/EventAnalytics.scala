@@ -193,6 +193,27 @@ object EventAnalytics extends QueryModule {
       volumeAnomalies(ev(s, dir))
         .orderBy(col("event_type"), col("unix_hour"))),
 
+    // Cohort retention (q113): the day-grid activity matrix every growth /
+    // engagement dashboard is built on — cohort = a user's first-seen day,
+    // cell (cohort, d) = distinct users of that cohort active d days later.
+    // Two shuffles, both on natural keys: first-seen is a map-side-combined
+    // min over user_id; the (cohort, offset, user) distinct + count shuffles
+    // once more on the bounded (cohort × offset) grid after the per-user
+    // dedup. The first-seen table joins back on user_id — the same key the
+    // min just shuffled on, so AQE reuses the partitioning; day math is
+    // epoch-floored BIGINT (timezone-free, oracle-exact).
+    "q113_cohort_retention" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .select(col("user_id"), floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      e.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .dropDuplicates("user_id", "cohort_day", "day_offset")
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Time-decayed engagement (q110): per event type, the half-life-weighted
     // value mass sum(value · 2^(−age/half_life)) with a 7-day half-life
     // anchored at the corpus max timestamp — the freshness-weighted score a
@@ -316,6 +337,14 @@ object EventAnalytics extends QueryModule {
         |SELECT prev_type, next_type, count(*) AS n_transitions
         |FROM t WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q113_cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(min(floor(epoch(ts)/86400)) AS BIGINT) AS cohort_day
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        |        CAST(floor(epoch(e.ts)/86400) AS BIGINT) - f.cohort_day AS day_offset
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT cohort_day, day_offset, count(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q110_time_decay" ->
       """WITH anchor AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events),
         |w AS (SELECT event_type,

@@ -140,4 +140,36 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     case _ => ()
     }
   }
+
+  test("triangle census: closed triple + chain + clique count exactly") {
+    import spark.implicits._
+    def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
+      val r = Cluster.triangleCensus(edges.toDF("u", "v")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    // one triangle: 3 edges, 3 wedges, cc = 1
+    census(Seq((1L, 2L), (2L, 3L), (1L, 3L))) shouldBe ((3L, 1L, 3L, 1.0))
+    // 4-chain: no triangles, 2 wedges, cc = 0
+    census(Seq((1L, 2L), (2L, 3L), (3L, 4L))) shouldBe ((3L, 0L, 2L, 0.0))
+    // K4: 6 edges, 4 triangles, 12 wedges, cc = 1; duplicate/reversed edges collapse
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i != j) yield (i, j)
+    census(k4) shouldBe ((6L, 4L, 12L, 1.0))
+    // empty graph: all zeros, cc well-defined at 0
+    census(Seq.empty[(Long, Long)]) shouldBe ((0L, 0L, 0L, 0.0))
+  }
+
+  test("cohort retention: offset-0 diagonal equals cohort size, offsets non-negative") {
+    val rows = SparkEntry.queries("q113_cohort_retention")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (_, off, n) => off should be >= 0L; n should be > 0L }
+    // every user appears on their cohort's offset-0 diagonal exactly once,
+    // so the diagonal sums to the distinct-user total
+    val diag = rows.filter(_._2 == 0L).map(_._3).sum
+    val users = graft.sources.Tables.read(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    diag shouldBe users
+    // no retention cell can exceed its cohort's size
+    val size = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (c, _, n) => n should be <= size(c) }
+  }
 }
