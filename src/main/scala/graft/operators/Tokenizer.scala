@@ -110,8 +110,49 @@ object Tokenizer extends QueryModule {
         .select(col("rank"), col("term"), col("n_occ"), col("df"),
           round(col("cum_occ").cast("double") / col("total"), 6).as("cum_coverage"))
         .orderBy(col("rank"))
-    })
+    }),
+
+    // Zipf head-fit (q115): least-squares slope of log10(freq) on
+    // log10(rank) over the top-500 terms — the corpus-health check behind
+    // "does this look like natural language?" (clean text fits slope ≈ −1;
+    // template/boilerplate floods flatten the head, tokenizer damage
+    // steepens it). Closed form from five scalars, each an
+    // order-independent sum: x/y are pre-rounded doubles, every summed
+    // term re-rounds at 12 dp and accumulates in DECIMAL(38,12), and only
+    // the five finished sums convert to double for the identical final
+    // arithmetic on either engine. The rank sort is bounded (vocab-sized
+    // input, 500-row head), never corpus-sized.
+    "q115_zipf_slope" -> ((s, dir) => zipfSlopeFrom(docs(s, dir)))
   )
+
+  /** q115's engine: least-squares (slope, intercept) of log10(freq) on
+    * log10(rank) over the `headK` most frequent whitespace tokens of
+    * `docsDf.text` (see the q115 query comment for the numeric
+    * discipline). */
+  def zipfSlopeFrom(docsDf: DataFrame, headK: Int = 500): DataFrame = {
+    val terms = docsDf
+      .select(explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_occ"))
+    val byRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("term"))
+    val xy = terms.orderBy(col("n_occ").desc, col("term")).limit(headK)
+      .withColumn("rank", row_number().over(byRank).cast("double"))
+      .select(round(log10(col("rank")), 6).as("x"),
+        round(log10(col("n_occ").cast("double")), 6).as("y"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 12).cast(dec)).cast("double").as("sxy"),
+      sum(round(col("x") * col("x"), 12).cast(dec)).cast("double").as("sxx"))
+      .select(col("n").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q81_bigram_merges" ->
@@ -148,6 +189,23 @@ object Tokenizer extends QueryModule {
         |      FROM head)
         |SELECT rank, term, n_occ, df,
         |       round(CAST(cum_occ AS DOUBLE) / total, 6) AS cum_coverage
-        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "q115_zipf_slope" ->
+      """WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |terms AS (SELECT term, count(*) AS n_occ FROM toks GROUP BY term),
+        |head AS (SELECT term, n_occ FROM terms ORDER BY n_occ DESC, term LIMIT 500),
+        |xy AS (SELECT round(log10(CAST(row_number() OVER (ORDER BY n_occ DESC, term) AS DOUBLE)), 6) AS x,
+        |              round(log10(CAST(n_occ AS DOUBLE)), 6) AS y
+        |       FROM head),
+        |s AS (SELECT count(*) AS n,
+        |        CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |      FROM xy)
+        |SELECT n AS n_terms,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM s""".stripMargin
   )
 }

@@ -249,6 +249,36 @@ object VersionedLayer {
         s"${latestVersion(spark, root).getOrElse(0L) + 1} is blocking the log — vacuum reclaims it")
   }
 
+  /** Exactly-once-EFFECT Structured Streaming sink: merge each micro-batch
+    * into the layer and skip batch ids the layer already absorbed — Delta's
+    * `txnAppId`/`txnVersion` idempotent-writer pattern rebuilt on this
+    * layer's log. Use as
+    * `stream.writeStream.foreachBatch(VersionedLayer.idempotentMergeBatch(root, keys, appId) _)`.
+    *
+    * Replay protection: a marker `_txn/<appId>-<batchId>` is exclusively
+    * created AFTER the merge commits, so the crash window (merge committed,
+    * marker missing) re-applies the merge on restart — harmless, because
+    * re-merging the identical delta is content-idempotent (the snapshot at
+    * a duplicate version is byte-equal; asserted in the spec). Marker-first
+    * would instead DROP a batch when the crash lands between marker and
+    * merge — the unrecoverable side of the trade. Markers are per `appId`:
+    * distinct streams into one layer keep independent replay cursors.
+    * [[vacuum]] leaves `_txn` untouched (retention of replay cursors must
+    * outlive snapshot retention — a restarted query may replay a batch
+    * older than the oldest kept snapshot). */
+  def idempotentMergeBatch(root: String, keyCols: Seq[String], appId: String)
+                          (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val f = fs(spark, root)
+    val marker = new Path(new Path(root, "_txn"), s"$appId-$batchId")
+    if (!f.exists(marker)) {
+      mergeSerializable(batch, root, keyCols)
+      f.mkdirs(new Path(root, "_txn"))
+      createExclusive(f, marker) // a racing replica's loss means it already marked
+      ()
+    }
+  }
+
   /** Compact the published snapshot into `targetFiles` parquet files and
     * publish the rewrite as a NEW version (contents identical — asserted in
     * the spec; prior versions stay time-travelable until [[vacuum]]). The

@@ -54,4 +54,18 @@ class TokenizerSpec extends AnyFunSuite with Matchers {
     val headOcc = rows.map(_.getLong(2)).sum
     cov.last shouldBe (headOcc.toDouble / total) +- 1e-6
   }
+
+  test("zipf slope recovers -1 on a planted power-law corpus, ~0 on a uniform one") {
+    import spark.implicits._
+    // token w_i appears floor(4000 / i) times: freq ∝ 1/rank → slope −1
+    val zipfTokens = (1 to 40).flatMap(i => Seq.fill(4000 / i)(s"w${"%03d".format(i)}"))
+    val zipf = Seq((1L, zipfTokens.mkString(" "))).toDF("doc_id", "text")
+    val r = Tokenizer.zipfSlopeFrom(zipf).head()
+    r.getLong(0) shouldBe 40L
+    r.getDouble(1) shouldBe -1.0 +- 0.02
+    // all-equal frequencies: the head is flat, slope ~ 0
+    val flatTokens = (1 to 40).flatMap(i => Seq.fill(100)(s"w$i"))
+    val flat = Seq((1L, flatTokens.mkString(" "))).toDF("doc_id", "text")
+    Tokenizer.zipfSlopeFrom(flat).head().getDouble(1) shouldBe 0.0 +- 1e-9
+  }
 }

@@ -107,6 +107,30 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
     rows(0) shouldBe "base"
   }
 
+  test("idempotent streaming merge: replayed batch ids apply no second effect") {
+    val root = tmpRoot()
+    val sink = VersionedLayer.idempotentMergeBatch(root, Seq("k"), "app1") _
+    sink(Seq((1, "a"), (2, "b")).toDF("k", "s"), 0L)
+    sink(Seq((2, "B"), (3, "c")).toDF("k", "s"), 1L)
+    val vAfter = VersionedLayer.latestVersion(spark, root)
+    val snap = VersionedLayer.read(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    snap shouldBe Map(1 -> "a", 2 -> "B", 3 -> "c")
+    // restart replays batch 1: marker short-circuits, no new version
+    sink(Seq((2, "B"), (3, "c")).toDF("k", "s"), 1L)
+    VersionedLayer.latestVersion(spark, root) shouldBe vAfter
+    // the crash window (merge committed, marker lost) re-merges the same
+    // delta: an extra version whose snapshot is content-identical
+    VersionedLayer.merge(Seq((2, "B"), (3, "c")).toDF("k", "s"), root, Seq("k"))
+    VersionedLayer.read(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap shouldBe snap
+    // a second app's cursor is independent: same batch id still applies
+    VersionedLayer.idempotentMergeBatch(root, Seq("k"), "app2")(
+      Seq((4, "d")).toDF("k", "s"), 1L)
+    VersionedLayer.read(spark, root).collect()
+      .map(_.getInt(0)).toSet shouldBe Set(1, 2, 3, 4)
+  }
+
   test("vacuum drops old snapshots but never the published one") {
     val root = tmpRoot()
     (1 to 4).foreach(i => VersionedLayer.write(Seq(i).toDF("k"), root))
