@@ -214,6 +214,28 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Inter-arrival gap percentiles (q117): per event type (of the later
+    // event), exact p50/p90 of the seconds between a user's consecutive
+    // events — the latency-profile statistic behind session-timeout and
+    // anomaly thresholds (q26's 30-minute session gap is exactly a choice
+    // this table informs). The lag window partitions on user_id (natural
+    // high-cardinality key; (ts, event_id) total order as in q95); gaps are
+    // BIGINT seconds so percentile interpolation is the only float, rounded
+    // at 6 dp (the q94 discipline).
+    "q117_gap_percentiles" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"),
+          (col("ts").cast(LongType) -
+            lag(col("ts").cast(LongType), 1).over(byUser)).as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap, 0.5)"), 6).as("p50"),
+          round(expr("percentile(gap, 0.9)"), 6).as("p90"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-decayed engagement (q110): per event type, the half-life-weighted
     // value mass sum(value · 2^(−age/half_life)) with a 7-day half-life
     // anchored at the corpus max timestamp — the freshness-weighted score a
@@ -345,6 +367,16 @@ object EventAnalytics extends QueryModule {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort_day, day_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q117_gap_percentiles" ->
+      """WITH g AS (SELECT event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) -
+        |             lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |           FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap), 6) AS p50,
+        |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap), 6) AS p90
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "q110_time_decay" ->
       """WITH anchor AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events),
         |w AS (SELECT event_type,

@@ -198,6 +198,39 @@ object Retrieval extends QueryModule {
       .limit(k)
   }
 
+  /** Default phrase for the fixture phrase query (a frequent fixture
+    * trigram, so the oracle comparison exercises real multi-hit docs). */
+  val PhraseTerms: Seq[String] = Seq("slow", "hash", "batch")
+
+  /** Exact phrase search via POSITIONAL postings — the inverted-index
+    * upgrade conjunctive AND (q80) can't express: "slow hash batch" must
+    * appear as consecutive tokens, not merely co-occur. Positions come from
+    * one `posexplode` pass (the same single tokenize pass as [[termFreqs]],
+    * position-preserving); the phrase plan is w−1 self-equi-joins of the
+    * FILTERED postings (only the query terms' rows survive the scan —
+    * pushed predicate, so join input is the phrase terms' posting lists,
+    * not the corpus), keyed on (doc_id, adjacent position). Returns
+    * `(doc_id, n_hits)` for matching docs, hit-count descending.
+    *
+    * Scale: cost ∝ the SHORTEST query term's posting list (the other legs
+    * semi-prune against it through the equi-join), the standard positional-
+    * index bound; positions are BIGINTs riding the existing explode, so the
+    * index adds one narrow column, not a second corpus pass. */
+  def phraseSearch(docsDf: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase search needs at least two terms")
+    val pos = docsDf
+      .select(col("doc_id"), posexplode(split(trim(col("text")), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("term"))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term") === t)
+        .select(col("doc_id"), (col("p") - i).as("anchor"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -216,6 +249,10 @@ object Retrieval extends QueryModule {
     "q80_keyword_and" -> ((s, dir) =>
       keywordAndSearch(docs(s, dir), QueryTerms)
         .orderBy(col("doc_id"))),
+
+    // Exact positional phrase search (see phraseSearch).
+    "q116_phrase_search" -> ((s, dir) =>
+      phraseSearch(docs(s, dir), PhraseTerms)),
 
     // Sparse (bag-of-words TF-IDF) cosine top-20 pairs.
     "q91_tfidf_cosine" -> ((s, dir) =>
@@ -261,6 +298,15 @@ object Retrieval extends QueryModule {
           |SELECT doc_id, round(sum(w), 6) AS bm25
           |FROM w GROUP BY doc_id
           |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+    "q116_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(len(w))) AS p, unnest(w) AS term FROM toks),
+        |l0 AS (SELECT doc_id, p AS anchor FROM pos WHERE term = 'slow'),
+        |l1 AS (SELECT doc_id, p - 1 AS anchor FROM pos WHERE term = 'hash'),
+        |l2 AS (SELECT doc_id, p - 2 AS anchor FROM pos WHERE term = 'batch')
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM l0 JOIN l1 USING (doc_id, anchor) JOIN l2 USING (doc_id, anchor)
+        |GROUP BY doc_id ORDER BY n_hits DESC, doc_id""".stripMargin,
     "q80_keyword_and" ->
       (invIndexCte +
         """

@@ -91,6 +91,27 @@ object Sampling extends QueryModule {
       .select(col("source"), col("rn"), col("doc_id"), round(col("u_exact"), 6).as("u"))
   }
 
+  /** q118: weighted priority sample — Efraimidis–Spirakis (2006)
+    * "Weighted random sampling with a reservoir" via the exponential-key
+    * trick: each row draws priority key −ln(u)/w (u = the content hash,
+    * w = n_chars), and the n SMALLEST keys form a sample where inclusion
+    * probability tracks weight — heavy (long) documents are
+    * proportionally favored, exactly the "sample by token mass, not doc
+    * count" draw a mixture audit wants. Deterministic: u is the md5 hash
+    * (rerun-identical), keys are rounded at 9 dp before ranking (libm ln
+    * may differ in the last ulp across engines), ties break on doc_id.
+    * One bounded top-n over row-local math — `TakeOrderedAndProject`, no
+    * corpus sort, no state; the reservoir formulation streams the same
+    * keys when the data does not fit a sort. */
+  def weightedPrioritySample(s: SparkSession, dir: String, n: Int = 50): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        // +1e-12 floors u away from ln(0) = −∞ (a hash of exactly zero);
+        // identical on both engines so the keys still agree bit-for-bit
+        round(-log(hashUniform(col("doc_id")) + lit(1e-12)) / col("n_chars"), 9).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .limit(n)
+
   /** Overlapping token-window chunking (the context-prep step a RAG /
     * training pipeline runs before embedding or packing): windows of
     * `chunk` tokens starting every `stride` tokens, so consecutive chunks
@@ -121,6 +142,10 @@ object Sampling extends QueryModule {
     // Fixed-count-per-stratum sample (see stratumTopN).
     "q111_stratum_topn" -> ((s, dir) =>
       stratumTopN(s, dir).orderBy(col("source"), col("rn"))),
+
+    // Weighted priority sample (see weightedPrioritySample).
+    "q118_weighted_sample" -> ((s, dir) =>
+      weightedPrioritySample(s, dir)),
 
     // Temperature-scaled mixture shares (q101): the UniMax / multilingual-
     // sampling rule p_s ∝ n_s^T (T = 0.7 here): between proportional (T=1,
@@ -215,6 +240,14 @@ object Sampling extends QueryModule {
         |WHERE uu < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
         |                     ELSE 0.25 END
         |ORDER BY doc_id""".stripMargin,
+    "q118_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, source, n_chars,
+        |  CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       AS DOUBLE) / 4294967296.0 AS uu
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |       round(-ln(uu + 1e-12) / n_chars, 9) AS k
+        |FROM u ORDER BY k, doc_id LIMIT 50""".stripMargin,
     "q111_stratum_topn" ->
       """WITH u AS (SELECT source, doc_id,
         |  CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

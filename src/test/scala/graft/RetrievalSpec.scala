@@ -113,4 +113,20 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     // what must never appear is an all-pairs product over data tables)
     p should not include "CartesianProduct"
   }
+
+  test("phrase search demands adjacency, counts overlapping hits, beats AND on precision") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x a b c y a b c"),     // phrase twice
+      (2L, "a x b y c"),           // all terms, never adjacent — AND hit, phrase miss
+      (3L, "a a a b c"),           // phrase once (trailing window)
+      (4L, "c b a")                // reversed — order matters
+    ).toDF("doc_id", "text")
+    val hits = Retrieval.phraseSearch(corpus, Seq("a", "b", "c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hits shouldBe Map(1L -> 2L, 3L -> 1L)
+    // overlapping occurrences each count: "a a b c" windows at the repeated a
+    Retrieval.phraseSearch(Seq((9L, "a a b c")).toDF("doc_id", "text"), Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((9L, 1L))
+  }
 }

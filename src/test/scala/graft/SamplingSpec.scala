@@ -46,6 +46,21 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("weighted priority sample favors heavy documents and is deterministic") {
+    val a = Sampling.weightedPrioritySample(spark, sf0001, 15).collect()
+    val b = Sampling.weightedPrioritySample(spark, sf0001, 15).collect()
+    a.map(_.getLong(0)) shouldBe b.map(_.getLong(0))
+    // Efraimidis–Spirakis inclusion tracks weight: the sample's mean
+    // n_chars must exceed the corpus mean (weights ARE n_chars)
+    val sampleMean = a.map(_.getLong(2)).sum.toDouble / a.length
+    val corpusMean = graft.sources.Tables.read(spark, sf0001, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    sampleMean should be > corpusMean
+    // keys are sorted ascending (smallest-key-wins draw)
+    val ks = a.map(_.getDouble(3))
+    ks.zip(ks.tail).foreach { case (x, y) => x should be <= y }
+  }
+
   test("mixture rates downsample every language to the smallest stratum") {
     val rows = SparkEntry.queries("q64_mixture_rates")(spark, sf0001).collect()
     val minN = rows.map(_.getLong(1)).min
