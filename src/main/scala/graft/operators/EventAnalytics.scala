@@ -214,6 +214,31 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Rolling 7-day active users (q119): for every day with activity, the
+    // EXACT distinct-user count over the trailing 7-day window — the DAU/
+    // WAU denominator. Exact rolling distinct doesn't decompose into
+    // running sums (users overlap across days), so the scalable shape is:
+    // dedup to (day, user) pairs first (the big shuffle, map-side
+    // combined), then explode each pair onto the ≤7 window-anchor days it
+    // supports — bounded 7× amplification of the ALREADY-deduped pairs,
+    // never of raw events — and count distinct per anchor. Anchors are
+    // restricted to days that actually had activity (semi-join against the
+    // day list) so trailing-silence days emit nothing on either engine.
+    "q119_rolling_active" -> ((s, dir) => {
+      val dayUser = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("user_id"))
+        .distinct()
+      val days = dayUser.select(col("day")).distinct()
+      dayUser
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("anchor"))
+        .join(days.withColumnRenamed("day", "anchor"), Seq("anchor"), "left_semi")
+        .groupBy(col("anchor"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .select(col("anchor").as("day"), col("active_7d"))
+        .orderBy(col("day"))
+    }),
+
     // Inter-arrival gap percentiles (q117): per event type (of the later
     // event), exact p50/p90 of the seconds between a user's consecutive
     // events — the latency-profile statistic behind session-timeout and
@@ -367,6 +392,15 @@ object EventAnalytics extends QueryModule {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort_day, day_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q119_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |x AS (SELECT du.user_id, du.day + o.o AS anchor
+        |      FROM du CROSS JOIN (SELECT unnest(range(7)) AS o) o)
+        |SELECT anchor AS day, count(DISTINCT user_id) AS active_7d
+        |FROM x WHERE anchor IN (SELECT day FROM days)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q117_gap_percentiles" ->
       """WITH g AS (SELECT event_type,
         |             CAST(floor(epoch(ts)) AS BIGINT) -

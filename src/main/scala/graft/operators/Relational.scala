@@ -129,6 +129,37 @@ object Relational extends QueryModule {
           exactSum(col("o_totalprice"), 2).as("bucket_mass"))
         .orderBy(col("bucket"))),
 
+    // Column profile (q120): the data-quality summary a profiler emits per
+    // column — row count, null count, distinct count, lexicographic
+    // min/max — computed for the whole table in ONE pass: `stack` unpivots
+    // each row into (col_name, value-as-string) pairs (row-local, no
+    // shuffle), then one aggregation keyed on the bounded column-name set.
+    // Value canonicalization makes the string forms engine-identical:
+    // integers via DECIMAL(18,0), money via DECIMAL(18,2) (double→string
+    // formatting diverges across engines; decimal→string doesn't). At
+    // 100 TB this is the same single-scan shape — the unpivot multiplies
+    // rows by column count BUT map-side partial aggregation collapses them
+    // to (columns × partials) before the shuffle; countDistinct rewrites to
+    // a two-phase exact-distinct aggregate on (col_name, val).
+    "q120_column_profile" -> ((s, dir) => {
+      val stackExpr =
+        """stack(5,
+          |  'c_custkey',    cast(cast(c_custkey    as decimal(18,0)) as string),
+          |  'c_name',       c_name,
+          |  'c_nationkey',  cast(cast(c_nationkey  as decimal(18,0)) as string),
+          |  'c_acctbal',    cast(cast(c_acctbal    as decimal(18,2)) as string),
+          |  'c_mktsegment', c_mktsegment) as (col_name, val)""".stripMargin
+      t(s, dir, "customer")
+        .select(expr(stackExpr))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
+        .orderBy(col("col_name"))
+    }),
+
     // Set ops over aligned projections.
     "q13_union" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -398,6 +429,18 @@ object Relational extends QueryModule {
         |       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_mass
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q120_column_profile" ->
+      """WITH u AS (
+        |  SELECT 'c_custkey' AS col_name, CAST(CAST(c_custkey AS DECIMAL(18,0)) AS VARCHAR) AS val FROM customer
+        |  UNION ALL SELECT 'c_name', c_name FROM customer
+        |  UNION ALL SELECT 'c_nationkey', CAST(CAST(c_nationkey AS DECIMAL(18,0)) AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_acctbal', CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer)
+        |SELECT col_name, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       count(DISTINCT val) AS n_distinct,
+        |       min(val) AS min_val, max(val) AS max_val
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
     "q13_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION

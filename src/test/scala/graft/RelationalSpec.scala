@@ -179,6 +179,37 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     rows.sliding(2).foreach { case Array(a, b) => a._4 should be <= b._3 case _ => }
   }
 
+  test("rolling 7-day actives dominate daily actives and cap at the user universe") {
+    val rolling = SparkEntry.queries("q119_rolling_active")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val daily = graft.sources.Tables.read(spark, sf0001, "events")
+      .select(floor(col("ts").cast("long") / 86400L).cast("long").as("day"), col("user_id"))
+      .distinct().groupBy(col("day")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val universe = graft.sources.Tables.read(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    rolling.keySet should contain allElementsOf daily.keySet
+    daily.foreach { case (d, n) =>
+      rolling(d) should be >= n          // window includes the day itself
+      rolling(d) should be <= universe   // never exceeds the user universe
+    }
+  }
+
+  test("column profile: per-column cardinalities and counts line up with the table") {
+    val rows = SparkEntry.queries("q120_column_profile")(spark, sf0001).collect()
+    rows.map(_.getString(0)).sorted shouldBe Array(
+      "c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey")
+    val nRows = graft.sources.Tables.read(spark, sf0001, "customer").count()
+    rows.foreach { r =>
+      r.getLong(1) shouldBe nRows                       // n_rows
+      (r.getLong(2) + r.getLong(3)) should be >= 1L     // nulls + distinct nonzero
+      r.getLong(3) should be <= nRows                   // n_distinct bounded
+      r.getString(4) should be <= r.getString(5)        // min <= max
+    }
+    // the key column is unique: distinct count equals the row count
+    rows.find(_.getString(0) == "c_custkey").get.getLong(3) shouldBe nRows
+  }
+
   test("time-decayed engagement preserves event counts and is bounded by undecayed mass") {
     val rows = SparkEntry.queries("q110_time_decay")(spark, sf0001).collect()
     val raw = graft.sources.Tables.read(spark, sf0001, "events")
