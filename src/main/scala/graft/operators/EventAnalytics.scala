@@ -214,6 +214,37 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Winsorized means (q122): per event type, the robust mean after
+    // clipping values to the exact [p05, p95] fences — the outlier
+    // treatment that KEEPS rows (unlike q105's census, which only counts
+    // them): heavy-tailed `value` telemetry distorts a plain mean and
+    // winsorizing bounds any single reading's leverage. Same two-pass
+    // shape as q105: the per-type fence table is event-type-cardinality
+    // tiny and joins back BROADCAST; fences round at 6 dp (cross-engine
+    // reproducible clip points), clipped values re-round at 6 dp and sum
+    // in DECIMAL space, and both means divide identically as doubles.
+    "q122_winsorized_mean" -> ((s, dir) => {
+      val fences = ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
+          round(expr("percentile(value, 0.95)"), 6).as("hi"))
+      val clipped = ev(s, dir)
+        .join(broadcast(fences), Seq("event_type"))
+        .select(col("event_type"),
+          col("value"),
+          round(least(greatest(col("value"), col("lo")), col("hi")), 6).as("w"))
+      clipped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+            .as("raw_mean"),
+          (sum(col("w").cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+            .as("winsorized_mean"))
+        .select(col("event_type"), col("n_events"),
+          round(col("raw_mean"), 6).as("raw_mean"),
+          round(col("winsorized_mean"), 6).as("winsorized_mean"))
+        .orderBy(col("event_type"))
+    }),
+
     // Rolling 7-day active users (q119): for every day with activity, the
     // EXACT distinct-user count over the trailing 7-day window — the DAU/
     // WAU denominator. Exact rolling distinct doesn't decompose into
@@ -392,6 +423,18 @@ object EventAnalytics extends QueryModule {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort_day, day_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q122_winsorized_mean" ->
+      """WITH f AS (SELECT event_type,
+        |             round(percentile_cont(0.05) WITHIN GROUP (ORDER BY value), 6) AS lo,
+        |             round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS hi
+        |           FROM events GROUP BY 1),
+        |c AS (SELECT e.event_type, e.value,
+        |             round(least(greatest(e.value, f.lo), f.hi), 6) AS w
+        |      FROM events e JOIN f USING (event_type))
+        |SELECT event_type, count(*) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS raw_mean,
+        |       round(CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS winsorized_mean
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q119_rolling_active" ->
       """WITH du AS (SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id
         |            FROM events),

@@ -160,6 +160,31 @@ object Relational extends QueryModule {
         .orderBy(col("col_name"))
     }),
 
+    // Incremental view maintenance (q121): the gold aggregate maintained
+    // from MERGEABLE PARTIAL STATES — (count, decimal sum) per group is a
+    // commutative monoid, so "old state ⊕ delta state = full recompute"
+    // exactly. The query materializes the base state (orders before 1997),
+    // the delta state (1997 on), unions and re-reduces — the shape an
+    // incremental gold refresh runs nightly with the state table persisted
+    // via VersionedLayer.merge keyed on the group key, touching only the
+    // delta partitions (F3's incremental window) instead of the 100 TB
+    // history. The oracle recomputes from scratch: equality IS the IVM
+    // correctness proof. Decimal-space sums make ⊕ order-independent.
+    "q121_ivm_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cutoff = to_timestamp(lit("1997-01-01"))
+      def state(part: DataFrame): DataFrame = part
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sm"))
+      state(o.filter(col("o_orderdate") < cutoff))
+        .unionByName(state(o.filter(col("o_orderdate") >= cutoff)))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cnt")).as("n_orders"),
+          sum(col("sm")).cast("double").as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Set ops over aligned projections.
     "q13_union" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -429,6 +454,12 @@ object Relational extends QueryModule {
         |       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_mass
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // The oracle recomputes the aggregate from scratch — matching it proves
+    // the partial-state merge maintains the view exactly.
+    "q121_ivm_merge" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q120_column_profile" ->
       """WITH u AS (
         |  SELECT 'c_custkey' AS col_name, CAST(CAST(c_custkey AS DECIMAL(18,0)) AS VARCHAR) AS val FROM customer

@@ -210,6 +210,34 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     rows.find(_.getString(0) == "c_custkey").get.getLong(3) shouldBe nRows
   }
 
+  test("IVM state merge equals the from-scratch aggregate (monoid proof)") {
+    val merged = SparkEntry.queries("q121_ivm_merge")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val scratch = graft.sources.Tables.read(spark, sf0001, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("t"))
+      .orderBy(col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    merged shouldBe scratch
+  }
+
+  test("winsorized mean sits inside the fences and keeps every row") {
+    val rows = SparkEntry.queries("q122_winsorized_mean")(spark, sf0001).collect()
+    val fences = graft.sources.Tables.read(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("lo"), expr("percentile(value, 0.95)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val counts = graft.sources.Tables.read(spark, sf0001, "events")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (lo, hi) = fences(r.getString(0))
+      r.getLong(1) shouldBe counts(r.getString(0))      // winsorizing drops nothing
+      r.getDouble(3) should (be >= lo - 1e-6 and be <= hi + 1e-6)
+    }
+  }
+
   test("time-decayed engagement preserves event counts and is bounded by undecayed mass") {
     val rows = SparkEntry.queries("q110_time_decay")(spark, sf0001).collect()
     val raw = graft.sources.Tables.read(spark, sf0001, "events")
