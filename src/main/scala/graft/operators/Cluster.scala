@@ -203,6 +203,31 @@ object Cluster extends QueryModule {
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a").as("u"), col("id_b").as("v")))),
 
+    // Cross-source duplication matrix (q125): near-dup pair counts by
+    // unordered source pair — the provenance view pairwise output can't
+    // give directly: diagonal cells are within-source template families
+    // (fix the source's extractor), off-diagonal cells are cross-source
+    // copying (mirror sites, syndication) — the signal that decides which
+    // source to DROP wholesale before paying for per-document dedup. The
+    // J>=0.8 pairs are tiny by construction, so the two doc-metadata
+    // lookups are plain doc_id equi-joins (AQE broadcasts the pair side);
+    // sources canonicalize with least/greatest so (a,b) and (b,a) land in
+    // one cell; the final rollup is |sources|² bounded.
+    "q125_cross_source_dups" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val src = Tables.read(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Graph importance over the near-dup graph: PageRank picks the most
     // central document of each duplicate cluster (the canonical-survivor
     // signal that min-doc_id survivorship approximates), and ranks hub
@@ -319,6 +344,16 @@ object Cluster extends QueryModule {
     "q107_pagerank" -> pageRankOracle,
     "q76_dedup_clusters" ->
       (clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    "q125_cross_source_dups" ->
+      (edgeCte +
+        """
+          |SELECT least(da.source, db.source) AS source_a,
+          |       greatest(da.source, db.source) AS source_b,
+          |       count(*) AS n_pairs
+          |FROM edges
+          |  JOIN documents da ON da.doc_id = edges.u
+          |  JOIN documents db ON db.doc_id = edges.v
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q114_triangle_census" ->
       (edgeCte +
         """,

@@ -214,6 +214,25 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Weekday × hour load profile (q123): the seasonality heatmap behind
+    // capacity planning and anomaly baselining ("is Tuesday 14:00 usually
+    // this busy?"). Day-of-week and hour-of-day come from PURE EPOCH
+    // INTEGER MATH — dow = (epoch_days + 4) mod 7 with 0 = Sunday
+    // (1970-01-01 was a Thursday), hour = epoch_hours mod 24 — rather than
+    // calendar functions, whose numbering conventions differ across engines
+    // (Spark's dayofweek is 1=Sunday, DuckDB's 0=Sunday); integer math is
+    // convention-free and timezone-free (UTC by construction). One
+    // map-side-combined aggregation onto the bounded 7×24 grid.
+    "q123_weekday_profile" -> ((s, dir) =>
+      ev(s, dir)
+        .select(
+          ((floor(col("ts").cast(LongType) / 86400L) + 4) % 7).cast(LongType).as("dow"),
+          (floor(col("ts").cast(LongType) / 3600L) % 24).cast(LongType).as("hour"),
+          col("value"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"), exactSum(col("value"), 2).as("sum_value"))
+        .orderBy(col("dow"), col("hour"))),
+
     // Winsorized means (q122): per event type, the robust mean after
     // clipping values to the exact [p05, p95] fences — the outlier
     // treatment that KEEPS rows (unlike q105's census, which only counts
@@ -423,6 +442,12 @@ object EventAnalytics extends QueryModule {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort_day, day_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q123_weekday_profile" ->
+      """SELECT (CAST(floor(epoch(ts)/86400) AS BIGINT) + 4) % 7 AS dow,
+        |       CAST(floor(epoch(ts)/3600) AS BIGINT) % 24 AS hour,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q122_winsorized_mean" ->
       """WITH f AS (SELECT event_type,
         |             round(percentile_cont(0.05) WITHIN GROUP (ORDER BY value), 6) AS lo,

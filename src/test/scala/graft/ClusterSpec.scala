@@ -158,6 +158,28 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     census(Seq.empty[(Long, Long)]) shouldBe ((0L, 0L, 0L, 0.0))
   }
 
+  test("cross-source matrix is canonical and conserves the pair count") {
+    import org.apache.spark.sql.functions._
+    val cells = SparkEntry.queries("q125_cross_source_dups")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    cells.foreach { case (a, b, n) => a should be <= b; n should be > 0L }
+    val totalPairs = graft.operators.Dedup.ngramJaccardPairs(spark, sf0001)
+      .filter(col("jaccard") >= 0.8).count()
+    cells.map(_._3).sum shouldBe totalPairs   // every pair lands in exactly one cell
+  }
+
+  test("weekday profile covers the grid and conserves the event count") {
+    val rows = SparkEntry.queries("q123_weekday_profile")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (d, h, _) =>
+      d should (be >= 0L and be <= 6L)
+      h should (be >= 0L and be <= 23L)
+    }
+    rows.map { case (d, h, _) => (d, h) }.distinct.length shouldBe rows.length
+    rows.map(_._3).sum shouldBe
+      graft.sources.Tables.read(spark, sf0001, "events").count()
+  }
+
   test("cohort retention: offset-0 diagonal equals cohort size, offsets non-negative") {
     val rows = SparkEntry.queries("q113_cohort_retention")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
