@@ -180,6 +180,34 @@ object Medallion extends QueryModule {
     gold
   }
 
+  /** [[runPipeline]]'s silver stage instrumented with Spark's Observation
+    * API — the production observability a pipeline needs (row counts,
+    * reject counts, null rates per batch) collected DURING the write pass
+    * as accumulator-backed query metrics: zero extra scans, zero extra
+    * jobs, exact (not sampled). The alternative — counting with separate
+    * `.count()` actions — re-reads the 100 TB input once per metric.
+    *
+    * Two observation points bracket the cleanse: `bronze_obs` counts the
+    * raw rows and null keys entering, `silver_obs` counts the survivors
+    * and status splits leaving; the delta between them IS the audit row
+    * the run log stores ("N read, M rejected, K deduped away"). Returns
+    * (silver frame, observations) — metrics materialize when the caller's
+    * action runs. */
+  def silverObserved(bronze: DataFrame): (DataFrame, org.apache.spark.sql.Observation,
+      org.apache.spark.sql.Observation) = {
+    val inObs = org.apache.spark.sql.Observation("bronze_obs")
+    val outObs = org.apache.spark.sql.Observation("silver_obs")
+    val silver = bronze
+      .observe(inObs, count(lit(1)).as("rows_in"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("null_keys"))
+      .transform(requireField("id"))
+      .transform(dedupByKey("id", col("ingest_date").desc, col("name")))
+      .transform(withStatus("value"))
+      .observe(outObs, count(lit(1)).as("rows_out"),
+        sum(when(col("status") === "High", 1L).otherwise(0L)).as("high_rows"))
+    (silver, inObs, outObs)
+  }
+
   // ---- fixture-backed query surface (the driver-verified parity queries) --
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.read(s, dir, name)

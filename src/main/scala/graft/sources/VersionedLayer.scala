@@ -4,6 +4,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
 
 /** Dependency-free versioned table layer reproducing the Delta-format
   * semantics the reference actually relies on (`glue/etl_api.py:25,38,49`
@@ -289,6 +290,40 @@ object VersionedLayer {
     * shuffle the data. */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 1): Long =
     write(read(spark, root).coalesce(math.max(targetFiles, 1)), root)
+
+  /** Snapshot diff — change-data-capture BETWEEN committed versions, the
+    * reader-side analogue of Delta's change data feed reconstructed from
+    * plain snapshots: one full-outer join of the two versions on `keyCols`
+    * classifies every key as `insert` (only in `to`), `delete` (only in
+    * `from`), or `update` (both, any non-key column changed; unchanged rows
+    * are dropped). Returns the `to`-side row for inserts/updates and the
+    * `from`-side row for deletes, with a `_change` column.
+    *
+    * Change detection compares the full row structs — null-safe (`<=>`), so
+    * null→value and value→null transitions register as updates. Scale: ONE
+    * shuffled equi-join on the key (both snapshots partition on it); at
+    * 100 TB a log-based CDF is cheaper when available, but snapshot diff is
+    * the tool that works on ANY two versions — including across a vacuum
+    * gap or after a blind overwrite, where a change log has no lineage. */
+  def diff(spark: SparkSession, root: String, fromV: Long, toV: Long,
+           keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val from = read(spark, root, Some(fromV))
+    val to = read(spark, root, Some(toV))
+    require(from.columns.sorted.sameElements(to.columns.sorted),
+      s"schema changed between v$fromV and v$toV; diff requires aligned columns")
+    val cols = from.columns.toSeq
+    val f = from.select(keyCols.map(col) :+ struct(cols.map(col): _*).as("_f"): _*)
+    val t = to.select(keyCols.map(col) :+ struct(cols.map(col): _*).as("_t"): _*)
+    f.join(t, keyCols, "full_outer")
+      .withColumn("_change",
+        when(col("_f").isNull, lit("insert"))
+          .when(col("_t").isNull, lit("delete"))
+          .when(!(col("_f") <=> col("_t")), lit("update")))
+      .filter(col("_change").isNotNull)
+      .select(coalesce(col("_t"), col("_f")).as("_row"), col("_change"))
+      .select(cols.map(c => col(s"_row.$c")) :+ col("_change"): _*)
+  }
 
   /** Data files of a committed version (for file-count/size accounting). */
   def dataFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {

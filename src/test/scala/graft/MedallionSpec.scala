@@ -60,6 +60,20 @@ class MedallionSpec extends AnyFunSuite with Matchers {
     g.values.sum shouldBe 3L
   }
 
+  test("observed silver stage reports exact audit metrics in the same pass") {
+    val bronze = Medallion.bronzeFromJson(spark, rawJson(raw))
+    val (silver, inObs, outObs) = Medallion.silverObserved(bronze)
+    silver.count() shouldBe 3              // the action that materializes metrics
+    inObs.get("rows_in") shouldBe 5L       // every raw row entered
+    inObs.get("null_keys") shouldBe 1L     // the null-id reject
+    outObs.get("rows_out") shouldBe 3L     // after reject + dedup collapse
+    outObs.get("high_rows") shouldBe 2L    // 150 and 101 clear the 100 threshold
+    // the audit identity the run log stores: in - nulls - dedup losses = out
+    (inObs.get("rows_in").asInstanceOf[Long]
+      - inObs.get("null_keys").asInstanceOf[Long] - 1L) shouldBe
+      outObs.get("rows_out").asInstanceOf[Long]
+  }
+
   test("dedup is idempotent and deterministic") {
     val df = Seq(
       ("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z"), ("b", 1, "z2"), ("c", 9, "w")

@@ -131,6 +131,24 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
       .map(_.getInt(0)).toSet shouldBe Set(1, 2, 3, 4)
   }
 
+  test("snapshot diff classifies inserts, deletes, updates, and drops unchanged rows") {
+    val root = tmpRoot()
+    VersionedLayer.write(Seq((1, "a"), (2, "b"), (3, "c"), (4, null)).toDF("k", "s"), root)
+    VersionedLayer.write(Seq((2, "b"), (3, "C"), (4, "d"), (5, "e")).toDF("k", "s"), root)
+    val d = VersionedLayer.diff(spark, root, 1L, 2L, Seq("k")).collect()
+      .map(r => r.getInt(0) -> (Option(r.getString(1)), r.getString(2))).toMap
+    d shouldBe Map(
+      1 -> (Some("a"), "delete"),   // only in v1 (from-side row surfaces)
+      3 -> (Some("C"), "update"),   // changed value, to-side row surfaces
+      4 -> (Some("d"), "update"),   // null -> value registers (null-safe compare)
+      5 -> (Some("e"), "insert"))   // only in v2
+    // k=2 unchanged: absent. Reversing direction mirrors the classification
+    val rev = VersionedLayer.diff(spark, root, 2L, 1L, Seq("k")).collect()
+      .map(r => r.getInt(0) -> r.getString(2)).toMap
+    rev(1) shouldBe "insert"
+    rev(5) shouldBe "delete"
+  }
+
   test("vacuum drops old snapshots but never the published one") {
     val root = tmpRoot()
     (1 to 4).foreach(i => VersionedLayer.write(Seq(i).toDF("k"), root))
