@@ -122,8 +122,32 @@ object Tokenizer extends QueryModule {
     // the five finished sums convert to double for the identical final
     // arithmetic on either engine. The rank sort is bounded (vocab-sized
     // input, 500-row head), never corpus-sized.
-    "q115_zipf_slope" -> ((s, dir) => zipfSlopeFrom(docs(s, dir)))
+    "q115_zipf_slope" -> ((s, dir) => zipfSlopeFrom(docs(s, dir))),
+
+    // Heaps'-law vocabulary-growth fit (see heapsFitFrom).
+    "q126_heaps_fit" -> ((s, dir) => heapsFitFrom(docs(s, dir)))
   )
+
+  /** Closed-form least-squares fit over a 2-column `(x, y)` frame (both
+    * pre-rounded doubles): five order-independent DECIMAL-summed scalars,
+    * then the identical final double arithmetic on either engine. The
+    * first output column is named `countAs` (q115 reports ranked terms,
+    * q126 reports growth checkpoints). */
+  def logLogFit(xy: DataFrame, countAs: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 12).cast(dec)).cast("double").as("sxy"),
+      sum(round(col("x") * col("x"), 12).cast(dec)).cast("double").as("sxx"))
+      .select(col("n").as(countAs),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
 
   /** q115's engine: least-squares (slope, intercept) of log10(freq) on
     * log10(rank) over the `headK` most frequent whitespace tokens of
@@ -139,19 +163,40 @@ object Tokenizer extends QueryModule {
       .withColumn("rank", row_number().over(byRank).cast("double"))
       .select(round(log10(col("rank")), 6).as("x"),
         round(log10(col("n_occ").cast("double")), 6).as("y"))
-    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
-    xy.agg(
-      count(lit(1)).as("n"),
-      sum(col("x").cast(dec)).cast("double").as("sx"),
-      sum(col("y").cast(dec)).cast("double").as("sy"),
-      sum(round(col("x") * col("y"), 12).cast(dec)).cast("double").as("sxy"),
-      sum(round(col("x") * col("x"), 12).cast(dec)).cast("double").as("sxx"))
-      .select(col("n").as("n_terms"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
-          .as("intercept"))
+    logLogFit(xy, "n_terms")
+  }
+
+  /** q126: Heaps'-law fit — vocabulary growth V(n) ≈ K·n^β against tokens
+    * seen, the companion diagnostic to [[zipfSlopeFrom]] (natural text has
+    * β ≈ 0.5–0.8; β → 1 means near-random tokens — tokenizer damage or
+    * binary contamination; β → 0 means a closed template vocabulary). The
+    * curve is computed WITHOUT quadratic prefix re-scans: each term
+    * attributes itself to its FIRST document (min doc_id — one term-keyed
+    * aggregation), per-doc new-term counts join the per-doc token counts,
+    * and two running sums over the doc_id order produce (cumulative
+    * tokens, cumulative vocabulary) checkpoints; the log-log fit runs over
+    * those. The doc-order windows are unpartitioned but doc-count-sized
+    * (one row per document, not per token); at 100 TB the same curve fits
+    * over sampled checkpoint docs. */
+  def heapsFitFrom(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf.select(col("doc_id"),
+      explode(split(trim(col("text")), " ")).as("term"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val firstSeen = toks.groupBy(col("term")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("new_terms"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val xy = perDoc
+      .join(firstSeen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .select(sum(col("n_toks")).over(byDoc).as("cum_toks"),
+        sum(col("new_terms")).over(byDoc).as("cum_vocab"))
+      .filter(col("cum_toks") > 0 && col("cum_vocab") > 0)
+      .select(round(log10(col("cum_toks").cast("double")), 6).as("x"),
+        round(log10(col("cum_vocab").cast("double")), 6).as("y"))
+    logLogFit(xy, "n_points")
   }
 
   val oracles: Map[String, String] = Map(
@@ -190,6 +235,27 @@ object Tokenizer extends QueryModule {
         |SELECT rank, term, n_occ, df,
         |       round(CAST(cum_occ AS DOUBLE) / total, 6) AS cum_coverage
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "q126_heaps_fit" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |pd AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id),
+        |fs AS (SELECT doc_id, count(*) AS new_terms FROM
+        |        (SELECT term, min(doc_id) AS doc_id FROM toks GROUP BY term) GROUP BY doc_id),
+        |cum AS (SELECT sum(pd.n_toks) OVER (ORDER BY pd.doc_id ROWS UNBOUNDED PRECEDING) AS cum_toks,
+        |               sum(COALESCE(fs.new_terms, 0)) OVER (ORDER BY pd.doc_id ROWS UNBOUNDED PRECEDING) AS cum_vocab
+        |        FROM pd LEFT JOIN fs USING (doc_id)),
+        |xy AS (SELECT round(log10(CAST(cum_toks AS DOUBLE)), 6) AS x,
+        |              round(log10(CAST(cum_vocab AS DOUBLE)), 6) AS y
+        |       FROM cum WHERE cum_toks > 0 AND cum_vocab > 0),
+        |s AS (SELECT count(*) AS n,
+        |        CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |      FROM xy)
+        |SELECT n AS n_points,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM s""".stripMargin,
     "q115_zipf_slope" ->
       """WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
         |terms AS (SELECT term, count(*) AS n_occ FROM toks GROUP BY term),

@@ -68,4 +68,16 @@ class TokenizerSpec extends AnyFunSuite with Matchers {
     val flat = Seq((1L, flatTokens.mkString(" "))).toDF("doc_id", "text")
     Tokenizer.zipfSlopeFrom(flat).head().getDouble(1) shouldBe 0.0 +- 1e-9
   }
+
+  test("heaps fit: beta ~ 1 for all-new tokens, ~ 0 for a closed vocabulary") {
+    import spark.implicits._
+    // every token unique → V(n) = n → β = 1 exactly
+    val allNew = (1L to 50L).map(d =>
+      (d, (1 to 20).map(i => s"w${d}_$i").mkString(" "))).toDF("doc_id", "text")
+    Tokenizer.heapsFitFrom(allNew).head().getDouble(1) shouldBe 1.0 +- 1e-6
+    // doc 1 introduces the whole vocabulary; later docs reuse it → slope ≈ 0
+    val closed = (1L to 50L).map(d =>
+      (d, (1 to 20).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    Tokenizer.heapsFitFrom(closed).head().getDouble(1) shouldBe 0.0 +- 0.05
+  }
 }
