@@ -185,6 +185,33 @@ object Relational extends QueryModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Cheapest-supplier argmin join (q127, TPC-H Q2's shape): per small
+    // part, the supplier with the minimum observed unit price — the ARGMIN
+    // pattern (who achieved the minimum, not just what it was) solved with
+    // one map-side-combined `min(struct(price, suppkey))` per part: the
+    // struct's lexicographic order makes the supplier ride along and ties
+    // break to the lowest suppkey deterministically. No window, no second
+    // join back onto the fact table — the aggregation IS the argmin (the
+    // correlated-subquery formulation Catalyst decorrelates into exactly
+    // this). Unit prices round at 6 dp BEFORE the argmin so both engines
+    // pick identical winners; part/supplier dims attach broadcast.
+    "q127_cheapest_supplier" -> ((s, dir) => {
+      val unit = round(col("l_extendedprice") / col("l_quantity"), 6)
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), unit.as("u"), col("l_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(min(struct(col("u"), col("l_suppkey"))).as("m"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("m.l_suppkey").as("s_suppkey"), col("m.u").as("unit_price"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_size") < 5)
+          .select(col("p_partkey"), col("p_name"))), Seq("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+          col("unit_price"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Set ops over aligned projections.
     "q13_union" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -454,6 +481,20 @@ object Relational extends QueryModule {
         |       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_mass
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q127_cheapest_supplier" ->
+      """WITH u AS (SELECT l_partkey, l_suppkey,
+        |             round(l_extendedprice / l_quantity, 6) AS u
+        |           FROM lineitem),
+        |m AS (SELECT l_partkey, min(u) AS mu FROM u GROUP BY 1),
+        |a AS (SELECT u.l_partkey, m.mu, min(u.l_suppkey) AS s_suppkey
+        |      FROM u JOIN m ON u.l_partkey = m.l_partkey AND u.u = m.mu
+        |      GROUP BY 1, 2)
+        |SELECT p.p_partkey, p.p_name, a.s_suppkey, s.s_name, a.mu AS unit_price
+        |FROM a
+        |  JOIN part p ON p.p_partkey = a.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = a.s_suppkey
+        |WHERE p.p_size < 5
+        |ORDER BY p.p_partkey""".stripMargin,
     // The oracle recomputes the aggregate from scratch — matching it proves
     // the partial-state merge maintains the view exactly.
     "q121_ivm_merge" ->
