@@ -125,8 +125,62 @@ object Tokenizer extends QueryModule {
     "q115_zipf_slope" -> ((s, dir) => zipfSlopeFrom(docs(s, dir))),
 
     // Heaps'-law vocabulary-growth fit (see heapsFitFrom).
-    "q126_heaps_fit" -> ((s, dir) => heapsFitFrom(docs(s, dir)))
+    "q126_heaps_fit" -> ((s, dir) => heapsFitFrom(docs(s, dir))),
+
+    // Sketch-then-verify heavy hitters (see heavyHitters; output is exact).
+    "q128_heavy_hitters" -> ((s, dir) => heavyHitters(docs(s, dir)))
   )
+
+  /** q128: corpus heavy hitters by SKETCH-THEN-VERIFY — the two-pass shape
+    * that finds every term above a frequency threshold WITHOUT shuffling
+    * the full vocabulary:
+    *
+    *  1. sketch pass: each partition runs a Misra–Gries counter set
+    *     (Misra & Gries 1982, "Finding repeated elements"; k counters,
+    *     decrement-all on overflow) over its own tokens via
+    *     `mapPartitions` — the sanctioned per-partition imperative hook;
+    *     only ≤ k candidate terms per partition leave the executors' scan,
+    *     not the (web-scale) vocabulary. The superset guarantee is exact:
+    *     if a term's GLOBAL count exceeds n/k, then on at least one
+    *     partition its local count exceeds that partition's n_p/k (else
+    *     summing the per-partition bounds contradicts the global count),
+    *     and Misra–Gries retains every such term. With k = 256 any
+    *     support ≥ 1/256 is covered — 2% here, safely above;
+    *  2. verify pass: the (tiny) candidate union BROADCASTS back onto a
+    *     second corpus scan; exact counts come only for candidates, and
+    *     the threshold filter runs on those exact counts.
+    *
+    * The output is therefore EXACT — identical to the full group-by — so
+    * the DuckDB oracle replays it directly; what the sketch buys at 100 TB
+    * is the shuffle: candidate-only rows instead of every distinct term. */
+  def heavyHitters(docsDf: DataFrame, support: Double = 0.02, k: Int = 256): DataFrame = {
+    require(support >= 1.0 / k, s"support $support below the sketch guarantee 1/$k")
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val toks = docsDf.select(explode(split(trim(col("text")), " ")).as("term"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1
+        else if (counters.size < k) counters(t) = 1
+        else {
+          // decrement-all: the O(k) amortized overflow step
+          val dead = counters.iterator.collect { case (key, 1L) => key }.toList
+          counters.keysIterator.toList.foreach(key => counters(key) -= 1)
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.distinct().toDF("term")
+    val tot = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(candidates), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_occ") >= col("total") * support)
+      .select(col("term"), col("n_occ"),
+        round(col("n_occ").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("n_occ").desc, col("term"))
+  }
 
   /** Closed-form least-squares fit over a 2-column `(x, y)` frame (both
     * pre-rounded doubles): five order-independent DECIMAL-summed scalars,
@@ -235,6 +289,17 @@ object Tokenizer extends QueryModule {
         |SELECT rank, term, n_occ, df,
         |       round(CAST(cum_occ AS DOUBLE) / total, 6) AS cum_coverage
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    // The sketch is invisible in the result — the oracle is the plain
+    // threshold group-by the two-pass plan reproduces exactly.
+    "q128_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT term, count(*) AS n_occ,
+        |       round(CAST(count(*) AS DOUBLE) / total, 6) AS share
+        |FROM toks CROSS JOIN tot
+        |GROUP BY term, total
+        |HAVING count(*) >= total * 0.02
+        |ORDER BY n_occ DESC, term""".stripMargin,
     "q126_heaps_fit" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         |pd AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id),

@@ -69,6 +69,28 @@ class TokenizerSpec extends AnyFunSuite with Matchers {
     Tokenizer.zipfSlopeFrom(flat).head().getDouble(1) shouldBe 0.0 +- 1e-9
   }
 
+  test("sketch-verify heavy hitters equal the exact group-by, even with a tiny sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial: a sea of unique tokens trying to evict the two heavy ones
+    val rng = new scala.util.Random(42)
+    val docs = (1L to 40L).map { d =>
+      val noise = (1 to 50).map(i => s"u${d}_$i")
+      val heavy = Seq.fill(30)("alpha") ++ Seq.fill(15)("beta")
+      (d, rng.shuffle(noise ++ heavy).mkString(" "))
+    }.toDF("doc_id", "text")
+    // k = 64 keeps the 1/k guarantee well under the heavy terms' shares
+    val got = Tokenizer.heavyHitters(docs, support = 0.1, k = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val toks = docs.select(explode(split(trim(col("text")), " ")).as("term"))
+    val total = toks.count()
+    val exact = toks.groupBy("term").count()
+      .filter(col("count") >= total * 0.1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    got shouldBe exact
+    got.keySet shouldBe Set("alpha", "beta") // the planted pair, nothing else
+  }
+
   test("heaps fit: beta ~ 1 for all-new tokens, ~ 0 for a closed vocabulary") {
     import spark.implicits._
     // every token unique → V(n) = n → β = 1 exactly
