@@ -212,6 +212,52 @@ object Relational extends QueryModule {
         .orderBy(col("p_partkey"))
     }),
 
+    // Order→ship lead time (q129): exact p50/p95 of days between an
+    // order's placement and each line item's ship date, per order priority
+    // — the fulfillment-SLA report. One fact-fact equi-join on the order
+    // key (both sides shuffle-partition on it), day math as floored epoch
+    // integer subtraction (timezone- and convention-free), percentile
+    // interpolation as the only float, 6-dp rounded (the q94 discipline).
+    "q129_lead_time" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_orderdate").cast(LongType) / 86400L).as("od"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"),
+          floor(col("l_shipdate").cast(LongType) / 86400L).as("sd")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"), (col("sd") - col("od")).as("lead_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(expr("percentile(lead_days, 0.5)"), 6).as("p50"),
+          round(expr("percentile(lead_days, 0.95)"), 6).as("p95"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Pareto revenue report (q130): per-nation revenue share of total and
+    // the cumulative share in descending-revenue order — the "top 3
+    // nations carry 60% of revenue" concentration read. The share
+    // denominator attaches as a broadcast 1-row aggregate; the cumulative
+    // window runs over the |nations|-row rollup (bounded), never the fact
+    // table; revenue sums in decimal space end-to-end so the shares divide
+    // identically on both engines.
+    "q130_pareto_share" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("tot"))
+      rev.crossJoin(broadcast(tot))
+        .withColumn("cum_rev", sum(col("rev")).over(
+          Window.orderBy(col("rev").desc, col("n_name"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("n_name"),
+          col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") / col("tot").cast("double"), 6).as("share"),
+          round(col("cum_rev").cast("double") / col("tot").cast("double"), 6).as("cum_share"))
+        .orderBy(col("share").desc, col("n_name"))
+    }),
+
     // Set ops over aligned projections.
     "q13_union" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -481,6 +527,30 @@ object Relational extends QueryModule {
         |       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_mass
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q129_lead_time" ->
+      """WITH j AS (SELECT o.o_orderpriority,
+        |             CAST(floor(epoch(l.l_shipdate)/86400) AS BIGINT) -
+        |             CAST(floor(epoch(o.o_orderdate)/86400) AS BIGINT) AS lead_days
+        |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_items,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lead_days), 6) AS p50,
+        |       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY lead_days), 6) AS p95
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q130_pareto_share" ->
+      """WITH rev AS (SELECT n.n_name,
+        |               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        |             FROM orders o
+        |               JOIN customer c ON o.o_custkey = c.c_custkey
+        |               JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |             GROUP BY 1),
+        |tot AS (SELECT sum(rev) AS tot FROM rev),
+        |w AS (SELECT n_name, rev,
+        |        sum(rev) OVER (ORDER BY rev DESC, n_name ROWS UNBOUNDED PRECEDING) AS cum_rev
+        |      FROM rev)
+        |SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+        |       round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |       round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+        |FROM w CROSS JOIN tot ORDER BY share DESC, n_name""".stripMargin,
     "q127_cheapest_supplier" ->
       """WITH u AS (SELECT l_partkey, l_suppkey,
         |             round(l_extendedprice / l_quantity, 6) AS u

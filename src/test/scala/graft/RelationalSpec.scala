@@ -210,6 +210,15 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     rows.find(_.getString(0) == "c_custkey").get.getLong(3) shouldBe nRows
   }
 
+  test("pareto shares sum to one and cumulate monotonically to exactly 1.0") {
+    val rows = SparkEntry.queries("q130_pareto_share")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    val cums = rows.map(_._3)
+    cums.zip(cums.tail).foreach { case (a, b) => b should be >= a }
+    cums.last shouldBe 1.0 +- 1e-6
+    rows.map(_._2).sum shouldBe 1.0 +- 1e-4   // per-row rounding tolerance
+  }
+
   test("IVM state merge equals the from-scratch aggregate (monoid proof)") {
     val merged = SparkEntry.queries("q121_ivm_merge")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
