@@ -73,6 +73,57 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     spark.read.parquet(sink).count() shouldBe 11
   }
 
+  test("foreachBatch into a VersionedLayer is exactly-once-effect across restarts") {
+    import graft.sources.VersionedLayer
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft-vl-src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-vl-ckpt").toFile.getAbsolutePath
+    val root = Files.createTempDirectory("graft-vl-root").toFile.getAbsolutePath + "/layer"
+
+    def runOnce(): Unit = {
+      val q = EventStream.readEvents(spark, src)
+        .select(col("event_id"), col("event_type"))
+        .writeStream
+        .foreachBatch(VersionedLayer.idempotentMergeBatch(root, Seq("event_id"), "stream1") _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val w1 = new java.io.PrintWriter(s"$src/a.json")
+    (0 until 8).foreach(i => w1.println(
+      s"""{"event_id":$i,"ts":"2024-01-01T00:0$i:00.000Z","user_id":1,"event_type":"view","value":1.0,"props":"{}"}"""))
+    w1.close()
+    runOnce()
+    VersionedLayer.read(spark, root).count() shouldBe 8
+
+    // a redelivery of the SAME batch id (fresh checkpoint, same appId and
+    // batch numbering) applies no second effect — the txn marker holds
+    val versionsAfterFirst = VersionedLayer.latestVersion(spark, root)
+    val ckpt2 = Files.createTempDirectory("graft-vl-ckpt2").toFile.getAbsolutePath
+    val q2 = EventStream.readEvents(spark, src)
+      .select(col("event_id"), col("event_type"))
+      .writeStream
+      .foreachBatch(VersionedLayer.idempotentMergeBatch(root, Seq("event_id"), "stream1") _)
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    VersionedLayer.latestVersion(spark, root) shouldBe versionsAfterFirst
+    VersionedLayer.read(spark, root).count() shouldBe 8
+
+    // genuinely new data with the original checkpoint: next batch id, upsert
+    val w2 = new java.io.PrintWriter(s"$src/b.json")
+    w2.println("""{"event_id":0,"ts":"2024-01-01T01:00:00.000Z","user_id":2,"event_type":"click","value":1.0,"props":"{}"}""")
+    w2.println("""{"event_id":50,"ts":"2024-01-01T01:01:00.000Z","user_id":2,"event_type":"click","value":1.0,"props":"{}"}""")
+    w2.close()
+    runOnce()
+    val finalRows = VersionedLayer.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    finalRows.size shouldBe 9                 // 8 originals + 1 insert
+    finalRows(0L) shouldBe "click"            // key 0 upserted by the merge
+    finalRows(50L) shouldBe "click"
+  }
+
   test("streaming dedup drops redelivered event_ids within the watermark") {
     // ids 0..9, with 0..4 redelivered (same id, same payload)
     val rows = (0 until 10).map(i => (i.toLong, s"00:0$i:00", 1L, "view")) ++
