@@ -50,6 +50,26 @@ class SourcesSpec extends AnyFunSuite with Matchers {
         (r.getString(0), r.getString(1), r.getDouble(2))).sorted
   }
 
+  test("CSV and ORC round-trip with explicit schemas (no inference, values intact)") {
+    val fetched = PaginatedSource.fetchAll(spark, Medallion.brewerySchema, page)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "name", "value").collect().map(r =>
+        (r.getString(0), r.getString(1), r.getDouble(2))).sorted
+    // CSV: header on write, explicit StructType on read — schema-on-read
+    // inference is banned for the same reason as S2 (a sampled schema
+    // drifts batch to batch; a declared one cannot)
+    val csvDir = Files.createTempDirectory("graft-csv").toFile.getAbsolutePath + "/d"
+    fetched.write.option("header", "true").csv(csvDir)
+    val csvBack = spark.read.option("header", "true").schema(Medallion.brewerySchema).csv(csvDir)
+    csvBack.schema shouldBe Medallion.brewerySchema
+    key(csvBack) shouldBe key(fetched)
+    // ORC: the other columnar format a complete engine must read and write
+    val orcDir = Files.createTempDirectory("graft-orc").toFile.getAbsolutePath + "/d"
+    fetched.write.orc(orcDir)
+    val orcBack = spark.read.schema(Medallion.brewerySchema).orc(orcDir)
+    key(orcBack) shouldBe key(fetched)
+  }
+
   test("hash-agg dedup is equivalent to window dedup under a total-order tiebreak") {
     val li = Tables.read(spark, sf0001, "lineitem")
     val win = Medallion.dedupByKey("l_orderkey",
