@@ -214,6 +214,45 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Poisson-bootstrap CI (q131): a confidence interval for the mean of
+    // `value` WITHOUT resampling passes — the streaming/MapReduce bootstrap
+    // (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    // Google 2012): classic bootstrap draws n-with-replacement per
+    // replicate (unshardable); Poisson(1) per-row weights approximate it
+    // and need only ROW-LOCAL state, so all B replicates compute in ONE
+    // corpus pass (explode by replicate id, weight, aggregate). Weights
+    // are the inverse-CDF of a CONTENT HASH of (event_id, replicate) —
+    // deterministic, rerun-identical, engine-replayable — quantized at the
+    // exact Poisson(1) cumulative cuts e^{-1}·Σ1/k!. Replicate means use
+    // 6-dp-rounded terms and DECIMAL sums; the CI is the exact p05/p95
+    // interpolation over the B=32 replicate means. The explode costs 32×
+    // map-side rows but the aggregation collapses to B partials per task
+    // before the (B-row) shuffle.
+    "q131_bootstrap_ci" -> ((s, dir) => {
+      val u = expr(
+        "cast(conv(substring(md5(concat(cast(event_id as string), ':', cast(b as string))), 1, 8), 16, 10) AS bigint)")
+        .cast("double") / lit(4294967296.0)
+      val w = when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+      val reps = ev(s, dir)
+        .select(col("event_id"), col("value"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .select(col("b"), col("value"), w.cast("long").as("w"))
+        .groupBy(col("b"))
+        .agg((sum(round(col("w") * col("value"), 6).cast(DecimalType(28, 6))).cast("double") /
+          sum(col("w"))).as("m"))
+        .select(col("b"), round(col("m"), 6).as("m"))
+      reps.agg(
+        count(lit(1)).as("n_replicates"),
+        round(expr("percentile(m, 0.05)"), 6).as("ci_lo"),
+        round(expr("percentile(m, 0.5)"), 6).as("ci_mid"),
+        round(expr("percentile(m, 0.95)"), 6).as("ci_hi"))
+    }),
+
     // Weekday × hour load profile (q123): the seasonality heatmap behind
     // capacity planning and anomaly baselining ("is Tuesday 14:00 usually
     // this busy?"). Day-of-week and hour-of-day come from PURE EPOCH
@@ -442,6 +481,28 @@ object EventAnalytics extends QueryModule {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort_day, day_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q131_bootstrap_ci" ->
+      """WITH x AS (SELECT event_id, value, unnest(range(32)) AS b FROM events),
+        |u AS (SELECT b, value,
+        |        CAST(CAST(concat('0x', substring(md5(concat(CAST(event_id AS VARCHAR), ':', CAST(b AS VARCHAR))), 1, 8)) AS BIGINT)
+        |             AS DOUBLE) / 4294967296.0 AS uu
+        |      FROM x),
+        |w AS (SELECT b, value,
+        |        CASE WHEN uu < 0.36787944117144233 THEN 0
+        |             WHEN uu < 0.7357588823428847 THEN 1
+        |             WHEN uu < 0.9196986029286058 THEN 2
+        |             WHEN uu < 0.9810118431238462 THEN 3
+        |             WHEN uu < 0.9963401531726563 THEN 4
+        |             ELSE 5 END AS w
+        |      FROM u),
+        |reps AS (SELECT b,
+        |           round(CAST(sum(CAST(round(w * value, 6) AS DECIMAL(28,6))) AS DOUBLE) / sum(w), 6) AS m
+        |         FROM w GROUP BY b)
+        |SELECT count(*) AS n_replicates,
+        |       round(percentile_cont(0.05) WITHIN GROUP (ORDER BY m), 6) AS ci_lo,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY m), 6) AS ci_mid,
+        |       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY m), 6) AS ci_hi
+        |FROM reps""".stripMargin,
     "q123_weekday_profile" ->
       """SELECT (CAST(floor(epoch(ts)/86400) AS BIGINT) + 4) % 7 AS dow,
         |       CAST(floor(epoch(ts)/3600) AS BIGINT) % 24 AS hour,

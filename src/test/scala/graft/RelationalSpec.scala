@@ -247,6 +247,17 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("poisson-bootstrap CI brackets the true mean with ordered bounds") {
+    val r = SparkEntry.queries("q131_bootstrap_ci")(spark, sf0001).head()
+    val (lo, mid, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    lo should be <= mid
+    mid should be <= hi
+    val trueMean = graft.sources.Tables.read(spark, sf0001, "events")
+      .agg(avg(col("value"))).head().getDouble(0)
+    // deterministic fixture + deterministic weights → a stable containment
+    trueMean should (be >= lo and be <= hi)
+  }
+
   test("time-decayed engagement preserves event counts and is bounded by undecayed mass") {
     val rows = SparkEntry.queries("q110_time_decay")(spark, sf0001).collect()
     val raw = graft.sources.Tables.read(spark, sf0001, "events")
