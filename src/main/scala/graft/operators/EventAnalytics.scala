@@ -214,6 +214,30 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Median absolute deviation (q132): per event type, MAD = median of
+    // |value − median| — the robust dispersion scale (50% breakdown point
+    // where stddev's is 0%: one corrupted reading moves stddev arbitrarily,
+    // MAD not at all), with the consistency constant 1.4826·MAD reported as
+    // the robust-σ. Two passes by necessity (the deviations need the
+    // median first): per-type medians broadcast back onto the scan — same
+    // tiny-fence-table shape as q105/q122 — then one exact percentile over
+    // the 6-dp-rounded deviations.
+    "q132_mad" -> ((s, dir) => {
+      val med = ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      ev(s, dir)
+        .join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med"),
+          round(abs(col("value") - col("med")), 6).as("dev"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          first(col("med")).as("median"),
+          round(expr("percentile(dev, 0.5)"), 6).as("mad"),
+          round(expr("percentile(dev, 0.5)") * 1.4826, 6).as("robust_sigma"))
+        .orderBy(col("event_type"))
+    }),
+
     // Poisson-bootstrap CI (q131): a confidence interval for the mean of
     // `value` WITHOUT resampling passes — the streaming/MapReduce bootstrap
     // (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
@@ -481,6 +505,16 @@ object EventAnalytics extends QueryModule {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort_day, day_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q132_mad" ->
+      """WITH m AS (SELECT event_type,
+        |             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, m.med, round(abs(e.value - m.med), 6) AS dev
+        |      FROM events e JOIN m USING (event_type))
+        |SELECT event_type, count(*) AS n_events, any_value(med) AS median,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY dev), 6) AS mad,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) * 1.4826, 6) AS robust_sigma
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q131_bootstrap_ci" ->
       """WITH x AS (SELECT event_id, value, unnest(range(32)) AS b FROM events),
         |u AS (SELECT b, value,
