@@ -62,6 +62,33 @@ object EventAnalytics extends QueryModule {
       .filter(abs(col("zscore")) >= threshold)
   }
 
+  /** q133's engine: view → click within `deadline` seconds of THAT view →
+    * purchase within `deadline` of THAT click (see the q133 query comment
+    * for the staged-aggregation scale shape). The global-first-click trap
+    * is the point: a click BEFORE the user's first view, or after the
+    * deadline, must not convert — asserted on planted users in
+    * EventTextSpec. */
+  def deadlineFunnel(events: DataFrame, deadline: Long = 3600L): DataFrame = {
+    val e = events
+      .select(col("user_id"), col("event_type"), col("ts").cast(LongType).as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("vt"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("t") > col("vt") && col("t") <= col("vt") + deadline)
+      .groupBy(col("user_id")).agg(min(col("t")).as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("t") > col("ct") && col("t") <= col("ct") + deadline)
+      .groupBy(col("user_id")).agg(min(col("t")).as("pt"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked_1h")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased_1h")))
+      .select(col("n_viewed"), col("n_clicked_1h"), col("n_purchased_1h"),
+        round(col("n_clicked_1h").cast("double") / col("n_viewed"), 6).as("click_rate"),
+        round(col("n_purchased_1h").cast("double") / col("n_clicked_1h"), 6).as("purchase_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling 1-hour windows: events + exact value sum per hour.
@@ -140,7 +167,20 @@ object EventAnalytics extends QueryModule {
           col("pt").cast(LongType).as("first_purchase"))
         .orderBy(col("user_id"))),
 
+    // Deadline funnel (q133): view → click within 1h of THAT view → purchase
+    // within 1h of THAT click — the time-bounded conversion funnel (q55
+    // only orders the steps; real funnels expire). The semantics need the
+    // first click AFTER the user's first view, so this is three STAGED
+    // per-user aggregations, each a conditional min over the events
+    // filtered by the previous stage's time — the per-user stage tables
+    // join back on user_id, the same key every stage shuffles on (AQE
+    // reuses the partitioning; at 100 TB these are three co-partitioned
+    // passes, never a sequence scan or a window over raw events). Output:
+    // the funnel report row with per-stage survivors and 6-dp rates.
+    "q133_funnel_deadline" -> ((s, dir) => deadlineFunnel(ev(s, dir))),
+
     // Day-over-day retention: users active on day d who return on d+1.
+
     // Distinct (user, day) pairs self-joined on the next calendar day.
     "q56_retention" -> ((s, dir) => {
       val activity = ev(s, dir)
@@ -642,6 +682,22 @@ object EventAnalytics extends QueryModule {
         |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |       count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q133_funnel_deadline" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS vt FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.t) AS ct
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.t > v.vt AND e.t <= v.vt + 3600
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.t) AS pt
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.t > c.ct AND e.t <= c.ct + 3600
+        |      GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_viewed,
+        |       (SELECT count(*) FROM c) AS n_clicked_1h,
+        |       (SELECT count(*) FROM p) AS n_purchased_1h,
+        |       round(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v), 6) AS click_rate,
+        |       round(CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c), 6) AS purchase_rate""".stripMargin,
     "q55_funnel" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -170,4 +170,26 @@ class EventTextSpec extends AnyFunSuite with Matchers {
     e.byte_len shouldBe 0L
     e.first_byte shouldBe -1
   }
+
+  test("deadline funnel: in-window converts; pre-view clicks and late clicks do not") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // u1: clean conversion inside both windows
+    // u2: their only click PRECEDES the first view (global-first-click trap)
+    // u3: click arrives 2h after the view — past the deadline
+    // u4: converts the click but purchases past the click deadline
+    val rows = Seq(
+      (1L, "view", 1000L), (1L, "click", 1500L), (1L, "purchase", 2000L),
+      (2L, "click", 500L), (2L, "view", 1000L),
+      (3L, "view", 1000L), (3L, "click", 1000L + 7200L),
+      (4L, "view", 1000L), (4L, "click", 1500L), (4L, "purchase", 1500L + 7200L)
+    ).map { case (u, et, t) => (u, et, ts(t)) }
+    import org.apache.spark.sql.functions.lit
+    val events = spark.createDataFrame(rows).toDF("user_id", "event_type", "ts")
+      .withColumn("event_id", lit(0L)).withColumn("value", lit(1.0))
+    val r = graft.operators.EventAnalytics.deadlineFunnel(events).head()
+    r.getLong(0) shouldBe 4L   // all four viewed
+    r.getLong(1) shouldBe 2L   // only u1 and u4 clicked in-window
+    r.getLong(2) shouldBe 1L   // only u1 purchased in-window
+  }
 }
