@@ -423,6 +423,33 @@ object Similarity extends QueryModule {
     "q108_pq_adc" -> ((s, dir) =>
       annPqAdc(s, dir, 5).orderBy(col("q_id"), col("rn"))),
 
+    // Embedding drift monitor (q134): per label, the L2 distance between
+    // the centroid of the even-vec_id half and the odd half — the
+    // distribution-shift check a production embedding pipeline runs when a
+    // new model version or data batch lands (large per-label drift = the
+    // space moved; re-index / re-threshold before reusing ANN structures).
+    // The halves stand in for "reference batch vs candidate batch"; any
+    // partition column works. Centroid means are per-(label, half, pos)
+    // partial-aggregated rows (k × 2 × dim cells — never wide arrays
+    // through the shuffle), rounded at 6 dp so the oracle replays the
+    // exact drift value; the half-vs-half join is on the tiny label key.
+    "q134_embedding_drift" -> ((s, dir) => {
+      val comps = emb(s, dir)
+        .select(col("label"), (col("vec_id") % 2).as("half"), posexplode(col("v")))
+        .groupBy(col("label"), col("half"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+      comps.filter(col("half") === 0).select(col("label"), col("pos"), col("m").as("m0"))
+        .join(comps.filter(col("half") === 1)
+          .select(col("label"), col("pos"), col("m").as("m1")), Seq("label", "pos"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("dim"),
+          // squared-diff terms decimal-sum (order-independent) before sqrt
+          round(sqrt(sum(round(pow(col("m0") - col("m1"), 2), 12)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")), 6)
+            .as("drift_l2"))
+        .orderBy(col("label"))
+    }),
+
     // Hash-exact Lloyd's k-means: 2 declarative assignment/update rounds,
     // every float rounded at 6 dp so the DuckDB oracle replays the trained
     // clustering bit-for-bit (q40's IVF is the literal-centroid scale twin).
@@ -490,6 +517,16 @@ object Similarity extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_embedding_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, vec_id % 2 AS half, unnest(range(len(v))) AS pos, unnest(v) AS c FROM e),
+        |m AS (SELECT label, half, pos, round(avg(c), 6) AS m FROM x GROUP BY 1, 2, 3),
+        |j AS (SELECT m0.label, m0.pos, m0.m AS m0, m1.m AS m1
+        |      FROM (SELECT * FROM m WHERE half = 0) m0
+        |      JOIN (SELECT * FROM m WHERE half = 1) m1 USING (label, pos))
+        |SELECT label, count(*) AS dim,
+        |       round(sqrt(CAST(sum(CAST(round(pow(m0 - m1, 2), 12) AS DECIMAL(38,12))) AS DOUBLE)), 6) AS drift_l2
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
     // Two unrolled Lloyd's iterations; zipped unnest(range)/unnest(v) is the
     // per-component explode for the centroid-mean update.
     "q109_kmeans_refine" ->
