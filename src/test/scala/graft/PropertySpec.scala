@@ -86,6 +86,42 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("triangle census is invariant to edge orientation, duplication, and self-loops") {
+    val edgeGen = for {
+      a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L)
+    } yield (a, b)
+    val graphGen = Gen.listOfN(30, edgeGen)
+    check(Prop.forAll(graphGen) { edges =>
+      val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      val noisy = edges ++ edges.map { case (a, b) => (b, a) } // dup + reversed
+      def census(e: Seq[(Long, Long)]) =
+        graft.operators.Cluster.triangleCensus(e.toDF("u", "v")).head()
+      val c1 = census(canon)
+      val c2 = census(noisy)
+      (0 to 2).forall(i => c1.getLong(i) == c2.getLong(i)) &&
+        c1.getDouble(3) == c2.getDouble(3)
+    })
+  }
+
+  test("heavy hitters equal the exact threshold group-by for any corpus and small k") {
+    val wordGen = Gen.frequency(6 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      4 -> Gen.oneOf((1 to 30).map(i => s"cold$i")))
+    val docGen = Gen.chooseNum(5, 15).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(12, docGen)
+    check(Prop.forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.Tokenizer.heavyHitters(df, support = 0.1, k = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val toks = df.select(explode(split(trim($"text"), " ")).as("term"))
+      val total = toks.count()
+      val exact = toks.groupBy("term").count()
+        .filter($"count" >= total * 0.1).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      got == exact
+    })
+  }
+
   test("status column is exhaustive and matches the threshold rule") {
     check(Prop.forAll(dataGen) { data =>
       val df = data.toDF("id", "value", "grp")
