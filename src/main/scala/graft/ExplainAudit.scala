@@ -13,7 +13,12 @@ object ExplainAudit {
     for (q <- Seq("q109_kmeans_refine", "q110_time_decay", "q111_stratum_topn",
         "q112_equidepth_hist", "q113_cohort_retention", "q114_triangle_census",
         "q115_zipf_slope", "q116_phrase_search", "q117_gap_percentiles",
-        "q118_weighted_sample", "q119_rolling_active", "q120_column_profile")) {
+        "q118_weighted_sample", "q119_rolling_active", "q120_column_profile",
+        "q121_ivm_merge", "q122_winsorized_mean", "q123_weekday_profile",
+        "q125_cross_source_dups", "q126_heaps_fit", "q127_cheapest_supplier",
+        "q128_heavy_hitters", "q129_lead_time", "q130_pareto_share",
+        "q131_bootstrap_ci", "q132_mad", "q133_funnel_deadline",
+        "q134_embedding_drift", "q135_user_growth")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.count()
       val p = df.queryExecution.executedPlan.toString

@@ -392,6 +392,23 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // User-acquisition curve (q135): cumulative distinct users through each
+    // active day — the growth curve over the same first-seen skeleton as
+    // q113 (a user counts once, on their first day; a running sum over the
+    // bounded day axis accumulates the curve; no day-by-day distinct
+    // re-count, which would be O(days × users)). The cumulative window is
+    // unpartitioned but day-cardinality-sized.
+    "q135_user_growth" -> ((s, dir) => {
+      val firstDay = ev(s, dir)
+        .select(col("user_id"), floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      firstDay
+        .withColumn("total_users", sum(col("new_users")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy(col("day"))
+    }),
+
     // Inter-arrival gap percentiles (q117): per event type (of the later
     // event), exact p50/p90 of the seconds between a user's consecutive
     // events — the latency-profile statistic behind session-timeout and
@@ -604,6 +621,13 @@ object EventAnalytics extends QueryModule {
         |SELECT anchor AS day, count(DISTINCT user_id) AS active_7d
         |FROM x WHERE anchor IN (SELECT day FROM days)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q135_user_growth" ->
+      """WITH f AS (SELECT user_id, CAST(min(floor(epoch(ts)/86400)) AS BIGINT) AS day
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        |SELECT day, new_users,
+        |       sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS total_users
+        |FROM d ORDER BY day""".stripMargin,
     "q117_gap_percentiles" ->
       """WITH g AS (SELECT event_type,
         |             CAST(floor(epoch(ts)) AS BIGINT) -
