@@ -124,6 +124,47 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     finalRows(50L) shouldBe "click"
   }
 
+  test("watermark drops late rows and the drop is accounted in progress metrics") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft-late-src").toFile.getAbsolutePath
+    val sink = Files.createTempDirectory("graft-late-sink").toFile.getAbsolutePath + "/out"
+    val ckpt = Files.createTempDirectory("graft-late-ckpt").toFile.getAbsolutePath
+
+    def runOnce(): Seq[Long] = {
+      val q = EventStream.hourlyByType(EventStream.readEvents(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark))
+    }
+
+    // batch 1: events across hours 10 and 12 — the watermark advances to
+    // 11:50 (max 12:00 − 10 min), finalizing the hour-10 window
+    val w1 = new java.io.PrintWriter(s"$src/a.json")
+    (0 until 5).foreach(i => w1.println(
+      s"""{"event_id":$i,"ts":"2024-01-01T10:0$i:00.000Z","user_id":1,"event_type":"view","value":1.0,"props":"{}"}"""))
+    w1.println("""{"event_id":9,"ts":"2024-01-01T12:00:00.000Z","user_id":1,"event_type":"view","value":1.0,"props":"{}"}""")
+    w1.close()
+    runOnce()
+
+    // batch 2: an event at 10:30 — two hours below the advanced watermark —
+    // must be DROPPED, and the drop must be visible in the state metrics
+    val w2 = new java.io.PrintWriter(s"$src/b.json")
+    w2.println("""{"event_id":50,"ts":"2024-01-01T10:30:00.000Z","user_id":2,"event_type":"click","value":1.0,"props":"{}"}""")
+    w2.close()
+    val drops = runOnce()
+    drops.sum should be >= 1L
+
+    // the finalized hour-10 window holds only the on-time rows; no 'click'
+    // row ever surfaces (the late event's window was already closed)
+    val out = spark.read.parquet(sink)
+    out.filter(col("event_type") === "click").count() shouldBe 0L
+    out.filter(col("unix_hour") === 1704103200L).select("n_events")
+      .collect().map(_.getLong(0)).sum shouldBe 5L // 10:00 UTC window
+  }
+
   test("streaming dedup drops redelivered event_ids within the watermark") {
     // ids 0..9, with 0..4 redelivered (same id, same payload)
     val rows = (0 until 10).map(i => (i.toLong, s"00:0$i:00", 1L, "view")) ++
