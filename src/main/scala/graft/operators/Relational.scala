@@ -43,6 +43,19 @@ object Relational extends QueryModule {
       |WHERE o_totalprice > 400000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS via the SQL surface: customers holding
+    * at least one urgent order but no order above 300k — Catalyst rewrites
+    * the pair into a semi join + anti join (no per-row re-execution), the
+    * decorrelation shape the scalar case (q54) doesn't cover. */
+  val existsSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
   /** The SQL surface: one ANSI statement executed verbatim by BOTH engines —
     * Spark (`spark.sql` over temp views of the fixture tables) and the
     * DuckDB oracle. TPC-H Q10-shaped returned-item revenue report. */
@@ -412,6 +425,28 @@ object Relational extends QueryModule {
       s.sql(maxItemSql)
     }),
 
+    // Correlated EXISTS / NOT EXISTS via the SQL surface (see existsSql).
+    "q136_exists_subquery" -> ((s, dir) => {
+      for (name <- Seq("customer", "orders"))
+        t(s, dir, name).createOrReplaceTempView(name)
+      s.sql(existsSql)
+    }),
+
+    // Quantile normalization (q138... registered as q137): per event type,
+    // map each value onto its empirical CDF position — percent_rank with a
+    // total order (value, event_id), the rank-uniformization step feature
+    // pipelines run before mixing heterogeneous scales. Output capped to
+    // the 200 lowest-ranked rows per the bounded-result discipline.
+    "q137_quantile_norm" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("q", round(percent_rank().over(w), 6))
+        .orderBy(col("event_type"), col("q"), col("event_id"))
+        .limit(200)
+    }),
+
     // TPC-H Q6-shaped: tightly-filtered single-pass sum. Every predicate
     // reaches the parquet scan (PushedFilters + row-group min/max skipping) —
     // at 100 TB this is the query shape where pushdown does almost all the
@@ -662,6 +697,13 @@ object Relational extends QueryModule {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY orderstatus, orderpriority""".stripMargin,
     "q54_scalar_subquery" -> maxItemSql,
+    "q136_exists_subquery" -> existsSql,
+    "q137_quantile_norm" ->
+      """SELECT event_id, event_type, value,
+        |       round(percent_rank() OVER (PARTITION BY event_type
+        |               ORDER BY value, event_id), 6) AS q
+        |FROM events
+        |ORDER BY event_type, q, event_id LIMIT 200""".stripMargin,
     "q59_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
         |       coalesce(o_orderpriority, '(all)') AS orderpriority,
