@@ -392,6 +392,37 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // SCD-2 interval build (q138): turn a user's event-type change stream
+    // into slowly-changing-dimension type-2 validity intervals —
+    // (user_id, state, valid_from, valid_to, is_current), half-open
+    // [from, to), current rows marked with a NULL-free sentinel end. The
+    // warehouse-dimension pattern: one user_id-partitioned lead() window
+    // over consecutive-state runs. Runs collapse first (a state repeated
+    // back-to-back extends its interval rather than opening a new row) via
+    // the lag-mark + conditional-count run-id idiom; both windows partition
+    // on user_id — the natural high-cardinality key, nothing global.
+    "q138_scd2_intervals" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val marked = ev(s, dir)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").cast(LongType).as("t"), col("event_id"))
+        .withColumn("chg",
+          when(lag(col("state"), 1).over(byUser).isNull ||
+            lag(col("state"), 1).over(byUser) =!= col("state"), 1L).otherwise(0L))
+        .withColumn("run", sum(col("chg")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val runs = marked.groupBy(col("user_id"), col("run"))
+        .agg(min(col("t")).as("valid_from"), first(col("state")).as("state"))
+      val byRun = Window.partitionBy(col("user_id")).orderBy(col("run"))
+      runs
+        .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(byRun),
+          lit(Long.MaxValue)))
+        .withColumn("is_current", (col("valid_to") === Long.MaxValue).cast("int"))
+        .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // User-acquisition curve (q135): cumulative distinct users through each
     // active day — the growth curve over the same first-seen skeleton as
     // q113 (a user counts once, on their first day; a running sum over the
@@ -621,6 +652,24 @@ object EventAnalytics extends QueryModule {
         |SELECT anchor AS day, count(DISTINCT user_id) AS active_7d
         |FROM x WHERE anchor IN (SELECT day FROM days)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q138_scd2_intervals" ->
+      """WITH m AS (SELECT user_id, event_type AS state,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+        |             CASE WHEN lag(event_type) OVER w IS NULL
+        |                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM m),
+        |runs AS (SELECT user_id, run, min(t) AS valid_from, any_value(state) AS state
+        |         FROM r GROUP BY 1, 2)
+        |SELECT user_id, state, valid_from,
+        |       COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run),
+        |                9223372036854775807) AS valid_to,
+        |       CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL
+        |            THEN 1 ELSE 0 END AS is_current
+        |FROM runs ORDER BY user_id, valid_from""".stripMargin,
     "q135_user_growth" ->
       """WITH f AS (SELECT user_id, CAST(min(floor(epoch(ts)/86400)) AS BIGINT) AS day
         |           FROM events GROUP BY 1),
