@@ -392,6 +392,42 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // RANGE-frame rolling sum (q139): per user, each event's trailing-1-hour
+    // value sum — a RANGE frame over epoch seconds ([t−3600, t]), which
+    // rows-based frames (q48's moving average) cannot express: the window
+    // extent depends on TIME, not row count, so bursts widen the row span
+    // and quiet periods shrink it. Partitioned on user_id; value terms
+    // round at 6 dp and the frame sum runs in decimal space (every frame
+    // is a contiguous run over the same sorted partition on both engines,
+    // and decimal addition is order-independent regardless). Bounded
+    // top-200 output under a total order.
+    "q139_range_frame" -> ((s, dir) => {
+      val frame = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        .rangeBetween(-3600L, 0L)
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast(LongType).as("t"), col("value"))
+        .withColumn("roll_1h",
+          sum(round(col("value"), 6).cast(DecimalType(28, 6))).over(frame).cast("double"))
+        .select(col("user_id"), col("event_id"), col("t"), round(col("roll_1h"), 6).as("roll_1h"))
+        .orderBy(col("user_id"), col("t"), col("event_id"))
+        .limit(200)
+    }),
+
+    // Week-over-week growth (q140): weekly event volume with the previous
+    // week's volume and the growth ratio — lag over the bounded week axis
+    // (the window runs on |weeks| rows, never raw events). Weeks are
+    // epoch-floored 7-day buckets (convention-free integer math, as q123).
+    "q140_wow_growth" -> ((s, dir) =>
+      ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 604800L).cast(LongType).as("week"))
+        .groupBy(col("week")).agg(count(lit(1)).as("n_events"))
+        .withColumn("prev_events", lag(col("n_events"), 1).over(Window.orderBy(col("week"))))
+        .withColumn("wow_ratio",
+          when(col("prev_events").isNotNull,
+            round(col("n_events").cast("double") / col("prev_events"), 6)))
+        .orderBy(col("week"))),
+
     // SCD-2 interval build (q138): turn a user's event-type change stream
     // into slowly-changing-dimension type-2 validity intervals —
     // (user_id, state, valid_from, valid_to, is_current), half-open
@@ -652,6 +688,25 @@ object EventAnalytics extends QueryModule {
         |SELECT anchor AS day, count(DISTINCT user_id) AS active_7d
         |FROM x WHERE anchor IN (SELECT day FROM days)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q139_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |           FROM events)
+        |SELECT user_id, event_id, t,
+        |       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6)))
+        |               OVER (PARTITION BY user_id ORDER BY t
+        |                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS roll_1h
+        |FROM e ORDER BY user_id, t, event_id LIMIT 200""".stripMargin,
+    "q140_wow_growth" ->
+      """WITH w AS (SELECT CAST(floor(epoch(ts)/604800) AS BIGINT) AS week
+        |           FROM events),
+        |c AS (SELECT week, count(*) AS n_events FROM w GROUP BY week)
+        |SELECT week, n_events,
+        |       lag(n_events) OVER (ORDER BY week) AS prev_events,
+        |       CASE WHEN lag(n_events) OVER (ORDER BY week) IS NOT NULL
+        |            THEN round(CAST(n_events AS DOUBLE) / lag(n_events) OVER (ORDER BY week), 6)
+        |       END AS wow_ratio
+        |FROM c ORDER BY week""".stripMargin,
     "q138_scd2_intervals" ->
       """WITH m AS (SELECT user_id, event_type AS state,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
