@@ -164,6 +164,19 @@ object Dedup extends QueryModule {
   def ngramJaccardPairs(s: SparkSession, dir: String, dfCap: Int = DefaultDfCap): DataFrame =
     ngramJaccardPairsFrom(docs(s, dir), dfCap)
 
+  /** q141: similarity-score histogram — candidate-pair counts per 0.1-wide
+    * Jaccard bucket — the THRESHOLD-TUNING curve a dedup rollout reads
+    * before committing to a cut ("0.8 keeps the near-dup mass and drops
+    * the long tail; 0.6 would merge 4× more"). One extra bounded
+    * aggregation on top of the single-pipeline pair computation; the
+    * bucket floor is exact integer math on the 6-dp-rounded score. */
+  def jaccardHistogram(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir)
+      .select((floor(col("jaccard") * 10).cast("long") / lit(10.0)).as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket_lo"))
+
   /** MinHash signature, k permutations, computed the scalable way: the
     * (doc_id, shingle) pairs are exploded once, each shingle hashed ONCE
     * (the first 8 hex chars of md5 — a 32-bit value, so the permutation
@@ -422,7 +435,10 @@ object Dedup extends QueryModule {
     // SimHash hamming-radius pairs (guaranteed recall via chunk pigeonhole).
     "q58_simhash_hamming" -> ((s, dir) =>
       simhashHammingPairs(s, dir)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Similarity-score histogram — the dedup threshold-tuning curve.
+    "q141_jaccard_histogram" -> ((s, dir) => jaccardHistogram(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,6 +448,25 @@ object Dedup extends QueryModule {
         |  FROM documents)
         |SELECT min(doc_id) AS survivor_id, fp, count(*) AS n_copies
         |FROM fp GROUP BY fp ORDER BY survivor_id""".stripMargin,
+    "q141_jaccard_histogram" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+        |       FROM toks WHERE len(w) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           WHERE a.s IN (SELECT s FROM capped)
+        |           GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |j AS (SELECT round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |      FROM common
+        |        JOIN sizes sa ON sa.doc_id = id_a
+        |        JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT CAST(floor(jaccard * 10) AS BIGINT) / 10.0 AS bucket_lo,
+        |       count(*) AS n_pairs
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),

@@ -392,6 +392,29 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Chi-square uniformity (q142): goodness-of-fit of the props `k % 10`
+    // bucket distribution against uniform — the randomness health check a
+    // pipeline runs on anything claiming to be uniformly assigned (shard
+    // keys, salts, hash buckets): χ² = Σ (obs−exp)²/exp over the 10
+    // buckets, dof = 9 (χ²₀.₉₅ ≈ 16.92 — a fixture value far above it
+    // means the "uniform" source isn't). Exact integer counts; the 10
+    // per-bucket terms round at 6 dp and sum in decimal space.
+    "q142_chi_square" -> ((s, dir) => {
+      val buckets = ev(s, dir)
+        .select((regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(LongType) % 10)
+          .as("k_mod"))
+        .groupBy(col("k_mod")).agg(count(lit(1)).as("obs"))
+      val tot = buckets.agg(sum(col("obs")).as("total"), count(lit(1)).as("nb"))
+      buckets.crossJoin(broadcast(tot))
+        .select(col("k_mod"), col("obs"), col("total"), col("nb"),
+          round(pow(col("obs") - col("total").cast("double") / col("nb"), 2) /
+            (col("total").cast("double") / col("nb")), 6).as("term"))
+        .agg(max(col("nb")).as("n_buckets"),
+          sum(col("term").cast(DecimalType(28, 6))).cast("double").as("chi2"))
+        .select(col("n_buckets"), round(col("chi2"), 6).as("chi2"),
+          (col("n_buckets") - 1).as("dof"))
+    }),
+
     // RANGE-frame rolling sum (q139): per user, each event's trailing-1-hour
     // value sum — a RANGE frame over epoch seconds ([t−3600, t]), which
     // rows-based frames (q48's moving average) cannot express: the window
@@ -688,6 +711,18 @@ object EventAnalytics extends QueryModule {
         |SELECT anchor AS day, count(DISTINCT user_id) AS active_7d
         |FROM x WHERE anchor IN (SELECT day FROM days)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q142_chi_square" ->
+      """WITH b AS (SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
+        |                  count(*) AS obs
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS total, count(*) AS nb FROM b),
+        |terms AS (SELECT round(pow(obs - CAST(total AS DOUBLE) / nb, 2) /
+        |                       (CAST(total AS DOUBLE) / nb), 6) AS term, nb
+        |          FROM b CROSS JOIN t)
+        |SELECT max(nb) AS n_buckets,
+        |       round(CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6) AS chi2,
+        |       max(nb) - 1 AS dof
+        |FROM terms""".stripMargin,
     "q139_range_frame" ->
       """WITH e AS (SELECT user_id, event_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS t, value
