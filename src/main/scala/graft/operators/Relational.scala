@@ -271,6 +271,76 @@ object Relational extends QueryModule {
         .orderBy(col("share").desc, col("n_name"))
     }),
 
+    // RFM segmentation (q143): per customer, recency (days since last
+    // order, anchored at the corpus max order date), frequency (order
+    // count) and monetary (decimal-summed total) — then quartile scores
+    // via ntile(4) under total orders (tie-broken by custkey) and the
+    // concatenated RFM segment label, the classic CRM cut. The per-
+    // customer rollup is one natural-key aggregation; the three ntile
+    // windows run over the customer-cardinality rollup, not raw orders —
+    // at extreme customer counts the same scores come from
+    // approx-quantile cutpoints (the q112 trade). Top-100 by segment.
+    "q143_rfm_segments" -> ((s, dir) => {
+      val anchor = t(s, dir, "orders")
+        .agg(max(floor(col("o_orderdate").cast(LongType) / 86400L)).as("maxd"))
+      val rfm = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(floor(col("o_orderdate").cast(LongType) / 86400L)).as("lastd"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("monetary"))
+        .crossJoin(broadcast(anchor))
+        .select(col("o_custkey").as("custkey"),
+          (col("maxd") - col("lastd")).cast(LongType).as("recency_days"),
+          col("frequency"), col("monetary"))
+      def score(c: String, ascGood: Boolean) = {
+        val w = if (ascGood) Window.orderBy(col(c), col("custkey"))
+        else Window.orderBy(col(c).desc, col("custkey"))
+        ntile(4).over(w).cast(LongType)
+      }
+      rfm
+        .withColumn("r_score", score("recency_days", ascGood = true))
+        .withColumn("f_score", score("frequency", ascGood = false))
+        .withColumn("m_score", score("monetary", ascGood = false))
+        .withColumn("segment", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+        .orderBy(col("segment"), col("custkey"))
+        .limit(100)
+    }),
+
+    // Market-basket brand lift (q144): for part-brand pairs co-occurring in
+    // an order, lift = P(a,b) / (P(a)·P(b)) — the association-rule signal
+    // ("these brands ship together more than chance"). Per-order DISTINCT
+    // brand sets first (the dedup that keeps a double-ordered brand from
+    // inflating support), pairs via ONE order-keyed self-join of the
+    // deduped narrow rows (bounded by brands-per-order², never parts²),
+    // probabilities over the order universe; 6-dp lift, support floor 5.
+    "q144_basket_lift" -> ((s, dir) => {
+      val ob = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct()
+      // the order-universe size rides as a broadcast 1-row aggregate —
+      // never a driver-side count inside the query path
+      val tot = ob.agg(countDistinct(col("okey")).as("n"))
+      val single = ob.groupBy(col("brand")).agg(count(lit(1)).as("nb"))
+      val pairs = ob.as("x").join(ob.as("y"),
+          col("x.okey") === col("y.okey") && col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 5)
+      pairs
+        .join(broadcast(single.select(col("brand").as("brand_a"), col("nb").as("na"))), Seq("brand_a"))
+        .join(broadcast(single.select(col("brand").as("brand_b"), col("nb").as("nb"))), Seq("brand_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("brand_a"), col("brand_b"), col("n_both"),
+          round((col("n_both").cast("double") / col("n")) /
+            ((col("na").cast("double") / col("n")) * (col("nb").cast("double") / col("n"))), 6)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+        .limit(20)
+    }),
+
     // Set ops over aligned projections.
     "q13_union" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -698,6 +768,37 @@ object Relational extends QueryModule {
         |ORDER BY orderstatus, orderpriority""".stripMargin,
     "q54_scalar_subquery" -> maxItemSql,
     "q136_exists_subquery" -> existsSql,
+    "q143_rfm_segments" ->
+      """WITH a AS (SELECT CAST(max(floor(epoch(o_orderdate)/86400)) AS BIGINT) AS maxd FROM orders),
+        |rfm AS (SELECT o_custkey AS custkey,
+        |          CAST(max(floor(epoch(o_orderdate)/86400)) AS BIGINT) AS lastd,
+        |          count(*) AS frequency,
+        |          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |        FROM orders GROUP BY 1),
+        |s AS (SELECT custkey, (maxd - lastd) AS recency_days, frequency, monetary,
+        |        CAST(ntile(4) OVER (ORDER BY (maxd - lastd), custkey) AS BIGINT) AS r_score,
+        |        CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_score,
+        |        CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_score
+        |      FROM rfm CROSS JOIN a)
+        |SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+        |       concat(r_score, f_score, m_score) AS segment
+        |FROM s ORDER BY segment, custkey LIMIT 100""".stripMargin,
+    "q144_basket_lift" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |tot AS (SELECT count(DISTINCT okey) AS n FROM ob),
+        |single AS (SELECT brand, count(*) AS nb FROM ob GROUP BY brand),
+        |pairs AS (SELECT x.brand AS brand_a, y.brand AS brand_b, count(*) AS n_both
+        |          FROM ob x JOIN ob y ON x.okey = y.okey AND x.brand < y.brand
+        |          GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT brand_a, brand_b, n_both,
+        |       round((CAST(n_both AS DOUBLE) / n) /
+        |             ((CAST(sa.nb AS DOUBLE) / n) * (CAST(sb.nb AS DOUBLE) / n)), 6) AS lift
+        |FROM pairs
+        |  JOIN single sa ON sa.brand = brand_a
+        |  JOIN single sb ON sb.brand = brand_b
+        |  CROSS JOIN tot
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin,
     "q137_quantile_norm" ->
       """SELECT event_id, event_type, value,
         |       round(percent_rank() OVER (PARTITION BY event_type
