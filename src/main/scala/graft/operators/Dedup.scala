@@ -221,17 +221,17 @@ object Dedup extends QueryModule {
     * wide shingle arrays through the signature shuffle — would multiply
     * that exchange's volume by the document size, a far worse trade at
     * corpus scale. */
-  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val docsDf = docs(s, dir)
-    val sh = shingledFrom(docsDf)
-    // Candidate generation over NARROW rows only: (doc_id, band_id,
-    // band_sig). The wide shingle arrays never enter the explode or the
-    // bucket join — at corpus scale the banded join shuffles a few dozen
-    // bytes per row (the band signature is 4 longs), and the payload is
-    // fetched afterwards for just the surviving candidate pairs. Bucketing
-    // keys on the band-signature VALUES, not a hash of them: same shuffle
-    // layout, no hash-collision false-candidate class, and the DuckDB
-    // oracle can replay bucket membership exactly.
+  /** The q36 candidate stage on its own: distinct bucket-collision pairs
+    * from the banded signatures — exposed separately so the audit tier
+    * (q145) can price verification work against recall. Candidate
+    * generation runs over NARROW rows only: (doc_id, band_id, band_sig) —
+    * the wide shingle arrays never enter the explode or the bucket join;
+    * at corpus scale the banded join shuffles a few dozen bytes per row.
+    * Bucketing keys on the band-signature VALUES, not a hash of them:
+    * same shuffle layout, no hash-collision false-candidate class, and
+    * the DuckDB oracle replays bucket membership exactly. */
+  def minhashLshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingledFrom(docs(s, dir))
     val bands = minhashSignatures(sh)
       .select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 7), b -> slice(sig, b * 4 + 1, 4))")))
@@ -242,9 +242,14 @@ object Dedup extends QueryModule {
     val buckets = bands.groupBy(col("band_id"), col("band_sig"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val cand = streamPairs(buckets, "y > x")
+    streamPairs(buckets, "y > x")
       .select(col("x").as("id_a"), col("y").as("id_b"))
       .distinct()
+  }
+
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val docsDf = docs(s, dir)
+    val cand = minhashLshCandidates(s, dir)
     // Exact-Jaccard verification: shingle only the candidate docs, then one
     // pass over that pruned shingle table via pair legs.
     val candDocs = cand.select(col("id_a").as("doc_id"))
@@ -438,7 +443,29 @@ object Dedup extends QueryModule {
         .orderBy(col("id_a"), col("id_b"))),
 
     // Similarity-score histogram — the dedup threshold-tuning curve.
-    "q141_jaccard_histogram" -> ((s, dir) => jaccardHistogram(s, dir))
+    "q141_jaccard_histogram" -> ((s, dir) => jaccardHistogram(s, dir)),
+
+    // LSH quality audit (q145): the approximate tier scored against the
+    // exact tier ENTIRELY in-engine — candidate volume (verification work
+    // bought), verified pairs, recall vs the exact J>=0.8 pairs, and
+    // precision of the verified set. The tuning dashboard for (bands,
+    // rows): more bands buy recall with more candidates; this query prices
+    // both sides of that trade on the live corpus. All counts ride as
+    // broadcast 1-row aggregates — no driver-side counts.
+    "q145_lsh_audit" -> ((s, dir) => {
+      val exact = ngramJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.8).select(col("id_a"), col("id_b"))
+      val cand = minhashLshCandidates(s, dir)
+      val lsh = minhashLshPairs(s, dir).select(col("id_a"), col("id_b"))
+      val hit = exact.join(lsh, Seq("id_a", "id_b"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_verified")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_candidates"), col("n_verified"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
+          round(col("n_hit").cast("double") / col("n_verified"), 6).as("precision"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -538,6 +565,52 @@ object Dedup extends QueryModule {
          |               JOIN sizes sb ON sb.doc_id = cm.id_b
          |WHERE round(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q145_lsh_audit" -> {
+      val mins = (0 until 32)
+        .map(i => s"min((2*$i+1)*h + $i*1099511628211) AS m$i").mkString(", ")
+      val bandSelects = (0 until 8)
+        .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
+          s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+         |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+         |       FROM toks WHERE len(w) >= 5),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
+         |ecommon AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |            WHERE a.s IN (SELECT s FROM capped)
+         |            GROUP BY 1, 2),
+         |exact AS (SELECT id_a, id_b FROM ecommon
+         |            JOIN sizes sa ON sa.doc_id = id_a
+         |            JOIN sizes sb ON sb.doc_id = id_b
+         |          WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8),
+         |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h FROM ex),
+         |sigs AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.b0 = b.b0 AND a.b1 = b.b1
+         |          AND a.b2 = b.b2 AND a.b3 = b.b3 AND a.doc_id < b.doc_id),
+         |vcommon AS (SELECT c.id_a, c.id_b, count(*) AS c
+         |            FROM cand c JOIN ex ea ON ea.doc_id = c.id_a
+         |                        JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+         |            GROUP BY c.id_a, c.id_b),
+         |lsh AS (SELECT cm.id_a, cm.id_b
+         |        FROM vcommon cm JOIN sizes sa ON sa.doc_id = cm.id_a
+         |                        JOIN sizes sb ON sb.doc_id = cm.id_b
+         |        WHERE round(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c), 6) >= 0.8),
+         |hit AS (SELECT exact.id_a, exact.id_b FROM exact JOIN lsh USING (id_a, id_b))
+         |SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |       (SELECT count(*) FROM cand) AS n_candidates,
+         |       (SELECT count(*) FROM lsh) AS n_verified,
+         |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+         |             (SELECT count(*) FROM exact), 6) AS recall,
+         |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+         |             (SELECT count(*) FROM lsh), 6) AS precision""".stripMargin
     },
     "q47_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
