@@ -228,6 +228,30 @@ object Cluster extends QueryModule {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // Dedup impact report (q146): corpus mass before vs after cluster
+    // collapse — docs/tokens/chars pre and post, and the retained
+    // fractions — the one-row summary a curation run publishes ("dedup
+    // kept 96% of documents, 95% of tokens"). Survivor = the component-
+    // minimum doc (q77's rule); sums run in the exact integer/decimal
+    // domain and the ratios divide as identical doubles.
+    "q146_dedup_impact" -> ((s, dir) => {
+      val labeled = dedupClusters(s, dir)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          graft.operators.TextAnalytics.nTokens(col("text")).as("n_toks"))
+      val pre = labeled.agg(count(lit(1)).as("docs_pre"),
+        sum(col("n_toks")).as("toks_pre"), sum(col("n_chars")).as("chars_pre"))
+      val post = labeled.filter(col("doc_id") === col("cluster_id"))
+        .agg(count(lit(1)).as("docs_post"),
+          sum(col("n_toks")).as("toks_post"), sum(col("n_chars")).as("chars_post"))
+      pre.crossJoin(broadcast(post))
+        .select(col("docs_pre"), col("docs_post"),
+          round(col("docs_post").cast("double") / col("docs_pre"), 6).as("doc_keep_rate"),
+          col("toks_pre"), col("toks_post"),
+          round(col("toks_post").cast("double") / col("toks_pre"), 6).as("token_keep_rate"),
+          col("chars_pre"), col("chars_post"),
+          round(col("chars_post").cast("double") / col("chars_pre"), 6).as("char_keep_rate"))
+    }),
+
     // Graph importance over the near-dup graph: PageRank picks the most
     // central document of each duplicate cluster (the canonical-survivor
     // signal that min-doc_id survivorship approximates), and ranks hub
@@ -344,6 +368,24 @@ object Cluster extends QueryModule {
     "q107_pagerank" -> pageRankOracle,
     "q76_dedup_clusters" ->
       (clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    "q146_dedup_impact" ->
+      (clusterCte +
+        """,
+          |lab AS (SELECT c.doc_id, c.cluster_id, c.n_chars,
+          |               len(string_split(trim(d.text), ' ')) AS n_toks
+          |        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+          |pre AS (SELECT count(*) AS docs_pre, CAST(sum(n_toks) AS BIGINT) AS toks_pre,
+          |               CAST(sum(n_chars) AS BIGINT) AS chars_pre FROM lab),
+          |post AS (SELECT count(*) AS docs_post, CAST(sum(n_toks) AS BIGINT) AS toks_post,
+          |                CAST(sum(n_chars) AS BIGINT) AS chars_post
+          |         FROM lab WHERE doc_id = cluster_id)
+          |SELECT docs_pre, docs_post,
+          |       round(CAST(docs_post AS DOUBLE) / docs_pre, 6) AS doc_keep_rate,
+          |       toks_pre, toks_post,
+          |       round(CAST(toks_post AS DOUBLE) / toks_pre, 6) AS token_keep_rate,
+          |       chars_pre, chars_post,
+          |       round(CAST(chars_post AS DOUBLE) / chars_pre, 6) AS char_keep_rate
+          |FROM pre CROSS JOIN post""".stripMargin),
     "q125_cross_source_dups" ->
       (edgeCte +
         """

@@ -392,6 +392,30 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Top-decile concentration (q147): per event type, the share of total
+    // value mass held by events at or above the exact p90 — the
+    // concentration read ("are 10% of readings carrying half the
+    // signal?") that decides whether means or heavy-hitter treatment
+    // apply downstream. Same broadcast-fence two-pass shape as q122;
+    // 6-dp fences, decimal-space masses, identical final division.
+    "q147_top_decile" -> ((s, dir) => {
+      val fences = ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      ev(s, dir)
+        .join(broadcast(fences), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value") >= col("p90"), 1L).otherwise(0L)).as("n_top"),
+          sum(round(col("value"), 6).cast(DecimalType(28, 6))).as("mass_total"),
+          sum(when(col("value") >= col("p90"), round(col("value"), 6))
+            .otherwise(lit(0.0)).cast(DecimalType(28, 6))).as("mass_top"))
+        .select(col("event_type"), col("n_events"), col("n_top"),
+          round(col("mass_top").cast("double") / col("mass_total").cast("double"), 6)
+            .as("top_decile_share"))
+        .orderBy(col("event_type"))
+    }),
+
     // Chi-square uniformity (q142): goodness-of-fit of the props `k % 10`
     // bucket distribution against uniform — the randomness health check a
     // pipeline runs on anything claiming to be uniformly assigned (shard
@@ -711,6 +735,17 @@ object EventAnalytics extends QueryModule {
         |SELECT anchor AS day, count(DISTINCT user_id) AS active_7d
         |FROM x WHERE anchor IN (SELECT day FROM days)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q147_top_decile" ->
+      """WITH f AS (SELECT event_type,
+        |             round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN e.value >= f.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        |       round(CAST(sum(CASE WHEN e.value >= f.p90 THEN CAST(round(e.value, 6) AS DECIMAL(28,6))
+        |                           ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE) /
+        |             CAST(sum(CAST(round(e.value, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS top_decile_share
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q142_chi_square" ->
       """WITH b AS (SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
         |                  count(*) AS obs
