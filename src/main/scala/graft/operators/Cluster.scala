@@ -245,11 +245,15 @@ object Cluster extends QueryModule {
           sum(col("n_toks")).as("toks_post"), sum(col("n_chars")).as("chars_post"))
       pre.crossJoin(broadcast(post))
         .select(col("docs_pre"), col("docs_post"),
-          round(col("docs_post").cast("double") / col("docs_pre"), 6).as("doc_keep_rate"),
+          // empty-corpus guards: null rates, never an ANSI x/0 job abort
+          when(col("docs_pre") > 0,
+            round(col("docs_post").cast("double") / col("docs_pre"), 6)).as("doc_keep_rate"),
           col("toks_pre"), col("toks_post"),
-          round(col("toks_post").cast("double") / col("toks_pre"), 6).as("token_keep_rate"),
+          when(col("toks_pre") > 0,
+            round(col("toks_post").cast("double") / col("toks_pre"), 6)).as("token_keep_rate"),
           col("chars_pre"), col("chars_post"),
-          round(col("chars_post").cast("double") / col("chars_pre"), 6).as("char_keep_rate"))
+          when(col("chars_pre") > 0,
+            round(col("chars_post").cast("double") / col("chars_pre"), 6)).as("char_keep_rate"))
     }),
 
     // Graph importance over the near-dup graph: PageRank picks the most
@@ -380,11 +384,11 @@ object Cluster extends QueryModule {
           |                CAST(sum(n_chars) AS BIGINT) AS chars_post
           |         FROM lab WHERE doc_id = cluster_id)
           |SELECT docs_pre, docs_post,
-          |       round(CAST(docs_post AS DOUBLE) / docs_pre, 6) AS doc_keep_rate,
+          |       CASE WHEN docs_pre > 0 THEN round(CAST(docs_post AS DOUBLE) / docs_pre, 6) END AS doc_keep_rate,
           |       toks_pre, toks_post,
-          |       round(CAST(toks_post AS DOUBLE) / toks_pre, 6) AS token_keep_rate,
+          |       CASE WHEN toks_pre > 0 THEN round(CAST(toks_post AS DOUBLE) / toks_pre, 6) END AS token_keep_rate,
           |       chars_pre, chars_post,
-          |       round(CAST(chars_post AS DOUBLE) / chars_pre, 6) AS char_keep_rate
+          |       CASE WHEN chars_pre > 0 THEN round(CAST(chars_post AS DOUBLE) / chars_pre, 6) END AS char_keep_rate
           |FROM pre CROSS JOIN post""".stripMargin),
     "q125_cross_source_dups" ->
       (edgeCte +

@@ -463,8 +463,12 @@ object Dedup extends QueryModule {
         .crossJoin(lsh.agg(count(lit(1)).as("n_verified")))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select(col("n_exact"), col("n_candidates"), col("n_verified"),
-          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
-          round(col("n_hit").cast("double") / col("n_verified"), 6).as("precision"))
+          // guards: an already-clean corpus (zero exact pairs / candidates)
+          // must report null rates, not an ANSI divide-by-zero job abort
+          when(col("n_exact") > 0,
+            round(col("n_hit").cast("double") / col("n_exact"), 6)).as("recall"),
+          when(col("n_verified") > 0,
+            round(col("n_hit").cast("double") / col("n_verified"), 6)).as("precision"))
     })
   )
 
@@ -607,10 +611,12 @@ object Dedup extends QueryModule {
          |SELECT (SELECT count(*) FROM exact) AS n_exact,
          |       (SELECT count(*) FROM cand) AS n_candidates,
          |       (SELECT count(*) FROM lsh) AS n_verified,
-         |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
-         |             (SELECT count(*) FROM exact), 6) AS recall,
-         |       round(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
-         |             (SELECT count(*) FROM lsh), 6) AS precision""".stripMargin
+         |       CASE WHEN (SELECT count(*) FROM exact) > 0 THEN
+         |         round(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+         |               (SELECT count(*) FROM exact), 6) END AS recall,
+         |       CASE WHEN (SELECT count(*) FROM lsh) > 0 THEN
+         |         round(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+         |               (SELECT count(*) FROM lsh), 6) END AS precision""".stripMargin
     },
     "q47_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -85,8 +85,12 @@ object EventAnalytics extends QueryModule {
       .crossJoin(c.agg(count(lit(1)).as("n_clicked_1h")))
       .crossJoin(p.agg(count(lit(1)).as("n_purchased_1h")))
       .select(col("n_viewed"), col("n_clicked_1h"), col("n_purchased_1h"),
-        round(col("n_clicked_1h").cast("double") / col("n_viewed"), 6).as("click_rate"),
-        round(col("n_purchased_1h").cast("double") / col("n_clicked_1h"), 6).as("purchase_rate"))
+        // empty-stage guards: ANSI mode makes x/0 a JOB-KILLING error, so a
+        // day with zero views must yield null rates, not a crashed run
+        when(col("n_viewed") > 0,
+          round(col("n_clicked_1h").cast("double") / col("n_viewed"), 6)).as("click_rate"),
+        when(col("n_clicked_1h") > 0,
+          round(col("n_purchased_1h").cast("double") / col("n_clicked_1h"), 6)).as("purchase_rate"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -894,8 +898,12 @@ object EventAnalytics extends QueryModule {
         |SELECT (SELECT count(*) FROM v) AS n_viewed,
         |       (SELECT count(*) FROM c) AS n_clicked_1h,
         |       (SELECT count(*) FROM p) AS n_purchased_1h,
-        |       round(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v), 6) AS click_rate,
-        |       round(CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c), 6) AS purchase_rate""".stripMargin,
+        |       CASE WHEN (SELECT count(*) FROM v) > 0 THEN
+        |         round(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v), 6)
+        |       END AS click_rate,
+        |       CASE WHEN (SELECT count(*) FROM c) > 0 THEN
+        |         round(CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c), 6)
+        |       END AS purchase_rate""".stripMargin,
     "q55_funnel" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Dedup, EventAnalytics, Retrieval, Similarity, Tokenizer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Degenerate-input behavior: operators must return empty/identity results
+  * on empty or undersized inputs, never throw — the property that matters
+  * when a 100 TB pipeline hits an empty partition, a source with no
+  * matches, or a first-run corpus smaller than the algorithm's parameters. */
+class EdgeCasesSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("heavy hitters on an empty corpus: empty result, no division blowup") {
+    Tokenizer.heavyHitters(emptyDocs).count() shouldBe 0L
+  }
+
+  test("zipf and heaps fits on an empty corpus return a single all-null/zero row") {
+    // the aggregation still emits its one row; n = 0 and the fit columns
+    // are null (0/0) — callers read n before trusting the fit
+    val z = Tokenizer.zipfSlopeFrom(emptyDocs).head()
+    z.getLong(0) shouldBe 0L
+    val h = Tokenizer.heapsFitFrom(emptyDocs).head()
+    h.getLong(0) shouldBe 0L
+  }
+
+  test("phrase search with an absent phrase or empty corpus is empty") {
+    Retrieval.phraseSearch(emptyDocs, Seq("a", "b")).count() shouldBe 0L
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    Retrieval.phraseSearch(docs, Seq("a", "b")).count() shouldBe 0L
+  }
+
+  test("k-means with fewer vectors than k converges on the vectors present") {
+    val vecs = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(1.0, 1.0)), (2L, Array(5.0, 5.0))
+    ).toDF("vec_id", "v")
+    val out = Similarity.kmeansRefine(vecs, k = 8, iters = 2).collect()
+    out.length shouldBe 3                      // every vector still assigned
+    out.foreach(r => r.getDouble(2) shouldBe 0.0 +- 1e-9) // own singleton cell
+  }
+
+  test("jaccard pairs and histogram on single-doc / short-doc corpora are empty") {
+    val single = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    Dedup.ngramJaccardPairsFrom(single).count() shouldBe 0L
+    // documents shorter than the shingle width produce no shingles at all
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    Dedup.ngramJaccardPairsFrom(short).count() shouldBe 0L
+  }
+
+  test("deadline funnel with zero qualifying users reports zeros, not an error") {
+    import java.sql.Timestamp
+    val events = Seq((1L, "click", new Timestamp(1000L)))
+      .toDF("user_id", "event_type", "ts")
+    val r = EventAnalytics.deadlineFunnel(events).head()
+    r.getLong(0) shouldBe 0L   // nobody viewed
+    r.getLong(1) shouldBe 0L
+    r.getLong(2) shouldBe 0L
+    // rates are null (0/0) rather than a crash; callers gate on the counts
+    r.isNullAt(3) shouldBe true
+  }
+}
