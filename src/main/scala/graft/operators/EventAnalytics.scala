@@ -396,6 +396,29 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Behavioral entropy (q148): per user, the Shannon entropy of their
+    // event-type distribution — the diversity score separating bots
+    // (H → 0, one action repeated) from exploratory users (H → log2 k);
+    // the same single-fold identity as q104's token entropy,
+    // H = log2(n) − (Σ c·log2 c)/n, over (user, type) counts — two
+    // partial-aggregating shuffles on natural keys, nothing global. The
+    // c·log2 c terms round at 9 dp and sum in decimal space; top 20 by
+    // entropy (ties to user_id) keeps the output bounded.
+    "q148_user_entropy" -> ((s, dir) => {
+      val counts = ev(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_types"),
+          sum(round(col("c") * log2(col("c").cast("double")), 9)
+            .cast(DecimalType(28, 9))).cast("double").as("clc"))
+        .select(col("user_id"), col("n").as("n_events"), col("n_types"),
+          round(log2(col("n").cast("double")) - col("clc") / col("n"), 6).as("entropy"))
+        .orderBy(col("entropy").desc, col("user_id"))
+        .limit(20)
+    }),
+
     // Top-decile concentration (q147): per event type, the share of total
     // value mass held by events at or above the exact p90 — the
     // concentration read ("are 10% of readings carrying half the
@@ -739,6 +762,15 @@ object EventAnalytics extends QueryModule {
         |SELECT anchor AS day, count(DISTINCT user_id) AS active_7d
         |FROM x WHERE anchor IN (SELECT day FROM days)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q148_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types,
+        |        CAST(sum(CAST(round(c * log2(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE) AS clc
+        |      FROM c GROUP BY user_id)
+        |SELECT user_id, n AS n_events, n_types,
+        |       round(log2(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy
+        |FROM u ORDER BY entropy DESC, user_id LIMIT 20""".stripMargin,
     "q147_top_decile" ->
       """WITH f AS (SELECT event_type,
         |             round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90
