@@ -128,8 +128,40 @@ object Tokenizer extends QueryModule {
     "q126_heaps_fit" -> ((s, dir) => heapsFitFrom(docs(s, dir))),
 
     // Sketch-then-verify heavy hitters (see heavyHitters; output is exact).
-    "q128_heavy_hitters" -> ((s, dir) => heavyHitters(docs(s, dir)))
+    "q128_heavy_hitters" -> ((s, dir) => heavyHitters(docs(s, dir))),
+
+    // OOV / vocabulary drift (q149): the even-doc_id half stands in for the
+    // tokenizer's training corpus, the odd half for a new batch — the rate
+    // of new-batch token OCCURRENCES falling outside the old vocabulary,
+    // plus the count of genuinely new terms. The "do we need to re-train
+    // the tokenizer / re-fit the vocab" gate: occurrence-weighted OOV is
+    // what inflates unk-token counts downstream, term-count drift is what
+    // grows the vocab. One left-anti equi-join of new-half term counts
+    // against the old vocab (term-keyed shuffle — web-scale vocabularies
+    // don't broadcast), totals ride as a broadcast 1-row aggregate.
+    "q149_oov_rate" -> ((s, dir) => oovRateFrom(docs(s, dir)))
   )
+
+  /** q149's engine over any `(doc_id, text)` frame: even doc_ids are the
+    * reference vocabulary, odd doc_ids the new batch (see the q149 query
+    * comment for the drift semantics and scale shape). */
+  def oovRateFrom(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf
+      .select((col("doc_id") % 2).as("half"),
+        explode(split(trim(col("text")), " ")).as("term"))
+    val oldVocab = toks.filter(col("half") === 0).select(col("term")).distinct()
+    val newCounts = toks.filter(col("half") === 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val oov = newCounts.join(oldVocab, Seq("term"), "left_anti")
+    val tot = newCounts.agg(sum(col("c")).as("n_new_tokens"))
+    oov.agg(coalesce(sum(col("c")), lit(0L)).as("n_oov_tokens"),
+        count(lit(1)).as("n_new_terms"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_new_tokens"), col("n_oov_tokens"), col("n_new_terms"),
+        when(col("n_new_tokens") > 0,
+          round(col("n_oov_tokens").cast("double") / col("n_new_tokens"), 6))
+          .as("oov_rate"))
+  }
 
   /** q128: corpus heavy hitters by SKETCH-THEN-VERIFY — the two-pass shape
     * that finds every term above a frequency threshold WITHOUT shuffling
@@ -289,6 +321,21 @@ object Tokenizer extends QueryModule {
         |SELECT rank, term, n_occ, df,
         |       round(CAST(cum_occ AS DOUBLE) / total, 6) AS cum_coverage
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "q149_oov_rate" ->
+      """WITH toks AS (SELECT doc_id % 2 AS half, unnest(string_split(trim(text), ' ')) AS term
+        |              FROM documents),
+        |old_vocab AS (SELECT DISTINCT term FROM toks WHERE half = 0),
+        |nc AS (SELECT term, count(*) AS c FROM toks WHERE half = 1 GROUP BY term),
+        |oov AS (SELECT nc.term, nc.c FROM nc
+        |        WHERE nc.term NOT IN (SELECT term FROM old_vocab)),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_new_tokens FROM nc)
+        |SELECT n_new_tokens,
+        |       CAST(COALESCE((SELECT sum(c) FROM oov), 0) AS BIGINT) AS n_oov_tokens,
+        |       (SELECT count(*) FROM oov) AS n_new_terms,
+        |       CASE WHEN n_new_tokens > 0 THEN
+        |         round(CAST(COALESCE((SELECT sum(c) FROM oov), 0) AS DOUBLE) / n_new_tokens, 6)
+        |       END AS oov_rate
+        |FROM tot""".stripMargin,
     // The sketch is invisible in the result — the oracle is the plain
     // threshold group-by the two-pass plan reproduces exactly.
     "q128_heavy_hitters" ->

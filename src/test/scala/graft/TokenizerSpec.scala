@@ -91,6 +91,21 @@ class TokenizerSpec extends AnyFunSuite with Matchers {
     got.keySet shouldBe Set("alpha", "beta") // the planted pair, nothing else
   }
 
+  test("oov rate: planted new-batch drift is counted occurrence-weighted") {
+    import spark.implicits._
+    // old half (even ids): vocabulary {a, b}; new half (odd ids): 6 tokens,
+    // of which two x's and one y are unseen → OOV rate 3/6, 2 new terms
+    val docs = Seq(
+      (0L, "a b a b"), (2L, "b a"),
+      (1L, "a x x y"), (3L, "a a")
+    ).toDF("doc_id", "text")
+    val r = Tokenizer.oovRateFrom(docs).head()
+    r.getLong(0) shouldBe 6L   // new-batch token occurrences
+    r.getLong(1) shouldBe 3L   // occurrence-weighted OOV
+    r.getLong(2) shouldBe 2L   // distinct new terms (x, y)
+    r.getDouble(3) shouldBe 0.5 +- 1e-9
+  }
+
   test("heaps fit: beta ~ 1 for all-new tokens, ~ 0 for a closed vocabulary") {
     import spark.implicits._
     // every token unique → V(n) = n → β = 1 exactly
