@@ -42,6 +42,18 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
+        # Type gate: DuckDB widens sum(BIGINT) to HUGEINT (plain and windowed);
+        # pandas silently coerces it back so value-compare can't see it, but the
+        # driver's typed hash does (q135, round 8). Flag any widened column so
+        # the oracle gets an explicit CAST before the round boundary.
+        rel = con.sql(sql)
+        wide = [c for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()]
+        if wide:
+            print(f"FAIL {name}: oracle column(s) {wide} typed HUGEINT/UINT — "
+                  f"add CAST(... AS BIGINT) in the oracle SQL")
+            n_fail += 1
+            continue
         ecols, gcols = sorted(exp.columns), sorted(got.columns)
         if ecols != gcols:
             print(f"FAIL {name}: columns {gcols} != oracle {ecols}")

@@ -836,7 +836,8 @@ object EventAnalytics extends QueryModule {
         |           FROM events GROUP BY 1),
         |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
         |SELECT day, new_users,
-        |       sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS total_users
+        |       CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |            AS BIGINT) AS total_users
         |FROM d ORDER BY day""".stripMargin,
     "q117_gap_percentiles" ->
       """WITH g AS (SELECT event_type,
