@@ -36,28 +36,38 @@ object Bench {
       if (runs.forall(_._2)) Some(name -> runs.map(_._1).min)
       else { failed += name; None } // a failing query must not pollute totals
     }
-    // Timings round to 4 decimals (0.1 ms) and the canonical summary keys
-    // are the `qNN` prefix only (unique by construction): at 84 queries the
-    // full-name summary line reached ~2.9 KB and was front-truncated by the
-    // driver's stdout-tail capture in rounds 6 AND 7 (`parsed: null`). The
-    // prefix form is ~1.2 KB — far inside the window even at 150 queries.
-    // Full names remain in the raw-runs line below for auditability.
+    // The driver records only a tail window of stdout, and rounds 6-8 each
+    // lost part of the summary to it (round 8 lost `total_s` and ~8 queries
+    // even with qNN-prefix keys). Two-part fix:
+    //   1. stdout carries ONE line only — the canonical summary, with
+    //      per-query minima at 2 decimals (10 ms; bench noise floor is far
+    //      above that) and qNN-prefix keys. ~1.4 KB at 150 queries, well
+    //      inside every window size observed so far.
+    //   2. Full fidelity (full names, 4-dp minima, raw per-rep timings)
+    //      goes to BENCH_SUMMARY.json in the working directory, immune to
+    //      stream truncation entirely.
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def short(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => s"\"" + short(k) + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => s"\"" + short(k) + "\":" + fmt2(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rawJson = raw.map { case (k, vs) => "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // total aggregates successful queries only — comparable run-to-run
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Raw per-run timings go on their OWN line, printed FIRST: the driver
-    // records only the tail of stdout, and in earlier rounds this long
-    // section pushed the headline total and the per-query minima out of the
-    // captured window. The canonical one-line summary must be the LAST line
-    // so tail-truncation can never eat it.
-    println(s"""{"metric":"runs","reps":$reps,"runs":$rawJson}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+    val fileJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"failed":$failedJson,"reps":$reps,"sf":"$sfDir","runs":$rawJson}"""
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SUMMARY.json"))
+      java.nio.file.Files.write(p, (fileJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // file dump is best-effort; stdout is canonical
+    println(summary)
     spark.stop()
   }
 }
