@@ -6,7 +6,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
   * 64-dim), the standard ANN ladder — random-hyperplane LSH (Charikar 2002)
@@ -257,7 +257,12 @@ object Similarity extends QueryModule {
       cents = assigned
         .select(col("m.cid").as("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
-        .agg(round(avg(col("col")), 6).as("m"))
+        // mean via order-independent DECIMAL sum (not avg(double): the
+        // pre-rounding double sum depends on partition order, which can
+        // flip a mean sitting on a 1e-6 rounding boundary between runs)
+        .agg(round(
+          sum(round(col("col"), 12).cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1)), 6).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("m").as("v")))),
           x => x.getField("v")).as("cv"))
@@ -437,7 +442,11 @@ object Similarity extends QueryModule {
       val comps = emb(s, dir)
         .select(col("label"), (col("vec_id") % 2).as("half"), posexplode(col("v")))
         .groupBy(col("label"), col("half"), col("pos"))
-        .agg(round(avg(col("col")), 6).as("m"))
+        // decimal-space mean — same order-independence rationale as
+        // kmeansRefine's centroid update
+        .agg(round(
+          sum(round(col("col"), 12).cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1)), 6).as("m"))
       comps.filter(col("half") === 0).select(col("label"), col("pos"), col("m").as("m0"))
         .join(comps.filter(col("half") === 1)
           .select(col("label"), col("pos"), col("m").as("m1")), Seq("label", "pos"))
@@ -520,7 +529,9 @@ object Similarity extends QueryModule {
     "q134_embedding_drift" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, vec_id % 2 AS half, unnest(range(len(v))) AS pos, unnest(v) AS c FROM e),
-        |m AS (SELECT label, half, pos, round(avg(c), 6) AS m FROM x GROUP BY 1, 2, 3),
+        |m AS (SELECT label, half, pos,
+        |        round(CAST(sum(CAST(round(c, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
+        |      FROM x GROUP BY 1, 2, 3),
         |j AS (SELECT m0.label, m0.pos, m0.m AS m0, m1.m AS m1
         |      FROM (SELECT * FROM m WHERE half = 0) m0
         |      JOIN (SELECT * FROM m WHERE half = 1) m1 USING (label, pos))
@@ -538,7 +549,9 @@ object Similarity extends QueryModule {
         |a1 AS (SELECT vec_id, cid, v FROM
         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
         |x1 AS (SELECT cid, unnest(range(len(v))) AS i, unnest(v) AS x FROM a1),
-        |m1 AS (SELECT cid, i, round(avg(x), 6) AS m FROM x1 GROUP BY cid, i),
+        |m1 AS (SELECT cid, i,
+        |         round(CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
+        |       FROM x1 GROUP BY cid, i),
         |c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
         |d2_ AS (SELECT e.vec_id, c1.cid, e.v,
         |         round(list_aggregate(list_transform(range(len(e.v)), i -> pow(e.v[i+1] - c1.cv[i+1], 2)), 'sum'), 6) AS d2
@@ -546,7 +559,9 @@ object Similarity extends QueryModule {
         |a2 AS (SELECT vec_id, cid, v FROM
         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2_) WHERE rn = 1),
         |x2 AS (SELECT cid, unnest(range(len(v))) AS i, unnest(v) AS x FROM a2),
-        |m2 AS (SELECT cid, i, round(avg(x), 6) AS m FROM x2 GROUP BY cid, i),
+        |m2 AS (SELECT cid, i,
+        |         round(CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
+        |       FROM x2 GROUP BY cid, i),
         |c2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),
         |fin AS (SELECT e.vec_id, c2.cid,
         |         round(list_aggregate(list_transform(range(len(e.v)), i -> pow(e.v[i+1] - c2.cv[i+1], 2)), 'sum'), 6) AS d2

@@ -227,12 +227,22 @@ object Tokenizer extends QueryModule {
       sum(col("y").cast(dec)).cast("double").as("sy"),
       sum(round(col("x") * col("y"), 12).cast(dec)).cast("double").as("sxy"),
       sum(round(col("x") * col("x"), 12).cast(dec)).cast("double").as("sxx"))
-      .select(col("n").as(countAs),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
-          .as("intercept"))
+      .select(col("n").as(countAs), {
+        // Degenerate fit (single point, or all x equal) zeroes the
+        // denominator: IEEE doubles give NaN/Inf here while DuckDB yields
+        // NULL, so guard explicitly — NULL slope/intercept on both engines
+        // (the repo-wide denominator-guard convention, README "determinism").
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        when(den =!= 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) / den, 6))
+          .as("slope")
+      }, {
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        when(den =!= 0,
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            den * col("sx")) / col("n"), 6))
+          .as("intercept")
+      })
   }
 
   /** q115's engine: least-squares (slope, intercept) of log10(freq) on
@@ -365,8 +375,10 @@ object Tokenizer extends QueryModule {
         |        CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
         |      FROM xy)
         |SELECT n AS n_points,
-        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |       CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |       CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |         round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) END AS intercept
         |FROM s""".stripMargin,
     "q115_zipf_slope" ->
       """WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
@@ -382,8 +394,10 @@ object Tokenizer extends QueryModule {
         |        CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
         |      FROM xy)
         |SELECT n AS n_terms,
-        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |       CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |       CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |         round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) END AS intercept
         |FROM s""".stripMargin
   )
 }
