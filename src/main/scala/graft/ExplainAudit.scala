@@ -29,6 +29,45 @@ object ExplainAudit {
       val pushed = p.linesIterator.count(l => l.contains("PushedFilters: ["))
       println(f"[audit] $q%-24s exchanges=$exch%2d scans=$scans%2d cartesian=$cart bnlj=$bnlj")
     }
+    // Full-surface single-partition sweep: an unpartitioned window plans
+    // `Exchange SinglePartition` under its Sort — a single-node sort of
+    // whatever frame feeds it. Fine when the frame is a bounded rollup
+    // (days / nations / top-k rows); a scale hazard when it is corpus-
+    // sized. Planning only — no execution — so sweeping all queries is
+    // cheap. AuditSpec pins the flagged set to the documented allowlist,
+    // so any NEW unpartitioned window fails the build until classified.
+    println("[audit] --- unpartitioned-window sweep (Sort over Exchange SinglePartition) ---")
+    for ((q, hits) <- singlePartitionWindows(spark, dir)) {
+      val label = SinglePartitionAllowlist.getOrElse(q, "UNEXPECTED — classify or repartition")
+      println(f"[audit] $q%-24s singlePartitionSorts=$hits%2d  $label")
+    }
     spark.stop()
   }
+
+  /** Queries whose physical plan contains >=1 `Exchange SinglePartition`
+    * feeding a Sort (the unpartitioned-window shape), with the hit count.
+    * Detection is on the initial plan text: the Sort parent prints on the
+    * line block directly above its exchange child. */
+  def singlePartitionWindows(spark: SparkSession, dir: String): Seq[(String, Int)] =
+    SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val lines = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString.linesIterator.toVector
+      val hits = lines.indices.count { i =>
+        lines(i).contains("Exchange SinglePartition") &&
+          (i - 2 to i - 1).exists(j => j >= 0 && lines(j).contains("Sort "))
+      }
+      if (hits > 0) Some(q -> hits) else None
+    }
+
+  /** Every known unpartitioned-window plan, with why it is acceptable.
+    * q112/q143 are the two documented single-node EXACT-mode sorts (their
+    * approx_percentile twins are the 100 TB path — see Relational.scala);
+    * the rest sort bounded rollup frames, not the corpus. */
+  val SinglePartitionAllowlist: Map[String, String] = Map(
+    "q112_equidepth_hist" -> "documented exact-mode global sort; approx_percentile is the scale path",
+    "q143_rfm_segments" -> "documented exact-mode ntile over customer rollup; approx-quantile is the scale path",
+    "q126_heaps_fit" -> "bounded: block-offset prefix over the #docs/4096 block rollup (per-doc windows are block-partitioned)",
+    "q130_pareto_share" -> "bounded: cumulative share over the nation rollup (~25 rows)",
+    "q135_user_growth" -> "bounded: running total over the per-day rollup (#days rows)",
+    "q140_wow_growth" -> "bounded: lag over the per-week rollup (#weeks rows)")
 }

@@ -125,11 +125,13 @@ object Relational extends QueryModule {
     // reports each bucket's boundaries and mass — the exact form of the
     // statistics an optimizer keeps per column and a data profiler reports.
     // Deterministic: the sort key is tie-broken by o_orderkey, so bucket
-    // membership is total-order-unique. Scale: ntile over an unpartitioned
-    // window is a global sort (range-partitioned, not single-node, but
-    // still a full sort+shuffle) — the EXACT variant; at 100 TB the same
-    // report comes from approx_percentile cutpoints (one aggregation, no
-    // sort) at bounded error. The exact form is what the oracle can replay.
+    // membership is total-order-unique. Scale: an unpartitioned window
+    // plans `Exchange SinglePartition` — the EXACT variant really is a
+    // single-node sort (ExplainAudit counts and flags it; q112/q143 are
+    // the only two such plans, both by design). At 100 TB the same report
+    // comes from approx_percentile cutpoints (one aggregation, no global
+    // sort) at bounded error; the exact form exists because it is what
+    // the DuckDB oracle can replay bit-for-bit.
     "q112_equidepth_hist" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -278,8 +280,10 @@ object Relational extends QueryModule {
     // concatenated RFM segment label, the classic CRM cut. The per-
     // customer rollup is one natural-key aggregation; the three ntile
     // windows run over the customer-cardinality rollup, not raw orders —
-    // at extreme customer counts the same scores come from
-    // approx-quantile cutpoints (the q112 trade). Top-100 by segment.
+    // but each unpartitioned window still plans `Exchange SinglePartition`
+    // (a single-node sort of the rollup; ExplainAudit flags it). At
+    // extreme customer counts the same scores come from approx-quantile
+    // cutpoints (the q112 trade). Top-100 by segment.
     "q143_rfm_segments" -> ((s, dir) => {
       val anchor = t(s, dir, "orders")
         .agg(max(floor(col("o_orderdate").cast(LongType) / 86400L)).as("maxd"))

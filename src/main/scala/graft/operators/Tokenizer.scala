@@ -269,26 +269,41 @@ object Tokenizer extends QueryModule {
     * curve is computed WITHOUT quadratic prefix re-scans: each term
     * attributes itself to its FIRST document (min doc_id — one term-keyed
     * aggregation), per-doc new-term counts join the per-doc token counts,
-    * and two running sums over the doc_id order produce (cumulative
-    * tokens, cumulative vocabulary) checkpoints; the log-log fit runs over
-    * those. The doc-order windows are unpartitioned but doc-count-sized
-    * (one row per document, not per token); at 100 TB the same curve fits
-    * over sampled checkpoint docs. */
-  def heapsFitFrom(docsDf: DataFrame): DataFrame = {
+    * and the two running sums over doc order run as a DISTRIBUTED prefix
+    * sum — the classic two-phase scan: doc_id-aligned blocks accumulate
+    * in parallel (windows partitioned by block), per-block totals prefix
+    * once over the #docs/`blockSize` rollup, and the broadcast offsets
+    * add back in. No corpus-sized single-partition sort anywhere; the one
+    * unpartitioned window sorts the block rollup (ExplainAudit classifies
+    * it). Integer sums, so the blocked decomposition is value-identical
+    * to the naive window and the oracle replays it unchanged. */
+  def heapsFitFrom(docsDf: DataFrame, blockSize: Long = 4096L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val toks = docsDf.select(col("doc_id"),
       explode(split(trim(col("text")), " ")).as("term"))
     val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
     val firstSeen = toks.groupBy(col("term")).agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("new_terms"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val xy = perDoc
+    val blocked = perDoc
       .join(firstSeen, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("new_terms"), lit(0L)).as("new_terms"))
-      .select(sum(col("n_toks")).over(byDoc).as("cum_toks"),
-        sum(col("new_terms")).over(byDoc).as("cum_vocab"))
+      .withColumn("blk", floor(col("doc_id") / lit(blockSize)))
+    val inBlk = W.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val byBlk = W.orderBy(col("blk")).rowsBetween(W.unboundedPreceding, -1)
+    val blockOffs = blocked.groupBy(col("blk"))
+      .agg(sum(col("n_toks")).as("bt"), sum(col("new_terms")).as("bv"))
+      .select(col("blk"),
+        coalesce(sum(col("bt")).over(byBlk), lit(0L)).as("off_t"),
+        coalesce(sum(col("bv")).over(byBlk), lit(0L)).as("off_v"))
+    val xy = blocked
+      .select(col("blk"), col("doc_id"),
+        sum(col("n_toks")).over(inBlk).as("ct"),
+        sum(col("new_terms")).over(inBlk).as("cv"))
+      .join(broadcast(blockOffs), "blk")
+      .select((col("ct") + col("off_t")).as("cum_toks"),
+        (col("cv") + col("off_v")).as("cum_vocab"))
       .filter(col("cum_toks") > 0 && col("cum_vocab") > 0)
       .select(round(log10(col("cum_toks").cast("double")), 6).as("x"),
         round(log10(col("cum_vocab").cast("double")), 6).as("y"))
