@@ -29,9 +29,21 @@ object AsOf extends QueryModule {
     * among earlier rows (inclusive of the current row, ordered by
     * `orderCols`) where `markerCond` held, per `keyCol` partition. */
   def asofLast(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
-               markerCond: Column, markerValue: Column, outName: String): DataFrame = {
+               markerCond: Column, markerValue: Column, outName: String): DataFrame =
+    asofLastAll(df, keyCol, orderCols, markerCond, Seq(markerValue -> outName))
+
+  /** Multi-column [[asofLast]]: attach SEVERAL fields of the most recent
+    * marker row in one pass. All output columns must ride one select over
+    * one shared window spec — nesting single-column calls leaves a Project
+    * between the Window operators, which defeats CollapseWindow and plans
+    * one shuffle+sort PER column (measured: 3 WindowExecs for 3 legs). The
+    * legs share the marker predicate, so they null out together and always
+    * describe the same matched row. */
+  def asofLastAll(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
+                  markerCond: Column, values: Seq[(Column, String)]): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(orderCols: _*).rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn(outName, last(when(markerCond, markerValue), ignoreNulls = true).over(w))
+    df.select(col("*") +: values.map { case (v, n) =>
+      last(when(markerCond, v), ignoreNulls = true).over(w).as(n) }: _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -46,6 +58,33 @@ object AsOf extends QueryModule {
           col("ts").cast(LongType).as("purchase_ts"),
           col("last_view").cast(LongType).as("attributed_view"))
         .orderBy(col("event_id"))
+    }),
+
+    // Whole-row as-of (q124): q57 carries one scalar back from the matched
+    // row; the general point-in-time lookup (a feature-store read, kdb's
+    // `aj` proper) needs the ENTIRE matched row. asofLastAll carries the
+    // touch's timestamp, id and type through one shared window spec — a
+    // single WindowExec, one shuffle + one sort (EventTextSpec pins that
+    // plan shape) — and the legs null out together (same marker
+    // predicate), so they always describe the same touch row. Markers here
+    // are click OR view (last touch of any kind); purchases with no prior
+    // touch keep NULL attribution (LEFT-asof), and touch_gap_s prices the
+    // attribution window in floored-epoch seconds.
+    "q124_asof_attribution" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      val touch = col("event_type").isin("click", "view")
+      val withTouch = asofLastAll(ev, col("user_id"),
+        Seq(col("ts"), col("event_id")), touch,
+        Seq(col("ts").cast(LongType) -> "lt_t",
+          col("event_id") -> "lt_id",
+          col("event_type") -> "lt_type"))
+      withTouch.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast(LongType).as("ts_s"),
+          col("lt_id").as("touch_event_id"),
+          col("lt_type").as("touch_type"),
+          (col("ts").cast(LongType) - col("lt_t")).as("touch_gap_s"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -59,6 +98,21 @@ object AsOf extends QueryModule {
         |SELECT event_id, user_id,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
         |       CAST(floor(epoch(last_view)) AS BIGINT) AS attributed_view
+        |FROM s WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q124_asof_attribution" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS) OVER w AS lt_t,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_id END IGNORE NULLS) OVER w AS lt_id,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_type END IGNORE NULLS) OVER w AS lt_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, t AS ts_s, lt_id AS touch_event_id,
+        |       lt_type AS touch_type, t - lt_t AS touch_gap_s
         |FROM s WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
   )
 }

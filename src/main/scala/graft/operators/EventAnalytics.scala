@@ -214,6 +214,7 @@ object EventAnalytics extends QueryModule {
           round(expr("percentile(value, 0.99)"), 6).as("p99"))
         .orderBy(col("event_type"))),
 
+
     // Session path analysis: event-type transition counts (the Markov /
     // clickstream bigram table). The lag window partitions on user_id —
     // the natural high-cardinality key, so no unpartitioned window exists —

@@ -492,6 +492,19 @@ object Relational extends QueryModule {
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))),
 
+    // q53's fully-oracled exact twin: the same per-flag shape with ONLY the
+    // SQL-expressible exact aggregates, so the driver sheet hash-checks the
+    // distinct counts and medians the sketch query approximates (q53 itself
+    // stays rows-only — HLL registers and KLL sketches are engine-specific).
+    "q150_distinct_exact" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
     // Correlated scalar subquery via the SQL surface.
     "q54_scalar_subquery" -> ((s, dir) => {
       for (name <- Seq("orders", "lineitem"))
@@ -602,6 +615,12 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_distinct_exact" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS median_price,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q09_join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -98,6 +98,24 @@ class EventTextSpec extends AnyFunSuite with Matchers {
     got(6L) shouldBe -1L          // never saw a view
   }
 
+  test("q124 whole-row as-of: three legs collapse to one window pass, no join") {
+    val df = SparkEntry.queries("q124_asof_attribution")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the three asofLast legs share one window spec — Catalyst must plan a
+    // single WindowExec (one shuffle + one sort), and an as-of expressed as
+    // a window pass must never degrade into any join
+    "Window \\[".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+    p should not include "CartesianProduct"
+    // the legs null out together: every attributed row carries a full touch
+    val rows = df.collect()
+    rows.foreach { r =>
+      r.isNullAt(3) shouldBe r.isNullAt(4) // touch_event_id <=> touch_type
+      r.isNullAt(3) shouldBe r.isNullAt(5) // touch_event_id <=> touch_gap_s
+      if (!r.isNullAt(5)) r.getLong(5) should be >= 0L
+    }
+  }
+
   test("token metrics on known strings") {
     val df = Seq((1L, "one two  three"), (2L, "a.b,c!")).toDF("doc_id", "text")
     val m = df.select($"doc_id",
