@@ -385,7 +385,42 @@ object Dedup extends QueryModule {
       .filter(col("sim") >= threshold)
   }
 
+  /** Edit-distance fuzzy match (q152): the entity-resolution tier the
+    * shingle tiers can't express — levenshtein captures character-level
+    * typos and word-order-preserving edits that n-gram sets blur. Never
+    * all-pairs: candidates form only inside a blocking key (the first two
+    * name tokens), the same Σ|block|² cost bound as the posting-list
+    * tiers, with a block-size cap against boilerplate keys melting one
+    * reducer (blocks past the cap are template families — route them to
+    * the exact tier instead; the fixture's largest block is 46, so the
+    * default cap drops nothing there). levenshtein is classic unit-cost
+    * edit distance in BOTH engines, so the oracle replays distances
+    * exactly; output is the dist-ranked total-order top-1000 (the
+    * bounded-result discipline). */
+  def fuzzyMatchPairs(s: SparkSession, dir: String, maxDist: Int = 2,
+                      blockCap: Int = 1000): DataFrame = {
+    val p = Tables.read(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        concat_ws(" ", slice(split(col("p_name"), " "), 1, 2)).as("blk"))
+    val capped = p.join(
+      p.groupBy(col("blk")).agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= blockCap).select(col("blk")),
+      "blk")
+    val a = capped.select(col("blk"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = capped.select(col("blk"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, "blk")
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("dist"), col("key_a"), col("key_b"))
+      .limit(1000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Edit-distance fuzzy match (q152) — see [[fuzzyMatchPairs]].
+    "q152_fuzzy_match" -> ((s, dir) => fuzzyMatchPairs(s, dir)),
 
     // Exact dedup: group by content fingerprint, deterministic survivor
     // (min doc_id), copy count. Hash-groupBy: one shuffle on the fingerprint.
@@ -473,6 +508,17 @@ object Dedup extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q152_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |             string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2] AS blk
+        |           FROM part),
+        |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 1000),
+        |c AS (SELECT p.* FROM p JOIN ok USING (blk)),
+        |pairs AS (SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |            levenshtein(a.p_name, b.p_name) AS dist
+        |          FROM c a JOIN c b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        |SELECT key_a, key_b, dist FROM pairs WHERE dist <= 2
+        |ORDER BY dist, key_a, key_b LIMIT 1000""".stripMargin,
     "q34_exact_dedup" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

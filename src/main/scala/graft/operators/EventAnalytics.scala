@@ -214,6 +214,49 @@ object EventAnalytics extends QueryModule {
           round(expr("percentile(value, 0.99)"), 6).as("p99"))
         .orderBy(col("event_type"))),
 
+    // Per-segment trend scan (q151): the OLS slope of `value` against
+    // days-since-corpus-start, per event type — the drift detector a
+    // metrics pipeline runs over every segment at once ("error values are
+    // climbing 0.09/day; signups are decaying"). Grouped closed-form
+    // regression via Ols.fit: ONE hash aggregation with map-side partial
+    // moment sums — per-group cost is five decimal accumulators, output is
+    // segment-cardinality. x anchors at the corpus min timestamp (one-row
+    // broadcast, the q110 anchor shape) and counts fractional DAYS, which
+    // keeps x² inside double precision (raw epoch² would exceed 2^53 and
+    // make the rounding step resolution-dependent).
+    "q151_trend_slopes" -> ((s, dir) => {
+      val anchor = ev(s, dir).agg(min(col("ts").cast(LongType)).as("tmin"))
+      val xy = ev(s, dir).crossJoin(broadcast(anchor))
+        .select(col("event_type"),
+          round((col("ts").cast(LongType) - col("tmin")).cast("double") / 86400.0, 6).as("x"),
+          col("value").as("y"))
+      graft.functions.Ols.fit(xy, Seq("event_type"), "n")
+        .orderBy(col("event_type"))
+    }),
+
+    // Activity streaks (q153): the gaps-and-islands pattern — per user,
+    // consecutive-active-day runs found with the classic `day - row_number`
+    // group key (constant within a gapless run, jumps at every gap), then
+    // two aggregations roll runs up to longest streak / streak count /
+    // total active days. Every window partitions on user_id (the natural
+    // high-cardinality key — no single-partition sort anywhere), and the
+    // distinct day grid is one (user, day) shuffle of narrow rows.
+    "q153_activity_streaks" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .select(col("user_id"),
+          floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      d.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("streak_len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("streak_len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("streak_len")).as("active_days"))
+        .orderBy(col("user_id"))
+    }),
+
 
     // Session path analysis: event-type transition counts (the Markov /
     // clickstream bigram table). The lag window partitions on user_id —
@@ -661,6 +704,36 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_trend_slopes" ->
+      """WITH anchor AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS tmin FROM events),
+        |xy AS (SELECT event_type,
+        |         round(CAST(CAST(floor(epoch(ts)) AS BIGINT) - tmin AS DOUBLE) / 86400.0, 6) AS x,
+        |         value AS y
+        |       FROM events CROSS JOIN anchor),
+        |s AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |      FROM xy GROUP BY event_type)
+        |SELECT event_type, n,
+        |       CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |       CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |         round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) END AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q153_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+        |           FROM events),
+        |r AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d),
+        |s AS (SELECT user_id, grp, count(*) AS streak_len FROM r GROUP BY 1, 2)
+        |SELECT user_id,
+        |       max(streak_len) AS longest_streak,
+        |       count(*) AS n_streaks,
+        |       CAST(sum(streak_len) AS BIGINT) AS active_days
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q94_value_percentiles" ->
       """SELECT event_type, count(*) AS n_events,
         |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,

@@ -214,36 +214,13 @@ object Tokenizer extends QueryModule {
       .orderBy(col("n_occ").desc, col("term"))
   }
 
-  /** Closed-form least-squares fit over a 2-column `(x, y)` frame (both
-    * pre-rounded doubles): five order-independent DECIMAL-summed scalars,
-    * then the identical final double arithmetic on either engine. The
-    * first output column is named `countAs` (q115 reports ranked terms,
-    * q126 reports growth checkpoints). */
-  def logLogFit(xy: DataFrame, countAs: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
-    xy.agg(
-      count(lit(1)).as("n"),
-      sum(col("x").cast(dec)).cast("double").as("sx"),
-      sum(col("y").cast(dec)).cast("double").as("sy"),
-      sum(round(col("x") * col("y"), 12).cast(dec)).cast("double").as("sxy"),
-      sum(round(col("x") * col("x"), 12).cast(dec)).cast("double").as("sxx"))
-      .select(col("n").as(countAs), {
-        // Degenerate fit (single point, or all x equal) zeroes the
-        // denominator: IEEE doubles give NaN/Inf here while DuckDB yields
-        // NULL, so guard explicitly — NULL slope/intercept on both engines
-        // (the repo-wide denominator-guard convention, README "determinism").
-        val den = col("n") * col("sxx") - col("sx") * col("sx")
-        when(den =!= 0,
-          round((col("n") * col("sxy") - col("sx") * col("sy")) / den, 6))
-          .as("slope")
-      }, {
-        val den = col("n") * col("sxx") - col("sx") * col("sx")
-        when(den =!= 0,
-          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-            den * col("sx")) / col("n"), 6))
-          .as("intercept")
-      })
-  }
+  /** Closed-form least-squares fit over a 2-column `(x, y)` frame — the
+    * global (ungrouped) form of [[graft.functions.Ols.fit]], which holds
+    * the numeric discipline (decimal-summed moments, guarded denominator).
+    * The first output column is named `countAs` (q115 reports ranked
+    * terms, q126 reports growth checkpoints). */
+  def logLogFit(xy: DataFrame, countAs: String): DataFrame =
+    graft.functions.Ols.fit(xy, Nil, countAs)
 
   /** q115's engine: least-squares (slope, intercept) of log10(freq) on
     * log10(rank) over the `headK` most frequent whitespace tokens of
