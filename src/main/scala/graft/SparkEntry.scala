@@ -34,7 +34,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal, Skew,
-    AsOf, RangeJoin, Sampling, Scrub, Curation, Cluster, Retrieval, Tokenizer)
+    AsOf, RangeJoin, Sampling, Scrub, Curation, Cluster, Retrieval, Tokenizer, Expectations)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full silver+gold operator chain (scan → null-filter →

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations + pipeline run accounting — the observability
+  * surface the reference drives through Glue job-status polling and Slack
+  * alerts (`airflow/dags/etl_api.py:40-46,178-196`), re-expressed as engine
+  * queries: a declarative rule report a scheduler can gate on, instead of
+  * out-of-band orchestration callbacks.
+  *
+  * Scale shape: every metric here is ONE aggregation pass with map-side
+  * partials (count / count-distinct / conditional counts), unpivoted to a
+  * fixed row-per-rule report — output cardinality is the rule count, never
+  * the data's. The run report's per-stage counts reuse the flagship
+  * pipeline's own frames, so the accounting can never drift from what the
+  * pipeline actually computed. */
+object Expectations extends QueryModule {
+
+  /** One-pass expectation report over `orders` (q154): each rule emits
+    * (rule, observed-ratio, threshold, passed). Rules follow the Deequ
+    * taxonomy — completeness, uniqueness, range conformance, domain
+    * membership. `passed` is BIGINT 0/1 so a scheduler (or a HAVING
+    * clause) can gate a publish step on `min(passed) = 1`. */
+  def orderExpectations(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.read(s, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("uniq_key"),
+      count(col("o_custkey")).as("nn_cust"),
+      count(when(col("o_totalprice") > 0 && col("o_totalprice") < 1000000, 1)).as("in_range"),
+      count(when(col("o_orderstatus").isin("F", "O", "P"), 1)).as("in_domain"))
+    // one row in `m`; stack unpivots to the fixed rule set (row-local)
+    m.select(expr(
+      """stack(4,
+        |  'orderkey_unique',    CAST(uniq_key AS DOUBLE)  / n, 1.0d,
+        |  'custkey_complete',   CAST(nn_cust AS DOUBLE)   / n, 1.0d,
+        |  'totalprice_range',   CAST(in_range AS DOUBLE)  / n, 0.99d,
+        |  'orderstatus_domain', CAST(in_domain AS DOUBLE) / n, 1.0d
+        |) AS (rule, observed, threshold)""".stripMargin))
+      .select(col("rule"), round(col("observed"), 6).as("observed"),
+        col("threshold"),
+        when(col("observed") >= col("threshold"), 1L).otherwise(0L).as("passed"))
+      .orderBy(col("rule"))
+  }
+
+  /** Medallion run report (q155): per-stage row accounting of the flagship
+    * q01 pipeline — rows in, rows out, rows dropped at every stage (scan →
+    * null filter → key dedup → gold rollup). This is the "did the job do
+    * what it always does" summary the reference posts to Slack; making it a
+    * query means the numbers come from the SAME frames the pipeline
+    * computes, and a run-over-run diff of this report is the cheapest
+    * regression alarm a 100 TB pipeline has (row counts are one metadata-
+    * light aggregation per stage, no payload shuffles). */
+  def runReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val bronze = Tables.read(s, dir, "lineitem")
+    val filtered = bronze.transform(Medallion.requireField("l_returnflag"))
+    val deduped = filtered.transform(Medallion.dedupByKeyAgg(
+      Seq("l_orderkey", "l_linenumber"),
+      Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"),
+      keep = Some(Seq("l_returnflag"))))
+    val gold = deduped
+      .withColumn("status", when(col("l_extendedprice") > 30000, lit("High")).otherwise(lit("Low")))
+      .groupBy(col("l_returnflag"), col("status")).agg(count(lit(1)).as("n_rows"))
+    def cnt(df: DataFrame): DataFrame = df.agg(count(lit(1)).cast(LongType).as("c"))
+    val b = cnt(bronze); val f = cnt(filtered); val d = cnt(deduped); val g = cnt(gold)
+    def stage(ord: Long, name: String, in: DataFrame, out: DataFrame): DataFrame =
+      in.select(col("c").as("rows_in"))
+        .crossJoin(out.select(col("c").as("rows_out")))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("rows_in"), col("rows_out"),
+          (col("rows_in") - col("rows_out")).as("rows_dropped"))
+    stage(1L, "null_filter", b, f)
+      .unionByName(stage(2L, "key_dedup", f, d))
+      .unionByName(stage(3L, "gold_rollup", d, g))
+      .orderBy(col("stage_ord"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_data_expectations" -> orderExpectations,
+    "q155_run_report" -> runReport
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q154_data_expectations" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |             count(DISTINCT o_orderkey) AS uniq_key,
+        |             count(o_custkey) AS nn_cust,
+        |             count(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000 THEN 1 END) AS in_range,
+        |             count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) AS in_domain
+        |           FROM orders),
+        |r AS (
+        |  SELECT 'orderkey_unique' AS rule, CAST(uniq_key AS DOUBLE) / n AS observed,
+        |         CAST(1.0 AS DOUBLE) AS threshold FROM m
+        |  UNION ALL SELECT 'custkey_complete', CAST(nn_cust AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'totalprice_range', CAST(in_range AS DOUBLE) / n, CAST(0.99 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'orderstatus_domain', CAST(in_domain AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM m)
+        |SELECT rule, round(observed, 6) AS observed, threshold,
+        |       CAST(CASE WHEN observed >= threshold THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM r ORDER BY rule""".stripMargin,
+    "q155_run_report" ->
+      """WITH b AS (SELECT count(*) AS c FROM lineitem),
+        |f AS (SELECT count(*) AS c FROM lineitem WHERE l_returnflag IS NOT NULL),
+        |d AS (SELECT count(*) AS c FROM (
+        |        SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+        |        WHERE l_returnflag IS NOT NULL)),
+        |g AS (SELECT count(*) AS c FROM (
+        |        WITH dd AS (
+        |          SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |                    ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+        |          FROM lineitem WHERE l_returnflag IS NOT NULL)
+        |        SELECT DISTINCT l_returnflag,
+        |               CASE WHEN l_extendedprice > 30000 THEN 'High' ELSE 'Low' END AS status
+        |        FROM dd WHERE rn = 1))
+        |SELECT CAST(1 AS BIGINT) AS stage_ord, 'null_filter' AS stage,
+        |       b.c AS rows_in, f.c AS rows_out, b.c - f.c AS rows_dropped FROM b, f
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'key_dedup', f.c, d.c, f.c - d.c FROM f, d
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'gold_rollup', d.c, g.c, d.c - g.c FROM d, g
+        |ORDER BY stage_ord""".stripMargin
+  )
+}

@@ -136,6 +136,53 @@ object EventStream {
       }
   }
 
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+  case class LastTouch(t: Long, event_id: Long, event_type: String)
+  case class Attribution(user_id: Long, purchase_id: Long, purchase_t: Long,
+                         touch_event_id: Option[Long], touch_type: Option[String],
+                         gap_s: Option[Long])
+
+  /** Streaming last-touch attribution — the q124 whole-row as-of lifted onto
+    * an unbounded stream via `flatMapGroupsWithState`. The batch form is one
+    * window pass; a stream can't sort history, so the window's running
+    * `last(ignoreNulls)` becomes explicit O(1) per-user state: the most
+    * recent click/view seen so far. Each micro-batch folds its events in
+    * event-time order ((ts, event_id) — the batch query's exact total
+    * order), updating the touch state and emitting one [[Attribution]] per
+    * purchase. Purchases before any touch attribute to None (the LEFT-asof
+    * semantic, same as batch). State never grows with history — one
+    * [[LastTouch]] per user — so this runs forever on an unbounded stream;
+    * late cross-batch arrivals follow the stream's watermark discipline
+    * (an event-time-late touch that arrives after a purchase was emitted
+    * cannot retro-attribute it — the streaming/batch parity holds for
+    * in-order delivery, which StreamingSpec drives explicitly). */
+  def attributeAsOfStream(events: Dataset[TypedEvent]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouch, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[TypedEvent], state: GroupState[LastTouch]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var touch = state.getOption
+          val out = Seq.newBuilder[Attribution]
+          for (e <- sorted) {
+            val t = e.ts.getTime / 1000
+            e.event_type match {
+              case "click" | "view" =>
+                touch = Some(LastTouch(t, e.event_id, e.event_type))
+              case "purchase" =>
+                out += Attribution(user, e.event_id, t,
+                  touch.map(_.event_id), touch.map(_.event_type),
+                  touch.map(lt => t - lt.t))
+              case _ => () // other event types neither touch nor convert
+            }
+          }
+          touch.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Sink the aggregation to an in-memory table (tests / demos) and process
     * all data currently available, then stop. */
   def runOnceToMemory(agg: DataFrame, tableName: String): Unit = {

@@ -44,6 +44,43 @@ class StatefulSpec extends AnyFunSuite with Matchers {
     got shouldBe Seq((1L, h0, 2L, 3.0), (1L, h0 + 31 * 60L, 1L, 4.0))
   }
 
+  test("streaming as-of attribution carries last-touch state across micro-batches") {
+    val dir = Files.createTempDirectory("graft-asof").toFile.getAbsolutePath
+    def line(id: Long, t: String, u: Long, typ: String) =
+      s"""{"event_id":$id,"ts":"2024-01-01T$t.000Z","user_id":$u,"event_type":"$typ","value":1.0,"props":"{}"}"""
+    val w1 = new java.io.PrintWriter(s"$dir/a.json")
+    w1.println(line(1, "00:00:00", 1, "view"))     // user 1's touch
+    w1.println(line(2, "00:10:00", 1, "purchase")) // in-batch attribution
+    w1.println(line(3, "00:05:00", 3, "purchase")) // no touch ever -> None
+    w1.close()
+    val w2 = new java.io.PrintWriter(s"$dir/b.json")
+    w2.println(line(4, "01:00:00", 1, "purchase")) // cross-BATCH: batch-1 view must attribute
+    w2.println(line(5, "01:00:00", 2, "click"))
+    w2.println(line(6, "01:30:00", 2, "purchase"))
+    w2.close()
+
+    val events = EventStream.readEvents(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type").as[EventStream.TypedEvent]
+    val q = EventStream.attributeAsOfStream(events)
+      .writeStream.format("memory").queryName("asof_attr")
+      .outputMode(OutputMode.Append())
+      .option("maxFilesPerTrigger", 1) // force two micro-batches: state must carry
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.sql(
+      "SELECT purchase_id, touch_event_id, touch_type, gap_s FROM asof_attr ORDER BY purchase_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "" else r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    got shouldBe Seq(
+      (2L, 1L, "view", 600L),   // same-batch last touch
+      (3L, -1L, "", -1L),       // purchase before any touch: LEFT-asof None
+      (4L, 1L, "view", 3600L),  // batch-2 purchase attributed to batch-1 state
+      (6L, 5L, "click", 1800L)) // new user's touch then convert in one batch
+  }
+
   test("salted aggregation equals the direct aggregation exactly") {
     val direct = Tables.read(spark, TestSpark.sf0001, "events")
       .groupBy($"event_type")
