@@ -234,6 +234,36 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Time-series gap filling (q157): the dense-grid repair every
+    // downstream forecaster/dashboard assumes has already happened — build
+    // the full (event_type × hour) calendar spine, left-join the observed
+    // hourly rollup, zero-fill counts and forward-fill the hourly mean
+    // (215 genuinely empty cells on the sf0.01 fixture). The spine is
+    // sequence()-generated from a one-row broadcast bounds frame — never a
+    // driver-side loop — and the fill window partitions on event_type, so
+    // the only dense structure is the output grid itself (#types × #hours,
+    // the report's intrinsic size). Mean sums ride DECIMAL(28,6) per the
+    // exact-aggregation convention.
+    "q157_gap_fill" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("ts").cast(LongType) / 3600L).cast(LongType).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(round(col("value"), 6).cast(DecimalType(28, 6))).cast("double")
+            / count(lit(1)), 6).as("avg_value"))
+      val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      val spine = hourly.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hour"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("avg_value"), ignoreNulls = true).over(w).as("avg_value_ff"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // Activity streaks (q153): the gaps-and-islands pattern — per user,
     // consecutive-active-day runs found with the classic `day - row_number`
     // group key (constant within a gapless run, jumps at every gap), then
@@ -704,6 +734,24 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_gap_fill" ->
+      """WITH hourly AS (SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour,
+        |                 count(*) AS n_events,
+        |                 round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |                       / count(*), 6) AS avg_value
+        |               FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+        |spine AS (SELECT t.event_type, g.hour
+        |          FROM (SELECT DISTINCT event_type FROM hourly) t
+        |          CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS hour FROM bounds) g),
+        |filled AS (SELECT s.event_type, s.hour,
+        |             COALESCE(h.n_events, 0) AS n_events,
+        |             last_value(h.avg_value IGNORE NULLS) OVER
+        |               (PARTITION BY s.event_type ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS avg_value_ff
+        |           FROM spine s LEFT JOIN hourly h
+        |             ON h.event_type = s.event_type AND h.hour = s.hour)
+        |SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, avg_value_ff
+        |FROM filled ORDER BY event_type, hour""".stripMargin,
     "q151_trend_slopes" ->
       """WITH anchor AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS tmin FROM events),
         |xy AS (SELECT event_type,

@@ -56,6 +56,22 @@ object Relational extends QueryModule {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Correlated LATERAL subquery via the SQL surface: top-2 orders per
+    * top-10-balance customer. The third decorrelation shape after scalar
+    * (q54) and EXISTS (q136): a correlated TABLE subquery with its own
+    * ORDER BY + LIMIT, which Catalyst rewrites into a join + per-key
+    * window-rank — never a per-customer re-execution. The ANSI text runs
+    * verbatim on both engines (comma-LATERAL is inner-join semantics in
+    * each). */
+  val lateralTopSql: String =
+    """SELECT b.c_custkey, b.c_name, o.o_orderkey, o.o_totalprice
+      |FROM (SELECT c_custkey, c_name FROM customer
+      |      ORDER BY c_acctbal DESC, c_custkey LIMIT 10) b,
+      |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE o_custkey = b.c_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY b.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
   /** The SQL surface: one ANSI statement executed verbatim by BOTH engines —
     * Spark (`spark.sql` over temp views of the fixture tables) and the
     * DuckDB oracle. TPC-H Q10-shaped returned-item revenue report. */
@@ -519,6 +535,13 @@ object Relational extends QueryModule {
       s.sql(existsSql)
     }),
 
+    // Correlated LATERAL table subquery via the SQL surface (lateralTopSql).
+    "q156_lateral_topn" -> ((s, dir) => {
+      for (name <- Seq("customer", "orders"))
+        t(s, dir, name).createOrReplaceTempView(name)
+      s.sql(lateralTopSql)
+    }),
+
     // Quantile normalization (q138... registered as q137): per event type,
     // map each value onto its empirical CDF position — percent_rank with a
     // total order (value, event_id), the rank-uniformization step feature
@@ -791,6 +814,7 @@ object Relational extends QueryModule {
         |ORDER BY orderstatus, orderpriority""".stripMargin,
     "q54_scalar_subquery" -> maxItemSql,
     "q136_exists_subquery" -> existsSql,
+    "q156_lateral_topn" -> lateralTopSql,
     "q143_rfm_segments" ->
       """WITH a AS (SELECT CAST(max(floor(epoch(o_orderdate)/86400)) AS BIGINT) AS maxd FROM orders),
         |rfm AS (SELECT o_custkey AS custkey,
