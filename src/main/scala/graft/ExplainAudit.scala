@@ -60,12 +60,12 @@ object ExplainAudit {
     }
 
   /** Every known unpartitioned-window plan, with why it is acceptable.
-    * q112/q143 are the two documented single-node EXACT-mode sorts (their
-    * approx_percentile twins are the 100 TB path — see Relational.scala);
-    * the rest sort bounded rollup frames, not the corpus. */
+    * All remaining entries sort bounded rollup frames, not the corpus —
+    * q112/q143 (the round-8 verdict's two corpus-sized exact-mode sorts)
+    * were rewired onto [[graft.functions.GlobalOrder]]'s distributed exact
+    * ranking and dropped from this list, so their reappearance fails
+    * AuditSpec. */
   val SinglePartitionAllowlist: Map[String, String] = Map(
-    "q112_equidepth_hist" -> "documented exact-mode global sort; approx_percentile is the scale path",
-    "q143_rfm_segments" -> "documented exact-mode ntile over customer rollup; approx-quantile is the scale path",
     "q126_heaps_fit" -> "bounded: block-offset prefix over the #docs/4096 block rollup (per-doc windows are block-partitioned)",
     "q130_pareto_share" -> "bounded: cumulative share over the nation rollup (~25 rows)",
     "q135_user_growth" -> "bounded: running total over the per-day rollup (#days rows)",
