@@ -264,6 +264,39 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // Interval union / coverage (q160): each event claims a ±300 s activity
+    // interval; overlapping intervals per user merge into islands via the
+    // running-max trick (an island starts where the interval's start
+    // exceeds the max end seen so far), then per-user coverage seconds,
+    // island count, and longest island. Every window partitions on
+    // user_id and both windows share the SAME total order (s, event_id) —
+    // with e = s + 600 identical-s rows tie on e too, and only a shared
+    // tiebreak makes island numbering engine-identical. This is the
+    // interval-algebra primitive behind downtime accounting, ad-exposure
+    // unions, and contact-tracing coverage.
+    "q160_interval_merge" -> ((s, dir) => {
+      val iv = ev(s, dir).select(col("user_id"),
+        (col("ts").cast(LongType) - 300L).as("s"),
+        (col("ts").cast(LongType) + 300L).as("e"),
+        col("event_id"))
+      val ord = Seq(col("s"), col("event_id"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      iv.withColumn("pmax", max(col("e")).over(wPrev))
+        .withColumn("new_island",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(wCum))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("istart"), max(col("e")).as("iend"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("iend") - col("istart")).cast(LongType).as("coverage_s"),
+          max(col("iend") - col("istart")).cast(LongType).as("longest_s"))
+        .orderBy(col("user_id"))
+    }),
+
     // Activity streaks (q153): the gaps-and-islands pattern — per user,
     // consecutive-active-day runs found with the classic `day - row_number`
     // group key (constant within a gapless run, jumps at every gap), then
@@ -752,6 +785,27 @@ object EventAnalytics extends QueryModule {
         |             ON h.event_type = s.event_type AND h.hour = s.hour)
         |SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, avg_value_ff
         |FROM filled ORDER BY event_type, hour""".stripMargin,
+    "q160_interval_merge" ->
+      """WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - 300 AS s,
+        |              CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e, event_id
+        |            FROM events),
+        |m AS (SELECT user_id, s, e, event_id,
+        |        max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM iv),
+        |fl AS (SELECT user_id, s, e, event_id,
+        |         CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS new_island
+        |       FROM m),
+        |isl AS (SELECT user_id, s, e,
+        |          sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM fl),
+        |mg AS (SELECT user_id, island, min(s) AS istart, max(e) AS iend
+        |       FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       CAST(sum(iend - istart) AS BIGINT) AS coverage_s,
+        |       CAST(max(iend - istart) AS BIGINT) AS longest_s
+        |FROM mg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q151_trend_slopes" ->
       """WITH anchor AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS tmin FROM events),
         |xy AS (SELECT event_type,

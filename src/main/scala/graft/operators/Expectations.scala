@@ -4,6 +4,7 @@ import graft.QueryModule
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-quality expectations + pipeline run accounting — the observability
   * surface the reference drives through Glue job-status polling and Slack
@@ -78,12 +79,77 @@ object Expectations extends QueryModule {
       .orderBy(col("stage_ord"))
   }
 
+  /** k-anonymity / l-diversity audit (q159): the re-identification-risk
+    * check run before a dataset (or a training corpus's metadata) is
+    * released. Quasi-identifiers (nation, market segment) partition the
+    * population; a group smaller than k re-identifies its members, and a
+    * group whose sensitive attribute (account-balance band) takes fewer
+    * than l distinct values leaks it even at size >= k. ONE aggregation
+    * keyed on the QI columns (exact distinct rewrites to the two-phase
+    * expand — no window, no collect), output cardinality = QI-combination
+    * count, never the population's. */
+  def kAnonymityAudit(s: SparkSession, dir: String, k: Int = 10, l: Int = 5): DataFrame = {
+    val band = floor(col("c_acctbal") / 1000d).cast("long")
+    Tables.read(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(band).as("l_diversity"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_rows"), col("l_diversity"),
+        when(col("n_rows") < k, 1L).otherwise(0L).as("k_violation"),
+        when(col("l_diversity") < l, 1L).otherwise(0L).as("l_violation"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  /** Benford first-digit audit (q161): the fraud/synthetic-data smell test —
+    * the leading significant digit of naturally-occurring amounts follows
+    * log10(1 + 1/d); a flat or spiked distribution flags fabricated or
+    * truncated values (this fixture's near-uniform digits 1-4 are exactly
+    * the signature the audit exists to surface). Digit extraction goes
+    * through the DECIMAL-canonical string — `floor(log10(x))` arithmetic
+    * sits on a libm boundary at powers of ten, where Spark and DuckDB can
+    * legitimately disagree by one ulp; the first character of the decimal
+    * rendering cannot. Row-local then one 9-row aggregation. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.read(s, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(substring(col("o_totalprice").cast(DecimalType(18, 2)).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    d.groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("n"), 6).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_share"),
+        round(col("n_orders").cast("double") / col("n")
+          - log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("deviation"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_data_expectations" -> orderExpectations,
-    "q155_run_report" -> runReport
+    "q155_run_report" -> runReport,
+    "q159_k_anonymity" -> ((s, dir) => kAnonymityAudit(s, dir)),
+    "q161_benford_audit" -> benfordAudit
   )
 
   val oracles: Map[String, String] = Map(
+    "q159_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
+        |       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_diversity,
+        |       CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT) AS k_violation,
+        |       CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 5
+        |            THEN 1 ELSE 0 END AS BIGINT) AS l_violation
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q161_benford_audit" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+        |                  AS BIGINT) AS digit
+        |           FROM orders WHERE o_totalprice > 0),
+        |tot AS (SELECT count(*) AS n FROM d)
+        |SELECT digit, count(*) AS n_orders,
+        |       round(CAST(count(*) AS DOUBLE) / n, 6) AS share,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+        |       round(CAST(count(*) AS DOUBLE) / n - log10(1.0 + 1.0 / digit), 6) AS deviation
+        |FROM d CROSS JOIN tot GROUP BY digit, n ORDER BY digit""".stripMargin,
     "q154_data_expectations" ->
       """WITH m AS (SELECT count(*) AS n,
         |             count(DISTINCT o_orderkey) AS uniq_key,

@@ -520,6 +520,28 @@ object Relational extends QueryModule {
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))),
 
+    // Exact global percentiles (q158): percentile_disc at five points over
+    // the full price order, computed DISTRIBUTED — GlobalOrder's two-pass
+    // ranked construction gives every row its exact global rank with no
+    // single-node sort, then five broadcast-joined rank positions pick the
+    // answers. The positions use pure integer math, (pct·N + 99) div 100 =
+    // ceil(pct·N/100) — no float multiply whose rounding could differ
+    // between engines. This is the EXACT counterpart of q53's
+    // percentile_approx sketch: same report, error zero, one extra pass.
+    "q158_exact_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+      val n = li.count()
+      val ranked = graft.functions.GlobalOrder.withRowNumber(li, "rn",
+        col("v"), col("l_orderkey"), col("l_linenumber"))
+      val pos = Seq(25L, 50L, 75L, 90L, 99L).map(p => (p, (p * n + 99L) / 100L))
+        .toDF("pct", "pos")
+      ranked.join(broadcast(pos), col("rn") === col("pos"))
+        .select(col("pct"), col("v").cast(DecimalType(18, 2)).cast("double").as("value"))
+        .orderBy(col("pct"))
+    }),
+
     // Correlated scalar subquery via the SQL surface.
     "q54_scalar_subquery" -> ((s, dir) => {
       for (name <- Seq("orders", "lineitem"))
@@ -811,6 +833,16 @@ object Relational extends QueryModule {
         |       count(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q158_exact_percentiles" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |             row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |           FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM lineitem),
+        |p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+        |SELECT CAST(p.pct AS BIGINT) AS pct,
+        |       CAST(CAST(r.v AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |FROM p CROSS JOIN n JOIN r ON r.rn = (p.pct * n.n + 99) // 100
+        |ORDER BY pct""".stripMargin,
     "q54_scalar_subquery" -> maxItemSql,
     "q136_exists_subquery" -> existsSql,
     "q156_lateral_topn" -> lateralTopSql,
