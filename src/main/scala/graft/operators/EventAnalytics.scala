@@ -264,6 +264,46 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // Markov reachability (q165): the q95 transition counts normalized to a
+    // first-order transition matrix P, then P² and P³ — "probability of
+    // landing on `to_type` in exactly 1/2/3 steps from `from_type`", the
+    // multi-step funnel/attribution signal a single-step transition table
+    // can't answer. Matrix multiply IS a relational join: rows of P joined
+    // to rows of P on the inner index, summed per (from, to) — the sparse
+    // matmul shape that scales to graph-sized state spaces (cost Σ per-key
+    // degree products, never |states|³ dense work; here both sides are
+    // broadcast-small). Products are formed from 9-dp-rounded factors in
+    // DECIMAL space and decimal-summed, so the accumulation is
+    // order-independent (the ExactAgg discipline — a raw double dot
+    // product would be partition-order-dependent).
+    "q165_markov_power" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tc = ev(s, dir)
+        .select(col("event_type").as("next_type"),
+          lag(col("event_type"), 1).over(byUser).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tc.groupBy(col("prev_type")).agg(sum(col("n")).as("tn"))
+      val p1 = tc.join(tot, "prev_type")
+        .select(col("prev_type").as("f"), col("next_type").as("t"),
+          (col("n").cast("double") / col("tn").cast("double")).as("p"))
+      def matmul(a: DataFrame, b: DataFrame): DataFrame =
+        a.select(col("f"), col("t").as("k"), round(col("p"), 9).cast(DecimalType(10, 9)).as("pa"))
+          .join(broadcast(b.select(col("f").as("k"), col("t"),
+            round(col("p"), 9).cast(DecimalType(10, 9)).as("pb"))), "k")
+          .groupBy(col("f"), col("t"))
+          .agg(sum(col("pa") * col("pb")).cast("double").as("p"))
+      val p2 = matmul(p1, p1)
+      val p3 = matmul(p2, p1)
+      p1.select(col("f"), col("t"), round(col("p"), 6).as("p1"))
+        .join(p2.select(col("f"), col("t"), round(col("p"), 6).as("p2")), Seq("f", "t"))
+        .join(p3.select(col("f"), col("t"), round(col("p"), 6).as("p3")), Seq("f", "t"))
+        .select(col("f").as("from_type"), col("t").as("to_type"),
+          col("p1"), col("p2"), col("p3"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Interval union / coverage (q160): each event claims a ±300 s activity
     // interval; overlapping intervals per user merge into islands via the
     // running-max trick (an island starts where the interval's start
@@ -785,6 +825,29 @@ object EventAnalytics extends QueryModule {
         |             ON h.event_type = s.event_type AND h.hour = s.hour)
         |SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, avg_value_ff
         |FROM filled ORDER BY event_type, hour""".stripMargin,
+    "q165_markov_power" ->
+      """WITH seq AS (SELECT user_id, event_type AS next_type,
+        |               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |             FROM events),
+        |tc AS (SELECT prev_type, next_type, count(*) AS n
+        |       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, sum(n) AS tn FROM tc GROUP BY 1),
+        |p AS (SELECT tc.prev_type AS f, tc.next_type AS t,
+        |        CAST(tc.n AS DOUBLE) / CAST(tot.tn AS DOUBLE) AS p
+        |      FROM tc JOIN tot ON tc.prev_type = tot.prev_type),
+        |p2 AS (SELECT a.f, b.t,
+        |         CAST(sum(CAST(round(a.p, 9) AS DECIMAL(10,9))
+        |                  * CAST(round(b.p, 9) AS DECIMAL(10,9))) AS DOUBLE) AS p
+        |       FROM p a JOIN p b ON a.t = b.f GROUP BY 1, 2),
+        |p3 AS (SELECT a.f, b.t,
+        |         CAST(sum(CAST(round(a.p, 9) AS DECIMAL(10,9))
+        |                  * CAST(round(b.p, 9) AS DECIMAL(10,9))) AS DOUBLE) AS p
+        |       FROM p2 a JOIN p b ON a.t = b.f GROUP BY 1, 2)
+        |SELECT p.f AS from_type, p.t AS to_type,
+        |       round(p.p, 6) AS p1, round(p2.p, 6) AS p2, round(p3.p, 6) AS p3
+        |FROM p JOIN p2 ON p.f = p2.f AND p.t = p2.t
+        |       JOIN p3 ON p.f = p3.f AND p.t = p3.t
+        |ORDER BY from_type, to_type""".stripMargin,
     "q160_interval_merge" ->
       """WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - 300 AS s,
         |              CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e, event_id

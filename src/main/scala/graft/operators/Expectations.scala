@@ -125,14 +125,100 @@ object Expectations extends QueryModule {
       .orderBy(col("digit"))
   }
 
+  /** Differentially-private count release (q163): per-group counts with
+    * Laplace(1/ε) noise, ε = 1 — the mechanism a curator applies before
+    * publishing group-by statistics of a sensitive corpus. The noise is
+    * DETERMINISTIC by design of the test surface: uniform u ∈ (0,1) derives
+    * from the md5 of a versioned seed + group key (exact integer → exact
+    * double, identical in any engine), then the Laplace inverse CDF
+    * −sign(u−½)·ln(1−2|u−½|). Seeded noise makes the release replayable
+    * and hence oracle-checkable; a production deployment would swap the
+    * seed for per-release randomness and drop `true_n` from the output.
+    * Row-local on a bounded rollup — one aggregation, no extra shuffle. */
+  def dpCounts(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("graft-dp-v1|"), col("event_type"))), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val noise = round(lit(-1.0) * when(u < 0.5, -1.0).otherwise(1.0)
+      * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 6)
+    Tables.read(s, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("true_n"))
+      .select(col("event_type"), col("true_n"), noise.as("noise"),
+        round(col("true_n") + noise, 0).cast("long").as("dp_count"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Release gate (q164): the single-row "may this run publish?" answer —
+    * the Slack/alerting decision the reference makes in orchestration
+    * (`airflow/dags/etl_api.py:178-196`), folded into the engine: all
+    * expectation rules must pass AND the pipeline must not have dropped
+    * more than 5% of bronze rows end-to-end. One row, composed from the
+    * SAME frames q154/q155 report, so the gate can never disagree with the
+    * dashboards built on them. */
+  def releaseGate(s: SparkSession, dir: String): DataFrame = {
+    val rules = orderExpectations(s, dir)
+      .agg(count(lit(1)).as("n_rules"), sum(col("passed")).cast("long").as("n_passed"))
+    val stages = runReport(s, dir)
+    val bronze = stages.filter(col("stage_ord") === 1L)
+      .select(col("rows_in").as("bronze_rows"))
+    val gold = stages.filter(col("stage_ord") === 2L)
+      .select(col("rows_out").as("silver_rows"))
+    rules.crossJoin(bronze).crossJoin(gold)
+      .select(col("n_rules"), col("n_passed"), col("bronze_rows"), col("silver_rows"),
+        round(lit(1.0) - col("silver_rows").cast("double") / col("bronze_rows"), 6)
+          .as("drop_ratio"),
+        when(col("n_passed") === col("n_rules")
+          && col("silver_rows").cast("double") >= col("bronze_rows") * 0.95, 1L)
+          .otherwise(0L).as("gate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_data_expectations" -> orderExpectations,
     "q155_run_report" -> runReport,
     "q159_k_anonymity" -> ((s, dir) => kAnonymityAudit(s, dir)),
-    "q161_benford_audit" -> benfordAudit
+    "q161_benford_audit" -> benfordAudit,
+    "q163_dp_counts" -> dpCounts,
+    "q164_release_gate" -> releaseGate
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_dp_counts" ->
+      """WITH g AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1),
+        |u AS (SELECT event_type, true_n,
+        |        (CAST(('0x' || substr(md5('graft-dp-v1|' || event_type), 1, 8)) AS BIGINT) + 0.5)
+        |          / 4294967296.0 AS u
+        |      FROM g),
+        |nz AS (SELECT event_type, true_n,
+        |         round(-1.0 * (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+        |               * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+        |       FROM u)
+        |SELECT event_type, true_n, noise,
+        |       CAST(round(true_n + noise, 0) AS BIGINT) AS dp_count
+        |FROM nz ORDER BY event_type""".stripMargin,
+    "q164_release_gate" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |             count(DISTINCT o_orderkey) AS uniq_key,
+        |             count(o_custkey) AS nn_cust,
+        |             count(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000 THEN 1 END) AS in_range,
+        |             count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) AS in_domain
+        |           FROM orders),
+        |r AS (SELECT 'orderkey_unique' AS rule, CAST(uniq_key AS DOUBLE) / n AS observed,
+        |             CAST(1.0 AS DOUBLE) AS threshold FROM m
+        |      UNION ALL SELECT 'custkey_complete', CAST(nn_cust AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM m
+        |      UNION ALL SELECT 'totalprice_range', CAST(in_range AS DOUBLE) / n, CAST(0.99 AS DOUBLE) FROM m
+        |      UNION ALL SELECT 'orderstatus_domain', CAST(in_domain AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM m),
+        |rules AS (SELECT count(*) AS n_rules,
+        |            CAST(sum(CASE WHEN observed >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+        |          FROM r),
+        |b AS (SELECT count(*) AS bronze_rows FROM lineitem),
+        |sv AS (SELECT count(*) AS silver_rows FROM (
+        |         SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+        |         WHERE l_returnflag IS NOT NULL))
+        |SELECT n_rules, n_passed, bronze_rows, silver_rows,
+        |       round(1.0 - CAST(silver_rows AS DOUBLE) / bronze_rows, 6) AS drop_ratio,
+        |       CAST(CASE WHEN n_passed = n_rules
+        |                  AND CAST(silver_rows AS DOUBLE) >= bronze_rows * 0.95
+        |            THEN 1 ELSE 0 END AS BIGINT) AS gate
+        |FROM rules, b, sv""".stripMargin,
     "q159_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
         |       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_diversity,
