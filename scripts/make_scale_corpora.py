@@ -32,6 +32,36 @@ def main(outs):
         n = con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
         print(f"{out}: {n} docs ({mult}x)")
 
+        # Star tables for the ranking/skew tier (q112/q143/q158/q162):
+        # copies get offset keys and a per-copy price nudge so the global
+        # value order interleaves copies instead of concatenating them —
+        # the adversarial shape for a range-partitioned ranking.
+        star = {
+            "orders": ("o_orderkey", "o_custkey",
+                       "SELECT o_orderkey + {ko} AS o_orderkey, o_custkey + {kc} AS o_custkey, "
+                       "o_orderstatus, o_totalprice + {c} * 0.01 AS o_totalprice, "
+                       "o_orderdate, o_orderpriority FROM sbase_orders"),
+            "lineitem": ("l_orderkey", None,
+                         "SELECT l_orderkey + {ko} AS l_orderkey, l_partkey, l_suppkey, "
+                         "l_linenumber, l_quantity, l_extendedprice + {c} * 0.01 AS l_extendedprice, "
+                         "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM sbase_lineitem"),
+            "customer": ("c_custkey", None,
+                         "SELECT c_custkey + {kc} AS c_custkey, c_name, c_nationkey, "
+                         "c_acctbal + {c} * 0.01 AS c_acctbal, c_mktsegment FROM sbase_customer"),
+        }
+        base_dir = os.path.dirname(BASE)
+        ko = con.sql(f"SELECT max(o_orderkey) + 1 FROM '{base_dir}/orders.parquet'").fetchone()[0]
+        kc = con.sql(f"SELECT max(c_custkey) + 1 FROM '{base_dir}/customer.parquet'").fetchone()[0]
+        for tbl, (key, _, tmpl) in star.items():
+            con.execute(f"CREATE OR REPLACE VIEW sbase_{tbl} AS SELECT * FROM '{base_dir}/{tbl}.parquet'")
+            sparts = [f"SELECT * FROM sbase_{tbl}"]
+            for c in range(1, mult):
+                sparts.append(tmpl.format(ko=c * ko, kc=c * kc, c=c))
+            con.execute(f"COPY ({' UNION ALL '.join(sparts)} ORDER BY {key}) "
+                        f"TO '{out}/{tbl}.parquet' (FORMAT PARQUET)")
+            sn = con.sql(f"SELECT count(*) FROM '{out}/{tbl}.parquet'").fetchone()[0]
+            print(f"{out}: {sn} {tbl} ({mult}x)")
+
 if __name__ == "__main__":
     dirs = sys.argv[1:] or ["/tmp/scale_x2", "/tmp/scale_x4"]
     main(list(zip([2, 4], dirs)))
