@@ -264,6 +264,34 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // Linear multi-touch attribution (q166): every purchase splits one unit
+    // of conversion credit equally across the user's touches in the
+    // preceding 24 h (purchase excluded — strictly earlier events), then
+    // per-type totals: the ad-tech signal last-touch counting (q57's as-of
+    // shape) systematically biases. The purchase↔touch pairing is a
+    // user-keyed self-join with a time predicate — expansion bounded by
+    // per-user event counts (the q144 argument), and at 100 TB the same
+    // join runs day-bucketed (the RangeJoin pattern) so a hot user cannot
+    // pair across the whole corpus. Credits are 1/n rounded at 12 dp and
+    // summed in DECIMAL space — an order-independent total, where a raw
+    // double sum of reciprocals would drift with partition order.
+    "q166_multitouch" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast(LongType).as("t"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("t").as("pt"))
+      val touch = pur.join(e, Seq("user_id"))
+        .filter(col("t") >= col("pt") - 86400L && col("t") < col("pt"))
+        .withColumn("n_touches", count(lit(1)).over(Window.partitionBy(col("pid"))))
+      touch
+        .select(col("event_type"),
+          round(lit(1.0) / col("n_touches"), 12).cast(DecimalType(38, 12)).as("credit"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("credit")).cast("double"), 6).as("credit"))
+        .orderBy(col("event_type"))
+    }),
+
     // Markov reachability (q165): the q95 transition counts normalized to a
     // first-order transition matrix P, then P² and P³ — "probability of
     // landing on `to_type` in exactly 1/2/3 steps from `from_type`", the
@@ -825,6 +853,21 @@ object EventAnalytics extends QueryModule {
         |             ON h.event_type = s.event_type AND h.hour = s.hour)
         |SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, avg_value_ff
         |FROM filled ORDER BY event_type, hour""".stripMargin,
+    "q166_multitouch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |pur AS (SELECT user_id, event_id AS pid, t AS pt FROM e
+        |        WHERE event_type = 'purchase'),
+        |touch AS (SELECT p.pid, e.event_type,
+        |            count(*) OVER (PARTITION BY p.pid) AS n_touches
+        |          FROM pur p JOIN e ON e.user_id = p.user_id
+        |          WHERE e.t >= p.pt - 86400 AND e.t < p.pt),
+        |cr AS (SELECT event_type,
+        |         CAST(round(1.0 / n_touches, 12) AS DECIMAL(38,12)) AS credit
+        |       FROM touch)
+        |SELECT event_type, count(*) AS n_touches,
+        |       round(CAST(sum(credit) AS DOUBLE), 6) AS credit
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
     "q165_markov_power" ->
       """WITH seq AS (SELECT user_id, event_type AS next_type,
         |               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type

@@ -542,6 +542,30 @@ object Relational extends QueryModule {
         .orderBy(col("pct"))
     }),
 
+    // Cohort LTV curves (q167): customers cohorted by first-order month,
+    // then cumulative revenue by cohort age — the lifetime-value grid
+    // behind retention economics. Three natural-key shuffles (first-order
+    // min on custkey, the custkey join back, the (cohort, age) rollup) and
+    // one window over the bounded (cohort × age) grid — the running sum
+    // accumulates in identical frame order on both engines, so the doubles
+    // match bitwise. Month keys are year*12+month BIGINTs: no date
+    // formatting, no timezone surface.
+    "q167_cohort_ltv" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("ym"),
+        col("o_totalprice"))
+      val c = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("cohort"))
+      val r = o.join(c, "o_custkey")
+        .groupBy(col("cohort"), (col("ym") - col("cohort")).as("age"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          exactSum(col("o_totalprice"), 2).as("revenue"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      r.select(col("cohort"), col("age"), col("n_active"), col("revenue"),
+        round(sum(col("revenue")).over(w), 2).as("cum_revenue"))
+        .orderBy(col("cohort"), col("age"))
+    }),
+
     // Correlated scalar subquery via the SQL surface.
     "q54_scalar_subquery" -> ((s, dir) => {
       for (name <- Seq("orders", "lineitem"))
@@ -843,6 +867,19 @@ object Relational extends QueryModule {
         |       CAST(CAST(r.v AS DECIMAL(18,2)) AS DOUBLE) AS value
         |FROM p CROSS JOIN n JOIN r ON r.rn = (p.pct * n.n + 99) // 100
         |ORDER BY pct""".stripMargin,
+    "q167_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |             CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS ym,
+        |             o_totalprice FROM orders),
+        |c AS (SELECT o_custkey, min(ym) AS cohort FROM o GROUP BY 1),
+        |r AS (SELECT c.cohort, o.ym - c.cohort AS age,
+        |        count(DISTINCT o.o_custkey) AS n_active,
+        |        CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |      FROM o JOIN c ON o.o_custkey = c.o_custkey GROUP BY 1, 2)
+        |SELECT cohort, age, n_active, revenue,
+        |       round(sum(revenue) OVER (PARTITION BY cohort ORDER BY age
+        |                                ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+        |FROM r ORDER BY cohort, age""".stripMargin,
     "q54_scalar_subquery" -> maxItemSql,
     "q136_exists_subquery" -> existsSql,
     "q156_lateral_topn" -> lateralTopSql,

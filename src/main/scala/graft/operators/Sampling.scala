@@ -135,6 +135,31 @@ object Sampling extends QueryModule {
         array_join(col("p.c"), " ").as("chunk_text"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Context-bucket padding waste (q168): the batch-planning report for a
+    // bucketed-sequence training loop — each doc lands in the smallest
+    // context bucket that holds it (overflowing docs truncate to the top
+    // bucket), and the report prices the padding each bucket wastes and
+    // the tokens truncation loses. This is the measurement that decides
+    // bucket boundaries BEFORE q65's packing runs; row-local bucketing +
+    // one bounded aggregation (output = bucket count).
+    "q168_padding_waste" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      val bucket = when(col("n_tokens") <= 16, 16L).when(col("n_tokens") <= 32, 32L)
+        .when(col("n_tokens") <= 48, 48L).when(col("n_tokens") <= 64, 64L)
+        .otherwise(96L)
+      toks.withColumn("bucket", bucket)
+        .withColumn("truncated", greatest(col("n_tokens") - 96L, lit(0L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          sum(col("bucket") - least(col("n_tokens"), col("bucket"))).cast("long")
+            .as("total_padding"),
+          sum(col("truncated")).cast("long").as("tokens_truncated"),
+          round(sum(col("bucket") - least(col("n_tokens"), col("bucket"))).cast("double")
+            / sum(col("bucket")), 6).as("pad_ratio"))
+        .orderBy(col("bucket"))
+    }),
 
     "q63_hash_sample" -> ((s, dir) =>
       hashSample(s, dir).orderBy(col("doc_id"))),
@@ -231,6 +256,22 @@ object Sampling extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_padding_waste" ->
+      """WITH t AS (SELECT CAST(length(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT n_tokens,
+        |        CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |             WHEN n_tokens <= 48 THEN 48 WHEN n_tokens <= 64 THEN 64
+        |             ELSE 96 END AS bucket,
+        |        CASE WHEN n_tokens > 96 THEN n_tokens - 96 ELSE 0 END AS truncated
+        |      FROM t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(sum(bucket - least(n_tokens, bucket)) AS BIGINT) AS total_padding,
+        |       CAST(sum(truncated) AS BIGINT) AS tokens_truncated,
+        |       round(CAST(sum(bucket - least(n_tokens, bucket)) AS DOUBLE)
+        |             / sum(bucket), 6) AS pad_ratio
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q63_hash_sample" ->
       """WITH u AS (SELECT doc_id, lang,
         |  CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
