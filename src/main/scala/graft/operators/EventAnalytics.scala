@@ -264,6 +264,38 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // Seasonally-adjusted anomaly scan (q170): q90 z-scores hourly volume
+    // against each type's GLOBAL mean, which mistakes every rush hour for
+    // an incident; this one deseasonalizes first — the baseline is the
+    // (type, hour-of-day) profile (mean + sample sd across the ~30 days
+    // observing that hour), and only hours beating THEIR OWN hour's
+    // profile by |z| > 2.5 surface. Two bounded aggregations (hourly
+    // rollup, then the 5×24 profile) + a broadcast-sized join back; the
+    // sd uses the sum/sum-of-squares identity so both engines execute the
+    // identical operand sequence.
+    "q170_seasonal_anomaly" -> ((s, dir) => {
+      val k = ev(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("ts").cast(LongType) / 3600L).cast(LongType).as("uh"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hod", pmod(col("uh"), lit(24L)))
+      val base = k.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("n")).as("sn"), sum(col("n") * col("n")).as("snn"))
+        .select(col("event_type"), col("hod"),
+          (col("sn").cast("double") / col("n_cells")).as("mu"),
+          when(col("n_cells") > 1,
+            sqrt((col("snn").cast("double") - col("sn").cast("double") * col("sn") / col("n_cells"))
+              / (col("n_cells") - 1))).as("sd"))
+      k.join(base, Seq("event_type", "hod"))
+        .filter(col("sd").isNotNull && col("sd") > 0
+          && abs((col("n") - col("mu")) / col("sd")) > 2.5)
+        .select(col("event_type"), col("uh"), col("n"),
+          round(col("mu"), 6).as("expected"),
+          round((col("n") - col("mu")) / col("sd"), 6).as("z"))
+        .orderBy(col("event_type"), col("uh"))
+    }),
+
     // Linear multi-touch attribution (q166): every purchase splits one unit
     // of conversion credit equally across the user's touches in the
     // preceding 24 h (purchase excluded — strictly earlier events), then
@@ -853,6 +885,22 @@ object EventAnalytics extends QueryModule {
         |             ON h.event_type = s.event_type AND h.hour = s.hour)
         |SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, avg_value_ff
         |FROM filled ORDER BY event_type, hour""".stripMargin,
+    "q170_seasonal_anomaly" ->
+      """WITH h AS (SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS uh, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |k AS (SELECT event_type, uh, n, CAST(uh % 24 AS BIGINT) AS hod FROM h),
+        |base AS (SELECT event_type, hod, count(*) AS n_cells,
+        |           CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+        |           CASE WHEN count(*) > 1 THEN
+        |             sqrt((CAST(sum(n*n) AS DOUBLE) - CAST(sum(n) AS DOUBLE)*sum(n)/count(*))
+        |                  / (count(*) - 1)) END AS sd
+        |         FROM k GROUP BY 1, 2)
+        |SELECT k.event_type, k.uh, k.n, round(base.mu, 6) AS expected,
+        |       round((k.n - base.mu) / base.sd, 6) AS z
+        |FROM k JOIN base USING (event_type, hod)
+        |WHERE base.sd IS NOT NULL AND base.sd > 0
+        |  AND abs((k.n - base.mu) / base.sd) > 2.5
+        |ORDER BY event_type, uh""".stripMargin,
     "q166_multitouch" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),

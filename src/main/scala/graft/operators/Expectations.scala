@@ -171,7 +171,45 @@ object Expectations extends QueryModule {
           .otherwise(0L).as("gate"))
   }
 
+  /** Snapshot diff (q171): the data-ops audit between two versions of a
+    * keyed entity table — per-customer state (latest order status + order
+    * count) "as of day 10100" vs current, classified into added / removed
+    * / changed / unchanged. This is the report a VersionedLayer time-travel
+    * pair feeds a reviewer before a MERGE is trusted; here the two
+    * snapshots derive from one table with a date predicate so the oracle
+    * can replay it. Windows partition on the entity key; the diff itself
+    * is two anti-joins + one inner join, all on that same key — one
+    * shuffle partitioning reused across all four legs. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val o = Tables.read(s, dir, "orders")
+    def state(df: DataFrame): DataFrame = {
+      val byKey = Window.partitionBy(col("o_custkey"))
+      val latest = byKey.orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      df.withColumn("rn", row_number().over(latest))
+        .withColumn("n", count(lit(1)).over(byKey))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderstatus").as("st"), col("n"))
+    }
+    val a = state(o.filter(
+      floor(col("o_orderdate").cast(LongType) / 86400L) < 10100L))
+    val b = state(o)
+    val added = b.join(a.select(col("o_custkey")), Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("added"))
+    val removed = a.join(b.select(col("o_custkey")), Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("removed"))
+    val j = a.select(col("o_custkey"), col("st").as("ast"), col("n").as("an"))
+      .join(b.select(col("o_custkey"), col("st").as("bst"), col("n").as("bn")), "o_custkey")
+    val changed = j.filter(col("ast") =!= col("bst") || col("an") =!= col("bn"))
+      .agg(count(lit(1)).as("changed"))
+    val unchanged = j.filter(col("ast") === col("bst") && col("an") === col("bn"))
+      .agg(count(lit(1)).as("unchanged"))
+    added.crossJoin(removed).crossJoin(changed).crossJoin(unchanged)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_snapshot_diff" -> snapshotDiff,
     "q154_data_expectations" -> orderExpectations,
     "q155_run_report" -> runReport,
     "q159_k_anonymity" -> ((s, dir) => kAnonymityAudit(s, dir)),
@@ -181,6 +219,26 @@ object Expectations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q171_snapshot_diff" ->
+      """WITH s AS (SELECT o_custkey, o_orderstatus,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        |             count(*) OVER (PARTITION BY o_custkey) AS n
+        |           FROM orders),
+        |a0 AS (SELECT o_custkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        |         count(*) OVER (PARTITION BY o_custkey) AS n
+        |       FROM orders WHERE CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) < 10100),
+        |a AS (SELECT o_custkey, o_orderstatus AS st, n FROM a0 WHERE rn = 1),
+        |b AS (SELECT o_custkey, o_orderstatus AS st, n FROM s WHERE rn = 1)
+        |SELECT
+        |  CAST((SELECT count(*) FROM b WHERE o_custkey NOT IN (SELECT o_custkey FROM a)) AS BIGINT) AS added,
+        |  CAST((SELECT count(*) FROM a WHERE o_custkey NOT IN (SELECT o_custkey FROM b)) AS BIGINT) AS removed,
+        |  CAST((SELECT count(*) FROM a JOIN b USING (o_custkey)
+        |        WHERE a.st != b.st OR a.n != b.n) AS BIGINT) AS changed,
+        |  CAST((SELECT count(*) FROM a JOIN b USING (o_custkey)
+        |        WHERE a.st = b.st AND a.n = b.n) AS BIGINT) AS unchanged""".stripMargin,
     "q163_dp_counts" ->
       """WITH g AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1),
         |u AS (SELECT event_type, true_n,
