@@ -195,6 +195,30 @@ object Curation extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Split-leakage audit (q172): near-duplicate pairs (exact n-gram
+    // Jaccard >= 0.8, the q35 pipeline) joined against the q68 holdout
+    // assignment — any pair straddling train/val/test means the held-out
+    // metric is contaminated by a near-copy of a training document, the
+    // leak decontamination-vs-benchmark (q72) cannot see because it is
+    // INTERNAL to the corpus. Output is the split×split pair matrix with
+    // the off-diagonal leak count; the fix (re-split by cluster id, q76)
+    // is one join away. Costs = the posting-list pair pipeline + two
+    // broadcast-able key joins.
+    "q172_split_leakage" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairsFrom(docs(s, dir))
+        .filter(col("jaccard") >= 0.8)
+      val b = expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':split')), 1, 4), 16, 10) as bigint) % 100")
+      val sp = docs(s, dir).select(col("doc_id"),
+        when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test")).as("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)).as("n_leaks"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
 
     "q85_dup_spans" -> ((s, dir) =>
       dupSpanStatsFrom(docs(s, dir))
@@ -226,6 +250,31 @@ object Curation extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_split_leakage" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+        |       FROM toks WHERE len(w) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           WHERE a.s IN (SELECT s FROM capped) GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (SELECT id_a, id_b
+        |          FROM common JOIN sizes sa ON sa.doc_id = id_a
+        |                      JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) >= 0.8),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |       FROM (SELECT doc_id,
+        |               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4)) AS BIGINT) % 100 AS b
+        |             FROM documents)),
+        |lk AS (SELECT a.split AS split_a, b.split AS split_b
+        |       FROM pairs p JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b)
+        |SELECT split_a, split_b, count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN split_a != split_b THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks
+        |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q85_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |win AS (SELECT doc_id, unnest(list_transform(range(len(w) - 7),

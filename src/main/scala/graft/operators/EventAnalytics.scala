@@ -264,6 +264,39 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // Population stability index (q173): the model-monitoring drift metric
+    // between a reference batch (even event_ids) and a candidate batch
+    // (odd) — decile edges computed ONCE from the reference (an exact
+    // percentile AGGREGATE, no window), both batches bucketed against the
+    // broadcast 9-edge array with a row-local HOF, and the per-bucket PSI
+    // term (Δp · ln-ratio) reported; Σ psi_term > 0.2 is the conventional
+    // "retrain/re-examine" alarm. One scan per batch + a 10-row rollup;
+    // the same shape monitors a feature column between training and
+    // serving at any scale.
+    "q173_psi_drift" -> ((s, dir) => {
+      val ev0 = ev(s, dir).select(col("event_id"), col("value"))
+      val ref = ev0.filter(col("event_id") % 2 === 0)
+      val cand = ev0.filter(col("event_id") % 2 =!= 0)
+      val edges = ref.agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("edges"))
+      def bucketed(df: DataFrame) = df.crossJoin(broadcast(edges))
+        .select((lit(1) + size(filter(col("edges"), x => col("value") > x)))
+          .cast(LongType).as("b"))
+      val rp = bucketed(ref).groupBy(col("b")).agg(count(lit(1)).as("n_ref"))
+      val cp = bucketed(cand).groupBy(col("b")).agg(count(lit(1)).as("n_cand"))
+      val tot = ref.agg(count(lit(1)).as("nr"))
+        .crossJoin(cand.agg(count(lit(1)).as("nc")))
+      rp.join(cp, "b").crossJoin(broadcast(tot))
+        .select(col("b").as("bucket"), col("n_ref"), col("n_cand"),
+          round(col("n_ref").cast("double") / col("nr"), 6).as("p_ref"),
+          round(col("n_cand").cast("double") / col("nc"), 6).as("p_cand"),
+          round((col("n_cand").cast("double") / col("nc")
+            - col("n_ref").cast("double") / col("nr"))
+            * log((col("n_cand").cast("double") / col("nc"))
+              / (col("n_ref").cast("double") / col("nr"))), 6).as("psi_term"))
+        .orderBy(col("bucket"))
+    }),
+
     // Seasonally-adjusted anomaly scan (q170): q90 z-scores hourly volume
     // against each type's GLOBAL mean, which mistakes every rush hour for
     // an incident; this one deseasonalizes first — the baseline is the
@@ -885,6 +918,21 @@ object EventAnalytics extends QueryModule {
         |             ON h.event_type = s.event_type AND h.hour = s.hour)
         |SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, avg_value_ff
         |FROM filled ORDER BY event_type, hour""".stripMargin,
+    "q173_psi_drift" ->
+      """WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0),
+        |cand AS (SELECT value FROM events WHERE event_id % 2 = 1),
+        |e AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM ref),
+        |rb AS (SELECT 1 + len(list_filter(e.edges, x -> value > x)) AS b FROM ref CROSS JOIN e),
+        |cb AS (SELECT 1 + len(list_filter(e.edges, x -> value > x)) AS b FROM cand CROSS JOIN e),
+        |rp AS (SELECT b, count(*) AS n_ref FROM rb GROUP BY 1),
+        |cp AS (SELECT b, count(*) AS n_cand FROM cb GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM ref) AS nr, (SELECT count(*) FROM cand) AS nc)
+        |SELECT CAST(b AS BIGINT) AS bucket, n_ref, n_cand,
+        |       round(CAST(n_ref AS DOUBLE)/nr, 6) AS p_ref,
+        |       round(CAST(n_cand AS DOUBLE)/nc, 6) AS p_cand,
+        |       round((CAST(n_cand AS DOUBLE)/nc - CAST(n_ref AS DOUBLE)/nr)
+        |             * ln((CAST(n_cand AS DOUBLE)/nc) / (CAST(n_ref AS DOUBLE)/nr)), 6) AS psi_term
+        |FROM rp JOIN cp USING (b) CROSS JOIN tot ORDER BY bucket""".stripMargin,
     "q170_seasonal_anomaly" ->
       """WITH h AS (SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS uh, count(*) AS n
         |           FROM events GROUP BY 1, 2),
