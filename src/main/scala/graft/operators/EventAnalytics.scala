@@ -264,6 +264,34 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // Theil–Sen robust trend (q176): the median of all pairwise slopes of
+    // the per-type daily-count series — the robust counterpart of q151's
+    // OLS fit (one outlier day can swing least squares arbitrarily; the
+    // median slope has a 29% breakdown point). Pairs come from a self-join
+    // of the DAILY ROLLUP within each type, so the quadratic term is
+    // bounded by (#days)², never event counts — the rollup-first shape
+    // that makes an O(n²) estimator usable at corpus scale. Median via
+    // Spark's exact percentile AGGREGATE (no window, no global sort).
+    "q176_theil_sen" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = d.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+      val x = d.join(a, "event_type")
+        .select(col("event_type"), (col("day") - col("d0")).as("x"), col("n").as("y"))
+      val l = x.select(col("event_type"), col("x").as("xl"), col("y").as("yl"))
+      val rr = x.select(col("event_type"), col("x").as("xr"), col("y").as("yr"))
+      l.join(rr, "event_type")
+        .filter(col("xl") < col("xr"))
+        .select(col("event_type"),
+          ((col("yr").cast("double") - col("yl")) / (col("xr") - col("xl"))).as("slope"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("theil_sen_slope"))
+        .orderBy(col("event_type"))
+    }),
+
     // Population stability index (q173): the model-monitoring drift metric
     // between a reference batch (even event_ids) and a candidate batch
     // (odd) — decile edges computed ONCE from the reference (an exact
@@ -918,6 +946,16 @@ object EventAnalytics extends QueryModule {
         |             ON h.event_type = s.event_type AND h.hour = s.hour)
         |SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, avg_value_ff
         |FROM filled ORDER BY event_type, hour""".stripMargin,
+    "q176_theil_sen" ->
+      """WITH d AS (SELECT event_type, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, min(day) AS d0 FROM d GROUP BY 1),
+        |x AS (SELECT d.event_type, d.day - a.d0 AS x, d.n AS y FROM d JOIN a USING (event_type)),
+        |p AS (SELECT l.event_type, (CAST(r.y AS DOUBLE) - l.y) / (r.x - l.x) AS slope
+        |      FROM x l JOIN x r ON l.event_type = r.event_type AND l.x < r.x)
+        |SELECT event_type, count(*) AS n_pairs,
+        |       round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q173_psi_drift" ->
       """WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0),
         |cand AS (SELECT value FROM events WHERE event_id % 2 = 1),

@@ -566,6 +566,69 @@ object Relational extends QueryModule {
         .orderBy(col("cohort"), col("age"))
     }),
 
+    // Leaderboard with ties (q174): dense_rank keeps EVERY row tied at a
+    // top-3 quantity level per flag — the "top-k" semantics row_number
+    // top-n (q111/q12) silently truncates. Rolled up to (flag, rank,
+    // value, count) so the report is bounded even when a level ties
+    // thousands of rows. One window per natural partition + one rollup.
+    "q174_topk_with_ties" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+      t(s, dir, "lineitem")
+        .withColumn("dr", dense_rank().over(w).cast("long"))
+        .filter(col("dr") <= 3)
+        .groupBy(col("l_returnflag"), col("dr"), col("l_quantity"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("dr"))
+    }),
+
+    // Weighted median (q175): the quantity-weighted median price per flag —
+    // the first value whose cumulative weight crosses half the partition's
+    // total. No built-in computes this; the cumulative-weight window under
+    // a total order + a min-over-qualifying-values aggregation is the
+    // standard distributed formulation. Weights are integer-valued, so the
+    // running double sums are exact and order-independent by construction.
+    "q175_weighted_median" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val part = Window.partitionBy(col("l_returnflag"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          col("l_quantity").as("wt"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cw", sum(col("wt")).over(ord))
+        .withColumn("tw", sum(col("wt")).over(part))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("cw") >= col("tw") / 2, col("v").cast(DecimalType(18, 2))))
+          .cast("double").as("weighted_median"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Gini concentration (q177): revenue inequality across customers within
+    // each nation via the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n —
+    // the Lorenz-curve summary that complements q130's Pareto shares. The
+    // rank·revenue cross-products stay in DECIMAL through the sum (a raw
+    // double Σ i·x would be partition-order-dependent at these magnitudes);
+    // every window partitions on the nation key.
+    "q177_gini_concentration" -> ((s, dir) => {
+      val r = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val byNation = Window.partitionBy(col("c_nationkey"))
+      val ranked = r
+        .withColumn("i", row_number().over(
+          byNation.orderBy(col("rev"), col("o_custkey"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(byNation))
+        .withColumn("tot", sum(col("rev")).over(byNation))
+      ranked.groupBy(col("c_nationkey"))
+        .agg(max(col("n")).cast("long").as("n_customers"),
+          round((lit(2.0) * sum(col("i") * col("rev")).cast("double"))
+            / (max(col("n")) * max(col("tot")).cast("double"))
+            - (max(col("n")) + lit(1.0)) / max(col("n")), 6).as("gini"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Correlated scalar subquery via the SQL surface.
     "q54_scalar_subquery" -> ((s, dir) => {
       for (name <- Seq("orders", "lineitem"))
@@ -867,6 +930,39 @@ object Relational extends QueryModule {
         |       CAST(CAST(r.v AS DECIMAL(18,2)) AS DOUBLE) AS value
         |FROM p CROSS JOIN n JOIN r ON r.rn = (p.pct * n.n + 99) // 100
         |ORDER BY pct""".stripMargin,
+    "q174_topk_with_ties" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |             dense_rank() OVER (PARTITION BY l_returnflag
+        |                                ORDER BY l_quantity DESC) AS dr
+        |           FROM lineitem)
+        |SELECT l_returnflag, CAST(dr AS BIGINT) AS dr, l_quantity, count(*) AS n_rows
+        |FROM r WHERE dr <= 3 GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "q175_weighted_median" ->
+      """WITH w AS (SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+        |             sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |                                   ROWS UNBOUNDED PRECEDING) AS cw,
+        |             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |       CAST(min(CASE WHEN cw >= tw / 2 THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         AS weighted_median
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q177_gini_concentration" ->
+      """WITH r AS (SELECT c_nationkey, o_custkey,
+        |             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |           FROM orders JOIN customer ON o_custkey = c_custkey
+        |           GROUP BY 1, 2),
+        |k AS (SELECT c_nationkey, o_custkey, rev,
+        |        row_number() OVER (PARTITION BY c_nationkey ORDER BY rev, o_custkey) AS i,
+        |        count(*) OVER (PARTITION BY c_nationkey) AS n,
+        |        sum(rev) OVER (PARTITION BY c_nationkey) AS tot
+        |      FROM r)
+        |SELECT c_nationkey, CAST(max(n) AS BIGINT) AS n_customers,
+        |       round((2.0 * CAST(sum(i * rev) AS DOUBLE))
+        |             / (max(n) * CAST(max(tot) AS DOUBLE))
+        |             - (max(n) + 1.0) / max(n), 6) AS gini
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q167_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |             CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS ym,
