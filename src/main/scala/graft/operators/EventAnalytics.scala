@@ -264,6 +264,55 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // Session quality rollup (q178): 12 h-gap sessionization (the q26
+    // construction) reduced to the engagement report product teams read —
+    // session count, bounce rate (single-event sessions), exact dwell-time
+    // percentiles, events per session. Windows partition on user_id; the
+    // per-session rollup shuffles once on (user, session); the final
+    // report is ONE row via exact percentile aggregates.
+    "q178_session_stats" -> ((s, dir) => {
+      val byU = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts").cast(LongType).as("t"))
+        .withColumn("prev", lag(col("t"), 1).over(byU))
+        .withColumn("ns",
+          when(col("prev").isNull || col("t") - col("prev") > 43200L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("ns")).over(
+          byU.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"), (max(col("t")) - min(col("t"))).as("dwell_s"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+          round(sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("bounce_rate"),
+          round(expr("percentile(dwell_s, 0.5)"), 6).as("p50_dwell_s"),
+          round(expr("percentile(dwell_s, 0.9)"), 6).as("p90_dwell_s"),
+          round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+            .as("avg_events_per_session"))
+    }),
+
+    // Retention decay fit (q180): how fast each acquisition cohort's
+    // activity dies — per cohort (first-seen day), the grouped OLS of
+    // ln(active users) on day offset; slope = the exponential decay rate,
+    // the single number a growth model wants from the q113 retention grid.
+    // Rides [[graft.functions.Ols.fit]] (decimal-summed moments, guarded
+    // denominator); ln values are rounded at 9 dp before the moment sums
+    // so a 1-ulp libm difference between engines cannot reach the fit.
+    "q180_retention_decay" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .select(col("user_id"),
+          floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+        .distinct()
+      val f = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val xy = d.join(f, "user_id")
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("x0"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .select(col("cohort"), col("x0").cast("double").as("x"),
+          round(log(col("n_active").cast("double")), 9).as("y"))
+      graft.functions.Ols.fit(xy, Seq("cohort"), "n_points")
+        .orderBy(col("cohort"))
+    }),
+
     // Theil–Sen robust trend (q176): the median of all pairwise slopes of
     // the per-type daily-count series — the robust counterpart of q151's
     // OLS fit (one outlier day can swing least squares arbitrarily; the
@@ -946,6 +995,47 @@ object EventAnalytics extends QueryModule {
         |             ON h.event_type = s.event_type AND h.hour = s.hour)
         |SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, avg_value_ff
         |FROM filled ORDER BY event_type, hour""".stripMargin,
+    "q178_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |g AS (SELECT user_id, event_id, t,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 43200
+        |             OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e),
+        |s AS (SELECT user_id, t, event_id,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g),
+        |sess AS (SELECT user_id, sid, count(*) AS n_events, max(t) - min(t) AS dwell_s
+        |         FROM s GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |       round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS bounce_rate,
+        |       round(quantile_cont(dwell_s, 0.5), 6) AS p50_dwell_s,
+        |       round(quantile_cont(dwell_s, 0.9), 6) AS p90_dwell_s,
+        |       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events_per_session
+        |FROM sess""".stripMargin,
+    "q180_retention_decay" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+        |           FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+        |act AS (SELECT f.cohort, d.day - f.cohort AS x0, count(DISTINCT d.user_id) AS n_active
+        |        FROM d JOIN f USING (user_id) GROUP BY 1, 2),
+        |xy AS (SELECT cohort, CAST(x0 AS DOUBLE) AS x,
+        |         round(ln(CAST(n_active AS DOUBLE)), 9) AS y FROM act),
+        |s AS (SELECT cohort, count(*) AS n,
+        |        CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |      FROM xy GROUP BY cohort)
+        |SELECT cohort, n AS n_points,
+        |       CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |       CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |         round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) END AS intercept
+        |FROM s ORDER BY cohort""".stripMargin,
     "q176_theil_sen" ->
       """WITH d AS (SELECT event_type, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, count(*) AS n
         |           FROM events GROUP BY 1, 2),

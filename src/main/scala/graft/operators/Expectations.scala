@@ -208,8 +208,36 @@ object Expectations extends QueryModule {
     added.crossJoin(removed).crossJoin(changed).crossJoin(unchanged)
   }
 
+  /** Referential-integrity audit (q179): orphaned children (lineitems whose
+    * order key resolves to nothing) and childless parents, with rates —
+    * the cross-table conformance check the single-table rule report (q154)
+    * cannot express. Two anti-joins on the natural key (AQE broadcasts the
+    * key-only side when small) + metadata-light counts; at 100 TB this is
+    * the post-load gate that catches a partially-landed parent partition
+    * before downstream joins silently drop rows. */
+  def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.read(s, dir, "lineitem")
+    val od = Tables.read(s, dir, "orders")
+    val orphan = li.join(od.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    val childless = od.join(li.select(col("l_orderkey")),
+      col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("childless_orders"))
+    val tot = li.agg(count(lit(1)).as("n_lineitems"))
+      .crossJoin(od.agg(count(lit(1)).as("n_orders")))
+    orphan.crossJoin(childless).crossJoin(tot)
+      .select(col("orphan_lineitems"), col("childless_orders"),
+        col("n_lineitems"), col("n_orders"),
+        round(col("orphan_lineitems").cast("double") / col("n_lineitems"), 6)
+          .as("orphan_rate"),
+        round(col("childless_orders").cast("double") / col("n_orders"), 6)
+          .as("childless_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_snapshot_diff" -> snapshotDiff,
+    "q179_ref_integrity" -> refIntegrity,
     "q154_data_expectations" -> orderExpectations,
     "q155_run_report" -> runReport,
     "q159_k_anonymity" -> ((s, dir) => kAnonymityAudit(s, dir)),
@@ -219,6 +247,18 @@ object Expectations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q179_ref_integrity" ->
+      """WITH lo AS (SELECT count(*) AS n FROM lineitem l
+        |            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |ol AS (SELECT count(*) AS n FROM orders o
+        |       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)),
+        |t AS (SELECT (SELECT count(*) FROM lineitem) AS nl, (SELECT count(*) FROM orders) AS no)
+        |SELECT CAST(lo.n AS BIGINT) AS orphan_lineitems,
+        |       CAST(ol.n AS BIGINT) AS childless_orders,
+        |       nl AS n_lineitems, no AS n_orders,
+        |       round(CAST(lo.n AS DOUBLE) / nl, 6) AS orphan_rate,
+        |       round(CAST(ol.n AS DOUBLE) / no, 6) AS childless_rate
+        |FROM lo, ol, t""".stripMargin,
     "q171_snapshot_diff" ->
       """WITH s AS (SELECT o_custkey, o_orderstatus,
         |             row_number() OVER (PARTITION BY o_custkey
