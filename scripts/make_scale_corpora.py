@@ -52,6 +52,29 @@ def main(outs):
         base_dir = os.path.dirname(BASE)
         ko = con.sql(f"SELECT max(o_orderkey) + 1 FROM '{base_dir}/orders.parquet'").fetchone()[0]
         kc = con.sql(f"SELECT max(c_custkey) + 1 FROM '{base_dir}/customer.parquet'").fetchone()[0]
+
+        # Events for the event-analytics tier (q160/q165/q166/q170/q176/
+        # q178): copies get offset event_ids and NEW user ids but keep the
+        # time axis, so per-user partitions multiply while the calendar
+        # stays fixed — the growth shape of an audience doubling.
+        ke = con.sql(f"SELECT max(event_id) + 1 FROM '{base_dir}/events.parquet'").fetchone()[0]
+        ku = con.sql(f"SELECT max(user_id) + 1 FROM '{base_dir}/events.parquet'").fetchone()[0]
+        # ts is emitted as raw epoch-ns BIGINT: DuckDB would otherwise write
+        # timestamp[us], which Tables.read's ns-as-long contract misreads by
+        # 1000x (a collapsed time axis — q170/q176 went empty on it).
+        con.execute(f"CREATE OR REPLACE VIEW sbase_events AS SELECT * FROM '{base_dir}/events.parquet'")
+        eparts = [
+            "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, user_id, "
+            "event_type, value, props FROM sbase_events"]
+        for c in range(1, mult):
+            eparts.append(
+                f"SELECT event_id + {c * ke} AS event_id, "
+                f"CAST(epoch_ns(ts) AS BIGINT) AS ts, user_id + {c * ku} AS user_id, "
+                f"event_type, value, props FROM sbase_events")
+        con.execute(f"COPY ({' UNION ALL '.join(eparts)} ORDER BY event_id) "
+                    f"TO '{out}/events.parquet' (FORMAT PARQUET)")
+        en = con.sql(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
+        print(f"{out}: {en} events ({mult}x)")
         for tbl, (key, _, tmpl) in star.items():
             con.execute(f"CREATE OR REPLACE VIEW sbase_{tbl} AS SELECT * FROM '{base_dir}/{tbl}.parquet'")
             sparts = [f"SELECT * FROM sbase_{tbl}"]

@@ -280,6 +280,63 @@ object Cluster extends QueryModule {
         .select(col("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))),
 
+    // Cluster-safe holdout (q181): the FIX for the leakage q172 detects —
+    // assign splits by hashing the near-dup CLUSTER id instead of the doc
+    // id, so every member of a duplicate group lands in the same split and
+    // the cross-split near-dup pair count is zero BY CONSTRUCTION (the
+    // report proves it: n_cross_split_pairs rides along and must be 0).
+    // Same cost as q76 + one hash column; the leak audit reuses the edge
+    // set the clustering was built from.
+    "q181_cluster_safe_split" -> ((s, dir) => {
+      // one shingling pass: the checkpointed edge set feeds BOTH the
+      // clustering and the leak audit (recomputing the pair pipeline for
+      // each would double the dominant cost)
+      val edges = Dedup.ngramJaccardPairs(s, dir).filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val labels = connectedComponents(
+        edges.select(col("id_a").as("a"), col("id_b").as("b")))
+      val b = expr("cast(conv(substring(md5(concat(cast(cluster_id as string), " +
+        "':split')), 1, 4), 16, 10) as bigint) % 100")
+      val sp = Tables.read(s, dir, "documents").select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split",
+          when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test")))
+      val leaks = edges
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+          .as("n_cross_split_pairs"))
+      sp.agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train_docs"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val_docs"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test_docs"))
+        .crossJoin(leaks)
+    }),
+
+    // Canonical selection (q182): within each multi-member near-dup
+    // cluster, keep the LONGEST member (token count, doc_id tiebreak) —
+    // the quality-aware survivor rule curation actually wants, vs q77's
+    // positional minimum. Selection is the one-pass min(struct) argmax,
+    // never a collect or a per-cluster sort.
+    "q182_canonical_selection" -> ((s, dir) => {
+      val m = dedupClusters(s, dir)
+        .select(col("cluster_id"), col("doc_id"),
+          size(split(trim(col("text")), " ")).cast("long").as("n_toks"))
+      val surv = m
+        .select(col("cluster_id"),
+          struct((-col("n_toks")).as("negt"), col("doc_id").as("d")).as("sel"))
+        .groupBy(col("cluster_id")).agg(min(col("sel")).as("mn"))
+        .select(col("cluster_id"), col("mn.d").as("survivor_id"),
+          (-col("mn.negt")).as("survivor_toks"))
+      m.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+        .join(surv, "cluster_id")
+        .select(col("cluster_id"), col("n_members"),
+          col("survivor_id"), col("survivor_toks"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // The deduplicated corpus: one survivor (the component-minimum doc) per
     // cluster, reported per source — docs kept / dropped and surviving
     // character volume, the numbers a curation run reports after collapse.
@@ -372,6 +429,38 @@ object Cluster extends QueryModule {
     "q107_pagerank" -> pageRankOracle,
     "q76_dedup_clusters" ->
       (clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    "q181_cluster_safe_split" ->
+      (clusterCte +
+        """,
+          |sp AS (SELECT doc_id,
+          |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+          |              ELSE 'test' END AS split
+          |       FROM (SELECT doc_id,
+          |               CAST(concat('0x', substring(md5(CAST(cluster_id AS VARCHAR) || ':split'), 1, 4)) AS BIGINT) % 100 AS b
+          |             FROM clusters)),
+          |lk AS (SELECT COALESCE(CAST(sum(CASE WHEN a.split != b.split THEN 1 ELSE 0 END) AS BIGINT), 0)
+          |         AS n_cross_split_pairs
+          |       FROM edges e JOIN sp a ON a.doc_id = e.u JOIN sp b ON b.doc_id = e.v)
+          |SELECT (SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) FROM sp) AS n_train_docs,
+          |       (SELECT CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) FROM sp) AS n_val_docs,
+          |       (SELECT CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) FROM sp) AS n_test_docs,
+          |       n_cross_split_pairs
+          |FROM lk""".stripMargin),
+    "q182_canonical_selection" ->
+      (clusterCte +
+        """,
+          |m AS (SELECT c.cluster_id, c.doc_id,
+          |        CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_toks
+          |      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+          |surv AS (SELECT cluster_id, doc_id AS survivor_id, n_toks AS survivor_toks
+          |         FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+          |                         ORDER BY n_toks DESC, doc_id) AS rn FROM m)
+          |         WHERE rn = 1),
+          |sz AS (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY 1)
+          |SELECT sz.cluster_id, sz.n_members, surv.survivor_id, surv.survivor_toks
+          |FROM sz JOIN surv USING (cluster_id)
+          |WHERE sz.n_members > 1
+          |ORDER BY cluster_id""".stripMargin),
     "q146_dedup_impact" ->
       (clusterCte +
         """,
