@@ -100,6 +100,74 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     open shouldBe expected
   }
 
+  test("q181: cluster-keyed split partitions the corpus and leaks nothing") {
+    val r = q("q181_cluster_safe_split").head()
+    val total = graft.sources.Tables.read(spark, sf0001, "documents").count()
+    (r.getAs[Long]("n_train_docs") + r.getAs[Long]("n_val_docs")
+      + r.getAs[Long]("n_test_docs")) shouldBe total
+    r.getAs[Long]("n_cross_split_pairs") shouldBe 0L
+  }
+
+  test("q182: the canonical survivor is its cluster's longest member") {
+    val docs = graft.sources.Tables.read(spark, sf0001, "documents")
+    val toks = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(col("text")), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = graft.operators.Cluster.dedupClusters(spark, sf0001)
+      .select(col("cluster_id"), col("doc_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rows = q("q182_canonical_selection").collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val surv = r.getAs[Long]("survivor_id")
+      members(cid) should contain(surv)
+      r.getAs[Long]("n_members").toInt shouldBe members(cid).size
+      r.getAs[Long]("survivor_toks") shouldBe members(cid).map(toks).max
+    }
+  }
+
+  test("q174: each flag reports exactly three distinct top quantity levels") {
+    val rows = q("q174_topk_with_ties").collect()
+    rows.groupBy(_.getAs[String]("l_returnflag")).foreach { case (_, rs) =>
+      rs.map(_.getAs[Long]("dr")).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+      rs.map(_.getAs[Double]("l_quantity")).distinct.length shouldBe 3
+    }
+  }
+
+  test("q175: the weighted median lies inside each flag's price range") {
+    val li = graft.sources.Tables.read(spark, sf0001, "lineitem")
+    val ranges = li.groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    q("q175_weighted_median").collect().foreach { r =>
+      val (lo, hi) = ranges(r.getAs[String]("l_returnflag"))
+      val m = r.getAs[Double]("weighted_median")
+      m should (be >= lo and be <= hi)
+    }
+  }
+
+  test("q177: gini coefficients are valid inequality measures") {
+    q("q177_gini_concentration").collect().foreach { r =>
+      r.getAs[Double]("gini") should (be >= 0.0 and be < 1.0)
+      r.getAs[Long]("n_customers") should be > 0L
+    }
+  }
+
+  test("q176: pair counts are n-choose-2 of each type's observed days") {
+    val days = graft.sources.Tables.read(spark, sf0001, "events")
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.floor(col("ts").cast("long") / 86400L).as("d"))
+      .distinct().groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("q176_theil_sen").collect().foreach { r =>
+      val nd = days(r.getAs[String]("event_type"))
+      r.getAs[Long]("n_pairs") shouldBe nd * (nd - 1) / 2
+    }
+  }
+
   test("q163: dp noise is bounded for the released groups and reproducible") {
     val a = q("q163_dp_counts").collect()
     val b = q("q163_dp_counts").collect()
