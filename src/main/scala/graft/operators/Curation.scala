@@ -195,6 +195,32 @@ object Curation extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Source-overlap matrix (q183): corpus-level Jaccard between SOURCES'
+    // shingle sets — the mixture-planning signal ("these two crawls are
+    // 5% the same material") that doc-pair dedup reports can't aggregate
+    // to. Same posting-list discipline as the doc tier, but the join fans
+    // out per shingle by sources-sharing-it² ≤ |sources|² — a constant,
+    // so the pair stage can never go corpus-quadratic. Only pairs with
+    // ≥ 1 shared shingle appear (absent pair = zero overlap).
+    "q183_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ss = Dedup.shingledFrom(d)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), explode(col("shingles")).as("s"))
+        .distinct()
+      val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      ss.select(col("source").as("src_a"), col("s"))
+        .join(ss.select(col("source").as("src_b"), col("s")), "s")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+        .join(sz.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(sz.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Split-leakage audit (q172): near-duplicate pairs (exact n-gram
     // Jaccard >= 0.8, the q35 pipeline) joined against the q68 holdout
     // assignment — any pair straddling train/val/test means the held-out
@@ -250,6 +276,20 @@ object Curation extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q183_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT source, unnest(list_distinct(list_transform(range(len(w) - 4),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]))) AS s
+        |       FROM toks WHERE len(w) >= 5),
+        |ss AS (SELECT DISTINCT source, s FROM sh),
+        |sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS c
+        |          FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, c AS n_shared,
+        |       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "q172_split_leakage" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),

@@ -235,9 +235,66 @@ object Expectations extends QueryModule {
           .as("childless_rate"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift (q184): for every source pair,
+    * the exact KS statistic (max CDF gap) of the length distribution —
+    * the distribution-shape drift check PSI's fixed buckets smooth over.
+    * Exact and distributed: per-pair pooled values group to distinct
+    * points, one cumulative window per pair (partitioned on the pair key,
+    * frame-ordered integer sums — engine-identical), then a max. Pair
+    * cardinality is |sources|², a constant; the window partitions count
+    * grows with it, never with the corpus. */
+  def ksSourceDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcs = Tables.read(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = srcs.select(col("source").as("sa"), col("n").as("na"))
+      .crossJoin(srcs.select(col("source").as("sb"), col("n").as("nb")))
+      .filter(col("sa") < col("sb"))
+    val v = Tables.read(s, dir, "documents").select(col("source"), col("n_chars").as("x"))
+    val xsA = pairs.join(v.select(col("source").as("sa"), col("x")), "sa")
+      .withColumn("is_a", lit(1L))
+    val xsB = pairs.join(v.select(col("source").as("sb"), col("x")), "sb")
+      .withColumn("is_a", lit(0L))
+    val g = xsA.unionByName(xsB)
+      .groupBy(col("sa"), col("sb"), col("na"), col("nb"), col("x"))
+      .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+    val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("cca", sum(col("ca")).over(w))
+      .withColumn("ccb", sum(col("cb")).over(w))
+      .groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+      .agg(round(max(abs(col("cca").cast("double") / col("na")
+        - col("ccb").cast("double") / col("nb"))), 6).as("ks_stat"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"), col("ks_stat"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Functional-dependency audit (q185): violation counts for declared
+    * column dependencies — the candidate-key / denormalization-consistency
+    * check a profiler runs before trusting a join key as stable. Each rule
+    * is one aggregation (exact distinct per key, HAVING > 1) rolled to a
+    * single count; unioned to a fixed row-per-rule report. */
+  def fdAudit(s: SparkSession, dir: String): DataFrame = {
+    def violations(name: String, df: DataFrame, key: String, dep: String): DataFrame =
+      df.groupBy(col(key)).agg(countDistinct(col(dep)).as("nd"))
+        .filter(col("nd") > 1)
+        .agg(lit(name).as("fd"), count(lit(1)).as("n_violating_keys"))
+    val oc = Tables.read(s, dir, "orders")
+      .join(Tables.read(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    val lo = Tables.read(s, dir, "lineitem")
+      .join(Tables.read(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    violations("l_orderkey->o_custkey", lo, "l_orderkey", "o_custkey")
+      .unionByName(violations("o_custkey->c_nationkey", oc, "o_custkey", "c_nationkey"))
+      .unionByName(violations("p_name->p_brand (within part)",
+        Tables.read(s, dir, "part"), "p_name", "p_brand"))
+      .orderBy(col("fd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_snapshot_diff" -> snapshotDiff,
     "q179_ref_integrity" -> refIntegrity,
+    "q184_ks_source_drift" -> ksSourceDrift,
+    "q185_fd_audit" -> fdAudit,
     "q154_data_expectations" -> orderExpectations,
     "q155_run_report" -> runReport,
     "q159_k_anonymity" -> ((s, dir) => kAnonymityAudit(s, dir)),
@@ -247,6 +304,38 @@ object Expectations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_ks_source_drift" ->
+      """WITH srcs AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        |          FROM srcs a JOIN srcs b ON a.source < b.source),
+        |xs AS (SELECT p.sa, p.sb, p.na, p.nb, d.source AS src, d.n_chars AS x
+        |       FROM pairs p JOIN documents d ON d.source IN (p.sa, p.sb)),
+        |g AS (SELECT sa, sb, na, nb, x,
+        |        sum(CASE WHEN src = sa THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN src = sb THEN 1 ELSE 0 END) AS cb
+        |      FROM xs GROUP BY 1, 2, 3, 4, 5),
+        |c AS (SELECT sa, sb, na, nb, x,
+        |        sum(ca) OVER (PARTITION BY sa, sb ORDER BY x ROWS UNBOUNDED PRECEDING) AS cca,
+        |        sum(cb) OVER (PARTITION BY sa, sb ORDER BY x ROWS UNBOUNDED PRECEDING) AS ccb
+        |      FROM g)
+        |SELECT sa AS src_a, sb AS src_b,
+        |       round(max(abs(CAST(cca AS DOUBLE)/na - CAST(ccb AS DOUBLE)/nb)), 6) AS ks_stat
+        |FROM c GROUP BY 1, 2, na, nb ORDER BY 1, 2""".stripMargin,
+    "q185_fd_audit" ->
+      """WITH fd1 AS (SELECT 'l_orderkey->o_custkey' AS fd,
+        |               count(*) AS n_violating_keys FROM (
+        |               SELECT l_orderkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |               GROUP BY l_orderkey HAVING count(DISTINCT o_custkey) > 1)),
+        |fd2 AS (SELECT 'o_custkey->c_nationkey' AS fd,
+        |          count(*) AS n_violating_keys FROM (
+        |          SELECT o_custkey FROM orders JOIN customer ON o_custkey = c_custkey
+        |          GROUP BY o_custkey HAVING count(DISTINCT c_nationkey) > 1)),
+        |fd3 AS (SELECT 'p_name->p_brand (within part)' AS fd,
+        |          count(*) AS n_violating_keys FROM (
+        |          SELECT p_name FROM part GROUP BY p_name
+        |          HAVING count(DISTINCT p_brand) > 1))
+        |SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+        |ORDER BY fd""".stripMargin,
     "q179_ref_integrity" ->
       """WITH lo AS (SELECT count(*) AS n FROM lineitem l
         |            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
