@@ -290,11 +290,50 @@ object Expectations extends QueryModule {
       .orderBy(col("fd"))
   }
 
+  /** Near-constant column detector (q187): per declared numeric column of
+    * `lineitem` — distinct count, mean, sample sd, coefficient of
+    * variation, and top-value share; a column that is one value in
+    * disguise (n_distinct = 1 or top share > 0.99) is flagged as a
+    * useless feature / suspicious load. One unpivoted scan + two bounded
+    * aggregations; moments from decimal-exact sums via the sum-of-squares
+    * identity so both engines execute the same operand sequence. */
+  def lowVarianceAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val u = Tables.read(s, dir, "lineitem").select(expr(
+      """stack(4,
+        |  'l_quantity',      l_quantity,
+        |  'l_discount',      l_discount,
+        |  'l_tax',           l_tax,
+        |  'l_extendedprice', l_extendedprice) AS (col_name, x)""".stripMargin))
+    val m = u.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("x")).as("n_distinct"),
+        sum(col("x").cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum(round(col("x") * col("x"), 6).cast(DecimalType(38, 6))).cast("double").as("sxx"))
+      .select(col("col_name"), col("n"), col("n_distinct"),
+        (col("sx") / col("n")).as("mean"),
+        when(col("n") > 1,
+          sqrt((col("sxx") - col("sx") * (col("sx") / col("n"))) / (col("n") - 1)))
+          .as("sd"))
+    val tv = u.groupBy(col("col_name"), col("x")).agg(count(lit(1)).as("c"))
+      .groupBy(col("col_name")).agg(max(col("c")).as("top_n"))
+    m.join(tv, "col_name")
+      .select(col("col_name"), col("n"), col("n_distinct"),
+        round(col("mean"), 6).as("mean"),
+        round(col("sd"), 6).as("sd"),
+        when(col("mean") =!= 0, round(col("sd") / abs(col("mean")), 6)).as("cv"),
+        round(col("top_n").cast("double") / col("n"), 6).as("top_value_share"),
+        when(col("n_distinct") === 1
+          || col("top_n").cast("double") / col("n") > 0.99, 1L).otherwise(0L)
+          .as("near_constant"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_snapshot_diff" -> snapshotDiff,
     "q179_ref_integrity" -> refIntegrity,
     "q184_ks_source_drift" -> ksSourceDrift,
     "q185_fd_audit" -> fdAudit,
+    "q187_low_variance" -> lowVarianceAudit,
     "q154_data_expectations" -> orderExpectations,
     "q155_run_report" -> runReport,
     "q159_k_anonymity" -> ((s, dir) => kAnonymityAudit(s, dir)),
@@ -304,6 +343,30 @@ object Expectations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_low_variance" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, l_quantity AS x FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem),
+        |m AS (SELECT col_name, count(*) AS n, count(DISTINCT x) AS n_distinct,
+        |        CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+        |        CASE WHEN count(*) > 1 THEN
+        |          sqrt((CAST(sum(CAST(round(x*x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |                - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+        |                  * (CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(*)))
+        |               / (count(*) - 1)) END AS sd
+        |      FROM u GROUP BY 1),
+        |tv AS (SELECT col_name, max(c) AS top_n FROM (
+        |         SELECT col_name, x, count(*) AS c FROM u GROUP BY 1, 2) GROUP BY 1)
+        |SELECT m.col_name, m.n, m.n_distinct,
+        |       round(m.mean, 6) AS mean,
+        |       round(m.sd, 6) AS sd,
+        |       CASE WHEN m.mean <> 0 THEN round(m.sd / abs(m.mean), 6) END AS cv,
+        |       round(CAST(tv.top_n AS DOUBLE) / m.n, 6) AS top_value_share,
+        |       CAST(CASE WHEN m.n_distinct = 1 OR CAST(tv.top_n AS DOUBLE) / m.n > 0.99
+        |            THEN 1 ELSE 0 END AS BIGINT) AS near_constant
+        |FROM m JOIN tv USING (col_name) ORDER BY col_name""".stripMargin,
     "q184_ks_source_drift" ->
       """WITH srcs AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
         |pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb

@@ -422,6 +422,32 @@ object Similarity extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Embedding hygiene gate (q186): the audit run BEFORE any cosine math —
+    // a zero-norm vector makes cosine divide by zero, a denormal norm
+    // makes it numerically meaningless, and a mostly-zero vector usually
+    // marks an upstream featurizer bug. Per label: zero/tiny-norm and
+    // majority-zero-component counts + the norm envelope (this fixture is
+    // unit-normalized, so the gate reports a clean pass — min=max=1.0).
+    // Row-local HOF fold per vector + one bounded rollup; norms fold in
+    // identical left-to-right order on both engines.
+    "q186_embedding_hygiene" -> ((s, dir) => {
+      val nrm = graft.functions.VectorFunctions.norm(col("v"))
+      emb(s, dir)
+        .select(col("label"), nrm.as("nrm"),
+          size(filter(col("v"), x => x === 0.0)).as("n_zero_comp"),
+          size(col("v")).as("dim"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+          sum(when(col("nrm") < 0.001 && col("nrm") > 0.0, 1L).otherwise(0L))
+            .as("n_tiny_norm"),
+          sum(when(col("n_zero_comp") * 2 > col("dim"), 1L).otherwise(0L))
+            .as("n_mostly_zero"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"))
+        .orderBy(col("label"))
+    }),
+
     // Nearest-centroid confusion matrix (q169): the probe-classifier eval
     // of embedding quality — per-label centroids (decimal means over
     // narrow (label, pos) rows, the q134 shape), each vector assigned to
@@ -558,6 +584,18 @@ object Similarity extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_embedding_hygiene" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT label,
+        |        sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm,
+        |        len(list_filter(v, x -> x = 0)) AS n_zero_comp, len(v) AS dim
+        |      FROM e)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |       CAST(sum(CASE WHEN nrm < 0.001 AND nrm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tiny_norm,
+        |       CAST(sum(CASE WHEN n_zero_comp * 2 > dim THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_zero,
+        |       round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "q169_centroid_confusion" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, unnest(range(len(v))) AS i, unnest(v) AS x FROM e),
