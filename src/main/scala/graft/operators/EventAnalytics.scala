@@ -313,6 +313,34 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("cohort"))
     }),
 
+    // Pearson correlation (q188): per type, the correlation between value
+    // and hour-of-day — the "is this metric diurnal" screen run before
+    // modeling a seasonality term (q170 then locates WHERE it deviates).
+    // One aggregation from five decimal-exact moments; the r formula's
+    // operand sequence is mirrored verbatim in the oracle and both
+    // denominators are guarded (a constant column yields NULL, not NaN).
+    "q188_pearson_corr" -> ((s, dir) => {
+      val x = ev(s, dir).select(col("event_type"),
+        pmod(floor(col("ts").cast(LongType) / 3600L).cast(LongType), lit(24L))
+          .cast("double").as("h"),
+        col("value").as("v"))
+      val m = x.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("h").cast(DecimalType(38, 12))).cast("double").as("sx"),
+        sum(col("v").cast(DecimalType(18, 2))).cast("double").as("sy"),
+        sum(round(col("h") * col("v"), 6).cast(DecimalType(38, 6))).cast("double").as("sxy"),
+        sum((col("h") * col("h")).cast(DecimalType(38, 6))).cast("double").as("sxx"),
+        sum(round(col("v") * col("v"), 6).cast(DecimalType(38, 6))).cast("double").as("syy"))
+      m.select(col("event_type"), col("n"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0
+          && (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("pearson_r"))
+        .orderBy(col("event_type"))
+    }),
+
     // Theil–Sen robust trend (q176): the median of all pairwise slopes of
     // the per-type daily-count series — the robust counterpart of q151's
     // OLS fit (one outlier day can swing least squares arbitrarily; the
@@ -995,6 +1023,23 @@ object EventAnalytics extends QueryModule {
         |             ON h.event_type = s.event_type AND h.hour = s.hour)
         |SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, avg_value_ff
         |FROM filled ORDER BY event_type, hour""".stripMargin,
+    "q188_pearson_corr" ->
+      """WITH x AS (SELECT event_type,
+        |             CAST(CAST(floor(epoch(ts)/3600) AS BIGINT) % 24 AS DOUBLE) AS h,
+        |             value AS v
+        |           FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(CAST(h AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(round(h*v, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(h*h AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(round(v*v, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |      FROM x GROUP BY 1)
+        |SELECT event_type, n,
+        |       CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |         round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+        |       END AS pearson_r
+        |FROM m ORDER BY event_type""".stripMargin,
     "q178_session_stats" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
         |g AS (SELECT user_id, event_id, t,

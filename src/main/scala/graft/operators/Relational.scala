@@ -629,6 +629,23 @@ object Relational extends QueryModule {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Deterministic mode (q189): the most frequent quantity per flag with
+    // an explicit value tie-break — the aggregate SQL `mode()` leaves
+    // tie-broken by chance. One count rollup + one rank over the bounded
+    // (flag × distinct-quantity) frame.
+    "q189_mode" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"),
+          col("n").as("n_occurrences"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Correlated scalar subquery via the SQL surface.
     "q54_scalar_subquery" -> ((s, dir) => {
       for (name <- Seq("orders", "lineitem"))
@@ -930,6 +947,14 @@ object Relational extends QueryModule {
         |       CAST(CAST(r.v AS DECIMAL(18,2)) AS DOUBLE) AS value
         |FROM p CROSS JOIN n JOIN r ON r.rn = (p.pct * n.n + 99) // 100
         |ORDER BY pct""".stripMargin,
+    "q189_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_quantity, n,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rn
+        |      FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_quantity, n AS n_occurrences
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "q174_topk_with_ties" ->
       """WITH r AS (SELECT l_returnflag, l_quantity,
         |             dense_rank() OVER (PARTITION BY l_returnflag
