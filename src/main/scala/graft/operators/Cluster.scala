@@ -104,11 +104,18 @@ object Cluster extends QueryModule {
     connectedComponentsWithRounds(edges0, maxRounds)._1
 
   /** (doc_id, cluster_id) for EVERY document: near-dup edges are the exact
-    * n-gram Jaccard pairs at `threshold` (the q35 pipeline, uncapped —
-    * inverted-index join, never all-pairs), collapsed into components;
-    * documents in no pair keep their own id (singleton clusters). */
-  def dedupClusters(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val edges = Dedup.ngramJaccardPairs(s, dir)
+    * n-gram Jaccard pairs at `threshold` (the q35 pipeline — inverted-index
+    * join, never all-pairs, posting lists df-capped at `dfCap` =
+    * [[Dedup.DefaultDfCap]]; the cap drops boilerplate-only pairs, so
+    * recall at the threshold is over organic shingles — the trade
+    * documented at [[Dedup.sharedShinglePairCounts]]), collapsed into
+    * components; documents in no pair keep their own id (singleton
+    * clusters). Pairs come from the process-level materialized edge layer
+    * ([[Dedup.sharedNgramJaccardPairs]]), so the shingling pipeline runs
+    * once per (session, dir) across all cluster-tier queries. */
+  def dedupClusters(s: SparkSession, dir: String, threshold: Double = 0.8,
+                    dfCap: Int = Dedup.DefaultDfCap): DataFrame = {
+    val edges = Dedup.sharedNgramJaccardPairs(s, dir, dfCap)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val labels = connectedComponents(edges)
@@ -199,7 +206,7 @@ object Cluster extends QueryModule {
 
     // Triangle census of the near-dup graph (see triangleCensus).
     "q114_triangle_census" -> ((s, dir) =>
-      triangleCensus(Dedup.ngramJaccardPairs(s, dir)
+      triangleCensus(Dedup.sharedNgramJaccardPairs(s, dir)
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a").as("u"), col("id_b").as("v")))),
 
@@ -214,7 +221,7 @@ object Cluster extends QueryModule {
     // sources canonicalize with least/greatest so (a,b) and (b,a) land in
     // one cell; the final rollup is |sources|² bounded.
     "q125_cross_source_dups" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(s, dir)
+      val pairs = Dedup.sharedNgramJaccardPairs(s, dir)
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"))
       val src = Tables.read(s, dir, "documents").select(col("doc_id"), col("source"))
@@ -263,7 +270,7 @@ object Cluster extends QueryModule {
     // pairwise output can't give. Top 20 by rank; isolated docs share the
     // floor rank (1-d)/N and tie-break by doc_id.
     "q107_pagerank" -> ((s, dir) => {
-      val edges = Dedup.ngramJaccardPairs(s, dir)
+      val edges = Dedup.sharedNgramJaccardPairs(s, dir)
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val nodes = Tables.read(s, dir, "documents").select(col("doc_id").as("node"))
@@ -288,11 +295,12 @@ object Cluster extends QueryModule {
     // Same cost as q76 + one hash column; the leak audit reuses the edge
     // set the clustering was built from.
     "q181_cluster_safe_split" -> ((s, dir) => {
-      // one shingling pass: the checkpointed edge set feeds BOTH the
-      // clustering and the leak audit (recomputing the pair pipeline for
-      // each would double the dominant cost)
-      val edges = Dedup.ngramJaccardPairs(s, dir).filter(col("jaccard") >= 0.8)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+      // one shingling pass: the shared materialized edge layer feeds BOTH
+      // the clustering and the leak audit (recomputing the pair pipeline
+      // for each would double the dominant cost); no extra checkpoint —
+      // sharedNgramJaccardPairs already reads materialized rows
+      val edges = Dedup.sharedNgramJaccardPairs(s, dir).filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"))
       val labels = connectedComponents(
         edges.select(col("id_a").as("a"), col("id_b").as("b")))
       val b = expr("cast(conv(substring(md5(concat(cast(cluster_id as string), " +
