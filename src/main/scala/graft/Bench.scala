@@ -14,6 +14,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture-drift guard (the round-11 lesson): a benchmark of corrupted
+    // reads is worse than no benchmark — fail loudly first.
+    graft.sources.FixtureCheck.assertSane(spark, sfDir)
     // Warm the session (JIT, codegen, parquet footer cache) so the first
     // timed query doesn't absorb one-off startup cost — standard bench
     // hygiene; the warm-up query is the sf0.001 smoke pipeline.

@@ -339,10 +339,47 @@ object Expectations extends QueryModule {
     "q159_k_anonymity" -> ((s, dir) => kAnonymityAudit(s, dir)),
     "q161_benford_audit" -> benfordAudit,
     "q163_dp_counts" -> dpCounts,
-    "q164_release_gate" -> releaseGate
+    "q164_release_gate" -> releaseGate,
+    // Fixture fingerprint (q193): the per-table data-envelope guard the
+    // round-11 timestamp-unit drift showed was missing — see
+    // [[graft.sources.FixtureCheck]]. Oracled: DuckDB recomputes the same
+    // envelope from the same files, so a reader-side unit misread surfaces
+    // as a hash mismatch HERE, with the table named, before it can corrupt
+    // 31 downstream queries.
+    "q193_fixture_fingerprint" ->
+      ((s, dir) => graft.sources.FixtureCheck.fingerprintFrame(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
+    "q193_fixture_fingerprint" ->
+      """WITH f AS (
+        |  SELECT 'region' AS tbl, count(*) AS n_rows,
+        |         CAST(min(r_regionkey) AS DOUBLE) AS key_lo, CAST(max(r_regionkey) AS DOUBLE) AS key_hi,
+        |         CAST(CASE WHEN count(*) > 0 AND min(r_regionkey) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS sane
+        |  FROM region
+        |  UNION ALL SELECT 'nation', count(*), CAST(min(n_nationkey) AS DOUBLE), CAST(max(n_nationkey) AS DOUBLE),
+        |         CAST(CASE WHEN count(*) > 0 AND min(n_nationkey) >= 0 THEN 1 ELSE 0 END AS BIGINT) FROM nation
+        |  UNION ALL SELECT 'supplier', count(*), CAST(min(s_suppkey) AS DOUBLE), CAST(max(s_suppkey) AS DOUBLE),
+        |         CAST(CASE WHEN count(*) > 0 AND min(s_suppkey) >= 0 THEN 1 ELSE 0 END AS BIGINT) FROM supplier
+        |  UNION ALL SELECT 'customer', count(*), CAST(min(c_custkey) AS DOUBLE), CAST(max(c_custkey) AS DOUBLE),
+        |         CAST(CASE WHEN count(*) > 0 AND min(c_custkey) >= 0 THEN 1 ELSE 0 END AS BIGINT) FROM customer
+        |  UNION ALL SELECT 'part', count(*), CAST(min(p_partkey) AS DOUBLE), CAST(max(p_partkey) AS DOUBLE),
+        |         CAST(CASE WHEN count(*) > 0 AND min(p_partkey) >= 0 THEN 1 ELSE 0 END AS BIGINT) FROM part
+        |  UNION ALL SELECT 'orders', count(*), floor(epoch(min(o_orderdate))), floor(epoch(max(o_orderdate))),
+        |         CAST(CASE WHEN count(*) > 0 AND floor(epoch(min(o_orderdate))) >= 631152000
+        |                    AND floor(epoch(max(o_orderdate))) < 2082758400 THEN 1 ELSE 0 END AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'lineitem', count(*), floor(epoch(min(l_shipdate))), floor(epoch(max(l_shipdate))),
+        |         CAST(CASE WHEN count(*) > 0 AND floor(epoch(min(l_shipdate))) >= 631152000
+        |                    AND floor(epoch(max(l_shipdate))) < 2082758400 THEN 1 ELSE 0 END AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'events', count(*), floor(epoch(min(ts))), floor(epoch(max(ts))),
+        |         CAST(CASE WHEN count(*) > 0 AND floor(epoch(min(ts))) >= 631152000
+        |                    AND floor(epoch(max(ts))) < 2082758400 THEN 1 ELSE 0 END AS BIGINT) FROM events
+        |  UNION ALL SELECT 'documents', count(*), CAST(min(doc_id) AS DOUBLE), CAST(max(doc_id) AS DOUBLE),
+        |         CAST(CASE WHEN count(*) > 0 AND min(doc_id) >= 0 AND min(n_chars) >= 0 THEN 1 ELSE 0 END AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*), CAST(min(vec_id) AS DOUBLE), CAST(max(vec_id) AS DOUBLE),
+        |         CAST(CASE WHEN count(*) > 0 AND min(vec_id) >= 0
+        |                    AND min(len(embedding)) = 64 AND max(len(embedding)) = 64 THEN 1 ELSE 0 END AS BIGINT) FROM embeddings)
+        |SELECT tbl, n_rows, key_lo, key_hi, sane FROM f ORDER BY tbl""".stripMargin,
     "q187_low_variance" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, l_quantity AS x FROM lineitem

@@ -66,11 +66,13 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `ts` is parquet TIMESTAMP(NANOS) — a logical type Spark's reader does
-    * not map to TimestampType (µs). We read the raw INT64 nanos (legacy
-    * `nanosAsLong` conf) and convert to a µs timestamp in [[read]]. The
-    * fixture generator only emits µs-precision values, so the ns→µs floor is
-    * lossless (verified against the sf0.01 parquet footers). */
+  /** Legacy on-disk shape for `ts` = parquet TIMESTAMP(NANOS) — a logical
+    * type Spark's reader does not map to TimestampType (µs). When the fixture
+    * carries that type, [[read]] reads the raw INT64 nanos (legacy
+    * `nanosAsLong` conf) and floors to a µs timestamp (lossless: the
+    * generator only emits µs-precision values). Regenerated fixtures carry
+    * plain `timestamp[us]` instead, which [[read]] detects from the footer
+    * and reads directly — see the probe logic in [[read]]. */
   val eventsOnDisk = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -108,14 +110,52 @@ object Tables {
     * inside every read would be racy in a multi-tenant session. */
   val nanosConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Scan a fixture table with its declared schema (never inferred). */
+  /** Paths whose events `ts` range has already passed the sanity probe in
+    * this JVM (probe once per path; reads are hot). */
+  private val tsChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Scan a fixture table with its declared schema (never inferred).
+    *
+    * For `events` the physical type of `ts` has drifted across fixture
+    * generations (raw INT64 TIMESTAMP(NANOS) → plain `timestamp[us]`), and
+    * reading one as the other silently corrupts every timestamp by 1000×
+    * (30 days of events collapse into ~43 minutes of January 1970 — the
+    * round-11 incident). So: probe the footer schema (cheap — no data pages
+    * read), branch on the ACTUAL type, and assert once per path that a
+    * sampled timestamp lands in a sane range so any future drift fails
+    * loudly instead of silently corrupting downstream queries.
+    */
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      require(spark.conf.getOption(nanosConf._1).contains(nanosConf._2),
-        s"session must be built with ${nanosConf._1}=${nanosConf._2} to read events")
-      spark.read.schema(eventsOnDisk).parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      val path = s"$dir/$name.parquet"
+      val df = spark.read.parquet(path).schema("ts").dataType match {
+        case TimestampType | TimestampNTZType =>
+          // µs fixture: direct schema'd read (session tz is UTC everywhere,
+          // so NTZ-vs-LTZ is value-identical and matches the DuckDB oracle).
+          spark.read.schema(events).parquet(path)
+        case LongType =>
+          // ns-as-long fixture (requires the legacy conf at session build)
+          require(spark.conf.getOption(nanosConf._1).contains(nanosConf._2),
+            s"session must be built with ${nanosConf._1}=${nanosConf._2} to read ns events")
+          spark.read.schema(eventsOnDisk).parquet(path)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts at $path has unsupported parquet-mapped type $other " +
+              "(expected timestamp[us] or INT64 TIMESTAMP(NANOS))")
+      }
+      if (!tsChecked.contains(path)) {
+        df.select(col("ts")).limit(1).collect().headOption.foreach { r =>
+          val year = r.getTimestamp(0).toInstant
+            .atZone(java.time.ZoneOffset.UTC).getYear
+          require(year >= 2000 && year <= 2100,
+            s"events.ts sanity probe failed at $path: sampled year $year — " +
+              "fixture/reader timestamp-unit mismatch (ns vs µs drift)")
+        }
+        tsChecked.add(path)
+      }
+      df
     } else {
       spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     }
