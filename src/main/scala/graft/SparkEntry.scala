@@ -50,9 +50,11 @@ object SparkEntry {
     * the same parquet tables. Omitted only for q39/q40/q53/q108, whose
     * Spark-specific hash functions / data-trained codebooks and sketches
     * are not SQL-expressible; those are recall- or error-bound-checked
-    * against their exact counterparts in ScalaTest. (q36 MinHash-LSH IS
-    * oracled: the banded bucket join replays in DuckDB on raw band
-    * signatures.) */
+    * against their exact counterparts in ScalaTest, AND hash-gated via the
+    * oracled audit twins q190/q191/q192 (LSH replayed from the md5 plane
+    * constants; IVF/PQ audited through seeded SQL-replayable quantizers
+    * with the identical probe/ADC machinery). (q36 MinHash-LSH IS oracled:
+    * the banded bucket join replays in DuckDB on raw band signatures.) */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
 }

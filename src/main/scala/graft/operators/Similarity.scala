@@ -420,6 +420,139 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("rn"), col("n_id"), col("dist_sq"))
   }
 
+  /** [[cellOf]] with per-centroid distances ROUNDED at 6 dp before the
+    * argmin (ties → lowest cell id via first-minimum `array_position`) —
+    * the oracle-replayable assignment used by the seeded audit tiers
+    * (q191/q192): DuckDB replays `round(d2, 6)` + `(d2, code)` row_number
+    * ordering exactly, where the unrounded double argmin would be
+    * bit-fragile at ties. */
+  def cellOfRounded(s: SparkSession, v: Column, cents: Array[Array[Double]]): Column = {
+    def centLit(c: Array[Double]): Column =
+      array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
+    def argmin(vv: Column): Column = {
+      val ds = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        cents.map(c => round(distSqFast(s, vv, centLit(c)), 6))): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    element_at(transform(array(v), vv => argmin(vv)), 1)
+  }
+
+  /** Exact brute-force squared-L2 top-k — the L2-metric twin of
+    * [[cosineTopK]]; the exact tier the PQ/ADC audit (q192) scores against.
+    * Broadcast query side; the corpus streams through once. */
+  def l2TopK(queriesDf: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val sp = queriesDf.sparkSession
+    val q = broadcast(queriesDf.select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val scored = q.join(corpus, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(distSqFast(sp, col("qv"), col("v")), 6).as("dist_sq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist_sq"), col("n_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("n_id"), col("dist_sq"))
+  }
+
+  /** Per-query recall/precision of an approximate top-k result against the
+    * exact top-k — the q145-style audit row an ANN rollout reads before
+    * trusting the index. Both inputs carry (q_id, n_id); counts ride as
+    * grouped aggregates (never a driver-side collect). */
+  def recallAuditFrom(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val a = ann.select(col("q_id"), col("n_id"))
+    val x = exact.select(col("q_id"), col("n_id"))
+    val hits = x.join(a, Seq("q_id", "n_id"))
+    x.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(a.groupBy(col("q_id")).agg(count(lit(1)).as("n_ann")), Seq("q_id"), "left")
+      .join(hits.groupBy(col("q_id")).agg(count(lit(1)).as("n_hit")), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** IVF probe with a SEEDED (iteration-free) coarse quantizer: centroids
+    * are the `kCells` lowest-vec_id vectors (the q99 convention), assignment
+    * is argmax ROUNDED cosine with ties to the lowest centroid id — every
+    * step SQL-replayable, unlike [[trainCentroids]]' Lloyd's loop. The probe
+    * machinery (cell-restricted exact cosine top-k, nProbe=1, broadcast
+    * query side, corpus never shuffled) is IDENTICAL to [[annIvf]] — this is
+    * the variant the hash-gated audit (q191) runs, so the oracle verifies
+    * the probe pipeline bit-for-bit while the trained quantizer stays
+    * recall-gated in ScalaTest. */
+  def annIvfSeeded(s: SparkSession, dir: String, k: Int, kCells: Int = 8,
+                   queryPred: Column = col("vec_id") < 3): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct(round(cosineFast(s, col("v"), col("cv")), 6).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(col("vec_id"))
+      // first(v) is well-defined: every grouped row carries the same v
+      .agg(max(col("sc")).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("v"))
+    val q = broadcast(assigned.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("q_cell")))
+    val scored = q.join(assigned,
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("n_id"), col("sim"))
+  }
+
+  /** PQ/ADC with SEEDED codebooks: subspace centroids are the subvectors of
+    * the `ks` lowest-vec_id vectors (no Lloyd's iterations), code assignment
+    * is the ROUNDED argmin ([[cellOfRounded]]), and the ADC shortlist
+    * distance sums the per-subspace rounded terms in DECIMAL space
+    * (order-independent — a plain double sum's last-ulp would diverge from
+    * the oracle's unordered SUM). The ADC scan + `rerank`-deep exact re-rank
+    * is IDENTICAL to [[annPqAdc]]; this is the q192 hash-gated variant —
+    * the oracle replays codebook build, code assignment, ADC scoring and
+    * re-rank exactly, while trained-codebook recall stays spec-gated. */
+  def annPqAdcSeeded(s: SparkSession, dir: String, k: Int, m: Int = 8, ks: Int = 32,
+                     rerank: Int = 64,
+                     queryPred: Column = col("vec_id") < 3): DataFrame = {
+    val e = emb(s, dir)
+    val dim = 64
+    val subDim = dim / m
+    // bounded driver fetch: exactly ks seed vectors (the trainCentroids
+    // contract — k×dim cells, never the corpus)
+    val seeds = e.orderBy(col("vec_id")).limit(ks).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ks, s"corpus has fewer than $ks vectors")
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(b => seeds.map(v => v.slice(b * subDim, (b + 1) * subDim)))
+    val coded = e.select(col("vec_id"),
+      array((0 until m).map(b =>
+        cellOfRounded(s, slice(col("v"), b * subDim + 1, subDim), books(b))): _*).as("codes"))
+    val q = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val adist = (0 until m).map { b =>
+      round(distSqFast(s, slice(col("qv"), b * subDim + 1, subDim),
+        element_at(typedlit(books(b).map(_.toSeq).toSeq),
+          (element_at(col("codes"), b + 1) + 1).cast("int"))), 6)
+        .cast(DecimalType(38, 12))
+    }.reduce(_ + _).cast("double")
+    val shortlist = q.join(coded, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), adist.as("adist"))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    val survivors = shortlist.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= rerank)
+      .select(col("q_id"), col("qv"), col("n_id"))
+    val rescored = survivors
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(distSqFast(s, col("qv"), col("nv")), 6).as("dist_sq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist_sq"), col("n_id"))
+    rescored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("n_id"), col("dist_sq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Embedding hygiene gate (q186): the audit run BEFORE any cosine math —
@@ -580,10 +713,147 @@ object Similarity extends QueryModule {
 
     // Semantic (embedding-cluster) dedup — see [[semanticDedup]].
     "q99_semantic_dedup" -> ((s, dir) =>
-      semanticDedup(s, dir).orderBy(col("vec_id")))
+      semanticDedup(s, dir).orderBy(col("vec_id"))),
+
+    // ANN recall audits (q190–q192): the approximate tiers scored against
+    // their exact top-k ENTIRELY in-engine, q145-style — and hash-gated:
+    // q190 replays the md5-derived hyperplane LSH (signature, multi-probe
+    // buckets, in-bucket top-k) in DuckDB from the same plane constants;
+    // q191/q192 audit SEEDED (iteration-free, SQL-replayable) quantizer
+    // variants whose probe/ADC machinery is identical to q40/q108 — only
+    // the quantizer training differs, and trained-codebook recall stays
+    // spec-gated (DedupSimilaritySpec recall floors).
+    "q190_ann_lsh_audit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      recallAuditFrom(annLsh(s, dir, 5),
+        cosineTopK(e.filter(col("vec_id") < 3), e, 5))
+    }),
+    "q191_ann_ivf_audit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      recallAuditFrom(annIvfSeeded(s, dir, 5),
+        cosineTopK(e.filter(col("vec_id") < 3), e, 5))
+    }),
+    "q192_pq_adc_audit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      recallAuditFrom(annPqAdcSeeded(s, dir, 5),
+        l2TopK(e.filter(col("vec_id") < 3), e, 5))
+    })
   )
 
+  /** The q39/q190 hyperplane constants as a DuckDB VALUES list — the SAME
+    * md5-derived doubles the engine folds into its plan literals, so the
+    * oracle replays signature assignment bit-for-bit (both engines run the
+    * identical sequential dot-product fold over the identical constants). */
+  private lazy val planesSqlValues: String =
+    hyperplanes(8, 64).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}])"
+    }.mkString(",\n|            ")
+
+  /** Shared oracle tail for the three ANN audits: exact/ann/hit counts per
+    * query id + recall, mirroring [[recallAuditFrom]]'s null-safe joins. */
+  private val auditTailSql: String =
+    """xe AS (SELECT q_id, count(*) AS n_exact FROM ex GROUP BY 1),
+      |xa AS (SELECT q_id, count(*) AS n_ann FROM ann GROUP BY 1),
+      |xh AS (SELECT ex.q_id, count(*) AS n_hit FROM ex JOIN ann USING (q_id, n_id) GROUP BY 1)
+      |SELECT xe.q_id, xe.n_exact,
+      |       CAST(coalesce(xa.n_ann, 0) AS BIGINT) AS n_ann,
+      |       CAST(coalesce(xh.n_hit, 0) AS BIGINT) AS n_hit,
+      |       round(CAST(coalesce(xh.n_hit, 0) AS DOUBLE) / xe.n_exact, 6) AS recall
+      |FROM xe LEFT JOIN xa USING (q_id) LEFT JOIN xh USING (q_id)
+      |ORDER BY q_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q190_ann_lsh_audit" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT * FROM (VALUES
+        |            $planesSqlValues) AS t(plane_id, p)),
+        |sig AS (SELECT e.vec_id,
+        |          CAST(sum(CASE WHEN list_aggregate(list_transform(range(64),
+        |                 i -> e.v[i+1] * pl.p[i+1]), 'sum') >= 0
+        |               THEN CAST(1 AS BIGINT) << pl.plane_id ELSE 0 END) AS BIGINT) AS sig
+        |        FROM e CROSS JOIN pl GROUP BY e.vec_id),
+        |qp AS (SELECT s.vec_id AS q_id, e.v AS qv, xor(s.sig, f.b) AS qsig
+        |       FROM sig s JOIN e USING (vec_id)
+        |       CROSS JOIN (SELECT CAST(unnest([0,1,2,4,8,16,32,64,128]) AS BIGINT) AS b) f
+        |       WHERE s.vec_id < 3),
+        |sc AS (SELECT q.q_id, s.vec_id AS n_id,
+        |         round(list_cosine_similarity(q.qv, ne.v), 6) AS sim
+        |       FROM qp q JOIN sig s ON s.sig = q.qsig AND s.vec_id != q.q_id
+        |       JOIN e ne ON ne.vec_id = s.vec_id),
+        |ann AS (SELECT q_id, n_id FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |          FROM sc) WHERE rn <= 5),
+        |exs AS (SELECT q.vec_id AS q_id, ne.vec_id AS n_id,
+        |          round(list_cosine_similarity(q.v, ne.v), 6) AS sim
+        |        FROM (SELECT * FROM e WHERE vec_id < 3) q
+        |        JOIN e ne ON ne.vec_id != q.vec_id),
+        |ex AS (SELECT q_id, n_id FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |         FROM exs) WHERE rn <= 5),
+        |$auditTailSql""".stripMargin,
+    "q191_ann_ivf_audit" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM
+        |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a)
+        |        WHERE rn = 1),
+        |av AS (SELECT asg.vec_id, asg.cid, e.v FROM asg JOIN e USING (vec_id)),
+        |sc AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |         round(list_cosine_similarity(q.v, n.v), 6) AS sim
+        |       FROM av q JOIN av n ON n.cid = q.cid AND n.vec_id != q.vec_id
+        |       WHERE q.vec_id < 3),
+        |ann AS (SELECT q_id, n_id FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |          FROM sc) WHERE rn <= 5),
+        |exs AS (SELECT q.vec_id AS q_id, ne.vec_id AS n_id,
+        |          round(list_cosine_similarity(q.v, ne.v), 6) AS sim
+        |        FROM (SELECT * FROM e WHERE vec_id < 3) q
+        |        JOIN e ne ON ne.vec_id != q.vec_id),
+        |ex AS (SELECT q_id, n_id FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |         FROM exs) WHERE rn <= 5),
+        |""".stripMargin + auditTailSql),
+    "q192_pq_adc_audit" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM
+        |        (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)),
+        |bs AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS b),
+        |cb AS (SELECT sd.code, bs.b, list_slice(sd.v, bs.b*8+1, bs.b*8+8) AS cv FROM sd CROSS JOIN bs),
+        |sv AS (SELECT e.vec_id, bs.b, list_slice(e.v, bs.b*8+1, bs.b*8+8) AS sv FROM e CROSS JOIN bs),
+        |d AS (SELECT sv.vec_id, sv.b, cb.code,
+        |        round(list_aggregate(list_transform(range(8),
+        |              i -> pow(sv.sv[i+1] - cb.cv[i+1], 2)), 'sum'), 6) AS d2
+        |      FROM sv JOIN cb USING (b)),
+        |codes AS (SELECT vec_id, b, code FROM
+        |           (SELECT *, row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, code) AS rn FROM d)
+        |          WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+        |qs AS (SELECT q.q_id, bs.b, list_slice(q.qv, bs.b*8+1, bs.b*8+8) AS sv FROM q CROSS JOIN bs),
+        |ad AS (SELECT qs.q_id, c.vec_id AS n_id,
+        |         CAST(sum(CAST(round(list_aggregate(list_transform(range(8),
+        |                i -> pow(qs.sv[i+1] - cb.cv[i+1], 2)), 'sum'), 6) AS DECIMAL(38,12))) AS DOUBLE) AS adist
+        |       FROM qs JOIN codes c ON c.b = qs.b AND c.vec_id != qs.q_id
+        |       JOIN cb ON cb.b = c.b AND cb.code = c.code
+        |       GROUP BY 1, 2),
+        |sl AS (SELECT q_id, n_id FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rn FROM ad)
+        |       WHERE rn <= 64),
+        |rr AS (SELECT sl.q_id, sl.n_id,
+        |         round(list_aggregate(list_transform(range(64),
+        |               i -> pow(q.qv[i+1] - ne.v[i+1], 2)), 'sum'), 6) AS dist_sq
+        |       FROM sl JOIN q ON q.q_id = sl.q_id JOIN e ne ON ne.vec_id = sl.n_id),
+        |ann AS (SELECT q_id, n_id FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist_sq, n_id) AS rn FROM rr)
+        |        WHERE rn <= 5),
+        |exd AS (SELECT q.q_id, ne.vec_id AS n_id,
+        |          round(list_aggregate(list_transform(range(64),
+        |                i -> pow(q.qv[i+1] - ne.v[i+1], 2)), 'sum'), 6) AS dist_sq
+        |        FROM q JOIN e ne ON ne.vec_id != q.q_id),
+        |ex AS (SELECT q_id, n_id FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist_sq, n_id) AS rn FROM exd)
+        |       WHERE rn <= 5),
+        |""".stripMargin + auditTailSql),
     "q186_embedding_hygiene" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT label,
