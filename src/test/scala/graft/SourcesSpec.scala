@@ -97,4 +97,55 @@ class SourcesSpec extends AnyFunSuite with Matchers {
       .filter(year(col("o_orderdate")) === 1996).count()
     pruned.count() shouldBe expected
   }
+
+  // --- events reader: physical-type drift coverage (the round-11 class) ---
+  // The live fixtures are timestamp[us]; the legacy ns-as-long branch and
+  // the sanity probe would otherwise have ZERO coverage the moment the
+  // driver regenerates fixtures again.
+
+  private def writeEvents(dir: String, tsCol: org.apache.spark.sql.Column): Unit = {
+    import spark.implicits._
+    Seq((1L, 1704067200000000L, 10L, "click", 1.0, "{}"),
+        (2L, 1704067260000000L, 11L, "view", 2.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), tsCol.as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("events reader branches on the actual parquet type: timestamp[us] fixture") {
+    val dir = Files.createTempDirectory("graft-ev-us").toFile.getAbsolutePath
+    writeEvents(dir, timestamp_micros(col("us")))
+    val out = Tables.read(spark, dir, "events")
+    out.schema("ts").dataType shouldBe org.apache.spark.sql.types.TimestampType
+    val years = out.select(year(col("ts"))).collect().map(_.getInt(0))
+    years.distinct shouldBe Array(2024)
+  }
+
+  test("events reader branches on the actual parquet type: legacy INT64-nanos fixture") {
+    val dir = Files.createTempDirectory("graft-ev-ns").toFile.getAbsolutePath
+    writeEvents(dir, (col("us") * 1000L).as("ns")) // raw nanos as plain INT64
+    val out = Tables.read(spark, dir, "events")
+    out.schema("ts").dataType shouldBe org.apache.spark.sql.types.TimestampType
+    // ns -> us floor must land on the identical instants
+    out.select(unix_timestamp(col("ts"))).collect().map(_.getLong(0)).sorted shouldBe
+      Array(1704067200L, 1704067260L)
+  }
+
+  test("events reader fails LOUDLY on a timestamp-unit drift (1970-era values)") {
+    val dir = Files.createTempDirectory("graft-ev-bad").toFile.getAbsolutePath
+    // what the round-11 bug produced: us values accidentally divided by 1000
+    writeEvents(dir, timestamp_micros(expr("us div 1000")))
+    val e = intercept[IllegalArgumentException] {
+      Tables.read(spark, dir, "events").collect()
+    }
+    e.getMessage should include("sanity probe failed")
+  }
+
+  test("fixture fingerprint reports every table sane on the live fixtures") {
+    val fp = graft.sources.FixtureCheck.fingerprintFrame(spark, sf0001).collect()
+    fp.length shouldBe 10
+    all(fp.map(_.getAs[Long]("sane"))) shouldBe 1L
+    noException should be thrownBy graft.sources.FixtureCheck.assertSane(spark, sf0001)
+  }
 }
