@@ -96,6 +96,36 @@ object Multimodal extends QueryModule {
       extractFeatures(recs).toDF()
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("first_byte"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Frame sampling (q194): the video-shaped flatMap batch contract —
+    // fixed-size 256-byte "frames", keep every 4th, one output record per
+    // kept frame. The slicing arithmetic is decoder-independent, and the
+    // fixture text is pure ASCII (byte offset == char offset, asserted by
+    // the oracle itself matching), so DuckDB replays the exact frame grid:
+    // frame count, per-frame byte length (last frame ragged), and the
+    // frame's first byte.
+    "q194_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val recs = withPayload(Tables.read(s, dir, "documents")).as[MediaRecord]
+      extractFeatures(sampleFrames(recs, frameBytes = 256, everyN = 4)).toDF()
+        .select(col("doc_id").as("frame_id"), col("byte_len"), col("first_byte"))
+        .orderBy(col("frame_id"))
+    }),
+
+    // Resize audit (q195): the deterministic byte-budget resample — target
+    // 64x64x3/256 = 48 bytes, truncate-or-cycle-pad — then the stub decode
+    // over the resized payload. byte_len pins the budget contract,
+    // first_byte survives the resample, mean_byte is the exact integer mean
+    // of the cycled bytes (sum is an exact integer in both engines, so the
+    // 6-dp round replays bit-for-bit).
+    "q195_resize_audit" -> ((s, dir) => {
+      import s.implicits._
+      val recs = withPayload(Tables.read(s, dir, "documents")).as[MediaRecord]
+      extractFeatures(resize(recs, 64, 64)).toDF()
+        .select(col("doc_id"), col("byte_len"), col("first_byte"),
+          round(col("mean_byte"), 6).as("mean_byte"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -106,6 +136,26 @@ object Multimodal extends QueryModule {
         |       CAST(((doc_id % 64) + 1) * 16 AS INTEGER) AS width,
         |       CAST(((doc_id % 48) + 1) * 16 AS INTEGER) AS height,
         |       ascii(substring(text, 1, 1)) AS first_byte
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q194_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, text, n,
+        |        unnest(range(CAST(ceil(n / 256.0) AS BIGINT))) AS idx FROM d),
+        |k AS (SELECT doc_id * 1000 + idx AS frame_id,
+        |        CAST(least(256, n - idx * 256) AS BIGINT) AS byte_len,
+        |        ascii(substring(text, CAST(idx * 256 + 1 AS INTEGER), 1)) AS first_byte
+        |      FROM f WHERE idx % 4 = 0)
+        |SELECT frame_id, byte_len, first_byte FROM k ORDER BY frame_id""".stripMargin,
+    "q195_resize_audit" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, n, text, unnest(range(48)) AS i FROM d),
+        |v AS (SELECT doc_id, i,
+        |        CASE WHEN n = 0 THEN 0
+        |             ELSE ascii(substring(text, CAST((i % n) + 1 AS INTEGER), 1)) END AS byte
+        |      FROM b)
+        |SELECT doc_id, CAST(48 AS BIGINT) AS byte_len,
+        |       CAST(min(CASE WHEN i = 0 THEN byte END) AS INTEGER) AS first_byte,
+        |       round(sum(byte) / 48.0, 6) AS mean_byte
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
