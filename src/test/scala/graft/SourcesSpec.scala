@@ -148,4 +148,22 @@ class SourcesSpec extends AnyFunSuite with Matchers {
     all(fp.map(_.getAs[Long]("sane"))) shouldBe 1L
     noException should be thrownBy graft.sources.FixtureCheck.assertSane(spark, sf0001)
   }
+
+  test("fixture fingerprint flags a drifted table as not sane (named in the error)") {
+    // corrupt shape: documents with out-of-envelope (negative) doc_ids in an
+    // otherwise-valid fixture dir — the reader-side probes can't see this,
+    // only the fingerprint envelope can, and assertSane must NAME the table
+    val dir = Files.createTempDirectory("graft-fp-bad").toFile.getAbsolutePath
+    for (t <- Seq("region", "nation", "supplier", "customer", "part",
+                  "orders", "lineitem", "events", "embeddings")) {
+      Tables.read(spark, sf0001, t).write.parquet(s"$dir/$t.parquet")
+    }
+    Tables.read(spark, sf0001, "documents")
+      .withColumn("doc_id", -col("doc_id") - 1)
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.FixtureCheck.assertSane(spark, dir)
+    }
+    e.getMessage should include("documents")
+  }
 }
