@@ -507,6 +507,31 @@ object Relational extends QueryModule {
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))),
 
+    // Sketch-accuracy audit (q196): upgrades q53's ScalaTest-only accuracy
+    // bound to a DRIVER-GATED one. The engine computes the REAL bound
+    // checks (|HLL - exact|/exact <= 10%, |approx median - exact median|
+    // <= 5% of exact); the oracle recomputes the exact columns and PINS the
+    // two verdict flags at 1 — DuckDB cannot replay sketch internals, but
+    // it can hash-fail the round if the engine's sketches ever drift out of
+    // bound on a regenerated fixture. (The tighter 5%-HLL assertion stays
+    // in RelationalSpec; the gate uses 10% so one noisy register doesn't
+    // cost a round.)
+    "q196_sketch_audit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("am"),
+          expr("percentile(l_extendedprice, 0.5)").as("em"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          when(abs(col("ap") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.10, 1L).otherwise(0L).as("hll_ok"),
+          when(abs(col("am") - col("em")) <= col("em") * 0.05, 1L).otherwise(0L)
+            .as("median_ok"))
+        .orderBy(col("l_returnflag"))),
+
     // q53's fully-oracled exact twin: the same per-flag shape with ONLY the
     // SQL-expressible exact aggregates, so the driver sheet hash-checks the
     // distinct counts and medians the sketch query approximates (q53 itself
@@ -763,6 +788,16 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // The two *_ok flags are PINNED at 1: DuckDB cannot replay the sketch
+    // internals, so the oracle asserts the engine's sketches meet their
+    // bounds — a sketch drifting out of bound hash-fails this query.
+    "q196_sketch_audit" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       count(*) AS n_rows,
+        |       CAST(1 AS BIGINT) AS hll_ok,
+        |       CAST(1 AS BIGINT) AS median_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q150_distinct_exact" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_partkey) AS exact_parts,
