@@ -115,5 +115,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_lsh_bands requires exactly 3 arguments, got ${children.length}")
         LshBands(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_simhash64 requires exactly 1 argument, got ${children.length}")
+        Simhash64(children.head)
+      }))
   }
 }

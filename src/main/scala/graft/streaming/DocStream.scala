@@ -40,7 +40,7 @@ object DocStream {
     * publish via VersionedLayer on the corpus-compaction cadence. */
   def referenceIndex(referenceDocs: DataFrame): DataFrame =
     referenceDocs
-      .select(col("doc_id").as("ref_id"), graft.operators.Dedup.simhash64.as("ref_sig"))
+      .select(col("doc_id").as("ref_id"), graft.operators.Dedup.simhash64Fast.as("ref_sig"))
       .select(col("ref_id"), col("ref_sig"),
         posexplode(expr("transform(sequence(0, 3), c -> shiftright(ref_sig, c * 16) & 65535)")))
       .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk_val")
@@ -53,7 +53,7 @@ object DocStream {
   def flagNearDups(arrivals: DataFrame, index: DataFrame, k: Int = 3): DataFrame = {
     require(k <= 3, "64-bit signature chunked 4x16: pigeonhole guarantee needs k <= 3")
     arrivals
-      .withColumn("sig", graft.operators.Dedup.simhash64)
+      .withColumn("sig", graft.operators.Dedup.simhash64Fast)
       .select(col("doc_id"), col("ts"), col("sig"),
         posexplode(expr("transform(sequence(0, 3), c -> shiftright(sig, c * 16) & 65535)")))
       .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk_val")

@@ -386,4 +386,22 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     (pq.map(_.getAs[Long]("n_hit")).sum.toDouble /
       pq.map(_.getAs[Long]("n_exact")).sum) should be >= 0.5
   }
+
+  test("native graft_simhash64 is bit-identical to the HOF form (corpus + edges)") {
+    import spark.implicits._
+    // live corpus: every document must agree
+    val d = graft.sources.Tables.read(spark, sf0001, "documents")
+    val both = d.select(col("doc_id"),
+        Dedup.simhash64.as("hof"),
+        call_function("graft_simhash64", col("text")).as("native"))
+      .filter(col("hof") =!= col("native"))
+    both.count() shouldBe 0L
+    // adversarial edges: empty, all-spaces, interior runs of spaces (empty
+    // tokens vote too), control chars (SQL trim must NOT strip them), unicode
+    val edges = Seq("", "   ", "a  b", " a b ", "\ta\n", "caf\u00e9 \u00fc", "x")
+      .toDF("text")
+    val e = edges.select(Dedup.simhash64.as("hof"),
+        call_function("graft_simhash64", col("text")).as("native")).collect()
+    e.foreach(r => r.getLong(1) shouldBe r.getLong(0))
+  }
 }
