@@ -45,17 +45,63 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
     val exactTop = Similarity.cosineTopK(e.filter(col("vec_id") < 3), e, 20)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    for (q <- Seq("q39_ann_lsh", "q40_ann_ivf")) {
-      val ann = SparkEntry.queries(q)(spark, sf0001).collect()
-      ann should not be empty
-      ann.foreach { r =>
-        val sim = r.getDouble(3)
-        sim should (be >= -1.000001 and be <= 1.000001)
+    // registered paths (q40 = seeded quantizer) plus the Lloyd's-TRAINED
+    // IVF perf path, which is no longer registry-reachable but must keep
+    // its recall bar
+    val results = Seq("q39_ann_lsh", "q40_ann_ivf")
+      .map(q => q -> SparkEntry.queries(q)(spark, sf0001).collect()) :+
+      ("annIvf(trained)" -> Similarity.annIvf(spark, sf0001, 5).collect())
+    for ((name, ann) <- results) {
+      withClue(name) {
+        ann should not be empty
+        ann.foreach { r =>
+          val sim = r.getDouble(3)
+          sim should (be >= -1.000001 and be <= 1.000001)
+        }
+        // approximate, but not random: some neighbors appear in the exact top-20
+        val hits = ann.map(r => (r.getLong(0), r.getLong(2))).count(exactTop.contains)
+        hits should be >= 1
       }
-      // approximate, but not random: some neighbors appear in the exact top-20
-      val hits = ann.map(r => (r.getLong(0), r.getLong(2))).count(exactTop.contains)
-      hits should be >= 1
     }
+  }
+
+  test("fuzzy match: prefix-strip + length prefilter are output-invariant vs full-name levenshtein") {
+    // the optimized kernel (common-prefix strip, |Δlen| prefilter, banded
+    // DP) must emit EXACTLY the naive blocked full-string result — the
+    // invariants the q152 oracle relies on
+    val p = graft.sources.Tables.read(spark, sf0001, "part")
+      .select(col("p_partkey"), col("p_name"),
+        concat_ws(" ", slice(split(col("p_name"), " "), 1, 2)).as("blk"))
+    val a = p.select(col("blk"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("blk"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    val naive = a.join(b, "blk")
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("dist"), col("key_a"), col("key_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val opt = Dedup.fuzzyMatchPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    naive.length should be <= 1000 // else the limit truncates and sets differ
+    opt shouldBe naive
+  }
+
+  test("session model layer: cached ANN models are identical to fresh training and are trained once") {
+    // cached-vs-fresh equality (training is deterministic, so the memoized
+    // model can never change a result) ...
+    val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val fresh = Similarity.trainCentroids(e, 8, 3)
+    val shared = Similarity.sharedCentroids(spark, sf0001, 8, 3)
+    shared.flatten.toSeq shouldBe fresh.flatten.toSeq
+    val freshBooks = Similarity.trainPqCodebooks(e, 8, 32, 2)
+    val sharedBooks = Similarity.sharedPqBooks(spark, sf0001, 8, 32, 2)
+    sharedBooks.flatten.flatten.toSeq shouldBe freshBooks.flatten.flatten.toSeq
+    // ... and the second shared call is the SAME model instance — the
+    // train-once contract that makes repeated q40/q108-style probes cheap
+    (Similarity.sharedCentroids(spark, sf0001, 8, 3) eq shared) shouldBe true
+    (Similarity.sharedPqBooks(spark, sf0001, 8, 32, 2) eq sharedBooks) shouldBe true
   }
 
   test("multi-probe LSH recall dominates single-probe against the exact top-k") {
