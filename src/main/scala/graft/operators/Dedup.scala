@@ -486,27 +486,46 @@ object Dedup extends QueryModule {
     // tiers use (collect_list per block + in-list pair explode) is SLOWER
     // here — the carried member array costs O(|block|²) struct copies when
     // blocks run to the hundreds, where shingle df-lists stay single-digit.
-    // The blk-keyed self-join wins at this block shape. Also measured and
-    // REMOVED: the classic length prefilter (lev >= |Δlen|) — the fixture
-    // generator draws names from one short vocabulary, so it passed
-    // 3,123,236 of 3,123,236 pairs and only added per-pair work. What pays
-    // on every corpus is the thresholded kernel: banded DP is
-    // O(len·maxDist) per pair instead of O(len²), returns -1 the moment
-    // the band overflows, and is exact for every surviving pair — the
-    // oracle's full levenshtein agrees on everything that passes.
+    // The blk-keyed self-join wins at this block shape.
+    //
+    // Three exact per-pair cost cuts (none can change output — asserted in
+    // DedupSimilaritySpec):
+    //  1. COMMON-PREFIX STRIP: within a block both names start with the
+    //     blocking key (blk IS their shared 2-token prefix by construction),
+    //     and lev(p·x, p·y) = lev(x, y) for any common prefix p
+    //     (Wagner–Fischer: the first |p| rows/cols of the DP table are
+    //     identity), so the kernel runs on the ~3× shorter suffixes.
+    //  2. LENGTH PREFILTER (lev >= |Δlen| ⇒ pairs with |Δlen| > maxDist
+    //     can't pass): two ints per pair vs a DP kernel. On THIS fixture it
+    //     prunes nothing (one short name vocabulary — measured round 12:
+    //     3,123,236 of 3,123,236 pairs pass), but it's ~free and on a real
+    //     entity corpus it's the first-line cut.
+    //  3. THRESHOLDED KERNEL: banded DP is O(len·maxDist) per pair instead
+    //     of O(len²), returns -1 the moment the band overflows, and is
+    //     exact for every surviving pair.
+    //
+    // The blocked frame is materialized once per invocation
+    // (localCheckpoint): both self-join legs and the block-cap census
+    // otherwise re-scan part + re-aggregate — narrow rows (key, suffix
+    // string, blk), tiny at any SF because it's ONE table's worth.
     val p = Tables.read(s, dir, "part")
       .select(col("p_partkey"), col("p_name"),
         concat_ws(" ", slice(split(col("p_name"), " "), 1, 2)).as("blk"))
+      .select(col("blk"), col("p_partkey"),
+        // suffix after the guaranteed-common |blk| chars (keeps the space
+        // separator when present — the prefix stripped is exactly blk)
+        expr("substring(p_name, length(blk) + 1)").as("sfx"))
     val capped = p.join(
       p.groupBy(col("blk")).agg(count(lit(1)).as("bc"))
         .filter(col("bc") <= blockCap).select(col("blk")),
-      "blk")
-    val a = capped.select(col("blk"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = capped.select(col("blk"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      "blk").localCheckpoint()
+    val a = capped.select(col("blk"), col("p_partkey").as("key_a"), col("sfx").as("sfx_a"))
+    val b = capped.select(col("blk"), col("p_partkey").as("key_b"), col("sfx").as("sfx_b"))
     a.join(b, "blk")
-      .filter(col("key_a") < col("key_b"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(length(col("sfx_a")) - length(col("sfx_b"))) <= maxDist)
       .select(col("key_a"), col("key_b"),
-        levenshtein(col("name_a"), col("name_b"), maxDist).as("dist"))
+        levenshtein(col("sfx_a"), col("sfx_b"), maxDist).as("dist"))
       .filter(col("dist") =!= -1)
       .orderBy(col("dist"), col("key_a"), col("key_b"))
       .limit(1000)

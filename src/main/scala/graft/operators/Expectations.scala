@@ -375,7 +375,9 @@ object Expectations extends QueryModule {
         |         CAST(CASE WHEN count(*) > 0 AND floor(epoch(min(ts))) >= 631152000
         |                    AND floor(epoch(max(ts))) < 2082758400 THEN 1 ELSE 0 END AS BIGINT) FROM events
         |  UNION ALL SELECT 'documents', count(*), CAST(min(doc_id) AS DOUBLE), CAST(max(doc_id) AS DOUBLE),
-        |         CAST(CASE WHEN count(*) > 0 AND min(doc_id) >= 0 AND min(n_chars) >= 0 THEN 1 ELSE 0 END AS BIGINT) FROM documents
+        |         CAST(CASE WHEN count(*) > 0 AND min(doc_id) >= 0 AND min(n_chars) >= 0
+        |                    AND min(CASE WHEN length(text) = octet_length(encode(text)) THEN 1 ELSE 0 END) = 1
+        |              THEN 1 ELSE 0 END AS BIGINT) FROM documents
         |  UNION ALL SELECT 'embeddings', count(*), CAST(min(vec_id) AS DOUBLE), CAST(max(vec_id) AS DOUBLE),
         |         CAST(CASE WHEN count(*) > 0 AND min(vec_id) >= 0
         |                    AND min(len(embedding)) = 64 AND max(len(embedding)) = 64 THEN 1 ELSE 0 END AS BIGINT) FROM embeddings)

@@ -76,13 +76,18 @@ object Multimodal extends QueryModule {
   /** Sample every Nth "frame" of a video-shaped payload — STUB: a real
     * implementation seeks keyframes; the fake slices the payload into
     * fixed-size chunks and keeps chunk indices ≡ 0 (mod n), emitting one
-    * record per kept frame (iterator-out > 1: the flatMap batch shape). */
+    * record per kept frame (iterator-out > 1: the flatMap batch shape).
+    * Frame ids namespace as doc_id·2²⁰ + idx — 2²⁰ frames per document of
+    * headroom (256 MB of payload at 256-byte frames) so ids cannot collide
+    * across documents; the old ·1000 namespace collided (and made
+    * orderBy(frame_id) tie-nondeterministic) past idx 999, i.e. payloads
+    * >= 256,000 bytes. */
   def sampleFrames(records: Dataset[MediaRecord], frameBytes: Int, everyN: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.flatMap { r =>
       r.payload.grouped(frameBytes).zipWithIndex.collect {
         case (frame, idx) if idx % everyN == 0 =>
-          MediaRecord(r.doc_id * 1000 + idx, frame, r.width, r.height, r.channels)
+          MediaRecord((r.doc_id << 20) + idx, frame, r.width, r.height, r.channels)
       }
     })
   }
@@ -141,7 +146,7 @@ object Multimodal extends QueryModule {
       """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
         |f AS (SELECT doc_id, text, n,
         |        unnest(range(CAST(ceil(n / 256.0) AS BIGINT))) AS idx FROM d),
-        |k AS (SELECT doc_id * 1000 + idx AS frame_id,
+        |k AS (SELECT doc_id * 1048576 + idx AS frame_id,
         |        CAST(least(256, n - idx * 256) AS BIGINT) AS byte_len,
         |        ascii(substring(text, CAST(idx * 256 + 1 AS INTEGER), 1)) AS first_byte
         |      FROM f WHERE idx % 4 = 0)

@@ -59,13 +59,22 @@ object FixtureCheck {
             && col("key_lo") >= EpochLo && col("key_hi") < EpochHi, 1L)
             .otherwise(0L).as("sane"))
 
+    // The ASCII pin: several multimodal/byte-slicing oracles (q194/q195)
+    // index text by CHAR offset while the engine slices UTF-8 BYTES — the
+    // equivalence holds only while every fixture document is pure ASCII
+    // (char length == byte length). Pinning it HERE means a non-ASCII
+    // fixture regeneration fails with the table named, not as an
+    // unexplained hash mismatch three queries downstream.
     val docs = t("documents")
       .agg(count(lit(1)).as("n_rows"),
         min(col("doc_id")).cast("double").as("key_lo"),
         max(col("doc_id")).cast("double").as("key_hi"),
-        min(col("n_chars")).as("min_chars"))
+        min(col("n_chars")).as("min_chars"),
+        min(when(length(col("text")) === octet_length(col("text")), 1L)
+          .otherwise(0L)).as("ascii_ok"))
       .select(lit("documents").as("tbl"), col("n_rows"), col("key_lo"), col("key_hi"),
-        when(col("n_rows") > 0 && col("key_lo") >= 0 && col("min_chars") >= 0, 1L)
+        when(col("n_rows") > 0 && col("key_lo") >= 0 && col("min_chars") >= 0
+          && col("ascii_ok") === 1, 1L)
           .otherwise(0L).as("sane"))
 
     val embs = t("embeddings")

@@ -129,7 +129,23 @@ object Tables {
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       val path = s"$dir/$name.parquet"
-      val df = spark.read.parquet(path).schema("ts").dataType match {
+      // Footer probe via schema inference. On a TIMESTAMP(NANOS) file in a
+      // session missing the legacy conf, Spark's reader throws its raw
+      // "Illegal Parquet type" before our branch runs — rethrow with the
+      // fix named so drift diagnoses itself.
+      def mentionsParquetType(t: Throwable): Boolean =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(c => String.valueOf(c.getMessage).contains("Parquet type"))
+      val probedType =
+        try spark.read.parquet(path).schema("ts").dataType
+        catch {
+          case e: Exception if mentionsParquetType(e) =>
+            throw new IllegalStateException(
+              s"events.ts at $path could not be schema-probed (${e.getMessage}) — " +
+                s"a TIMESTAMP(NANOS) fixture needs the session built with " +
+                s"${nanosConf._1}=${nanosConf._2}", e)
+        }
+      val df = probedType match {
         case TimestampType | TimestampNTZType =>
           // µs fixture: direct schema'd read (session tz is UTC everywhere,
           // so NTZ-vs-LTZ is value-identical and matches the DuckDB oracle).
@@ -146,7 +162,10 @@ object Tables {
               "(expected timestamp[us] or INT64 TIMESTAMP(NANOS))")
       }
       if (!tsChecked.contains(path)) {
-        df.select(col("ts")).limit(1).collect().headOption.foreach { r =>
+        // null-safe: a leading null ts must not NPE the probe — sample the
+        // first NON-null timestamp (an all-null table has nothing to check)
+        df.select(col("ts")).filter(col("ts").isNotNull).limit(1)
+          .collect().headOption.foreach { r =>
           val year = r.getTimestamp(0).toInstant
             .atZone(java.time.ZoneOffset.UTC).getYear
           require(year >= 2000 && year <= 2100,

@@ -157,8 +157,10 @@ class StatefulSpec extends AnyFunSuite with Matchers {
     frames should not be empty
     // every sampled frame is at a stride-aligned index and ≤ frameBytes long
     frames.foreach { f =>
-      (f.doc_id % 1000) % 4 shouldBe 0
+      (f.doc_id % (1L << 20)) % 4 shouldBe 0
       f.payload.length should be <= 16
     }
+    // frame ids are collision-free across documents (the 2^20 namespace)
+    frames.map(_.doc_id).distinct.length shouldBe frames.length
   }
 }
