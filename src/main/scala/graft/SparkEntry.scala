@@ -34,7 +34,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal, Skew,
-    AsOf, RangeJoin, Sampling, Scrub, Curation, Cluster, Retrieval, Tokenizer, Expectations)
+    AsOf, RangeJoin, Sampling, Scrub, Curation, Cluster, Retrieval, Tokenizer, Expectations,
+    graft.streaming.StreamParity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full silver+gold operator chain (scan → null-filter →
@@ -47,14 +48,16 @@ object SparkEntry {
     modules.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for q39/q40/q53/q108, whose
-    * Spark-specific hash functions / data-trained codebooks and sketches
-    * are not SQL-expressible; those are recall- or error-bound-checked
-    * against their exact counterparts in ScalaTest, AND hash-gated via the
-    * oracled audit twins q190/q191/q192 (LSH replayed from the md5 plane
-    * constants; IVF/PQ audited through seeded SQL-replayable quantizers
-    * with the identical probe/ADC machinery). (q36 MinHash-LSH IS oracled:
-    * the banded bucket join replays in DuckDB on raw band signatures.) */
+    * the same parquet tables. Omitted only for q39 (trained multi-probe
+    * LSH) and q53 (sketches) — not SQL-expressible; both are recall- or
+    * error-bound-checked in ScalaTest AND hash-gated via oracled twins
+    * (q190 replays the LSH from the md5 plane constants; q150 is q53's
+    * exact twin; q196 pins the sketch error bounds). q40/q108 register
+    * their SEEDED, SQL-replayable quantizer variants as the primary
+    * oracled paths; the Lloyd's-trained variants are served from the
+    * session model layer and recall-gated in DedupSimilaritySpec. (q36
+    * MinHash-LSH IS oracled: the banded bucket join replays in DuckDB on
+    * raw band signatures.) */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
 }

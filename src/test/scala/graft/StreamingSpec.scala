@@ -19,6 +19,23 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     dir
   }
 
+  test("q197: the streaming hourly aggregate equals the batch computation bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    val got = SparkEntry.queries("q197_stream_batch_equiv")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.sources.Tables.read(spark, TestSpark.sf0001, "events")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.ExactAgg.exactSum(col("value"), 2).as("sum_value"))
+      .select(col("event_type"),
+        col("window.start").cast("long").as("unix_hour"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("event_type"), col("unix_hour"))
+      .collect().map(_.toSeq).toSeq
+    got should not be empty
+    got shouldBe batch
+  }
+
   test("streamed hourly aggregation matches hand-computed counts") {
     val rows = (0 until 120).map { i =>
       val ts = f"${i / 60}%02d:${i % 60}%02d:00"
