@@ -7,10 +7,11 @@ so every cross-copy pair is a genuine near-duplicate (Jaccard just under 1)
 and the near-dup graph densifies super-linearly while doc count grows
 linearly — the adversarial shape for dedup/graph scaling checks.
 
-Usage: python3 scripts/make_scale_corpora.py [/tmp/scale_x2 /tmp/scale_x4]
-Then:  sbt "runMain graft.ScaleCheck /root/testdata/sf0.1 /tmp/scale_x2 /tmp/scale_x4"
+Usage: python3 scripts/make_scale_corpora.py [/tmp/scale_x2 /tmp/scale_x4 /tmp/scale_x8]
+(the replication factor parses from each dir's trailing _xN)
+Then:  sbt "runMain graft.ScaleCheck /root/testdata/sf0.1 /tmp/scale_x2 /tmp/scale_x4 /tmp/scale_x8"
 """
-import os, sys
+import os, re, sys
 import duckdb
 
 BASE = "/root/testdata/sf0.1/documents.parquet"
@@ -86,5 +87,6 @@ def main(outs):
             print(f"{out}: {sn} {tbl} ({mult}x)")
 
 if __name__ == "__main__":
-    dirs = sys.argv[1:] or ["/tmp/scale_x2", "/tmp/scale_x4"]
-    main(list(zip([2, 4], dirs)))
+    dirs = sys.argv[1:] or ["/tmp/scale_x2", "/tmp/scale_x4", "/tmp/scale_x8"]
+    mults = [int(re.search(r"_x(\d+)$", d).group(1)) for d in dirs]
+    main(list(zip(mults, dirs)))
