@@ -48,16 +48,15 @@ object SparkEntry {
     modules.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for q39 (trained multi-probe
-    * LSH) and q53 (sketches) — not SQL-expressible; both are recall- or
+    * the same parquet tables. Omitted only for q53 (sketches — the
+    * Spark-internal hash functions aren't SQL-expressible); it is
     * error-bound-checked in ScalaTest AND hash-gated via oracled twins
-    * (q190 replays the LSH from the md5 plane constants; q150 is q53's
-    * exact twin; q196 pins the sketch error bounds). q40/q108 register
-    * their SEEDED, SQL-replayable quantizer variants as the primary
-    * oracled paths; the Lloyd's-trained variants are served from the
-    * session model layer and recall-gated in DedupSimilaritySpec. (q36
-    * MinHash-LSH IS oracled: the banded bucket join replays in DuckDB on
-    * raw band signatures.) */
+    * (q150 is its exact twin; q196 pins the sketch error bounds as
+    * verdict flags). Every ANN tier is oracled directly: q39's md5-plane
+    * LSH replays in DuckDB verbatim, and q40/q108 register their SEEDED,
+    * SQL-replayable quantizer variants as the primary oracled paths while
+    * the Lloyd's-trained variants are served from the session model layer
+    * and recall-gated in DedupSimilaritySpec. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
 }

@@ -56,6 +56,8 @@ object Similarity extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), Array[Array[Double]]]()
   private val pqBookCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), Array[Array[Array[Double]]]]()
+  private val seededCodesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), DataFrame]()
 
   private def modelCacheDisabled: Boolean =
     sys.props.get("graft.noEdgeCache").contains("1")
@@ -576,9 +578,25 @@ object Similarity extends QueryModule {
     val subDim = dim / m
     val books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(b => seeds.map(v => v.slice(b * subDim, (b + 1) * subDim)))
-    val coded = e.select(col("vec_id"),
-      array((0 until m).map(b =>
-        cellOfRounded(s, slice(col("v"), b * subDim + 1, subDim), books(b))): _*).as("codes"))
+    // The CODES frame is the PQ silver artifact (8 B/vector — in production
+    // it's persisted next to the codebooks, never recomputed per query):
+    // materialize once per (session, dir, m, ks) and let q108 + the q192
+    // audit read the same rows. The rounded-argmin tree (m × ks × subDim
+    // distance terms) is also the plan whose codegen dominates a cold run.
+    val coded = {
+      if (modelCacheDisabled)
+        e.select(col("vec_id"),
+          array((0 until m).map(b =>
+            cellOfRounded(s, slice(col("v"), b * subDim + 1, subDim), books(b))): _*).as("codes"))
+      else {
+        if (seededCodesCache.size > 8) seededCodesCache.clear()
+        seededCodesCache.computeIfAbsent((s.sparkContext.applicationId, dir, m, ks),
+          _ => e.select(col("vec_id"),
+            array((0 until m).map(b =>
+              cellOfRounded(s, slice(col("v"), b * subDim + 1, subDim), books(b))): _*).as("codes"))
+            .localCheckpoint())
+      }
+    }
     val q = broadcast(e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv")))
     val adist = (0 until m).map { b =>
@@ -717,8 +735,10 @@ object Similarity extends QueryModule {
         .orderBy(col("q_id"), col("rn"))
     }),
 
-    // Approximate NN via hyperplane-LSH buckets (no oracle: recall-checked
-    // against the exact top-k in ScalaTest).
+    // ANN via multi-probe hyperplane-LSH buckets (q39). ORACLED: the
+    // planes are md5-derived constants, so DuckDB replays signature
+    // assignment, the probe fan-out and the in-bucket top-k exactly
+    // (recall is additionally audited by q190 and spec-gated).
     "q39_ann_lsh" -> ((s, dir) =>
       annLsh(s, dir, 5).orderBy(col("q_id"), col("rn"))),
 
@@ -869,24 +889,43 @@ object Similarity extends QueryModule {
       |FROM xe LEFT JOIN xa USING (q_id) LEFT JOIN xh USING (q_id)
       |ORDER BY q_id""".stripMargin
 
+  /** Multi-probe LSH scored-candidate CTEs (through `sc`) — shared verbatim
+    * by the q39 primary oracle and the q190 recall audit. The planes are
+    * md5-DERIVED CONSTANTS (not data-trained), so unlike a trained
+    * quantizer the whole q39 pipeline — signature assignment, the
+    * nPlanes+1 probe buckets, in-bucket cosine top-k — replays in DuckDB
+    * bit-for-bit from [[planesSqlValues]]. */
+  private lazy val lshScSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pl AS (SELECT * FROM (VALUES
+      |            $planesSqlValues) AS t(plane_id, p)),
+      |sig AS (SELECT e.vec_id,
+      |          CAST(sum(CASE WHEN list_aggregate(list_transform(range(64),
+      |                 i -> e.v[i+1] * pl.p[i+1]), 'sum') >= 0
+      |               THEN CAST(1 AS BIGINT) << pl.plane_id ELSE 0 END) AS BIGINT) AS sig
+      |        FROM e CROSS JOIN pl GROUP BY e.vec_id),
+      |qp AS (SELECT s.vec_id AS q_id, e.v AS qv, xor(s.sig, f.b) AS qsig
+      |       FROM sig s JOIN e USING (vec_id)
+      |       CROSS JOIN (SELECT CAST(unnest([0,1,2,4,8,16,32,64,128]) AS BIGINT) AS b) f
+      |       WHERE s.vec_id < 3),
+      |sc AS (SELECT q.q_id, s.vec_id AS n_id,
+      |         round(list_cosine_similarity(q.qv, ne.v), 6) AS sim
+      |       FROM qp q JOIN sig s ON s.sig = q.qsig AND s.vec_id != q.q_id
+      |       JOIN e ne ON ne.vec_id = s.vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q39's PRIMARY oracle: the multi-probe LSH top-5 itself (the audit
+    // q190 reuses the same CTEs and scores it against the exact top-k).
+    "q39_ann_lsh" ->
+      (lshScSql +
+        """
+        |SELECT q_id, rn, n_id, sim FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |   FROM sc)
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
     "q190_ann_lsh_audit" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |pl AS (SELECT * FROM (VALUES
-        |            $planesSqlValues) AS t(plane_id, p)),
-        |sig AS (SELECT e.vec_id,
-        |          CAST(sum(CASE WHEN list_aggregate(list_transform(range(64),
-        |                 i -> e.v[i+1] * pl.p[i+1]), 'sum') >= 0
-        |               THEN CAST(1 AS BIGINT) << pl.plane_id ELSE 0 END) AS BIGINT) AS sig
-        |        FROM e CROSS JOIN pl GROUP BY e.vec_id),
-        |qp AS (SELECT s.vec_id AS q_id, e.v AS qv, xor(s.sig, f.b) AS qsig
-        |       FROM sig s JOIN e USING (vec_id)
-        |       CROSS JOIN (SELECT CAST(unnest([0,1,2,4,8,16,32,64,128]) AS BIGINT) AS b) f
-        |       WHERE s.vec_id < 3),
-        |sc AS (SELECT q.q_id, s.vec_id AS n_id,
-        |         round(list_cosine_similarity(q.qv, ne.v), 6) AS sim
-        |       FROM qp q JOIN sig s ON s.sig = q.qsig AND s.vec_id != q.q_id
-        |       JOIN e ne ON ne.vec_id = s.vec_id),
+      (lshScSql +
+        """,
         |ann AS (SELECT q_id, n_id FROM
         |         (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
         |          FROM sc) WHERE rn <= 5),
@@ -897,7 +936,7 @@ object Similarity extends QueryModule {
         |ex AS (SELECT q_id, n_id FROM
         |        (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
         |         FROM exs) WHERE rn <= 5),
-        |$auditTailSql""".stripMargin,
+        |""".stripMargin + auditTailSql),
     // q40's PRIMARY oracle: the seeded-IVF probe top-5 itself (the audit
     // q191 reuses the same CTEs and scores it against the exact top-k).
     "q40_ann_ivf" ->
