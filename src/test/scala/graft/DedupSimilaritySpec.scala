@@ -104,6 +104,23 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     (Similarity.sharedPqBooks(spark, sf0001, 8, 32, 2) eq sharedBooks) shouldBe true
   }
 
+  test("noEdgeCache bypass recomputes the seeded ANN pipelines with identical results") {
+    // ScaleCheck's contract: -Dgraft.noEdgeCache=1 must time the REAL
+    // pipeline (no checkpointed codes/models) and change nothing else
+    val cachedIvf = Similarity.annIvfSeeded(spark, sf0001, 5).collect().map(_.toSeq).toSeq
+    val cachedPq = Similarity.annPqAdcSeeded(spark, sf0001, 5).collect().map(_.toSeq).toSeq
+    sys.props("graft.noEdgeCache") = "1"
+    try {
+      Similarity.annIvfSeeded(spark, sf0001, 5).collect().map(_.toSeq).toSeq shouldBe cachedIvf
+      Similarity.annPqAdcSeeded(spark, sf0001, 5).collect().map(_.toSeq).toSeq shouldBe cachedPq
+    } finally sys.props.remove("graft.noEdgeCache")
+    // and no ANN probe ever degenerates to an unbucketed cartesian
+    for (q <- Seq("q39_ann_lsh", "q40_ann_ivf", "q108_pq_adc")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
+      withClue(q)(plan should not include "CartesianProduct")
+    }
+  }
+
   test("multi-probe LSH recall dominates single-probe against the exact top-k") {
     val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
