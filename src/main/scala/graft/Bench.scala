@@ -28,7 +28,12 @@ object Bench {
     // Raw per-run timings are emitted alongside for auditability.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val raw = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    // Dev-only filter (same contract as Verify's): SPARK_GRAFT_ONLY=q40_ann_ivf
+    // times just those queries; the driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    val results = selected.flatMap { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

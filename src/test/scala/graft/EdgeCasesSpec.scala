@@ -19,6 +19,42 @@ class EdgeCasesSpec extends AnyFunSuite with Matchers {
     Tokenizer.heavyHitters(emptyDocs).count() shouldBe 0L
   }
 
+  test("fuzzy match handles 1-token, multi-space, empty and identical names; prefix strip stays exact") {
+    // adversarial blocking-key shapes: single-token names (blk == name,
+    // empty suffix), consecutive spaces (split keeps empty tokens),
+    // empty names, exact duplicates, and a cross-block near-miss
+    val parts = Seq(
+      (1L, "alpha"), (2L, "alphq"), (3L, "alpha"),          // 1-token block
+      (4L, "a  b tail"), (5L, "a  b tails"),                // double-space block
+      (6L, ""), (7L, ""),                                   // empty names
+      (8L, "zed one two"), (9L, "zed one twq"),             // normal block
+      (10L, "completely different name")                    // loner
+    ).toDF("p_partkey", "p_name")
+    val got = Dedup.fuzzyMatchPairsFrom(parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // naive full-string blocked kernel — the ground truth the optimized
+    // (prefix-stripped, length-prefiltered) kernel must reproduce exactly
+    val p = parts.select(col("p_partkey"), col("p_name"),
+      concat_ws(" ", slice(split(col("p_name"), " "), 1, 2)).as("blk"))
+    val naive = p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("dist"), col("key_a"), col("key_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    got shouldBe naive
+    // sanity on content: identical names at dist 0, the planted typos at 1
+    got should contain((1L, 3L, 0))
+    got should contain((6L, 7L, 0))
+    got should contain((8L, 9L, 1))
+    got should contain((4L, 5L, 1))
+    // documented blocking limitation: a typo INSIDE the 2-token blocking
+    // key ("alpha" vs "alphq" — 1-token names ARE their own key) lands the
+    // pair in different blocks, so blocked matching never compares them
+    got.map(t => (t._1, t._2)) should not contain ((1L, 2L))
+  }
+
   test("zipf and heaps fits on an empty corpus return a single all-null/zero row") {
     // the aggregation still emits its one row; n = 0 and the fit columns
     // are null (0/0) — callers read n before trusting the fit

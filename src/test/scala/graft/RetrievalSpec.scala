@@ -11,6 +11,22 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
   import TestSpark.{spark, sf0001}
   import spark.implicits._
 
+  test("shared inverted-index layer equals fresh tokenization and serves identical query results") {
+    import org.apache.spark.sql.functions.col
+    val shared = Retrieval.sharedTermFreqs(spark, sf0001)
+      .orderBy(col("doc_id"), col("term")).collect().map(_.toSeq).toSeq
+    val fresh = Retrieval.termFreqs(
+        graft.sources.Tables.read(spark, sf0001, "documents"))
+      .orderBy(col("doc_id"), col("term")).collect().map(_.toSeq).toSeq
+    shared shouldBe fresh
+    val viaShared = SparkEntry.queries("q91_tfidf_cosine")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val viaFresh = Retrieval.tfidfCosinePairs(
+        graft.sources.Tables.read(spark, sf0001, "documents"))
+      .collect().map(_.toSeq).toSeq
+    viaShared shouldBe viaFresh
+  }
+
   private val corpus = Seq(
     (1L, "spark spark spark filler filler filler filler filler"), // high tf, short
     (2L, "spark filler filler filler filler filler filler filler"), // low tf, short
