@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-/** The approximate operators (MinHash-LSH, SimHash, ANN) have no DuckDB
-  * oracle — their quality bars are checked here against the exact
-  * counterparts on the sf0.001 fixtures. */
+/** Quality bars for the approximate operators (MinHash-LSH, SimHash, ANN):
+  * the driver's DuckDB oracle hash-verifies their registered pipelines, but
+  * only these specs prove the APPROXIMATION is any good — recall floors,
+  * monotonicity, and no-false-positive guarantees against the exact
+  * counterparts on the sf0.001 fixtures, including the Lloyd's-trained
+  * model paths that the registry serves seeded variants of. */
 class DedupSimilaritySpec extends AnyFunSuite with Matchers {
   import TestSpark.{spark, sf0001}
 
