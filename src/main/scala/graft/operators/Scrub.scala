@@ -125,6 +125,26 @@ object Scrub extends QueryModule {
     * guarantee; same >= 8-token domain requirement as [[winnowed]]). */
   def winnowedFps: Column = winnowed.getField("fps")
 
+  /** Session-materialized winnow frame `(doc_id, fp struct(n_grams, fps))`
+    * over the >= 8-token documents — the per-doc fingerprint SILVER TABLE
+    * both q74 (summary) and q75 (pair candidates) derive from. The winnow
+    * kernel is an interpreted higher-order fold (md5 per 5-gram), the most
+    * expensive row-local text op in the module — computing it once per
+    * (session, dir) is exactly what a production pipeline does by
+    * persisting fingerprints next to the corpus. Same lifecycle/bypass
+    * contract as the other silver layers (`-Dgraft.noEdgeCache=1`). */
+  private val winnowCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def sharedWinnowed(s: SparkSession, dir: String): DataFrame = {
+    def fresh = docs(s, dir)
+      .filter(TextAnalytics.nTokens(col("text")) >= 8)
+      .select(col("doc_id"), winnowed.as("fp"))
+    if (sys.props.get("graft.noEdgeCache").contains("1")) return fresh
+    if (winnowCache.size > 4) winnowCache.clear()
+    winnowCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => fresh.localCheckpoint())
+  }
+
   /** Gopher-style duplicate-n-gram coverage (q103) — Rae et al., "Scaling
     * Language Models: ... Gopher" (2021) Table A1: the fraction of a
     * document covered by token 3-grams that repeat WITHIN the document, the
@@ -291,8 +311,7 @@ object Scrub extends QueryModule {
     // Winnowed fingerprint summary per document (see scaladoc item 5).
     // Domain: docs with >= 8 tokens (k+w-1), the minimum for one window.
     "q74_winnow_fingerprints" -> ((s, dir) =>
-      docs(s, dir).filter(TextAnalytics.nTokens(col("text")) >= 8)
-        .select(col("doc_id"), winnowed.as("fp"))
+      sharedWinnowed(s, dir)
         .select(col("doc_id"), col("fp.n_grams"),
           size(col("fp.fps")).cast(LongType).as("n_fingerprints"),
           round(size(col("fp.fps")).cast("double") /
@@ -307,8 +326,7 @@ object Scrub extends QueryModule {
     // shared count. Cost is Σ df², never n²; no self-join, no second
     // shuffle of the exploded table.
     "q75_winnow_pairs" -> ((s, dir) => {
-      val fps = docs(s, dir).filter(TextAnalytics.nTokens(col("text")) >= 8)
-        .select(col("doc_id"), winnowed.as("fp"))
+      val fps = sharedWinnowed(s, dir)
         .select(col("doc_id"), explode(col("fp.fps")).as("f"))
       val postings = fps.groupBy(col("f"))
         .agg(collect_list(col("doc_id")).as("ds"))
