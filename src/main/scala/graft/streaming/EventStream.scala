@@ -87,7 +87,12 @@ object EventStream {
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  case class UserSessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+
+  /** The running sum is carried as exact CENTS (the fixture `value` domain is
+    * 2-dp) so a closed session's `sum_value` is independent of fold order and
+    * hash-comparable against a DECIMAL-summing batch oracle — the same
+    * exact-sum discipline as [[graft.functions.ExactAgg.exactSum]]. */
+  case class UserSessionState(start: Long, lastTs: Long, n: Long, sumCents: Long)
   case class ClosedSession(user_id: Long, sess_start: Long, n_events: Long, sum_value: Double)
 
   /** Custom stateful sessionization via `flatMapGroupsWithState`: unlike the
@@ -108,7 +113,7 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(ClosedSession(user, s.start, s.n, s.sum))
+            Iterator.single(ClosedSession(user, s.start, s.n, s.sumCents / 100.0))
           } else {
             // fold the batch in event-time order; emit sessions closed by
             // intra-batch gaps, keep the trailing one in state
@@ -117,14 +122,15 @@ object EventStream {
             val closed = Seq.newBuilder[ClosedSession]
             for (e <- sorted) {
               val t = e.ts.getTime / 1000
+              val c = math.round(e.value * 100)
               cur match {
                 case Some(s) if t <= s.lastTs + gapSec =>
-                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sumCents = s.sumCents + c))
                 case Some(s) =>
-                  closed += ClosedSession(user, s.start, s.n, s.sum)
-                  cur = Some(UserSessionState(t, t, 1, e.value))
+                  closed += ClosedSession(user, s.start, s.n, s.sumCents / 100.0)
+                  cur = Some(UserSessionState(t, t, 1, c))
                 case None =>
-                  cur = Some(UserSessionState(t, t, 1, e.value))
+                  cur = Some(UserSessionState(t, t, 1, c))
               }
             }
             cur.foreach { s =>
@@ -192,6 +198,24 @@ object EventStream {
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
+    q.awaitTermination()
+  }
+
+  /** Append-mode twin of [[runOnceToMemory]] for stateful pipelines whose
+    * rows are final the moment they are emitted (dedup pass-through, closed
+    * sessions). `maxFilesPerTrigger` > 0 forces one file per micro-batch so
+    * cross-batch state transitions (watermark advance, timeout firing,
+    * redelivery arriving after the original) actually happen instead of
+    * collapsing into one batch. */
+  def runOnceAppendToMemory(df: DataFrame, tableName: String,
+                            maxFilesPerTrigger: Int = 0): Unit = {
+    var w = df.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Append())
+    if (maxFilesPerTrigger > 0)
+      w = w.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val q = w.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }
 }

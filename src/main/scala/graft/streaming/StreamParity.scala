@@ -47,17 +47,29 @@ object StreamParity extends QueryModule {
         d.resolve("events.parquet"), java.nio.file.Paths.get(path))
       d.toString
     })
-    spark.read.parquet(path).schema("ts").dataType match {
-      case TimestampType | TimestampNTZType =>
-        spark.readStream.schema(Tables.events).parquet(stage)
-      case LongType =>
-        spark.readStream.schema(Tables.eventsOnDisk).parquet(stage)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case other =>
-        throw new IllegalStateException(
-          s"events.ts at $path has unsupported parquet-mapped type $other")
-    }
+    streamFromStage(spark, stage, legacyNsTs(spark, path))
   }
+
+  /** Whether the fixture file carries the legacy raw-INT64 TIMESTAMP(NANOS)
+    * physical unit (footer probe — no data pages read; see Tables.read for
+    * the drift history this guards against). */
+  private def legacyNsTs(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(path).schema("ts").dataType match {
+      case TimestampType | TimestampNTZType => false
+      case LongType                         => true
+      case other => throw new IllegalStateException(
+        s"events.ts at $path has unsupported parquet-mapped type $other")
+    }
+
+  /** File-source stream over a staged directory, branching on the fixture's
+    * physical timestamp unit exactly like the batch reader. */
+  private def streamFromStage(spark: SparkSession, stage: String,
+                              legacyNs: Boolean): DataFrame =
+    if (legacyNs)
+      spark.readStream.schema(Tables.eventsOnDisk).parquet(stage)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream.schema(Tables.events).parquet(stage)
 
   /** One staging directory per fixture file per JVM (bench reps reuse it). */
   private val stageDirs =
@@ -81,6 +93,40 @@ object StreamParity extends QueryModule {
     * query in one session; a reused name would collide). */
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Write a single far-future sentinel event (user_id = -1) as a parquet
+    * file named `name` inside `stage`, matching the fixture's PHYSICAL
+    * timestamp unit — a mixed-unit stream directory would corrupt whichever
+    * branch the declared schema took. Sentinels are the standard watermark
+    * flush: a real deployment's stream never ends, so "emit every closed
+    * session" needs event time to ADVANCE past the deadlines; the harness
+    * stands in for tomorrow's traffic with one synthetic event. The parquet
+    * is written via a side directory then moved in (file sources require
+    * files to appear atomically), and its mod-time is pinned `seq` minutes
+    * after the fixture's so the file-stream's mod-time ordering processes
+    * fixture first, sentinels in sequence. */
+  private def writeSentinel(spark: SparkSession, stage: java.nio.file.Path,
+                            name: String, tsSec: Long, legacyNs: Boolean,
+                            baseModTimeMs: Long, seq: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val row: org.apache.spark.sql.Row =
+      if (legacyNs)
+        org.apache.spark.sql.Row(-1L, tsSec * 1000000000L, -1L, "sentinel", 0.0, "{}")
+      else
+        org.apache.spark.sql.Row(-1L, new java.sql.Timestamp(tsSec * 1000L), -1L,
+          "sentinel", 0.0, "{}")
+    val schema = if (legacyNs) Tables.eventsOnDisk else Tables.events
+    val side = java.nio.file.Files.createTempDirectory("graft_sentinel")
+    spark.createDataFrame(Seq(row).asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(side.resolve("w").toString)
+    val part = java.nio.file.Files.list(side.resolve("w")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("sentinel write produced no parquet part"))
+    val dest = stage.resolve(name)
+    java.nio.file.Files.move(part, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(baseModTimeMs + seq * 60000L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Streaming batch-equivalence (q197): see the module scaladoc. The
     // oracle is the plain batch SQL — a green hash row IS the proof that
@@ -90,6 +136,81 @@ object StreamParity extends QueryModule {
       val sink = s"q197_sink_${sinkSeq.incrementAndGet()}"
       EventStream.runOnceToMemory(agg, sink)
       s.table(sink).orderBy(col("event_type"), col("unix_hour"))
+    }),
+
+    // Streaming exactly-once ingest under at-least-once redelivery (q198):
+    // the fixture events file is staged into the drop folder TWICE (two
+    // symlinks — the source redelivering an entire batch, the standard
+    // at-least-once failure mode), one file per micro-batch so the replay
+    // arrives in a LATER batch than the original. `dropDuplicatesWithinWatermark`
+    // on event_id reconstructs exactly-once ingest: redelivered rows are
+    // either dropped by keyed state (recent events, state still live) or by
+    // the watermark lateness cut (older events) — both paths end at the same
+    // place, each event exactly once. The oracle aggregates the SINGLE-copy
+    // batch table, so a green hash proves the duplicates vanished: without
+    // the dedup every count and sum would be exactly 2×. State is O(events
+    // per watermark horizon), never O(history) — the property that lets this
+    // run forever; the memory sink holds one row per distinct event
+    // (harness-shaped; a deployment sinks to parquet/Kafka without touching
+    // the plan).
+    "q198_stream_dedup_equiv" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      Tables.read(s, dir, "events") // footer probe + ts sanity check
+      val legacy = legacyNsTs(s, path)
+      val stage = java.nio.file.Files.createTempDirectory("graft_q198_redeliver")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events_a.parquet"), java.nio.file.Paths.get(path))
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events_b.parquet"), java.nio.file.Paths.get(path))
+      val deduped = streamFromStage(s, stage.toString, legacy)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val sink = s"q198_sink_${sinkSeq.incrementAndGet()}"
+      EventStream.runOnceAppendToMemory(deduped, sink, maxFilesPerTrigger = 1)
+      s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          exactSum(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Streaming custom-state sessionization parity (q199): the
+    // flatMapGroupsWithState sessionizer (EventStream.sessionizeWithState —
+    // 10-minute gap, exact-cents running sums, event-time timeouts) over the
+    // fixture events as a file stream, flushed to completeness with two
+    // far-future sentinel events: the first advances the watermark past every
+    // fixture session's deadline (firing the timeouts that close the trailing
+    // session of each user), the second closes the first sentinel's own
+    // session so no fixture state is left pending. The registered result is
+    // every closed session of every real user; the oracle replays the exact
+    // gap semantics (floored epoch seconds, islands where t - prev > 600) in
+    // window SQL — a green hash proves the hand-rolled streaming state
+    // machine computes precisely the declarative batch answer, timeouts
+    // included. Per-key state is O(1) (one open session), so the pipeline
+    // runs forever on an unbounded stream.
+    "q199_stream_session_equiv" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"$dir/events.parquet"
+      val batchEvents = Tables.read(s, dir, "events")
+      val legacy = legacyNsTs(s, path)
+      val maxSec = batchEvents.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+      val stage = java.nio.file.Files.createTempDirectory("graft_q199_sessions")
+      val fixture = java.nio.file.Paths.get(path)
+      java.nio.file.Files.createSymbolicLink(stage.resolve("events.parquet"), fixture)
+      val baseMs = java.nio.file.Files.getLastModifiedTime(fixture).toMillis
+      writeSentinel(s, stage, "z1_sentinel.parquet", maxSec + 86400L, legacy, baseMs, 1)
+      writeSentinel(s, stage, "z2_sentinel.parquet", maxSec + 2 * 86400L, legacy, baseMs, 2)
+      val events = streamFromStage(s, stage.toString, legacy)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[EventStream.UserEvent]
+      val sessions = EventStream.sessionizeWithState(events, gapSec = 600L).toDF()
+      val sink = s"q199_sink_${sinkSeq.incrementAndGet()}"
+      EventStream.runOnceAppendToMemory(sessions, sink, maxFilesPerTrigger = 1)
+      s.table(sink)
+        .filter(col("user_id") >= 0) // drop the sentinel user's own session
+        .orderBy(col("user_id"), col("sess_start"))
     })
   )
 
@@ -99,6 +220,39 @@ object StreamParity extends QueryModule {
         |       CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS unix_hour,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // single-copy aggregate: the stream saw every row twice; matching this
+    // proves exactly-once reconstruction
+    "q198_stream_dedup_equiv" ->
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       count(DISTINCT event_id) AS n_distinct,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the declarative replay of the streaming state machine: floored epoch
+    // seconds, a session break where the gap to the previous event of the
+    // same user exceeds 600 s, exact DECIMAL sums emitted as DOUBLE
+    "q199_stream_session_equiv" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, t, v,
+        |         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 600
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, t, v,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(t) AS sess_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin
   )
 }
