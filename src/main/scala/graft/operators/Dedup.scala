@@ -283,12 +283,21 @@ object Dedup extends QueryModule {
     * Bucketing keys on the band-signature VALUES, not a hash of them:
     * same shuffle layout, no hash-collision false-candidate class, and
     * the DuckDB oracle replays bucket membership exactly. */
-  def minhashLshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingledFrom(docs(s, dir))
-    val bands = minhashSignatures(sh)
+  /** Banded MinHash signatures `(doc_id, band_id, band_sig)` — the LSH INDEX
+    * rows a production pipeline persists: 8 bands × 4-row slices of the
+    * 32-permutation signature. Narrow (one long id, one int, four longs) so
+    * the bucket shuffle carries a few dozen bytes per row regardless of
+    * document size. Shared by the all-pairs candidate stage (q36/q145) and
+    * the incremental batch-vs-corpus admission tier (q200). */
+  def bandedSignatures(sh: DataFrame): DataFrame =
+    minhashSignatures(sh)
       .select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 7), b -> slice(sig, b * 4 + 1, 4))")))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_sig")
+
+  def minhashLshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingledFrom(docs(s, dir))
+    val bands = bandedSignatures(sh)
     // Bucket members per (band, signature) via collect_list, then emit
     // ordered pairs inside each bucket — one pass over the signature
     // pipeline instead of a self-join that would compute it twice.
@@ -339,6 +348,70 @@ object Dedup extends QueryModule {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental near-dup ADMISSION (q200): today's crawl increment checked
+    * against the existing corpus — the operator a production pipeline runs
+    * daily, where re-pairing the whole corpus (q36's shape) would redo work
+    * proportional to |corpus|² probabilities instead of |batch|. The batch
+    * is the deterministic slice `doc_id % 10 = 7` (the fixture's stand-in
+    * for an arrival partition); everything else is the standing corpus.
+    *
+    * Layout: both sides band into the SAME LSH index ([[bandedSignatures]] —
+    * at deployment the corpus side is the persisted index, only the batch
+    * side is computed fresh), candidates form ONLY where a batch row and a
+    * corpus row share a (band, band-signature) bucket, and exact-Jaccard
+    * verification shingles only the candidate documents (semi-join first,
+    * q36's discipline). The corpus is never self-paired and never shuffled
+    * against itself — per arriving document the cost is its bucket
+    * collisions, which is what keeps daily ingest O(|batch|) while the
+    * corpus grows toward 100 TB.
+    *
+    * Output: ONE ROW PER BATCH DOCUMENT — candidate count, the best verified
+    * corpus match (max Jaccard, min corpus id on ties) or NULL, and the
+    * admission verdict (`admitted` = no corpus near-dup at `threshold`).
+    * Batch documents too short to shingle have no candidates and admit. */
+  def incrementalLshAdmission(s: SparkSession, dir: String,
+                              threshold: Double = 0.8): DataFrame = {
+    val d = docs(s, dir)
+    val isBatch = col("doc_id") % 10 === 7
+    val bands = bandedSignatures(shingledFrom(d))
+    val corpusB = bands.filter(!(col("doc_id") % 10 === 7))
+      .select(col("band_id"), col("band_sig"), col("doc_id").as("corpus_id"))
+    val batchB = bands.filter(col("doc_id") % 10 === 7)
+      .select(col("band_id"), col("band_sig"), col("doc_id").as("batch_id"))
+    val cand = batchB.join(corpusB, Seq("band_id", "band_sig"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val candDocs = cand.select(col("batch_id").as("doc_id"))
+      .unionByName(cand.select(col("corpus_id").as("doc_id"))).distinct()
+    val shCand = shingledFrom(d.join(candDocs, "doc_id"))
+    val legs = cand.select(col("batch_id"), col("corpus_id"), col("batch_id").as("doc_id"))
+      .unionByName(cand.select(col("batch_id"), col("corpus_id"), col("corpus_id").as("doc_id")))
+    val verified = legs.join(shCand, "doc_id")
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(
+        min(when(col("doc_id") === col("batch_id"), col("shingles"))).as("sh_a"),
+        min(when(col("doc_id") === col("corpus_id"), col("shingles"))).as("sh_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("j", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("j") >= threshold)
+    // best match per batch doc: max Jaccard, min corpus id on ties — one
+    // struct-max aggregate, no window shuffle (corpus ids are non-negative,
+    // so negation is a valid tie-inverter)
+    val best = verified
+      .groupBy(col("batch_id"))
+      .agg(max(struct(col("j"), (-col("corpus_id")).as("neg_id"))).as("b"))
+      .select(col("batch_id"), (-col("b.neg_id")).as("dup_of"), col("b.j").as("jaccard"))
+    val nCand = cand.groupBy(col("batch_id")).agg(count(lit(1)).as("n_candidates"))
+    d.filter(isBatch).select(col("doc_id"))
+      .join(nCand.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .join(best.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("dup_of"), col("jaccard"),
+        col("dup_of").isNull.as("admitted"))
+      .orderBy(col("doc_id"))
   }
 
   /** 64-bit SimHash over whitespace tokens. Token hashes come from the first
@@ -582,6 +655,12 @@ object Dedup extends QueryModule {
       minhashLshPairs(s, dir)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental batch-vs-corpus LSH admission — see
+    // [[incrementalLshAdmission]]: daily-crawl near-dup gating whose cost
+    // scales with the ARRIVING batch, not the standing corpus.
+    "q200_incremental_lsh" -> ((s, dir) =>
+      incrementalLshAdmission(s, dir)),
+
     // SimHash signatures.
     "q37_simhash" -> ((s, dir) =>
       simhashSignatures(s, dir)
@@ -740,6 +819,56 @@ object Dedup extends QueryModule {
          |WHERE round(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin
     },
+    // q200 replays the full incremental pipeline: same signature/band SQL as
+    // q36, but candidates pair the batch slice (doc_id % 10 = 7) against the
+    // corpus remainder only, and the final frame is one row per batch doc
+    // with its best verified match and admission verdict.
+    "q200_incremental_lsh" -> {
+      val mins = (0 until 32)
+        .map(i => s"min((2*$i+1)*h + $i*1099511628211) AS m$i").mkString(", ")
+      val bandSelects = (0 until 8)
+        .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
+          s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+         |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+         |       FROM toks WHERE len(w) >= 5),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h FROM ex),
+         |sigs AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.b0 = b.b0 AND a.b1 = b.b1
+         |          AND a.b2 = b.b2 AND a.b3 = b.b3
+         |         WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         |common AS (SELECT c.batch_id, c.corpus_id, count(*) AS c
+         |           FROM cand c JOIN ex ea ON ea.doc_id = c.batch_id
+         |                       JOIN ex eb ON eb.doc_id = c.corpus_id AND eb.s = ea.s
+         |           GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |ver AS (SELECT cm.batch_id, cm.corpus_id,
+         |               round(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c), 6) AS j
+         |        FROM common cm JOIN sizes sa ON sa.doc_id = cm.batch_id
+         |                       JOIN sizes sb ON sb.doc_id = cm.corpus_id
+         |        WHERE round(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c), 6) >= 0.8),
+         |best AS (SELECT batch_id, corpus_id AS dup_of, j AS jaccard,
+         |                row_number() OVER (PARTITION BY batch_id
+         |                                   ORDER BY j DESC, corpus_id) AS rn
+         |         FROM ver),
+         |ncand AS (SELECT batch_id, count(*) AS n_candidates FROM cand GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(n.n_candidates, 0) AS n_candidates,
+         |       b.dup_of, b.jaccard,
+         |       b.dup_of IS NULL AS admitted
+         |FROM documents d
+         |  LEFT JOIN ncand n ON n.batch_id = d.doc_id
+         |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.batch_id = d.doc_id
+         |WHERE d.doc_id % 10 = 7
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "q145_lsh_audit" -> {
       val mins = (0 until 32)
         .map(i => s"min((2*$i+1)*h + $i*1099511628211) AS m$i").mkString(", ")

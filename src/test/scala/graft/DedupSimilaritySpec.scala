@@ -470,4 +470,36 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
         call_function("graft_simhash64", col("text")).as("native")).collect()
     e.foreach(r => r.getLong(1) shouldBe r.getLong(0))
   }
+
+  test("q200 incremental admission covers the batch exactly and agrees with q36's cross-split pairs") {
+    val adm = Dedup.incrementalLshAdmission(spark, sf0001).collect()
+    val batchIds = graft.sources.Tables.read(spark, sf0001, "documents")
+      .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    // one row per batch document, nothing else
+    adm.map(_.getLong(0)).sorted shouldBe batchIds
+    adm.foreach { r =>
+      val admitted = r.getBoolean(4)
+      // verdict coheres with the match columns
+      admitted shouldBe r.isNullAt(2)
+      admitted shouldBe r.isNullAt(3)
+      if (!admitted) {
+        r.getLong(2) % 10 should not be 7L // dup_of is a CORPUS doc
+        r.getDouble(3) should be >= 0.8
+      }
+    }
+    // any q36 near-dup pair crossing the batch/corpus split must reject its
+    // batch endpoint (q200's candidates are exactly q36's cross-split subset,
+    // and the verification math is identical)
+    val rejected = adm.filter(!_.getBoolean(4)).map(_.getLong(0)).toSet
+    val cross = Dedup.minhashLshPairs(spark, sf0001).collect().flatMap { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (a % 10 == 7, b % 10 == 7) match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case _             => None
+      }
+    }.toSet
+    cross.foreach(id => rejected should contain(id))
+  }
 }
