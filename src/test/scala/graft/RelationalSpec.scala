@@ -33,7 +33,8 @@ class RelationalSpec extends AnyFunSuite with Matchers {
   test("bucketed dedup/similarity pipelines never plan an all-pairs join") {
     for (q <- Seq("q35_ngram_jaccard", "q36_minhash_lsh",
                   "q47_embedding_neardup", "q58_simhash_hamming", "q62_range_join",
-                  "q85_dup_spans", "q87_incremental_dedup", "q89_containment")) {
+                  "q85_dup_spans", "q87_incremental_dedup", "q89_containment",
+                  "q200_incremental_lsh")) {
       val p = plan(q)
       p should not include "CartesianProduct"
       p should not include "BroadcastNestedLoopJoin"
