@@ -211,6 +211,35 @@ object StreamParity extends QueryModule {
       s.table(sink)
         .filter(col("user_id") >= 0) // drop the sentinel user's own session
         .orderBy(col("user_id"), col("sess_start"))
+    }),
+
+    // Stream-static near-dup quarantine parity (q201): the DocStream ingest
+    // filter — arriving documents (the q200 batch slice, staged as a JSON
+    // file stream with deterministic timestamps) probed against the
+    // SimHash chunk index built in BATCH over the standing corpus, flagging
+    // every arrival within hamming distance 3 of any reference document.
+    // The stream side is STATELESS except the watermark-bounded per-arrival
+    // dedup of multi-chunk matches — no signatures-ever-seen state. The
+    // 4×16-bit chunk pigeonhole guarantees recall at k<=3, so the oracle is
+    // the EXACT hamming join replayed in SQL (q58's md5-halves SimHash
+    // replay) — a green hash proves the streaming probe flags precisely the
+    // exact-join answer, index layout and chunk arithmetic included.
+    "q201_stream_quarantine" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val isBatch = col("doc_id") % 10 === 7
+      val stage = java.nio.file.Files.createTempDirectory("graft_q201_arrivals")
+      d.filter(isBatch)
+        .select(col("doc_id"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"), col("text"))
+        .coalesce(1).write.mode("overwrite").json(stage.resolve("in").toString)
+      val index = DocStream.referenceIndex(d.filter(!isBatch))
+      val flagged = DocStream.flagNearDups(
+        DocStream.readArrivals(s, stage.resolve("in").toString), index)
+      val sink = s"q201_sink_${sinkSeq.incrementAndGet()}"
+      EventStream.runOnceAppendToMemory(flagged, sink)
+      s.table(sink)
+        .select(col("doc_id"), unix_timestamp(col("ts")).as("flag_ts"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -253,6 +282,32 @@ object StreamParity extends QueryModule {
         |       count(*) AS n_events,
         |       CAST(sum(v) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, sess_start""".stripMargin
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    // exact hamming-<=3 join between the arrival slice and the corpus,
+    // SimHash replayed via md5 halves (q58's oracle machinery); the chunk
+    // pigeonhole guarantees the streaming probe retrieves every such pair
+    "q201_stream_quarantine" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS hi,
+        |        CAST(concat('0x', substring(md5(tk), 9, 8)) AS BIGINT) AS lo
+        |      FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) ELSE (hi >> (b - 32)) END & 1) = 1
+        |                           THEN 1 ELSE -1 END) > 0
+        |              THEN (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |                         ELSE (CAST(1 AS BIGINT) << b) END)
+        |              ELSE 0 END AS bv
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)
+        |  GROUP BY doc_id, b),
+        |s AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS sh FROM bits GROUP BY doc_id),
+        |flag AS (SELECT DISTINCT a.doc_id
+        |         FROM s a JOIN s b
+        |           ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+        |          AND bit_count(xor(a.sh, b.sh)) <= 3)
+        |SELECT doc_id, CAST(1704067200 + doc_id AS BIGINT) AS flag_ts
+        |FROM flag ORDER BY doc_id""".stripMargin
   )
 }

@@ -79,6 +79,21 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     got shouldBe sess
   }
 
+  test("q201: stream-static quarantine flags exactly the exact-hamming-join answer") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val sig = graft.operators.Dedup.simhashSignatures(spark, TestSpark.sf0001)
+    val a = sig.filter(col("doc_id") % 10 === 7).select(col("doc_id"), col("sh").as("sa"))
+    val b = sig.filter(col("doc_id") % 10 =!= 7).select(col("sh").as("sb"))
+    val expected = a.join(b, expr("bit_count(sa ^ sb) <= 3"))
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val got = SparkEntry.queries("q201_stream_quarantine")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.map(_._1).toSeq shouldBe expected.toSeq // pigeonhole recall is EXACT at k<=3
+    got.foreach { case (id, ts) => ts shouldBe 1704067200L + id } // arrival ts carried through
+    expected should not be empty
+  }
+
   test("streamed hourly aggregation matches hand-computed counts") {
     val rows = (0 until 120).map { i =>
       val ts = f"${i / 60}%02d:${i % 60}%02d:00"
