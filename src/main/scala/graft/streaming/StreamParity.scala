@@ -240,6 +240,28 @@ object StreamParity extends QueryModule {
       s.table(sink)
         .select(col("doc_id"), unix_timestamp(col("ts")).as("flag_ts"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Stream-stream interval-join parity (q202): both sides of
+    // [[EventStream.attributeActions]] read from the SAME fixture event
+    // stream — impressions = views/clicks, actions = purchases — joined on
+    // user with the action at most 60 minutes after the impression. Both
+    // sides carry watermarks and the join condition bounds event-time
+    // distance, so buffered state is capped by watermark + horizon (the
+    // canonical bounded-state stream-stream join; an unbounded equi-join of
+    // two streams needs infinite state and Spark rejects it — so does this
+    // engine). Inner-join matches emit as they form, so AvailableNow
+    // drains the complete answer; the oracle is the plain batch interval
+    // join — a green hash proves the streaming join buffers, matches, and
+    // emits exactly the batch pair set.
+    "q202_stream_join_equiv" -> ((s, dir) => {
+      val ev = readEventsStream(s, dir)
+      val impressions = ev.filter(col("event_type").isin("view", "click"))
+      val actions = ev.filter(col("event_type") === "purchase")
+      val joined = EventStream.attributeActions(impressions, actions, horizonMin = 60)
+      val sink = s"q202_sink_${sinkSeq.incrementAndGet()}"
+      EventStream.runOnceAppendToMemory(joined, sink)
+      s.table(sink).orderBy(col("action_id"), col("impression_id"))
     })
   )
 
@@ -308,6 +330,21 @@ object StreamParity extends QueryModule {
         |           ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
         |          AND bit_count(xor(a.sh, b.sh)) <= 3)
         |SELECT doc_id, CAST(1704067200 + doc_id AS BIGINT) AS flag_ts
-        |FROM flag ORDER BY doc_id""".stripMargin
+        |FROM flag ORDER BY doc_id""".stripMargin,
+
+    // the batch interval join the streaming join must reproduce exactly
+    "q202_stream_join_equiv" ->
+      """SELECT a.user_id,
+        |       a.event_id AS action_id,
+        |       i.event_id AS impression_id,
+        |       CAST(floor(epoch(a.ts)) AS BIGINT) AS action_ts,
+        |       CAST(floor(epoch(i.ts)) AS BIGINT) AS impression_ts
+        |FROM events a JOIN events i
+        |  ON a.user_id = i.user_id
+        | AND a.event_type = 'purchase'
+        | AND i.event_type IN ('view', 'click')
+        | AND i.ts <= a.ts
+        | AND i.ts >= a.ts - INTERVAL 60 MINUTE
+        |ORDER BY action_id, impression_id""".stripMargin
   )
 }

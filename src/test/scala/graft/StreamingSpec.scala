@@ -94,6 +94,28 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     expected should not be empty
   }
 
+  test("q202: the streaming interval join emits exactly the batch join's pairs") {
+    import org.apache.spark.sql.functions.{col, expr, unix_timestamp}
+    val ev = graft.sources.Tables.read(spark, TestSpark.sf0001, "events")
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("action_id"), col("ts").as("a_ts"))
+    val i = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("i_user"), col("event_id").as("impression_id"), col("ts").as("i_ts"))
+    val batch = a.join(i,
+        col("user_id") === col("i_user") &&
+          col("i_ts") <= col("a_ts") &&
+          col("i_ts") >= col("a_ts") - expr("INTERVAL 60 MINUTES"))
+      .select(col("user_id"), col("action_id"), col("impression_id"),
+        unix_timestamp(col("a_ts")).as("action_ts"),
+        unix_timestamp(col("i_ts")).as("impression_ts"))
+      .orderBy(col("action_id"), col("impression_id"))
+      .collect().map(_.toSeq).toSeq
+    val got = SparkEntry.queries("q202_stream_join_equiv")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    got should not be empty
+    got shouldBe batch
+  }
+
   test("streamed hourly aggregation matches hand-computed counts") {
     val rows = (0 until 120).map { i =>
       val ts = f"${i / 60}%02d:${i % 60}%02d:00"
