@@ -252,7 +252,33 @@ object Sampling extends QueryModule {
     // Overlapping 64-token windows, stride 48 (16-token overlap).
     "q83_chunk_overlap" -> ((s, dir) =>
       chunkOverlap(docs(s, dir))
-        .orderBy(col("doc_id"), col("chunk_id")))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Sharded-export manifest (q203): the VERIFIABLE summary a distributed
+    // training-data writer publishes alongside its shards — per shard
+    // (q70's seeded hash assignment, so the manifest names the same shards
+    // the export writes): document count, whitespace-token and byte
+    // volumes, and an order-independent content checksum (bit_xor of each
+    // doc's md5-prefix fingerprint — XOR so any task/partition order
+    // produces the identical checksum, and a single flipped/missing/extra
+    // document flips it). A consumer re-derives the manifest from the
+    // delivered shards and compares — the standard trust-but-verify
+    // handshake between an export job and the training loader. One
+    // map-side-combined aggregation; nothing shuffles but 8 shard rows.
+    "q203_export_manifest" -> ((s, dir) =>
+      docs(s, dir)
+        .select(
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 8")
+            .as("shard"),
+          TextAnalytics.nTokens(col("text")).as("toks"),
+          octet_length(col("text")).cast("long").as("bytes"),
+          expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)").as("fp"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("bytes")).as("n_bytes"),
+          bit_xor(col("fp")).as("content_fp"))
+        .orderBy(col("shard")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -350,6 +376,19 @@ object Sampling extends QueryModule {
         |           FROM spans, unnest(range(0, last_j + 1)) AS t(j))
         |SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_tokens,
         |       array_to_string(c, ' ') AS chunk_text
-        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q203_export_manifest" ->
+      """WITH d AS (
+        |  SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard,
+        |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+        |         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS fp
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(bytes) AS BIGINT) AS n_bytes,
+        |       bit_xor(fp) AS content_fp
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -118,9 +118,11 @@ object StreamParity extends QueryModule {
     val side = java.nio.file.Files.createTempDirectory("graft_sentinel")
     spark.createDataFrame(Seq(row).asJava, schema)
       .coalesce(1).write.mode("overwrite").parquet(side.resolve("w").toString)
-    val part = java.nio.file.Files.list(side.resolve("w")).iterator().asScala
+    val listing = java.nio.file.Files.list(side.resolve("w"))
+    val part = try listing.iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("sentinel write produced no parquet part"))
+    finally listing.close()
     val dest = stage.resolve(name)
     java.nio.file.Files.move(part, dest)
     java.nio.file.Files.setLastModifiedTime(dest,
