@@ -551,6 +551,61 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("rn"), col("n_id"), col("sim"))
   }
 
+  /** kNN majority-vote classification THROUGH the seeded IVF index (q204) —
+    * the label-transfer operator a curation pipeline runs to tag unlabeled
+    * documents from a labeled seed set (quality tier, domain, language
+    * family) without training a model: held-out vectors (`vec_id % 5 == 0`,
+    * a 20% probe set) are classified by the majority label of their top-`k`
+    * cosine neighbors among the REMAINING (labeled) vectors, with the
+    * candidate scan restricted to the probe's own IVF cell.
+    *
+    * Every step is the q40/q191 seeded machinery (lowest-id centroids,
+    * rounded-cosine argmax assignment, rounded in-cell cosine, rn tie-break
+    * on n_id) plus a deterministic vote: most votes wins, ties to the
+    * smallest label. Fully SQL-replayable, so the oracle hash-gates the
+    * whole classifier, and q169 (nearest-centroid confusion) gives the
+    * model-quality baseline this kNN should beat.
+    *
+    * Scale shape: identical to [[annIvfSeeded]] — the corpus is assigned
+    * once (broadcast k×dim centroids, no shuffle of vectors), candidates
+    * come only from the probe's cell, and the vote is a (q_id, label)
+    * grouped count over ≤ k rows per probe. The probe side is broadcast
+    * here (fixture-sized); at a 20%-of-corpus probe set on a real cluster
+    * the probe batch would be chunked, or the join shuffled on a
+    * finer-than-cell key — the cell key alone (kCells values) must never
+    * be the shuffle key. */
+  def knnClassifySeeded(s: SparkSession, dir: String, k: Int = 5,
+                        kCells: Int = 8): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("label"),
+        struct(round(cosineFast(s, col("v"), col("cv")), 6).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("m"), first(col("v")).as("v"),
+        first(col("label")).as("label"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("v"), col("label"))
+    val probes = broadcast(assigned.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("cell").as("q_cell"), col("label").as("true_label")))
+    val train = assigned.filter(col("vec_id") % 5 =!= 0)
+    val scored = probes.join(train, col("cell") === col("q_cell"))
+      .select(col("q_id"), col("true_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val votes = top.groupBy(col("q_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("n_label"))
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .select(col("q_id").as("vec_id"), col("true_label").as("label"),
+        col("n_label").as("pred"), col("n_votes"))
+  }
+
   /** PQ/ADC with SEEDED codebooks: subspace centroids are the subvectors of
     * the `ks` lowest-vec_id vectors (no Lloyd's iterations), code assignment
     * is the ROUNDED argmin ([[cellOfRounded]]), and the ADC shortlist
@@ -751,6 +806,12 @@ object Similarity extends QueryModule {
     "q40_ann_ivf" -> ((s, dir) =>
       annIvfSeeded(s, dir, 5).orderBy(col("q_id"), col("rn"))),
 
+    // kNN label transfer through the seeded IVF index (see
+    // [[knnClassifySeeded]]): held-out 20% classified by in-cell top-5
+    // cosine majority vote over the labeled 80%.
+    "q204_knn_classifier" -> ((s, dir) =>
+      knnClassifySeeded(s, dir).orderBy(col("vec_id"))),
+
     // Embedding corpus statistics per label: count + mean L2 norm.
     "q42_embedding_stats" -> ((s, dir) =>
       emb(s, dir)
@@ -946,6 +1007,25 @@ object Similarity extends QueryModule {
         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
         |   FROM sc)
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
+    "q204_knn_classifier" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM
+        |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a)
+        |        WHERE rn = 1),
+        |av AS (SELECT asg.vec_id, asg.cid, e.v, e.label FROM asg JOIN e USING (vec_id)),
+        |sc AS (SELECT q.vec_id AS q_id, q.label AS true_label, n.vec_id AS n_id, n.label AS n_label,
+        |         round(list_cosine_similarity(q.v, n.v), 6) AS sim
+        |       FROM av q JOIN av n ON n.cid = q.cid AND n.vec_id % 5 != 0
+        |       WHERE q.vec_id % 5 = 0),
+        |top AS (SELECT * FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+        |        WHERE rn <= 5),
+        |votes AS (SELECT q_id, true_label, n_label, count(*) AS n_votes FROM top GROUP BY 1, 2, 3)
+        |SELECT q_id AS vec_id, true_label AS label, n_label AS pred, n_votes FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr FROM votes)
+        |WHERE vr = 1 ORDER BY vec_id""".stripMargin,
     "q191_ann_ivf_audit" ->
       (ivfSeededScSql +
         """,
