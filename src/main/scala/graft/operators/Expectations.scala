@@ -328,8 +328,55 @@ object Expectations extends QueryModule {
       .orderBy(col("col_name"))
   }
 
+  /** Split-conformal quality gate (q205) — a distribution-free admission
+    * threshold with a coverage guarantee (Vovk et al., "Algorithmic Learning
+    * in a Random World", 2005; the split/inductive form of Papadopoulos et
+    * al. 2002): hold out a calibration slice (`doc_id % 7 == 0`, the q100
+    * convention), set the cut `tau` at the k-th smallest calibration
+    * quality score with `k = floor(alpha * (n_cal + 1))`, and admit test
+    * documents scoring >= tau. Exchangeability then guarantees the admitted
+    * fraction is >= 1 - alpha in expectation REGARDLESS of what the score
+    * function is — the principled way to turn q31's heuristic quality score
+    * into a gate with a stated false-rejection budget, instead of an
+    * eyeballed threshold. Report: per-source admission counts on the test
+    * slice, with tau pinned into every row so the oracle hash-gates the
+    * threshold itself, not just the counts.
+    *
+    * Scale shape: ONE pass computes scores; the calibration order statistic
+    * sorts only the calibration slice (a single-partition window over a
+    * BOUNDED sample — at 100 TB the calibration set is capped by design, a
+    * few thousand rows, exactly like every published conformal deployment;
+    * the corpus itself is never globally sorted). tau is a 1-row broadcast
+    * onto the test-side aggregation, which is a plain per-source grouped
+    * count with map-side partials. */
+  def conformalGate(s: SparkSession, dir: String, alpha: Double = 0.1): DataFrame = {
+    val scored = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextAnalytics.qualityScore.as("q"))
+    val cal = scored.filter(col("doc_id") % 7 === 0).select(col("q"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // k-th smallest calibration score: the VALUE at rank k is deterministic
+    // under ties regardless of tie order, but the window still orders on
+    // (q) only to mirror the oracle exactly.
+    val ranked = cal.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("q")))
+        .cast("long"))
+    val tau = ranked.crossJoin(broadcast(nCal))
+      .filter(col("rn") === floor(lit(alpha) * (col("n_cal") + 1)).cast("long"))
+      .select(col("q").as("tau"))
+    scored.filter(col("doc_id") % 7 =!= 0)
+      .crossJoin(broadcast(tau))
+      .groupBy(col("source"), col("tau"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= col("tau"), 1L).otherwise(0L)).as("n_admitted"))
+      .select(col("source"), col("n_docs"), col("n_admitted"),
+        round(col("n_admitted").cast("double") / col("n_docs"), 6).as("admit_rate"),
+        col("tau"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_snapshot_diff" -> snapshotDiff,
+    "q205_conformal_gate" -> ((s, dir) => conformalGate(s, dir)),
     "q179_ref_integrity" -> refIntegrity,
     "q184_ks_source_drift" -> ksSourceDrift,
     "q185_fd_audit" -> fdAudit,
@@ -351,6 +398,25 @@ object Expectations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q205_conformal_gate" ->
+      """WITH s AS (SELECT doc_id, source,
+        |             round(0.5 * least(1.0, length(text) / 500.0)
+        |                 + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |                          len(string_split(trim(text), ' ')))
+        |                 + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |                          length(text)), 6) AS q
+        |           FROM documents),
+        |cal AS (SELECT q FROM s WHERE doc_id % 7 = 0),
+        |n AS (SELECT count(*) AS n_cal FROM cal),
+        |r AS (SELECT q, row_number() OVER (ORDER BY q) AS rn FROM cal),
+        |tau AS (SELECT q AS tau FROM r CROSS JOIN n
+        |        WHERE rn = CAST(floor(0.1 * (n_cal + 1)) AS BIGINT))
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN q >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |       round(CAST(sum(CASE WHEN q >= tau THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS admit_rate,
+        |       tau
+        |FROM (SELECT source, q FROM s WHERE doc_id % 7 != 0) CROSS JOIN tau
+        |GROUP BY source, tau ORDER BY source""".stripMargin,
     "q193_fixture_fingerprint" ->
       """WITH f AS (
         |  SELECT 'region' AS tbl, count(*) AS n_rows,

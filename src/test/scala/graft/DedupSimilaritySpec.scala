@@ -502,4 +502,24 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     }.toSet
     cross.foreach(id => rejected should contain(id))
   }
+
+  test("q204 kNN classifier: probes are the held-out slice, votes are bounded, pred is a cell label") {
+    val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+    val out = Similarity.knnClassifySeeded(spark, sf0001).collect()
+    // one row per held-out vector whose IVF cell contains >= 1 labeled vector
+    // (at this fixture density every cell does, so coverage is exact)
+    val heldOut = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    out.map(_.getLong(0)).sorted shouldBe heldOut
+    val labels = e.select(col("label")).distinct().collect().map(_.getInt(0)).toSet
+    out.foreach { r =>
+      labels should contain(r.getInt(2)) // pred is a real label
+      r.getLong(3) should (be >= 1L and be <= 5L) // votes from a top-5 set
+    }
+    // majority semantics: a unanimous 5-vote row must predict that label's
+    // own class even when it disagrees with the true label; spot-check by
+    // re-deriving determinism (two runs bit-identical)
+    val again = Similarity.knnClassifySeeded(spark, sf0001).collect()
+    again.map(_.toString).sorted shouldBe out.map(_.toString).sorted
+  }
 }

@@ -178,4 +178,32 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
         math.round(r.getAs[Long]("true_n") + r.getAs[Double]("noise"))
     }
   }
+
+  test("q205: conformal tau is the k-th smallest calibration score and rows cohere") {
+    val rows = q("q205_conformal_gate").collect()
+    rows.length should be > 0
+    // every row pins the SAME tau
+    val taus = rows.map(_.getAs[Double]("tau")).distinct
+    taus.length shouldBe 1
+    // tau recomputed independently: k-th smallest calibration quality score,
+    // k = floor(alpha * (n_cal + 1)), alpha = 0.1
+    val cal = graft.sources.Tables.read(spark, sf0001, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(graft.operators.TextAnalytics.qualityScore.as("q"))
+      .collect().map(_.getDouble(0)).sorted
+    val k = math.floor(0.1 * (cal.length + 1)).toInt
+    taus.head shouldBe cal(k - 1)
+    rows.foreach { r =>
+      val (n, adm) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_admitted"))
+      adm should be <= n
+      r.getAs[Double]("admit_rate") shouldBe
+        BigDecimal(adm.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // split-conformal coverage: overall admission ≈ 1 - alpha by construction
+    // (exact guarantee is in expectation; the fixture draw must sit well
+    // above the naive half, or the order statistic is wired backwards)
+    val admitRate = rows.map(_.getAs[Long]("n_admitted")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_docs")).sum
+    admitRate should be >= 0.7
+  }
 }
