@@ -374,9 +374,56 @@ object Expectations extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Mutual-information association audit (q206) — MI in bits between the
+    * corpus's categorical descriptors: (source, lang), (source, label) and
+    * (lang, label), with `label` joined from the aligned embeddings table.
+    * Chi-square (q142) answers "is there ANY dependence"; MI quantifies HOW
+    * MUCH shared information the pair carries, which is the number a
+    * mixture designer reads before stratifying on a column (a column pair
+    * with near-zero MI doesn't need joint stratification) and a leakage
+    * reviewer reads to spot a metadata column that secretly encodes the
+    * training label. Emitted as H(X), H(Y), H(X,Y) and
+    * MI = H(X) + H(Y) − H(X,Y), all from the SAME grouped counts so the
+    * identity holds exactly on rounded values.
+    *
+    * Determinism: each entropy term p·log2(p) is computed as
+    * log10(p)/log10(2) (both engines' log10 agree far past the 12 dp the
+    * term is rounded to) and summed in DECIMAL space — order-independent,
+    * the q73/q134 convention. Scale shape: one union'd pass over narrow
+    * (pair, x, y) rows, three grouped counts with map-side partials;
+    * output cardinality is the pair count, never the data's. */
+  def miAssociation(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.read(s, dir, "documents")
+      .join(Tables.read(s, dir, "embeddings").select(
+        col("vec_id").as("doc_id"), col("label").cast("string").as("label")),
+        Seq("doc_id"))
+    val t = d.select(lit("src_lang").as("pair"), col("source").as("x"), col("lang").as("y"))
+      .unionAll(d.select(lit("src_label").as("pair"), col("source").as("x"), col("label").as("y")))
+      .unionAll(d.select(lit("lang_label").as("pair"), col("lang").as("x"), col("label").as("y")))
+    val c2 = t.groupBy(col("pair"), col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val n = c2.groupBy(col("pair")).agg(sum(col("c")).as("n"))
+    def entropy(keyed: DataFrame, cCol: String, out: String): DataFrame = {
+      val p = keyed.join(n, Seq("pair"))
+        .select(col("pair"),
+          (col(cCol).cast("double") / col("n")).as("p"))
+      p.groupBy(col("pair"))
+        .agg(round(-sum(
+          round(col("p") * log10(col("p")) / log10(lit(2.0)), 12)
+            .cast(DecimalType(38, 12))).cast("double"), 6).as(out))
+    }
+    val hx = entropy(c2.groupBy(col("pair"), col("x")).agg(sum(col("c")).as("cx")), "cx", "h_x")
+    val hy = entropy(c2.groupBy(col("pair"), col("y")).agg(sum(col("c")).as("cy")), "cy", "h_y")
+    val hxy = entropy(c2, "c", "h_xy")
+    hx.join(hy, Seq("pair")).join(hxy, Seq("pair"))
+      .select(col("pair"), col("h_x"), col("h_y"), col("h_xy"),
+        round(col("h_x") + col("h_y") - col("h_xy"), 6).as("mi_bits"))
+      .orderBy(col("pair"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_snapshot_diff" -> snapshotDiff,
     "q205_conformal_gate" -> ((s, dir) => conformalGate(s, dir)),
+    "q206_mi_association" -> miAssociation,
     "q179_ref_integrity" -> refIntegrity,
     "q184_ks_source_drift" -> ksSourceDrift,
     "q185_fd_audit" -> fdAudit,
@@ -398,6 +445,24 @@ object Expectations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q206_mi_association" ->
+      """WITH d AS (SELECT source, lang, CAST(label AS VARCHAR) AS label
+        |           FROM documents JOIN embeddings ON vec_id = doc_id),
+        |t AS (SELECT 'src_lang' AS pair, source AS x, lang AS y FROM d
+        |      UNION ALL SELECT 'src_label', source, label FROM d
+        |      UNION ALL SELECT 'lang_label', lang, label FROM d),
+        |c2 AS (SELECT pair, x, y, count(*) AS c FROM t GROUP BY 1, 2, 3),
+        |n AS (SELECT pair, sum(c) AS n FROM c2 GROUP BY 1),
+        |cx AS (SELECT pair, x, sum(c) AS cx FROM c2 GROUP BY 1, 2),
+        |cy AS (SELECT pair, y, sum(c) AS cy FROM c2 GROUP BY 1, 2),
+        |hx AS (SELECT pair, round(-CAST(sum(CAST(round(CAST(cx AS DOUBLE)/n * log10(CAST(cx AS DOUBLE)/n) / log10(2.0), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_x
+        |       FROM cx JOIN n USING (pair) GROUP BY pair),
+        |hy AS (SELECT pair, round(-CAST(sum(CAST(round(CAST(cy AS DOUBLE)/n * log10(CAST(cy AS DOUBLE)/n) / log10(2.0), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_y
+        |       FROM cy JOIN n USING (pair) GROUP BY pair),
+        |hxy AS (SELECT pair, round(-CAST(sum(CAST(round(CAST(c AS DOUBLE)/n * log10(CAST(c AS DOUBLE)/n) / log10(2.0), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_xy
+        |        FROM c2 JOIN n USING (pair) GROUP BY pair)
+        |SELECT pair, h_x, h_y, h_xy, round(h_x + h_y - h_xy, 6) AS mi_bits
+        |FROM hx JOIN hy USING (pair) JOIN hxy USING (pair) ORDER BY pair""".stripMargin,
     "q205_conformal_gate" ->
       """WITH s AS (SELECT doc_id, source,
         |             round(0.5 * least(1.0, length(text) / 500.0)

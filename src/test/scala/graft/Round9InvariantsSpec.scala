@@ -206,4 +206,18 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
       rows.map(_.getAs[Long]("n_docs")).sum
     admitRate should be >= 0.7
   }
+
+  test("q206: MI is non-negative, bounded by min marginal entropy, and the entropy identity holds") {
+    val rows = q("q206_mi_association").collect()
+    rows.map(_.getString(0)).sorted shouldBe Array("lang_label", "src_label", "src_lang")
+    rows.foreach { r =>
+      val (hx, hy, hxy, mi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      hx should be >= 0.0
+      hy should be >= 0.0
+      // subadditivity and the defining identity on the emitted (rounded) values
+      mi shouldBe BigDecimal(hx + hy - hxy).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      mi should be >= -1e-6 // rounding can graze zero from below
+      mi should be <= math.min(hx, hy) + 1e-6
+    }
+  }
 }
