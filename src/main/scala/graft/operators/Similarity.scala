@@ -606,6 +606,61 @@ object Similarity extends QueryModule {
         col("n_label").as("pred"), col("n_votes"))
   }
 
+  /** Dominant embedding direction via power iteration (q207) — the top
+    * principal component of the centered embedding matrix, computed as
+    * `iters` unrolled rounds of v ← X'ᵀ(X'v) with max-abs normalization
+    * (no sqrt, no eigensolver), plus the sample variance along the final
+    * direction. This is the diagnostics number behind "all-but-the-top"
+    * post-processing (Mu & Viswanath, ICLR 2018) and anisotropy audits
+    * (Ethayarajh 2019): embedding corpora concentrate mass in one dominant
+    * direction, and a pipeline that feeds cosine-based dedup/ANN (q38-q40,
+    * q47, q99) wants that direction measured — a very anisotropic corpus
+    * makes cosine thresholds misleadingly tight.
+    *
+    * Never materializes the dim×dim covariance: each iteration is the
+    * two-pass mat-vec — d = X'v (per-vector dot, grouped over pos-long
+    * rows), then u = X'ᵀd (per-pos accumulation, grouped over vec-long
+    * rows) — so the shuffled key spaces are (vec_id) and (pos), both
+    * uniform, and the widest intermediate is the n×dim component
+    * long-format frame. Determinism: means, d, and the normalized loading
+    * are rounded at 6 dp each round, every sum is decimal-space over
+    * 12 dp-rounded terms (the q134 convention), and normalization divides
+    * by max(|u|) — an order-independent reduction, unlike a float L2 norm.
+    * v₀ = 1 on every component (deterministic, and never orthogonal to the
+    * top eigenvector in practice; 3 rounds separate the dominant direction
+    * far beyond the 6 dp the output is rounded to). */
+  def dominantDirection(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = emb(s, dir)
+    val xl0 = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val means = xl0.groupBy(col("pos"))
+      .agg(round(sum(round(col("x"), 12).cast(DecimalType(38, 12))).cast("double")
+        / count(lit(1)), 6).as("mu"))
+    val xl = xl0.join(broadcast(means), Seq("pos"))
+      .select(col("vec_id"), col("pos"), (col("x") - col("mu")).as("xc"))
+    def matVec(w: DataFrame): DataFrame =
+      xl.join(broadcast(w), Seq("pos"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum(round(col("xc") * col("w"), 12).cast(DecimalType(38, 12)))
+          .cast("double"), 6).as("d"))
+    var w = means.select(col("pos"), lit(1.0).as("w"))
+    for (_ <- 1 to iters) {
+      val d = matVec(w)
+      val u = xl.join(d, Seq("vec_id"))
+        .groupBy(col("pos"))
+        .agg(sum(round(col("xc") * col("d"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("u"))
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      w = u.crossJoin(broadcast(m))
+        .select(col("pos"), round(col("u") / col("m"), 6).as("w"))
+    }
+    val proj = matVec(w)
+    val varAlong = proj.crossJoin(broadcast(e.agg(count(lit(1)).as("n"))))
+      .agg(round(sum(round(pow(col("d"), 2), 12).cast(DecimalType(38, 12))).cast("double")
+        / (max(col("n")) - 1), 6).as("var_along"))
+    w.crossJoin(broadcast(varAlong))
+      .select(col("pos").cast(LongType).as("pos"), col("w").as("loading"), col("var_along"))
+  }
+
   /** PQ/ADC with SEEDED codebooks: subspace centroids are the subvectors of
     * the `ks` lowest-vec_id vectors (no Lloyd's iterations), code assignment
     * is the ROUNDED argmin ([[cellOfRounded]]), and the ADC shortlist
@@ -812,6 +867,11 @@ object Similarity extends QueryModule {
     "q204_knn_classifier" -> ((s, dir) =>
       knnClassifySeeded(s, dir).orderBy(col("vec_id"))),
 
+    // Dominant embedding direction + variance along it (see
+    // [[dominantDirection]]): 3 power-iteration rounds, fully oracled.
+    "q207_dominant_direction" -> ((s, dir) =>
+      dominantDirection(s, dir).orderBy(col("pos"))),
+
     // Embedding corpus statistics per label: count + mean L2 norm.
     "q42_embedding_stats" -> ((s, dir) =>
       emb(s, dir)
@@ -1007,6 +1067,34 @@ object Similarity extends QueryModule {
         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
         |   FROM sc)
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
+    "q207_dominant_direction" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |xl0 AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e),
+        |mu AS (SELECT pos, round(CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mu
+        |       FROM xl0 GROUP BY 1),
+        |xl AS (SELECT vec_id, pos, x - mu AS xc FROM xl0 JOIN mu USING (pos)),
+        |w0 AS (SELECT pos, 1.0 AS w FROM mu),
+        |d1 AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
+        |       FROM xl JOIN w0 USING (pos) GROUP BY 1),
+        |u1 AS (SELECT pos, CAST(sum(CAST(round(xc * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+        |       FROM xl JOIN d1 USING (vec_id) GROUP BY 1),
+        |w1 AS (SELECT pos, round(u / (SELECT max(abs(u)) FROM u1), 6) AS w FROM u1),
+        |d2 AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
+        |       FROM xl JOIN w1 USING (pos) GROUP BY 1),
+        |u2 AS (SELECT pos, CAST(sum(CAST(round(xc * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+        |       FROM xl JOIN d2 USING (vec_id) GROUP BY 1),
+        |w2 AS (SELECT pos, round(u / (SELECT max(abs(u)) FROM u2), 6) AS w FROM u2),
+        |d3 AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
+        |       FROM xl JOIN w2 USING (pos) GROUP BY 1),
+        |u3 AS (SELECT pos, CAST(sum(CAST(round(xc * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+        |       FROM xl JOIN d3 USING (vec_id) GROUP BY 1),
+        |w3 AS (SELECT pos, round(u / (SELECT max(abs(u)) FROM u3), 6) AS w FROM u3),
+        |pj AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
+        |       FROM xl JOIN w3 USING (pos) GROUP BY 1),
+        |va AS (SELECT round(CAST(sum(CAST(round(pow(d, 2), 12) AS DECIMAL(38,12))) AS DOUBLE) /
+        |              ((SELECT count(*) FROM e) - 1), 6) AS var_along FROM pj)
+        |SELECT CAST(pos AS BIGINT) AS pos, w AS loading, var_along
+        |FROM w3 CROSS JOIN va ORDER BY pos""".stripMargin,
     "q204_knn_classifier" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

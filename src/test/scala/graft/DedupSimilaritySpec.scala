@@ -522,4 +522,23 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     val again = Similarity.knnClassifySeeded(spark, sf0001).collect()
     again.map(_.toString).sorted shouldBe out.map(_.toString).sorted
   }
+
+  test("q207 dominant direction: max-abs normalized, positive variance, stable under an extra iteration") {
+    val rows = Similarity.dominantDirection(spark, sf0001).orderBy(col("pos")).collect()
+    rows.length shouldBe 64
+    val w3 = rows.map(_.getAs[Double]("loading"))
+    w3.map(math.abs).max shouldBe 1.0 +- 1e-9 // max-abs normalization
+    val vas = rows.map(_.getAs[Double]("var_along")).distinct
+    vas.length shouldBe 1
+    vas.head should be > 0.0
+    // power iteration is converging: one more round barely rotates the
+    // direction. The 50-vector sf0.001 draw has a small eigengap (measured
+    // |cos| ~0.988 between rounds 3 and 4), so the gate is 0.95 — a wiring
+    // bug (wrong matrix, unnormalized update) lands far below that.
+    val w4 = Similarity.dominantDirection(spark, sf0001, iters = 4)
+      .orderBy(col("pos")).collect().map(_.getAs[Double]("loading"))
+    val cos = w3.zip(w4).map { case (a, b) => a * b }.sum /
+      (math.sqrt(w3.map(x => x * x).sum) * math.sqrt(w4.map(x => x * x).sum))
+    math.abs(cos) should be > 0.95
+  }
 }
