@@ -58,6 +58,8 @@ object Similarity extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), Array[Array[Array[Double]]]]()
   private val seededCodesCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), DataFrame]()
+  private val povDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), (Array[Double], Array[Double])]()
 
   private def modelCacheDisabled: Boolean =
     sys.props.get("graft.noEdgeCache").contains("1")
@@ -629,36 +631,91 @@ object Similarity extends QueryModule {
     * v₀ = 1 on every component (deterministic, and never orthogonal to the
     * top eigenvector in practice; 3 rounds separate the dominant direction
     * far beyond the 6 dp the output is rounded to). */
-  def dominantDirection(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  /** Power-iteration training for [[dominantDirection]]: returns
+    * (per-pos means, max-abs-normalized loading vector) — 2×dim cells, the
+    * bounded model the session layer memoizes. */
+  def trainDominantDirection(s: SparkSession, dir: String,
+                             iters: Int): (Array[Double], Array[Double]) = {
     val e = emb(s, dir)
-    val xl0 = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-    val means = xl0.groupBy(col("pos"))
+    // The iterate vector is a MODEL (dim cells), not data: each round folds
+    // it into plan literals (the trainCentroids bounded-fetch contract), so
+    // an iteration costs ONE aggregation — a row-local decimal dot against
+    // the literal direction, then a (pos)-keyed 12 dp-term decimal sum with
+    // map-side partials (dim groups). No corpus-sized join anywhere; the
+    // only shuffled rows are the n×dim term rows, once per round.
+    val means = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
       .agg(round(sum(round(col("x"), 12).cast(DecimalType(38, 12))).cast("double")
         / count(lit(1)), 6).as("mu"))
-    val xl = xl0.join(broadcast(means), Seq("pos"))
-      .select(col("vec_id"), col("pos"), (col("x") - col("mu")).as("xc"))
-    def matVec(w: DataFrame): DataFrame =
-      xl.join(broadcast(w), Seq("pos"))
-        .groupBy(col("vec_id"))
-        .agg(round(sum(round(col("xc") * col("w"), 12).cast(DecimalType(38, 12)))
-          .cast("double"), 6).as("d"))
-    var w = means.select(col("pos"), lit(1.0).as("w"))
-    for (_ <- 1 to iters) {
-      val d = matVec(w)
-      val u = xl.join(d, Seq("vec_id"))
-        .groupBy(col("pos"))
-        .agg(sum(round(col("xc") * col("d"), 12).cast(DecimalType(38, 12)))
-          .cast("double").as("u"))
-      val m = u.agg(max(abs(col("u"))).as("m"))
-      w = u.crossJoin(broadcast(m))
-        .select(col("pos"), round(col("u") / col("m"), 6).as("w"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1)) // bounded: dim cells
+    val muLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      means.map(lit(_))): _*)
+    val xc = zip_with(col("v"), muLit, (x, m) => x - m)
+    val decZero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12))
+    // round-6 decimal dot of the centered row against a literal direction —
+    // exact decimal accumulation, so term order is irrelevant (oracle sums
+    // the same rounded terms unordered)
+    def dotW(wArr: Array[Double]): Column = {
+      val wLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        wArr.map(lit(_))): _*)
+      round(aggregate(
+        zip_with(xc, wLit, (a, b) => round(a * b, 12).cast(DecimalType(38, 12))),
+        decZero, (acc, t) => (acc + t).cast(DecimalType(38, 12))).cast("double"), 6)
     }
-    val proj = matVec(w)
-    val varAlong = proj.crossJoin(broadcast(e.agg(count(lit(1)).as("n"))))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array.fill(means.length)(1.0)
+    for (_ <- 1 to iters) {
+      val u = e.select(col("v"), dotW(w).as("d"))
+        .select(posexplode(transform(xc,
+          c => round(c * col("d"), 12).cast(DecimalType(38, 12)))).as(Seq("pos", "t")))
+        .groupBy(col("pos")).agg(sum(col("t")).cast("double").as("u"))
+        .orderBy(col("pos")).collect().map(_.getDouble(1)) // bounded: dim cells
+      val m = u.map(math.abs).max
+      w = u.map(x => round6(x / m))
+    }
+    (means, w)
+  }
+
+  /** [[trainDominantDirection]] through the session model layer — the
+    * direction is a silver artifact exactly like the IVF centroids
+    * ([[sharedCentroids]]): trained once per (session, dir, iters), folded
+    * into plan literals by every consumer. */
+  def sharedDominantDirection(s: SparkSession, dir: String,
+                              iters: Int): (Array[Double], Array[Double]) = {
+    if (modelCacheDisabled) return trainDominantDirection(s, dir, iters)
+    if (povDirCache.size > 8) povDirCache.clear()
+    povDirCache.computeIfAbsent((s.sparkContext.applicationId, dir, iters),
+      _ => trainDominantDirection(s, dir, iters))
+  }
+
+  def dominantDirection(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = emb(s, dir)
+    val (means, w) = sharedDominantDirection(s, dir, iters)
+    val muLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      means.map(lit(_))): _*)
+    val xc = zip_with(col("v"), muLit, (x, m) => x - m)
+    val decZero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12))
+    def dotW(wArr: Array[Double]): Column = {
+      val wLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        wArr.map(lit(_))): _*)
+      round(aggregate(
+        zip_with(xc, wLit, (a, b) => round(a * b, 12).cast(DecimalType(38, 12))),
+        decZero, (acc, t) => (acc + t).cast(DecimalType(38, 12))).cast("double"), 6)
+    }
+    val varAlong = e.select(dotW(w).as("d"))
       .agg(round(sum(round(pow(col("d"), 2), 12).cast(DecimalType(38, 12))).cast("double")
-        / (max(col("n")) - 1), 6).as("var_along"))
-    w.crossJoin(broadcast(varAlong))
-      .select(col("pos").cast(LongType).as("pos"), col("w").as("loading"), col("var_along"))
+        / (count(lit(1)) - 1), 6).as("var_along"))
+    val loadings = s.createDataFrame(
+      s.sparkContext.parallelize(w.toIndexedSeq.zipWithIndex.map {
+        case (l, p) => org.apache.spark.sql.Row(p.toLong, l)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("loading",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    loadings.crossJoin(broadcast(varAlong))
+      .select(col("pos"), col("loading"), col("var_along"))
   }
 
   /** PQ/ADC with SEEDED codebooks: subspace centroids are the subvectors of
