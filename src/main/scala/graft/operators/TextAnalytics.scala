@@ -91,7 +91,9 @@ object TextAnalytics extends QueryModule {
     *
     * Returns `(doc_id, true_lang, pred_lang, score, correct)` over the
     * held-out slice (`doc_id % 2 == 1`; training is the even slice). */
-  def nbLangIdFrom(d: DataFrame): DataFrame = {
+  /** The trained-NB per-(doc, class) score frame q102 ranks and q209
+    * calibrates: (doc_id, true_lang, cand, score). */
+  def nbScoredFrom(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"), col("lang"),
       explode(split(trim(col("text")), " ")).as("tok"))
     val tr = toks.filter(col("doc_id") % 2 === 0)
@@ -122,13 +124,59 @@ object TextAnalytics extends QueryModule {
       .agg(round(sum(col("t").cast("decimal(18,9)")), 6).cast("double").as("ssum"))
       .select(col("doc_id"), col("true_lang"), col("cand"),
         (col("ssum") + col("logprior")).as("score"))
+    scored
+  }
+
+  def nbLangIdFrom(d: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    nbScoredFrom(d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("true_lang"), col("cand").as("pred_lang"),
         round(col("score"), 6).as("score"),
         when(col("cand") === col("true_lang"), lit(1L)).otherwise(lit(0L)).as("correct"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Margin-calibration report for the trained NB classifier (q209) — the
+    * reliability readout a pipeline checks before trusting a model-based
+    * filter's confidence: eval docs bucketed by decision margin (top-1 minus
+    * top-2 log10 score, the multiclass confidence proxy), with per-bucket
+    * accuracy. A well-calibrated filter's accuracy rises monotonically with
+    * margin; a flat curve means the margin is noise and any
+    * threshold-on-confidence routing (e.g. "auto-keep above margin m") is
+    * unfounded. Fixed log-space bucket edges (0.5/1/2/4) — data-independent,
+    * so the report is comparable across corpora and the oracle replays it
+    * without a quantile step. Margins derive from the SAME ranked frame as
+    * q102's argmax (rounded at 6 dp like q102's displayed score), so the
+    * report can never drift from the classifier it audits.
+    *
+    * Scale shape: q102's scored frame + one doc-keyed window (top-2), a
+    * self-join on doc_id (both sides one row per doc), and a 5-bucket
+    * grouped count with map-side partials. */
+  def nbCalibrationFrom(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
+    val rk = nbScoredFrom(d).withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("true_lang"), col("cand"),
+        round(col("score"), 6).as("s"), col("rn"))
+    val top = rk.filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"), col("cand").as("pred"), col("s").as("s1"))
+    val second = rk.filter(col("rn") === 2)
+      .select(col("doc_id"), col("s").as("s2"))
+    val m = top.join(second, Seq("doc_id"))
+      .select(round(col("s1") - col("s2"), 6).as("margin"),
+        when(col("pred") === col("true_lang"), 1L).otherwise(0L).as("correct"))
+    val bucket = when(col("margin") < 0.5, "m0_lt_0.5")
+      .when(col("margin") < 1.0, "m1_lt_1")
+      .when(col("margin") < 2.0, "m2_lt_2")
+      .when(col("margin") < 4.0, "m3_lt_4")
+      .otherwise("m4_ge_4")
+    m.select(bucket.as("bucket"), col("correct"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("correct")).as("n_correct"))
+      .select(col("bucket"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 6).as("accuracy"))
+      .orderBy(col("bucket"))
   }
 
   /** Per-document unigram Shannon entropy + type-token ratio (see the q104
@@ -154,6 +202,9 @@ object TextAnalytics extends QueryModule {
 
     // Trained naive-Bayes language classifier over the held-out slice.
     "q102_nb_langid" -> ((s, dir) => nbLangIdFrom(docs(s, dir))),
+
+    // Margin-calibration of the trained NB filter (see [[nbCalibrationFrom]]).
+    "q209_nb_calibration" -> ((s, dir) => nbCalibrationFrom(docs(s, dir))),
 
     // Per-document unigram Shannon entropy — the information-density quality
     // signal (a low-entropy document is template/boilerplate even when its
@@ -275,6 +326,36 @@ object TextAnalytics extends QueryModule {
     })
   )
 
+  /** The trained-NB CTEs through the ranked frame `rk` — shared verbatim by
+    * the q102 argmax oracle and the q209 margin-calibration oracle. */
+  private val nbRankedSql: String =
+    """WITH toks AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+      |tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+      |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr),
+      |langs AS (SELECT lang, count(*) AS n_lang FROM tr GROUP BY 1),
+      |ltot AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_all FROM langs),
+      |cnt AS (SELECT lang, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+      |grid AS (SELECT l.lang, t.tok, coalesce(c.c, 0) AS c, l.n_lang
+      |         FROM langs l CROSS JOIN (SELECT DISTINCT tok FROM tr) t
+      |         LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = t.tok),
+      |lp AS (SELECT lang, tok,
+      |         round(log10(CAST(c + 1 AS DOUBLE) / (n_lang + (SELECT v FROM vocab))), 9) AS logp
+      |       FROM grid),
+      |prior AS (SELECT lang, n_lang,
+      |            round(log10(CAST(n_lang AS DOUBLE) / n_all), 9) AS logprior
+      |          FROM langs CROSS JOIN ltot),
+      |ev AS (SELECT doc_id, lang AS true_lang, tok FROM toks WHERE doc_id % 2 = 1),
+      |sc AS (SELECT ev.doc_id, ev.true_lang, p.lang AS cand,
+      |         CAST(round(sum(CAST(coalesce(lp.logp,
+      |              round(log10(1.0 / (p.n_lang + (SELECT v FROM vocab))), 9)) AS DECIMAL(18,9))), 6) AS DOUBLE)
+      |           + p.logprior AS score
+      |       FROM ev CROSS JOIN prior p
+      |       LEFT JOIN lp ON lp.lang = p.lang AND lp.tok = ev.tok
+      |       GROUP BY ev.doc_id, ev.true_lang, p.lang, p.n_lang, p.logprior),
+      |rk AS (SELECT doc_id, true_lang, cand AS pred_lang, round(score, 6) AS score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+      |       FROM sc)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q104_token_entropy" ->
       """WITH wc AS (SELECT doc_id, w, count(*) AS c FROM
@@ -288,35 +369,25 @@ object TextAnalytics extends QueryModule {
         |             6) AS entropy
         |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q102_nb_langid" ->
-      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
-        |tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
-        |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr),
-        |langs AS (SELECT lang, count(*) AS n_lang FROM tr GROUP BY 1),
-        |ltot AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_all FROM langs),
-        |cnt AS (SELECT lang, tok, count(*) AS c FROM tr GROUP BY 1, 2),
-        |grid AS (SELECT l.lang, t.tok, coalesce(c.c, 0) AS c, l.n_lang
-        |         FROM langs l CROSS JOIN (SELECT DISTINCT tok FROM tr) t
-        |         LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = t.tok),
-        |lp AS (SELECT lang, tok,
-        |         round(log10(CAST(c + 1 AS DOUBLE) / (n_lang + (SELECT v FROM vocab))), 9) AS logp
-        |       FROM grid),
-        |prior AS (SELECT lang, n_lang,
-        |            round(log10(CAST(n_lang AS DOUBLE) / n_all), 9) AS logprior
-        |          FROM langs CROSS JOIN ltot),
-        |ev AS (SELECT doc_id, lang AS true_lang, tok FROM toks WHERE doc_id % 2 = 1),
-        |sc AS (SELECT ev.doc_id, ev.true_lang, p.lang AS cand,
-        |         CAST(round(sum(CAST(coalesce(lp.logp,
-        |              round(log10(1.0 / (p.n_lang + (SELECT v FROM vocab))), 9)) AS DECIMAL(18,9))), 6) AS DOUBLE)
-        |           + p.logprior AS score
-        |       FROM ev CROSS JOIN prior p
-        |       LEFT JOIN lp ON lp.lang = p.lang AND lp.tok = ev.tok
-        |       GROUP BY ev.doc_id, ev.true_lang, p.lang, p.n_lang, p.logprior),
-        |rk AS (SELECT doc_id, true_lang, cand AS pred_lang, round(score, 6) AS score,
-        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
-        |       FROM sc)
-        |SELECT doc_id, true_lang, pred_lang, score,
-        |       CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
-        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      (nbRankedSql +
+        """
+          |SELECT doc_id, true_lang, pred_lang, score,
+          |       CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+          |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "q209_nb_calibration" ->
+      (nbRankedSql +
+        """,
+          |top AS (SELECT doc_id, true_lang, pred_lang AS pred, score AS s1 FROM rk WHERE rn = 1),
+          |snd AS (SELECT doc_id, score AS s2 FROM rk WHERE rn = 2),
+          |mg AS (SELECT round(s1 - s2, 6) AS margin,
+          |         CASE WHEN pred = true_lang THEN 1 ELSE 0 END AS correct
+          |       FROM top JOIN snd USING (doc_id)),
+          |b AS (SELECT CASE WHEN margin < 0.5 THEN 'm0_lt_0.5' WHEN margin < 1.0 THEN 'm1_lt_1'
+          |               WHEN margin < 2.0 THEN 'm2_lt_2' WHEN margin < 4.0 THEN 'm3_lt_4'
+          |               ELSE 'm4_ge_4' END AS bucket, correct FROM mg)
+          |SELECT bucket, count(*) AS n_docs, CAST(sum(correct) AS BIGINT) AS n_correct,
+          |       round(CAST(sum(correct) AS DOUBLE) / count(*), 6) AS accuracy
+          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
     "q28_text_metrics" ->
       """SELECT doc_id,
         |       length(text) AS len_chars,

@@ -207,6 +207,22 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     admitRate should be >= 0.7
   }
 
+  test("q209: calibration buckets partition q102's eval set and reconcile its accuracy") {
+    val cal = q("q209_nb_calibration").collect()
+    val known = Set("m0_lt_0.5", "m1_lt_1", "m2_lt_2", "m3_lt_4", "m4_ge_4")
+    cal.foreach(r => known should contain(r.getString(0)))
+    val argmax = q("q102_nb_langid").collect()
+    // every eval doc lands in exactly one margin bucket
+    cal.map(_.getAs[Long]("n_docs")).sum shouldBe argmax.length.toLong
+    // and per-bucket corrects sum to the classifier's total corrects
+    cal.map(_.getAs[Long]("n_correct")).sum shouldBe
+      argmax.map(_.getAs[Long]("correct")).sum
+    cal.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      acc should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   test("q206: MI is non-negative, bounded by min marginal entropy, and the entropy identity holds") {
     val rows = q("q206_mi_association").collect()
     rows.map(_.getString(0)).sorted shouldBe Array("lang_label", "src_label", "src_lang")
