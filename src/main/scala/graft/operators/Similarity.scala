@@ -648,25 +648,15 @@ object Similarity extends QueryModule {
       .agg(round(sum(round(col("x"), 12).cast(DecimalType(38, 12))).cast("double")
         / count(lit(1)), 6).as("mu"))
       .orderBy(col("pos")).collect().map(_.getDouble(1)) // bounded: dim cells
-    val muLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      means.map(lit(_))): _*)
-    val xc = zip_with(col("v"), muLit, (x, m) => x - m)
-    val decZero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12))
-    // round-6 decimal dot of the centered row against a literal direction —
-    // exact decimal accumulation, so term order is irrelevant (oracle sums
-    // the same rounded terms unordered)
-    def dotW(wArr: Array[Double]): Column = {
-      val wLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        wArr.map(lit(_))): _*)
-      round(aggregate(
-        zip_with(xc, wLit, (a, b) => round(a * b, 12).cast(DecimalType(38, 12))),
-        decZero, (acc, t) => (acc + t).cast(DecimalType(38, 12))).cast("double"), 6)
-    }
+    // decimal dot/sum kernels are the shared q207/q208 row-local helpers
+    // below (decDot/decSumArr): exact decimal accumulation, so term order
+    // is irrelevant — the oracle sums the same rounded terms unordered
+    val xc = centered(means)
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     var w = Array.fill(means.length)(1.0)
     for (_ <- 1 to iters) {
-      val u = e.select(col("v"), dotW(w).as("d"))
+      val u = e.select(col("v"), decDot(xc, w).as("d"))
         .select(posexplode(transform(xc,
           c => round(c * col("d"), 12).cast(DecimalType(38, 12)))).as(Seq("pos", "t")))
         .groupBy(col("pos")).agg(sum(col("t")).cast("double").as("u"))
@@ -689,20 +679,31 @@ object Similarity extends QueryModule {
       _ => trainDominantDirection(s, dir, iters))
   }
 
+  // -- row-local decimal-exact vector kernels shared by q207/q208 ----------
+  private val decZero12 = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12))
+  private def litArr(a: Array[Double]): Column =
+    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(a.map(lit(_))): _*)
+  /** Exact (order-independent) sum of a DECIMAL(38,12) term array → double. */
+  private def decSumArr(terms: Column): Column =
+    aggregate(terms, decZero12, (acc, t) => (acc + t).cast(DecimalType(38, 12)))
+      .cast("double")
+  /** v centered on the literal per-pos means. */
+  private def centered(means: Array[Double]): Column =
+    zip_with(col("v"), litArr(means), (x, m) => x - m)
+  /** round-6 decimal dot of a column vector against a literal vector. */
+  private def decDot(xc: Column, wArr: Array[Double]): Column =
+    round(decSumArr(zip_with(xc, litArr(wArr),
+      (a, b) => round(a * b, 12).cast(DecimalType(38, 12)))), 6)
+  /** round-6 decimal L2 norm of a column vector. */
+  private def decNorm(xc: Column): Column =
+    round(sqrt(decSumArr(transform(xc,
+      c => round(c * c, 12).cast(DecimalType(38, 12))))), 6)
+
   def dominantDirection(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val e = emb(s, dir)
     val (means, w) = sharedDominantDirection(s, dir, iters)
-    val muLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      means.map(lit(_))): _*)
-    val xc = zip_with(col("v"), muLit, (x, m) => x - m)
-    val decZero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12))
-    def dotW(wArr: Array[Double]): Column = {
-      val wLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        wArr.map(lit(_))): _*)
-      round(aggregate(
-        zip_with(xc, wLit, (a, b) => round(a * b, 12).cast(DecimalType(38, 12))),
-        decZero, (acc, t) => (acc + t).cast(DecimalType(38, 12))).cast("double"), 6)
-    }
+    val xc = centered(means)
+    def dotW(wArr: Array[Double]): Column = decDot(xc, wArr)
     val varAlong = e.select(dotW(w).as("d"))
       .agg(round(sum(round(pow(col("d"), 2), 12).cast(DecimalType(38, 12))).cast("double")
         / (count(lit(1)) - 1), 6).as("var_along"))
@@ -716,6 +717,42 @@ object Similarity extends QueryModule {
           org.apache.spark.sql.types.DoubleType, nullable = false))))
     loadings.crossJoin(broadcast(varAlong))
       .select(col("pos"), col("loading"), col("var_along"))
+  }
+
+  /** All-but-the-top residual (q208) — the post-processing transform of Mu &
+    * Viswanath (ICLR 2018) applied with q207's trained direction: each
+    * vector's projection coefficient onto the dominant direction is removed,
+    * and the report emits (projection, centered norm, residual norm, residual
+    * ratio) per vector. A corpus whose resid_ratio sits far below 1 is
+    * dominated by the common direction — its cosine similarities (q38-q40,
+    * q47, q99) are inflated by shared anisotropy rather than content, and the
+    * downstream dedup thresholds should be recalibrated on the residuals.
+    * proj = (x'·w)/(w·w) — no unit normalization, so no sqrt enters the
+    * direction math (w·w is an exact decimal sum of rounded squares,
+    * replicated bit-for-bit driver-side).
+    *
+    * Scale shape: the direction is a session-layer model ([[
+    * sharedDominantDirection]]); the transform itself is ONE row-local pass
+    * over the corpus — centered array, decimal dot, residual zip — nothing
+    * shuffles, nothing joins. This is the shape that matters at 100 TB: the
+    * correction is a map, not a fixpoint. */
+  def abttResidual(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = emb(s, dir)
+    val (means, w) = sharedDominantDirection(s, dir, iters)
+    // w·w replicated with the oracle's arithmetic: decimal sum of 12
+    // dp-rounded squares (HALF_UP == away-from-zero on positives)
+    val ww = w.map(x => BigDecimal(x * x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val xc = centered(means)
+    val base = e.select(col("vec_id"), col("v"),
+      round(decDot(xc, w) / lit(ww), 6).as("proj"),
+      decNorm(xc).as("norm_c"))
+    base.select(col("vec_id"), col("proj"), col("norm_c"),
+      decNorm(zip_with(centered(means), litArr(w),
+        (c, wj) => c - col("proj") * wj)).as("norm_resid"))
+      .select(col("vec_id"), col("proj"), col("norm_c"), col("norm_resid"),
+        when(col("norm_c") === 0, lit(null).cast("double"))
+          .otherwise(round(col("norm_resid") / col("norm_c"), 6)).as("resid_ratio"))
   }
 
   /** PQ/ADC with SEEDED codebooks: subspace centroids are the subvectors of
@@ -929,6 +966,10 @@ object Similarity extends QueryModule {
     "q207_dominant_direction" -> ((s, dir) =>
       dominantDirection(s, dir).orderBy(col("pos"))),
 
+    // All-but-the-top anisotropy correction (see [[abttResidual]]).
+    "q208_abtt_residual" -> ((s, dir) =>
+      abttResidual(s, dir).orderBy(col("vec_id"))),
+
     // Embedding corpus statistics per label: count + mean L2 norm.
     "q42_embedding_stats" -> ((s, dir) =>
       emb(s, dir)
@@ -1009,6 +1050,35 @@ object Similarity extends QueryModule {
   /** Seeded-IVF scored-candidate CTEs (through `sc`) — shared verbatim by
     * the q40 primary oracle and the q191 recall audit, so both replay the
     * IDENTICAL quantizer/probe SQL. */
+  /** Power-iteration CTEs through the converged direction `w3`, its
+    * projection frame `pj`, and the centered long-format frame `xl` —
+    * shared verbatim by the q207 (dominant direction) and q208 (ABTT
+    * residual) oracles. */
+  private val powerIterSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |xl0 AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e),
+      |mu AS (SELECT pos, round(CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mu
+      |       FROM xl0 GROUP BY 1),
+      |xl AS (SELECT vec_id, pos, x - mu AS xc FROM xl0 JOIN mu USING (pos)),
+      |w0 AS (SELECT pos, 1.0 AS w FROM mu),
+      |d1 AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
+      |       FROM xl JOIN w0 USING (pos) GROUP BY 1),
+      |u1 AS (SELECT pos, CAST(sum(CAST(round(xc * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+      |       FROM xl JOIN d1 USING (vec_id) GROUP BY 1),
+      |w1 AS (SELECT pos, round(u / (SELECT max(abs(u)) FROM u1), 6) AS w FROM u1),
+      |d2 AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
+      |       FROM xl JOIN w1 USING (pos) GROUP BY 1),
+      |u2 AS (SELECT pos, CAST(sum(CAST(round(xc * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+      |       FROM xl JOIN d2 USING (vec_id) GROUP BY 1),
+      |w2 AS (SELECT pos, round(u / (SELECT max(abs(u)) FROM u2), 6) AS w FROM u2),
+      |d3 AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
+      |       FROM xl JOIN w2 USING (pos) GROUP BY 1),
+      |u3 AS (SELECT pos, CAST(sum(CAST(round(xc * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+      |       FROM xl JOIN d3 USING (vec_id) GROUP BY 1),
+      |w3 AS (SELECT pos, round(u / (SELECT max(abs(u)) FROM u3), 6) AS w FROM u3),
+      |pj AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
+      |       FROM xl JOIN w3 USING (pos) GROUP BY 1)""".stripMargin
+
   private val ivfSeededScSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -1125,33 +1195,26 @@ object Similarity extends QueryModule {
         |   FROM sc)
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
     "q207_dominant_direction" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |xl0 AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e),
-        |mu AS (SELECT pos, round(CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mu
-        |       FROM xl0 GROUP BY 1),
-        |xl AS (SELECT vec_id, pos, x - mu AS xc FROM xl0 JOIN mu USING (pos)),
-        |w0 AS (SELECT pos, 1.0 AS w FROM mu),
-        |d1 AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
-        |       FROM xl JOIN w0 USING (pos) GROUP BY 1),
-        |u1 AS (SELECT pos, CAST(sum(CAST(round(xc * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
-        |       FROM xl JOIN d1 USING (vec_id) GROUP BY 1),
-        |w1 AS (SELECT pos, round(u / (SELECT max(abs(u)) FROM u1), 6) AS w FROM u1),
-        |d2 AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
-        |       FROM xl JOIN w1 USING (pos) GROUP BY 1),
-        |u2 AS (SELECT pos, CAST(sum(CAST(round(xc * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
-        |       FROM xl JOIN d2 USING (vec_id) GROUP BY 1),
-        |w2 AS (SELECT pos, round(u / (SELECT max(abs(u)) FROM u2), 6) AS w FROM u2),
-        |d3 AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
-        |       FROM xl JOIN w2 USING (pos) GROUP BY 1),
-        |u3 AS (SELECT pos, CAST(sum(CAST(round(xc * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
-        |       FROM xl JOIN d3 USING (vec_id) GROUP BY 1),
-        |w3 AS (SELECT pos, round(u / (SELECT max(abs(u)) FROM u3), 6) AS w FROM u3),
-        |pj AS (SELECT vec_id, round(CAST(sum(CAST(round(xc * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
-        |       FROM xl JOIN w3 USING (pos) GROUP BY 1),
-        |va AS (SELECT round(CAST(sum(CAST(round(pow(d, 2), 12) AS DECIMAL(38,12))) AS DOUBLE) /
-        |              ((SELECT count(*) FROM e) - 1), 6) AS var_along FROM pj)
-        |SELECT CAST(pos AS BIGINT) AS pos, w AS loading, var_along
-        |FROM w3 CROSS JOIN va ORDER BY pos""".stripMargin,
+      (powerIterSql +
+        """,
+          |va AS (SELECT round(CAST(sum(CAST(round(pow(d, 2), 12) AS DECIMAL(38,12))) AS DOUBLE) /
+          |              ((SELECT count(*) FROM e) - 1), 6) AS var_along FROM pj)
+          |SELECT CAST(pos AS BIGINT) AS pos, w AS loading, var_along
+          |FROM w3 CROSS JOIN va ORDER BY pos""".stripMargin),
+    "q208_abtt_residual" ->
+      (powerIterSql +
+        """,
+          |ww AS (SELECT CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE) AS ww FROM w3),
+          |p AS (SELECT vec_id, round(d / ww, 6) AS proj FROM pj CROSS JOIN ww),
+          |nc AS (SELECT vec_id, round(sqrt(CAST(sum(CAST(round(xc * xc, 12) AS DECIMAL(38,12))) AS DOUBLE)), 6) AS norm_c
+          |       FROM xl GROUP BY 1),
+          |rs AS (SELECT xl.vec_id, xl.xc - p.proj * w3.w AS r
+          |       FROM xl JOIN p USING (vec_id) JOIN w3 USING (pos)),
+          |nr AS (SELECT vec_id, round(sqrt(CAST(sum(CAST(round(r * r, 12) AS DECIMAL(38,12))) AS DOUBLE)), 6) AS norm_resid
+          |       FROM rs GROUP BY 1)
+          |SELECT vec_id, p.proj, nc.norm_c, nr.norm_resid,
+          |       round(nr.norm_resid / nullif(nc.norm_c, 0), 6) AS resid_ratio
+          |FROM p JOIN nc USING (vec_id) JOIN nr USING (vec_id) ORDER BY vec_id""".stripMargin),
     "q204_knn_classifier" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -541,4 +541,22 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
       (math.sqrt(w3.map(x => x * x).sum) * math.sqrt(w4.map(x => x * x).sum))
     math.abs(cos) should be > 0.95
   }
+
+  test("q208 ABTT residual: Pythagorean split, centered projections, ratio <= 1") {
+    val w = Similarity.dominantDirection(spark, sf0001)
+      .orderBy(col("pos")).collect().map(_.getAs[Double]("loading"))
+    val ww = w.map(x => x * x).sum
+    val rows = Similarity.abttResidual(spark, sf0001).collect()
+    rows.length shouldBe
+      graft.sources.Tables.read(spark, sf0001, "embeddings").count()
+    rows.foreach { r =>
+      val (p, nc, nr, ratio) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // removing an orthogonal projection: ||xc||^2 = ||r||^2 + p^2·||w||^2
+      nc * nc shouldBe (nr * nr + p * p * ww) +- 1e-3
+      ratio should (be >= 0.0 and be <= 1.0 + 1e-6)
+      nr should be <= nc + 1e-9
+    }
+    // projections of CENTERED data sum to ~0 (Σ xc = 0 up to rounding)
+    math.abs(rows.map(_.getDouble(1)).sum / rows.length) should be < 1e-3
+  }
 }
