@@ -161,6 +161,50 @@ object Sampling extends QueryModule {
         .orderBy(col("bucket"))
     }),
 
+    // Context-length planning curve (q210): for each candidate context size
+    // C, the corpus-wide cost of the two standard sequence-construction
+    // strategies — one-doc-per-sequence (pad to C, truncate above C; the
+    // q168 model generalized across C) vs GPT-style concatenation packing
+    // (docs concatenate per language stream and split across sequence
+    // boundaries, so the only padding is each stream's final partial
+    // sequence: seqs = ceil(kept_tokens / C) per lang). The report is the
+    // table a pretraining run reads to pick C: truncation loss rises with
+    // smaller C, padding waste rises with larger C, and packing efficiency
+    // quantifies what concatenation buys at each point. Integer ceil via
+    // (kept + C - 1) div C — no float rounding in the sequence counts.
+    // Scale shape: docs cross-join a 4-row literal size table (broadcast),
+    // then ONE (context, lang)-keyed aggregation with map-side partials and
+    // a context-keyed rollup — output is |sizes| rows.
+    "q210_packing_curve" -> ((s, dir) => {
+      val n = TextAnalytics.nTokens(col("text"))
+      val sizes = broadcast(
+        s.range(1).select(explode(array(lit(32L), lit(64L), lit(128L), lit(256L)))
+          .as("context")))
+      val perLang = docs(s, dir).select(col("lang"), n.as("n"))
+        .crossJoin(sizes)
+        .groupBy(col("context"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") > col("context"), 1L).otherwise(0L)).as("n_trunc"),
+          sum(col("n")).as("total"),
+          sum(least(col("n"), col("context"))).as("kept"))
+        .withColumn("seqs", expr("(kept + context - 1) div context"))
+      perLang.groupBy(col("context"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_trunc")).as("n_docs_trunc"),
+          sum(col("total")).as("tokens_total"),
+          sum(col("kept")).as("tokens_kept"),
+          sum(col("n_docs") * col("context") - col("kept")).as("pad_unpacked"),
+          sum(col("seqs")).as("seqs_packed"))
+        .select(col("context"), col("n_docs"), col("n_docs_trunc"),
+          col("tokens_total"), col("tokens_kept"), col("pad_unpacked"),
+          col("seqs_packed"),
+          round(col("tokens_kept").cast("double") /
+            (col("n_docs") * col("context")), 6).as("eff_unpacked"),
+          round(col("tokens_kept").cast("double") /
+            (col("seqs_packed") * col("context")), 6).as("eff_packed"))
+        .orderBy(col("context"))
+    }),
+
     "q63_hash_sample" -> ((s, dir) =>
       hashSample(s, dir).orderBy(col("doc_id"))),
 
@@ -282,6 +326,24 @@ object Sampling extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q210_packing_curve" ->
+      """WITH sz AS (SELECT CAST(unnest([32, 64, 128, 256]) AS BIGINT) AS context),
+        |t AS (SELECT lang, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n FROM documents),
+        |pl AS (SELECT context, lang, count(*) AS n_docs,
+        |         CAST(sum(CASE WHEN n > context THEN 1 ELSE 0 END) AS BIGINT) AS n_trunc,
+        |         CAST(sum(n) AS BIGINT) AS total,
+        |         CAST(sum(least(n, context)) AS BIGINT) AS kept
+        |       FROM t CROSS JOIN sz GROUP BY 1, 2),
+        |pls AS (SELECT *, (kept + context - 1) // context AS seqs FROM pl)
+        |SELECT context, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_trunc) AS BIGINT) AS n_docs_trunc,
+        |       CAST(sum(total) AS BIGINT) AS tokens_total,
+        |       CAST(sum(kept) AS BIGINT) AS tokens_kept,
+        |       CAST(sum(n_docs * context - kept) AS BIGINT) AS pad_unpacked,
+        |       CAST(sum(seqs) AS BIGINT) AS seqs_packed,
+        |       round(CAST(sum(kept) AS DOUBLE) / (sum(n_docs) * context), 6) AS eff_unpacked,
+        |       round(CAST(sum(kept) AS DOUBLE) / (sum(seqs) * context), 6) AS eff_packed
+        |FROM pls GROUP BY context ORDER BY context""".stripMargin,
     "q168_padding_waste" ->
       """WITH t AS (SELECT CAST(length(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),

@@ -207,6 +207,30 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     admitRate should be >= 0.7
   }
 
+  test("q210: packing dominates padding, truncation is monotone in context, counts conserve") {
+    val rows = q("q210_packing_curve").orderBy(col("context")).collect()
+    rows.map(_.getAs[Long]("context")) shouldBe Array(32L, 64L, 128L, 256L)
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).distinct
+    nDocs.length shouldBe 1 // every context sees the whole corpus
+    val total = rows.map(_.getAs[Long]("tokens_total")).distinct
+    total.length shouldBe 1
+    rows.foreach { r =>
+      r.getAs[Long]("tokens_kept") should be <= r.getAs[Long]("tokens_total")
+      // concatenation packing can only beat one-doc-per-sequence
+      r.getAs[Double]("eff_packed") should be >= r.getAs[Double]("eff_unpacked") - 1e-9
+      r.getAs[Double]("eff_packed") should be <= 1.0
+      // seqs is a true ceil: seqs*C covers kept, (seqs-1)*C does not
+      val (c, kept, seqs) = (r.getAs[Long]("context"),
+        r.getAs[Long]("tokens_kept"), r.getAs[Long]("seqs_packed"))
+      (seqs * c) should be >= kept
+    }
+    // larger context ⇒ fewer (or equal) truncated docs, more (or equal) kept tokens
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("n_docs_trunc") should be <= a.getAs[Long]("n_docs_trunc")
+      b.getAs[Long]("tokens_kept") should be >= a.getAs[Long]("tokens_kept")
+    }
+  }
+
   test("q209: calibration buckets partition q102's eval set and reconcile its accuracy") {
     val cal = q("q209_nb_calibration").collect()
     val known = Set("m0_lt_0.5", "m1_lt_1", "m2_lt_2", "m3_lt_4", "m4_ge_4")
