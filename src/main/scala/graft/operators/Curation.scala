@@ -247,6 +247,41 @@ object Curation extends QueryModule {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // Per-batch n-gram novelty (q211) — the corpus-freshness readout of a
+    // continuously-ingesting pipeline: with ingest batches stood in by the
+    // q87 convention (doc_id % 10), each batch reports how many of its
+    // distinct token 3-grams were NEVER seen in any earlier batch. A
+    // collapsing novelty_rate means new ingest is re-crawling what the
+    // corpus already holds (diminishing data returns — the signal behind
+    // dataset-growth stopping rules and crawl re-prioritization); a spike
+    // flags a genuinely new source or a drifted tokenizer. Complements
+    // q126's Heaps-law fit (smooth vocab growth model) with the exact
+    // batch-resolution ledger.
+    //
+    // Scale shape: one explode to (batch, gram) rows, a distinct + a
+    // gram-keyed min-batch aggregation (hash-spread — grams are the shuffle
+    // key, never doc ids), and a gram-keyed equi-join of two gram-sized
+    // frames; output is |batches| rows. No posting lists, no pairs.
+    "q211_ngram_novelty" -> ((s, dir) => {
+      val gramsArr = element_at(transform(array(split(trim(col("text")), " ")), w =>
+        transform(sequence(lit(1), size(w) - 2), i =>
+          array_join(slice(w, i, lit(3)), " "))), 1)
+      val g = docs(s, dir)
+        .filter(TextAnalytics.nTokens(col("text")) >= 3)
+        .select((col("doc_id") % 10).as("batch"), explode(gramsArr).as("gram"))
+      val occ = g.groupBy(col("batch")).agg(count(lit(1)).as("n_occurrences"))
+      val dg = g.select(col("batch"), col("gram")).distinct()
+      val fb = dg.groupBy(col("gram")).agg(min(col("batch")).as("first_batch"))
+      val r = dg.join(fb, Seq("gram"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L)).as("n_novel"))
+      occ.join(r, Seq("batch"))
+        .select(col("batch"), col("n_occurrences"), col("n_distinct"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_distinct"), 6).as("novelty_rate"))
+        .orderBy(col("batch"))
+    }),
+
     "q85_dup_spans" -> ((s, dir) =>
       dupSpanStatsFrom(docs(s, dir))
         .orderBy(col("doc_id"))),
@@ -291,6 +326,19 @@ object Curation extends QueryModule {
         |       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
         |FROM inter JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
+    "q211_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id % 10 AS batch, string_split(trim(text), ' ') AS w FROM documents),
+        |g AS (SELECT batch, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |      FROM (SELECT batch, w, unnest(range(1, len(w) - 1)) AS i FROM t WHERE len(w) >= 3)),
+        |occ AS (SELECT batch, count(*) AS n_occurrences FROM g GROUP BY 1),
+        |dg AS (SELECT DISTINCT batch, gram FROM g),
+        |fb AS (SELECT gram, min(batch) AS first_batch FROM dg GROUP BY 1),
+        |r AS (SELECT batch, count(*) AS n_distinct,
+        |        CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |      FROM dg JOIN fb USING (gram) GROUP BY 1)
+        |SELECT batch, n_occurrences, n_distinct, n_novel,
+        |       round(CAST(n_novel AS DOUBLE) / n_distinct, 6) AS novelty_rate
+        |FROM occ JOIN r USING (batch) ORDER BY batch""".stripMargin,
     "q172_split_leakage" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),

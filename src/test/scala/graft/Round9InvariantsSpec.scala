@@ -207,6 +207,25 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     admitRate should be >= 0.7
   }
 
+  test("q211: batch 0 is all-novel, novel counts sum to the global distinct-gram count") {
+    val rows = q("q211_ngram_novelty").orderBy(col("batch")).collect()
+    rows.length shouldBe 10
+    // the first batch has no history: everything it sees is novel
+    rows.head.getAs[Long]("batch") shouldBe 0L
+    rows.head.getAs[Long]("n_novel") shouldBe rows.head.getAs[Long]("n_distinct")
+    rows.head.getAs[Double]("novelty_rate") shouldBe 1.0
+    rows.foreach { r =>
+      r.getAs[Long]("n_novel") should be <= r.getAs[Long]("n_distinct")
+      r.getAs[Long]("n_distinct") should be <= r.getAs[Long]("n_occurrences")
+    }
+    // each distinct gram is novel in exactly ONE batch (its first)
+    val globalDistinct = graft.sources.Tables.read(spark, sf0001, "documents")
+      .selectExpr("""explode(transform(sequence(1, size(split(trim(text), ' ')) - 2),
+        i -> array_join(slice(split(trim(text), ' '), i, 3), ' '))) AS gram""")
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == globalDistinct)
+  }
+
   test("q210: packing dominates padding, truncation is monotone in context, counts conserve") {
     val rows = q("q210_packing_curve").orderBy(col("context")).collect()
     rows.map(_.getAs[Long]("context")) shouldBe Array(32L, 64L, 128L, 256L)
