@@ -349,10 +349,13 @@ object Expectations extends QueryModule {
     * the corpus itself is never globally sorted). tau is a 1-row broadcast
     * onto the test-side aggregation, which is a plain per-source grouped
     * count with map-side partials. */
-  def conformalGate(s: SparkSession, dir: String, alpha: Double = 0.1): DataFrame = {
-    val scored = Tables.read(s, dir, "documents")
-      .select(col("doc_id"), col("source"), TextAnalytics.qualityScore.as("q"))
-    val cal = scored.filter(col("doc_id") % 7 === 0).select(col("q"))
+  /** The 1-row calibration-threshold frame q205 and the streaming gate
+    * (q212) share: tau = k-th smallest calibration quality score,
+    * k = floor(alpha * (n_cal + 1)). */
+  def conformalTauFrame(s: SparkSession, dir: String, alpha: Double = 0.1): DataFrame = {
+    val cal = Tables.read(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(TextAnalytics.qualityScore.as("q"))
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
     // k-th smallest calibration score: the VALUE at rank k is deterministic
     // under ties regardless of tie order, but the window still orders on
@@ -360,9 +363,20 @@ object Expectations extends QueryModule {
     val ranked = cal.withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("q")))
         .cast("long"))
-    val tau = ranked.crossJoin(broadcast(nCal))
+    ranked.crossJoin(broadcast(nCal))
       .filter(col("rn") === floor(lit(alpha) * (col("n_cal") + 1)).cast("long"))
       .select(col("q").as("tau"))
+  }
+
+  /** [[conformalTauFrame]] as a scalar — the bounded model fetch the
+    * streaming admission gate folds into its row-local predicate. */
+  def conformalTau(s: SparkSession, dir: String, alpha: Double = 0.1): Double =
+    conformalTauFrame(s, dir, alpha).collect().head.getDouble(0)
+
+  def conformalGate(s: SparkSession, dir: String, alpha: Double = 0.1): DataFrame = {
+    val scored = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextAnalytics.qualityScore.as("q"))
+    val tau = conformalTauFrame(s, dir, alpha)
     scored.filter(col("doc_id") % 7 =!= 0)
       .crossJoin(broadcast(tau))
       .groupBy(col("source"), col("tau"))
@@ -444,6 +458,22 @@ object Expectations extends QueryModule {
       ((s, dir) => graft.sources.FixtureCheck.fingerprintFrame(s, dir))
   )
 
+  /** Conformal score + threshold CTEs (`s` scored docs, `tau`) — shared
+    * verbatim by the q205 oracle and the q212 streaming-gate oracle. */
+  private[graft] val conformalTauSql: String =
+    """WITH s AS (SELECT doc_id, source,
+      |             round(0.5 * least(1.0, length(text) / 500.0)
+      |                 + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+      |                          len(string_split(trim(text), ' ')))
+      |                 + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+      |                          length(text)), 6) AS q
+      |           FROM documents),
+      |cal AS (SELECT q FROM s WHERE doc_id % 7 = 0),
+      |n AS (SELECT count(*) AS n_cal FROM cal),
+      |r AS (SELECT q, row_number() OVER (ORDER BY q) AS rn FROM cal),
+      |tau AS (SELECT q AS tau FROM r CROSS JOIN n
+      |        WHERE rn = CAST(floor(0.1 * (n_cal + 1)) AS BIGINT))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q206_mi_association" ->
       """WITH d AS (SELECT source, lang, CAST(label AS VARCHAR) AS label
@@ -464,24 +494,14 @@ object Expectations extends QueryModule {
         |SELECT pair, h_x, h_y, h_xy, round(h_x + h_y - h_xy, 6) AS mi_bits
         |FROM hx JOIN hy USING (pair) JOIN hxy USING (pair) ORDER BY pair""".stripMargin,
     "q205_conformal_gate" ->
-      """WITH s AS (SELECT doc_id, source,
-        |             round(0.5 * least(1.0, length(text) / 500.0)
-        |                 + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
-        |                          len(string_split(trim(text), ' ')))
-        |                 + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
-        |                          length(text)), 6) AS q
-        |           FROM documents),
-        |cal AS (SELECT q FROM s WHERE doc_id % 7 = 0),
-        |n AS (SELECT count(*) AS n_cal FROM cal),
-        |r AS (SELECT q, row_number() OVER (ORDER BY q) AS rn FROM cal),
-        |tau AS (SELECT q AS tau FROM r CROSS JOIN n
-        |        WHERE rn = CAST(floor(0.1 * (n_cal + 1)) AS BIGINT))
+      (conformalTauSql +
+      """
         |SELECT source, count(*) AS n_docs,
         |       CAST(sum(CASE WHEN q >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
         |       round(CAST(sum(CASE WHEN q >= tau THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS admit_rate,
         |       tau
         |FROM (SELECT source, q FROM s WHERE doc_id % 7 != 0) CROSS JOIN tau
-        |GROUP BY source, tau ORDER BY source""".stripMargin,
+        |GROUP BY source, tau ORDER BY source""".stripMargin),
     "q193_fixture_fingerprint" ->
       """WITH f AS (
         |  SELECT 'region' AS tbl, count(*) AS n_rows,

@@ -256,6 +256,38 @@ object StreamParity extends QueryModule {
     // drains the complete answer; the oracle is the plain batch interval
     // join — a green hash proves the streaming join buffers, matches, and
     // emits exactly the batch pair set.
+    // Streaming conformal admission parity (q212): the q205 governance gate
+    // moved to the ingest path — tau is trained in BATCH over the standing
+    // calibration slice (a bounded 1-value model fetch,
+    // [[graft.operators.Expectations.conformalTau]]) and folded into the
+    // stream's row-local predicate, so arriving documents (the q201 staging
+    // convention: the doc_id % 10 == 7 slice as a JSON file stream) are
+    // scored and admitted/rejected STATELESSLY — no watermark state, no
+    // shuffle, pure append mode; exactly how a coverage-guaranteed admission
+    // filter deploys in front of a 100 TB corpus (threshold refreshed on the
+    // calibration cadence, stream untouched). The oracle replays score, tau
+    // and verdict per arrival — a green hash proves the deployed stream gate
+    // admits precisely the batch-computed conformal set, threshold included.
+    "q212_stream_conformal" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val isArr = col("doc_id") % 10 === 7
+      val stage = java.nio.file.Files.createTempDirectory("graft_q212_arrivals")
+      d.filter(isArr)
+        .select(col("doc_id"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"), col("text"))
+        .coalesce(1).write.mode("overwrite").json(stage.resolve("in").toString)
+      val tau = graft.operators.Expectations.conformalTau(s, dir)
+      val scored = DocStream.readArrivals(s, stage.resolve("in").toString)
+        .select(col("doc_id"),
+          graft.operators.TextAnalytics.qualityScore.as("quality"))
+        .select(col("doc_id"), col("quality"),
+          when(col("quality") >= lit(tau), 1L).otherwise(0L).as("admitted"),
+          lit(tau).as("tau"))
+      val sink = s"q212_sink_${sinkSeq.incrementAndGet()}"
+      EventStream.runOnceAppendToMemory(scored, sink)
+      s.table(sink).orderBy(col("doc_id"))
+    }),
+
     "q202_stream_join_equiv" -> ((s, dir) => {
       val ev = readEventsStream(s, dir)
       val impressions = ev.filter(col("event_type").isin("view", "click"))
@@ -311,6 +343,13 @@ object StreamParity extends QueryModule {
     // exact hamming-<=3 join between the arrival slice and the corpus,
     // SimHash replayed via md5 halves (q58's oracle machinery); the chunk
     // pigeonhole guarantees the streaming probe retrieves every such pair
+    "q212_stream_conformal" ->
+      (graft.operators.Expectations.conformalTauSql +
+        """
+          |SELECT doc_id, q AS quality,
+          |       CAST(CASE WHEN q >= tau THEN 1 ELSE 0 END AS BIGINT) AS admitted, tau
+          |FROM (SELECT doc_id, q FROM s WHERE doc_id % 10 = 7) CROSS JOIN tau
+          |ORDER BY doc_id""".stripMargin),
     "q201_stream_quarantine" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
         |h AS (SELECT doc_id,

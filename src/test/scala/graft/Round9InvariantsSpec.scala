@@ -207,6 +207,24 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     admitRate should be >= 0.7
   }
 
+  test("q212: the stream gate's tau equals q205's, and every verdict follows the predicate") {
+    val stream = q("q212_stream_conformal").collect()
+    stream.length should be > 0
+    val tauStream = stream.map(_.getAs[Double]("tau")).distinct
+    tauStream.length shouldBe 1
+    val tauBatch = q("q205_conformal_gate").collect().map(_.getAs[Double]("tau")).distinct
+    tauStream shouldBe tauBatch // one threshold, batch-trained, stream-served
+    stream.foreach { r =>
+      val admitted = r.getAs[Long]("admitted") == 1L
+      admitted shouldBe (r.getAs[Double]("quality") >= tauStream.head)
+    }
+    // arrivals are exactly the staged slice
+    val expected = graft.sources.Tables.read(spark, sf0001, "documents")
+      .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    stream.map(_.getAs[Long]("doc_id")).sorted shouldBe expected
+  }
+
   test("q211: batch 0 is all-novel, novel counts sum to the global distinct-gram count") {
     val rows = q("q211_ngram_novelty").orderBy(col("batch")).collect()
     rows.length shouldBe 10
