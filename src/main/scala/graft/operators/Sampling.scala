@@ -205,6 +205,52 @@ object Sampling extends QueryModule {
         .orderBy(col("context"))
     }),
 
+    // Token-budget mixture materialization (q213): compile the q101
+    // temperature-mixture PLAN into an actual admission ledger. Each source
+    // gets target_tokens = floor(temp_share · B) of a fixed corpus budget
+    // (B = 10,000 here); documents are admitted per source in a
+    // content-independent md5 hash order (the q88 cap convention — stable
+    // under re-partitioning, re-ingestion order, and appends) while their
+    // PRECEDING running token count is still under target (the q65
+    // start-offset rule, so the ledger overshoots by at most one document
+    // instead of stalling under it). This is the missing step between a
+    // mixture-design row ("give wiki 12%") and a training manifest
+    // ("these documents, in this order") — and because admission is
+    // hash-ordered, re-running after an append admits a superset, never a
+    // reshuffle. Scale shape: one grouped pass for shares (|sources| rows),
+    // a source-partitioned window for the running count (partition-parallel;
+    // a mega-source serializes its own stream only), one grouped rollup.
+    "q213_mixture_materialize" -> ((s, dir) => {
+      val budget = 10000L
+      val n = TextAnalytics.nTokens(col("text"))
+      val t = docs(s, dir).groupBy(col("source"))
+        .agg(sum(n).as("src_tokens"))
+        .withColumn("wt", round(pow(col("src_tokens").cast("double"), 0.7), 6)
+          .cast("decimal(28,6)"))
+      val tot = t.agg(sum(col("wt")).as("tot_w"))
+      val targets = t.crossJoin(broadcast(tot))
+        .select(col("source"),
+          floor(round(col("wt").cast("double") / col("tot_w").cast("double"), 6)
+            * budget).cast("long").as("target_tokens"))
+      val ordered = docs(s, dir)
+        .select(col("source"), n.as("n"),
+          md5(concat(col("doc_id").cast("string"), lit(":mix"))).as("ok"))
+      val w = Window.partitionBy(col("source")).orderBy(col("ok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = ordered.withColumn("pre", sum(col("n")).over(w) - col("n"))
+        .join(broadcast(targets), Seq("source"))
+      run.groupBy(col("source"), col("target_tokens"))
+        .agg(count(lit(1)).as("n_docs_total"),
+          sum(when(col("pre") < col("target_tokens"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("pre") < col("target_tokens"), col("n")).otherwise(0L))
+            .as("tokens_admitted"))
+        .select(col("source"), col("n_docs_total"), col("n_admitted"),
+          col("tokens_admitted"), col("target_tokens"),
+          round(col("tokens_admitted").cast("double") / col("target_tokens"), 6)
+            .as("realized_ratio"))
+        .orderBy(col("source"))
+    }),
+
     "q63_hash_sample" -> ((s, dir) =>
       hashSample(s, dir).orderBy(col("doc_id"))),
 
@@ -326,6 +372,26 @@ object Sampling extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q213_mixture_materialize" ->
+      """WITH t AS (SELECT source, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+        |             md5(CAST(doc_id AS VARCHAR) || ':mix') AS ok FROM documents),
+        |st AS (SELECT source, CAST(round(pow(CAST(sum(n) AS DOUBLE), 0.7), 6) AS DECIMAL(28,6)) AS wt
+        |       FROM t GROUP BY 1),
+        |tw AS (SELECT sum(wt) AS tot_w FROM st),
+        |tg AS (SELECT source,
+        |         CAST(floor(round(CAST(wt AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) * 10000) AS BIGINT) AS target_tokens
+        |       FROM st CROSS JOIN tw),
+        |r AS (SELECT t.source, n,
+        |        sum(n) OVER (PARTITION BY t.source ORDER BY ok
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS pre,
+        |        target_tokens
+        |      FROM t JOIN tg USING (source))
+        |SELECT source, count(*) AS n_docs_total,
+        |       CAST(sum(CASE WHEN pre < target_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |       CAST(sum(CASE WHEN pre < target_tokens THEN n ELSE 0 END) AS BIGINT) AS tokens_admitted,
+        |       target_tokens,
+        |       round(CAST(sum(CASE WHEN pre < target_tokens THEN n ELSE 0 END) AS DOUBLE) / target_tokens, 6) AS realized_ratio
+        |FROM r GROUP BY source, target_tokens ORDER BY source""".stripMargin,
     "q210_packing_curve" ->
       """WITH sz AS (SELECT CAST(unnest([32, 64, 128, 256]) AS BIGINT) AS context),
         |t AS (SELECT lang, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n FROM documents),

@@ -755,6 +755,43 @@ object Similarity extends QueryModule {
           .otherwise(round(col("norm_resid") / col("norm_c"), 6)).as("resid_ratio"))
   }
 
+  /** Semantic decontamination through the seeded IVF index (q214) — the
+    * embedding-space companion to q72's n-gram decontamination: for every
+    * EVAL vector (`vec_id % 17 == 0`, standing in for a benchmark/eval set),
+    * find its highest-cosine corpus neighbor within its IVF cell and flag
+    * contamination at cosine >= `threshold`. Paraphrased or reformatted
+    * leakage defeats exact n-gram matching (Yang et al. 2023, "Rethinking
+    * Benchmark and Contamination ... ") — the embedding check is the second
+    * gate a release audit runs. Machinery is the q40/q204 seeded pipeline
+    * (lowest-id centroids, rounded-cosine argmax assignment, in-cell scan,
+    * rn tie-break), so the whole audit — best match included — hash-gates
+    * against the oracle. Scale shape: identical to [[annIvfSeeded]]; the
+    * eval side is the small broadcast side by construction. */
+  def semanticDecontam(s: SparkSession, dir: String, kCells: Int = 8,
+                       threshold: Double = 0.5): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct(round(cosineFast(s, col("v"), col("cv")), 6).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("v"))
+    val evalSide = broadcast(assigned.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("q_cell")))
+    val corpus = assigned.filter(col("vec_id") % 17 =!= 0)
+    val scored = evalSide.join(corpus, col("cell") === col("q_cell"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id").as("eval_id"), col("n_id").as("corpus_id"),
+        col("sim").as("best_cos"),
+        when(col("sim") >= threshold, 1L).otherwise(0L).as("contaminated"))
+  }
+
   /** PQ/ADC with SEEDED codebooks: subspace centroids are the subvectors of
     * the `ks` lowest-vec_id vectors (no Lloyd's iterations), code assignment
     * is the ROUNDED argmin ([[cellOfRounded]]), and the ADC shortlist
@@ -969,6 +1006,10 @@ object Similarity extends QueryModule {
     // All-but-the-top anisotropy correction (see [[abttResidual]]).
     "q208_abtt_residual" -> ((s, dir) =>
       abttResidual(s, dir).orderBy(col("vec_id"))),
+
+    // Embedding-space eval decontamination (see [[semanticDecontam]]).
+    "q214_semantic_decontam" -> ((s, dir) =>
+      semanticDecontam(s, dir).orderBy(col("eval_id"))),
 
     // Embedding corpus statistics per label: count + mean L2 norm.
     "q42_embedding_stats" -> ((s, dir) =>
@@ -1215,6 +1256,23 @@ object Similarity extends QueryModule {
           |SELECT vec_id, p.proj, nc.norm_c, nr.norm_resid,
           |       round(nr.norm_resid / nullif(nc.norm_c, 0), 6) AS resid_ratio
           |FROM p JOIN nc USING (vec_id) JOIN nr USING (vec_id) ORDER BY vec_id""".stripMargin),
+    "q214_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM
+        |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a)
+        |        WHERE rn = 1),
+        |av AS (SELECT asg.vec_id, asg.cid, e.v FROM asg JOIN e USING (vec_id)),
+        |sc AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |         round(list_cosine_similarity(q.v, n.v), 6) AS sim
+        |       FROM av q JOIN av n ON n.cid = q.cid AND n.vec_id % 17 != 0
+        |       WHERE q.vec_id % 17 = 0),
+        |b AS (SELECT q_id, n_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+        |SELECT q_id AS eval_id, n_id AS corpus_id, sim AS best_cos,
+        |       CAST(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM b WHERE rn = 1 ORDER BY eval_id""".stripMargin,
     "q204_knn_classifier" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

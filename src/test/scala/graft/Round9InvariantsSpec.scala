@@ -207,6 +207,35 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     admitRate should be >= 0.7
   }
 
+  test("q213: admission meets each source's target unless the source is exhausted") {
+    val rows = q("q213_mixture_materialize").collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (nTot, nAdm) = (r.getAs[Long]("n_docs_total"), r.getAs[Long]("n_admitted"))
+      val (tokAdm, target) = (r.getAs[Long]("tokens_admitted"), r.getAs[Long]("target_tokens"))
+      nAdm should be <= nTot
+      nAdm should be >= 1L // every target is positive, so the first doc always admits
+      // the start-offset rule runs to (at least) the target, or runs out of docs
+      assert(tokAdm >= target || nAdm == nTot,
+        s"source ${r.getString(0)}: admitted $tokAdm of target $target with $nAdm/$nTot docs")
+      r.getAs[Double]("realized_ratio") should be >= 0.0
+    }
+  }
+
+  test("q214: one verdict per eval vector, flags cohere with the threshold, best_cos bounded") {
+    val rows = q("q214_semantic_decontam").collect()
+    val evalIds = graft.sources.Tables.read(spark, sf0001, "embeddings")
+      .filter(col("vec_id") % 17 === 0).select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted
+    rows.map(_.getAs[Long]("eval_id")).sorted shouldBe evalIds
+    rows.foreach { r =>
+      r.getAs[Long]("corpus_id") % 17 should not be 0L // matched against the corpus only
+      val cos = r.getAs[Double]("best_cos")
+      cos should (be >= -1.0 and be <= 1.0)
+      (r.getAs[Long]("contaminated") == 1L) shouldBe (cos >= 0.5)
+    }
+  }
+
   test("q212: the stream gate's tau equals q205's, and every verdict follows the predicate") {
     val stream = q("q212_stream_conformal").collect()
     stream.length should be > 0
