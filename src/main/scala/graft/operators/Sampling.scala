@@ -251,6 +251,38 @@ object Sampling extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Proportional curriculum interleave (q215): compile the q101 mixture
+    // WEIGHTS into an actual global training order by stride scheduling
+    // (Waldspurger & Weihl, OSDI '94 — the deterministic form of lottery
+    // scheduling): each document's virtual time is its content-hash rank
+    // within its source divided by the source's temperature weight, and the
+    // training order is ascending virtual time. Sources then interleave
+    // proportionally to weight BY CONSTRUCTION — no RNG, no global shuffle
+    // epoch — and the order is append-stable (a new doc inserts at its own
+    // vtime; earlier positions never reorder). Registered as the first-100
+    // prefix: the engine plans a bounded TakeOrderedAndProject (top-k heap
+    // per partition), never a corpus-wide single-partition sort; position
+    // numbering then runs over the 100-row prefix only.
+    "q215_curriculum_interleave" -> ((s, dir) => {
+      val n = TextAnalytics.nTokens(col("text"))
+      val wt = docs(s, dir).groupBy(col("source"))
+        .agg(round(pow(sum(n).cast("double"), 0.7), 6).as("wt"))
+      val rk = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":order"))))
+      val v = docs(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rank_in_src", row_number().over(rk).cast("long"))
+        .join(broadcast(wt), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          round(col("rank_in_src").cast("double") / col("wt"), 9).as("vtime"))
+      val top = v.orderBy(col("vtime"), col("source"), col("doc_id")).limit(100)
+      top.withColumn("pos",
+        row_number().over(Window.orderBy(col("vtime"), col("source"), col("doc_id")))
+          .cast("long"))
+        .select(col("pos"), col("doc_id"), col("source"), col("vtime"))
+        .orderBy(col("pos"))
+    }),
+
     "q63_hash_sample" -> ((s, dir) =>
       hashSample(s, dir).orderBy(col("doc_id"))),
 
@@ -372,6 +404,20 @@ object Sampling extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q215_curriculum_interleave" ->
+      """WITH t AS (SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n,
+        |             md5(CAST(doc_id AS VARCHAR) || ':order') AS ok FROM documents),
+        |wt AS (SELECT source, round(pow(CAST(sum(n) AS DOUBLE), 0.7), 6) AS wt FROM t GROUP BY 1),
+        |r AS (SELECT doc_id, t.source,
+        |        CAST(row_number() OVER (PARTITION BY t.source ORDER BY ok) AS BIGINT) AS rank_in_src
+        |      FROM t),
+        |v AS (SELECT doc_id, r.source,
+        |        round(CAST(rank_in_src AS DOUBLE) / wt, 9) AS vtime
+        |      FROM r JOIN wt ON wt.source = r.source)
+        |SELECT * FROM
+        |  (SELECT CAST(row_number() OVER (ORDER BY vtime, source, doc_id) AS BIGINT) AS pos,
+        |          doc_id, source, vtime FROM v)
+        |WHERE pos <= 100 ORDER BY pos""".stripMargin,
     "q213_mixture_materialize" ->
       """WITH t AS (SELECT source, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
         |             md5(CAST(doc_id AS VARCHAR) || ':mix') AS ok FROM documents),

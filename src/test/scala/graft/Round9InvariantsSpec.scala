@@ -207,6 +207,29 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     admitRate should be >= 0.7
   }
 
+  test("q215: prefix source counts track the mixture weights within the stride bound") {
+    val rows = q("q215_curriculum_interleave").orderBy(col("pos")).collect()
+    rows.length shouldBe 100
+    rows.map(_.getAs[Long]("pos")) shouldBe (1L to 100L).toArray
+    // vtime is non-decreasing along the order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Double]("vtime") should be >= a.getAs[Double]("vtime")
+    }
+    // stride scheduling: by any virtual-time horizon T, source s has emitted
+    // floor(T·w_s) docs — so prefix counts sit within ~1 of proportional
+    val wt = graft.sources.Tables.read(spark, sf0001, "documents")
+      .groupBy(col("source"))
+      .agg(round(pow(sum(org.apache.spark.sql.functions.size(
+        split(trim(col("text")), " "))).cast("double"), 0.7), 6).as("wt"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tot = wt.values.sum
+    val counts = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    wt.foreach { case (src, w) =>
+      val expected = 100.0 * w / tot
+      math.abs(counts.getOrElse(src, 0) - expected) should be <= 2.0
+    }
+  }
+
   test("q213: admission meets each source's target unless the source is exhausted") {
     val rows = q("q213_mixture_materialize").collect()
     rows.length should be > 0
