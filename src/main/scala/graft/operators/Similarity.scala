@@ -755,6 +755,60 @@ object Similarity extends QueryModule {
           .otherwise(round(col("norm_resid") / col("norm_c"), 6)).as("resid_ratio"))
   }
 
+  /** Label-noise estimate via kNN disagreement (q216) — the
+    * confident-learning-style QA pass (Northcutt et al., JAIR 2021 reduces
+    * to model self-consistency; the kNN form is its model-free proxy) a
+    * labeled training set runs before anyone trusts per-class metrics:
+    * EVERY labeled vector is re-classified by the majority label of its
+    * top-`k` cosine neighbors (self excluded, candidates from its seeded
+    * IVF cell — the q204 machinery with probes == corpus), and each label
+    * class reports how often its members' neighborhoods vote against them.
+    * A class with a high disagree_rate either has noisy labels or is not
+    * separable in embedding space — both mean its labels should not gate a
+    * release. Same deterministic vote as q204 (count desc, label asc), so
+    * the audit is fully oracled. Scale: in-cell scan cost is the q40 IVF
+    * trade, self-join restricted to cells; the rollup is |labels| rows. */
+  def knnLabelNoise(s: SparkSession, dir: String, k: Int = 5,
+                    kCells: Int = 8): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("label"),
+        struct(round(cosineFast(s, col("v"), col("cv")), 6).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("m"), first(col("v")).as("v"),
+        first(col("label")).as("label"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("v"), col("label"))
+    // probe side == corpus, so NO broadcast: the self-join shuffles both
+    // sides on the cell key (at real scale kCells ~ √n, the standard IVF
+    // sizing, so the key spreads; AQE may still broadcast at fixture size)
+    val probes = assigned
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("cell").as("q_cell"), col("label").as("own_label"))
+    val scored = probes.join(assigned,
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("own_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val votes = top.groupBy(col("q_id"), col("own_label"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("n_label"))
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .groupBy(col("own_label").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n_label") =!= col("own_label"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select(col("label"), col("n_vecs"), col("n_disagree"),
+        round(col("n_disagree").cast("double") / col("n_vecs"), 6)
+          .as("disagree_rate"))
+      .orderBy(col("label"))
+  }
+
   /** Semantic decontamination through the seeded IVF index (q214) — the
     * embedding-space companion to q72's n-gram decontamination: for every
     * EVAL vector (`vec_id % 17 == 0`, standing in for a benchmark/eval set),
@@ -1011,6 +1065,10 @@ object Similarity extends QueryModule {
     "q214_semantic_decontam" -> ((s, dir) =>
       semanticDecontam(s, dir).orderBy(col("eval_id"))),
 
+    // kNN-disagreement label-noise audit (see [[knnLabelNoise]]).
+    "q216_label_noise" -> ((s, dir) =>
+      knnLabelNoise(s, dir).orderBy(col("label"))),
+
     // Embedding corpus statistics per label: count + mean L2 norm.
     "q42_embedding_stats" -> ((s, dir) =>
       emb(s, dir)
@@ -1256,6 +1314,28 @@ object Similarity extends QueryModule {
           |SELECT vec_id, p.proj, nc.norm_c, nr.norm_resid,
           |       round(nr.norm_resid / nullif(nc.norm_c, 0), 6) AS resid_ratio
           |FROM p JOIN nc USING (vec_id) JOIN nr USING (vec_id) ORDER BY vec_id""".stripMargin),
+    "q216_label_noise" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM
+        |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a)
+        |        WHERE rn = 1),
+        |av AS (SELECT asg.vec_id, asg.cid, e.v, e.label FROM asg JOIN e USING (vec_id)),
+        |sc AS (SELECT q.vec_id AS q_id, q.label AS own_label, n.vec_id AS n_id, n.label AS n_label,
+        |         round(list_cosine_similarity(q.v, n.v), 6) AS sim
+        |       FROM av q JOIN av n ON n.cid = q.cid AND n.vec_id != q.vec_id),
+        |top AS (SELECT * FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+        |        WHERE rn <= 5),
+        |votes AS (SELECT q_id, own_label, n_label, count(*) AS n_votes FROM top GROUP BY 1, 2, 3),
+        |pred AS (SELECT q_id, own_label, n_label AS pred FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr FROM votes)
+        |         WHERE vr = 1)
+        |SELECT own_label AS label, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN pred != own_label THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+        |       round(CAST(sum(CASE WHEN pred != own_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS disagree_rate
+        |FROM pred GROUP BY own_label ORDER BY label""".stripMargin,
     "q214_semantic_decontam" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -542,6 +542,27 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     math.abs(cos) should be > 0.95
   }
 
+  test("q216 label-noise audit: every class reports, totals cover the cell-joined corpus") {
+    val rows = Similarity.knnLabelNoise(spark, sf0001).collect()
+    val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
+    rows.map(_.getInt(0)).sorted shouldBe
+      e.select(col("label")).distinct().collect().map(_.getInt(0)).sorted
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_disagree"))
+      d should be <= n
+      r.getAs[Double]("disagree_rate") shouldBe
+        BigDecimal(d.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // every vector with >=1 same-cell neighbor is audited exactly once
+    rows.map(_.getAs[Long]("n_vecs")).sum should be <= e.count()
+    // random-ish fixture labels are NOT separable: disagreement must be
+    // far above zero overall (a near-zero rate would mean the audit is
+    // comparing each vector with itself)
+    val overall = rows.map(_.getAs[Long]("n_disagree")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_vecs")).sum
+    overall should be > 0.3
+  }
+
   test("q208 ABTT residual: Pythagorean split, centered projections, ratio <= 1") {
     val w = Similarity.dominantDirection(spark, sf0001)
       .orderBy(col("pos")).collect().map(_.getAs[Double]("loading"))
