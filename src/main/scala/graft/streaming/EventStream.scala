@@ -191,14 +191,24 @@ object EventStream {
 
   /** Sink the aggregation to an in-memory table (tests / demos) and process
     * all data currently available, then stop. */
-  def runOnceToMemory(agg: DataFrame, tableName: String): Unit = {
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+  def runOnceToMemory(agg: DataFrame, tableName: String,
+                      statePartitions: Int = 8): Unit = {
+    // Same state-store sizing knob as [[runOnceAppendToMemory]] (see there).
+    val spark = agg.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(tableName)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (statePartitions > 0) spark.conf.set(key, prev)
+    }
   }
 
   /** Append-mode twin of [[runOnceToMemory]] for stateful pipelines whose
@@ -208,14 +218,33 @@ object EventStream {
     * redelivery arriving after the original) actually happen instead of
     * collapsing into one batch. */
   def runOnceAppendToMemory(df: DataFrame, tableName: String,
-                            maxFilesPerTrigger: Int = 0): Unit = {
-    var w = df.writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode(OutputMode.Append())
-    if (maxFilesPerTrigger > 0)
-      w = w.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-    val q = w.trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+                            maxFilesPerTrigger: Int = 0,
+                            statePartitions: Int = 8): Unit = {
+    // State-store sizing: a stateful stream instantiates one store per
+    // shuffle partition per stateful operator per micro-batch — at the
+    // session's batch-side 32 partitions that is pure fixed overhead for a
+    // low-cardinality stream (the stream-stream join paid ~5 s/run in it).
+    // Real deployments size state partitions to the stream's key
+    // cardinality, so the knob is explicit here; the partition count is
+    // captured at stream START (and pinned by the checkpoint), after which
+    // the session conf is restored for the batch world. Streams here run
+    // one-at-a-time (Verify/Bench/specs are sequential), so the temporary
+    // conf swap cannot leak into a concurrent batch plan.
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    try {
+      var w = df.writeStream
+        .format("memory")
+        .queryName(tableName)
+        .outputMode(OutputMode.Append())
+      if (maxFilesPerTrigger > 0)
+        w = w.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      val q = w.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      if (statePartitions > 0) spark.conf.set(key, prev)
+    }
   }
 }
