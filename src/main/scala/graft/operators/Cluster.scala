@@ -282,6 +282,38 @@ object Cluster extends QueryModule {
 
     // Cluster assignment for the whole corpus: transitive closure of the
     // exact near-dup pairs at J>=0.8, labeled by component minimum.
+    // Entity-resolution closure (q217): the q152 fuzzy-match tier promoted
+    // from a pair REPORT to merged ENTITIES — the complete (un-capped)
+    // blocked-levenshtein edge set collapsed by the same large-star/
+    // small-star components the doc tier uses, each entity canonicalized to
+    // its min-key member's name. Edit-distance matches are not transitive
+    // ("brush" ~ "blush" ~ "flush" but brush !~ flush at dist 2), so the
+    // closure is a DECISION the operator makes explicit (the standard MDM
+    // trade: a pairwise threshold plus transitive merge); the per-entity
+    // membership count is exactly what a reviewer samples to catch chains.
+    // Scale: edges are the q152 blocked pairs (never all-pairs), CC is the
+    // O(log² n) contraction, the rollup is entity-keyed.
+    "q217_entity_clusters" -> ((s, dir) => {
+      val parts = Tables.read(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val edges = Dedup.fuzzyPairsAllFrom(parts)
+        .select(col("key_a").as("a"), col("key_b").as("b"))
+      // complete the membership: the label table maps only nodes whose
+      // component min differs from themselves (the q76 coalesce convention),
+      // so each component's min member rejoins as its own entity id
+      val nodes = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node"))).distinct()
+      val labels = nodes
+        .join(connectedComponents(edges), Seq("node"), "left")
+        .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+      labels.groupBy(col("cluster_id").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .join(parts.select(col("p_partkey").as("entity_id"),
+          col("p_name").as("canonical_name")), Seq("entity_id"))
+        .select(col("entity_id"), col("n_members"), col("canonical_name"))
+        .orderBy(col("entity_id"))
+    }),
+
     "q76_dedup_clusters" -> ((s, dir) =>
       dedupClusters(s, dir)
         .select(col("doc_id"), col("cluster_id"))
@@ -434,6 +466,25 @@ object Cluster extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q217_entity_clusters" ->
+      """WITH RECURSIVE
+        |p AS (SELECT p_partkey, p_name,
+        |        string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2] AS blk
+        |      FROM part),
+        |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 1000),
+        |c AS (SELECT p.* FROM p JOIN ok USING (blk)),
+        |e2 AS (SELECT a.p_partkey AS u, b.p_partkey AS v
+        |       FROM c a JOIN c b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |       WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |sym AS (SELECT u, v FROM e2 UNION SELECT v, u FROM e2),
+        |reach(u, v) AS (SELECT u, v FROM sym
+        |                UNION
+        |                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |lbl AS (SELECT u AS node, least(u, min(v)) AS entity_id FROM reach GROUP BY u),
+        |g AS (SELECT entity_id, count(*) AS n_members FROM lbl GROUP BY 1)
+        |SELECT g.entity_id, g.n_members, pp.p_name AS canonical_name
+        |FROM g JOIN part pp ON pp.p_partkey = g.entity_id
+        |ORDER BY entity_id""".stripMargin,
     "q107_pagerank" -> pageRankOracle,
     "q76_dedup_clusters" ->
       (clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),

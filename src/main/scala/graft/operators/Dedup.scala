@@ -590,7 +590,16 @@ object Dedup extends QueryModule {
     * the edge-case corpus with 1-token and multi-space names drives this
     * directly). */
   def fuzzyMatchPairsFrom(parts: DataFrame, maxDist: Int = 2,
-                          blockCap: Int = 1000): DataFrame = {
+                          blockCap: Int = 1000): DataFrame =
+    fuzzyPairsAllFrom(parts, maxDist, blockCap)
+      .orderBy(col("dist"), col("key_a"), col("key_b"))
+      .limit(1000)
+
+  /** The COMPLETE fuzzy pair set (no rank/limit) — q152 ranks and caps it
+    * for reporting; the entity-resolution closure (q217) consumes every
+    * edge, because dropping a low-ranked edge can split an entity. */
+  def fuzzyPairsAllFrom(parts: DataFrame, maxDist: Int = 2,
+                        blockCap: Int = 1000): DataFrame = {
     val p = parts
       .select(col("p_partkey"), col("p_name"),
         concat_ws(" ", slice(split(col("p_name"), " "), 1, 2)).as("blk"))
@@ -610,8 +619,6 @@ object Dedup extends QueryModule {
       .select(col("key_a"), col("key_b"),
         levenshtein(col("sfx_a"), col("sfx_b"), maxDist).as("dist"))
       .filter(col("dist") =!= -1)
-      .orderBy(col("dist"), col("key_a"), col("key_b"))
-      .limit(1000)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -542,6 +542,28 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     math.abs(cos) should be > 0.95
   }
 
+  test("q217 entity closure: every matched pair lands in one entity, entities have >= 2 members") {
+    val parts = graft.sources.Tables.read(spark, sf0001, "part")
+      .select(col("p_partkey"), col("p_name"))
+    val pairs = Dedup.fuzzyPairsAllFrom(parts).collect()
+    val entities = SparkEntry.queries("q217_entity_clusters")(spark, sf0001).collect()
+    entities.foreach { r =>
+      r.getAs[Long]("n_members") should be >= 2L // singletons are not entities
+    }
+    // members across entities == distinct pair endpoints (closure covers
+    // exactly the edge-incident nodes)
+    val endpoints = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    entities.map(_.getAs[Long]("n_members")).sum shouldBe endpoints.size.toLong
+    // and the transitive closure merges every pair: recompute labels and
+    // assert co-membership of each matched pair
+    val edges = Dedup.fuzzyPairsAllFrom(parts)
+      .select(col("key_a").as("a"), col("key_b").as("b"))
+    val lbl = graft.operators.Cluster.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ent(k: Long): Long = lbl.getOrElse(k, k)
+    pairs.foreach(r => ent(r.getLong(0)) shouldBe ent(r.getLong(1)))
+  }
+
   test("q216 label-noise audit: every class reports, totals cover the cell-joined corpus") {
     val rows = Similarity.knnLabelNoise(spark, sf0001).collect()
     val e = graft.sources.Tables.read(spark, sf0001, "embeddings")
