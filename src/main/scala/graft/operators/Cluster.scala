@@ -314,6 +314,26 @@ object Cluster extends QueryModule {
         .orderBy(col("entity_id"))
     }),
 
+    // Soft-dedup loss weights (q218): instead of DROPPING near-duplicates
+    // (q77's survivor selection), keep every copy and down-weight each
+    // cluster member by 1/|cluster| so a duplicated document contributes
+    // ONE document's worth of gradient in total — the soft alternative
+    // pipelines use when near-dup members carry non-identical tails worth
+    // keeping. Mass conservation is the defining invariant (Σ weights ==
+    // #clusters, spec-asserted); weights ride the q76 component labels, so
+    // the tier costs one size rollup + one broadcast-able join beyond the
+    // shared edge layer.
+    "q218_softdedup_weights" -> ((s, dir) => {
+      val labeled = dedupClusters(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val sizes = labeled.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q76_dedup_clusters" -> ((s, dir) =>
       dedupClusters(s, dir)
         .select(col("doc_id"), col("cluster_id"))
@@ -488,6 +508,13 @@ object Cluster extends QueryModule {
     "q107_pagerank" -> pageRankOracle,
     "q76_dedup_clusters" ->
       (clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    "q218_softdedup_weights" ->
+      (clusterCte +
+        """,
+          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1)
+          |SELECT c.doc_id, c.cluster_id, sz.cluster_size,
+          |       round(1.0 / sz.cluster_size, 6) AS weight
+          |FROM clusters c JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin),
     "q181_cluster_safe_split" ->
       (clusterCte +
         """,

@@ -809,6 +809,34 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Johnson–Lindenstrauss projection audit (q219) — the storage-reduction
+    * counterpart of PQ (q108): project each embedding onto the engine's
+    * k = 8 deterministic md5-derived hyperplanes (the q39 planes, entries ~
+    * Uniform[-1,1) with variance 1/3) and report how well the projected
+    * sketch preserves squared norms: est = (3/k)·Σ_j (p_j·v)², distortion =
+    * est / ||v||². The distortion distribution is what decides whether an
+    * 8-float sketch (32 B/vector) can stand in for the 64-float embedding
+    * in coarse distance work — JL says concentration tightens as k grows;
+    * the audit MEASURES it on this corpus instead of trusting the theorem's
+    * constants. Fully oracled: planes, dots and squares replay in SQL with
+    * the decimal-sum convention. One row-local pass; nothing shuffles. */
+  def jlDistortion(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = emb(s, dir)
+    val dim = e.select(org.apache.spark.sql.functions.size(col("v")))
+      .head.getInt(0) // bounded 1-row fetch: the embedding width
+    val planes = hyperplanes(k, dim)
+    val dots = planes.map(p => decDot(col("v"), p))
+    val normSq = round(decSumArr(transform(col("v"),
+      c => round(c * c, 12).cast(DecimalType(38, 12)))), 6)
+    val estimate = round(decSumArr(array(scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(dots.map(d => round(d * d, 12).cast(DecimalType(38, 12)))): _*))
+      * lit(3.0 / k), 6)
+    e.select(col("vec_id"), normSq.as("norm_sq"), estimate.as("est_norm_sq"))
+      .select(col("vec_id"), col("norm_sq"), col("est_norm_sq"),
+        when(col("norm_sq") === 0, lit(null).cast("double"))
+          .otherwise(round(col("est_norm_sq") / col("norm_sq"), 6)).as("distortion"))
+  }
+
   /** Semantic decontamination through the seeded IVF index (q214) — the
     * embedding-space companion to q72's n-gram decontamination: for every
     * EVAL vector (`vec_id % 17 == 0`, standing in for a benchmark/eval set),
@@ -1069,6 +1097,55 @@ object Similarity extends QueryModule {
     "q216_label_noise" -> ((s, dir) =>
       knnLabelNoise(s, dir).orderBy(col("label"))),
 
+    // JL-sketch norm-distortion audit (see [[jlDistortion]]).
+    "q219_jl_distortion" -> ((s, dir) =>
+      jlDistortion(s, dir).orderBy(col("vec_id"))),
+
+    // Class-separability report (q220) — the Fisher-style readout behind
+    // q169's confusion matrix and q216's noise audit: per label, the mean
+    // member-to-own-centroid distance (intra-class spread) against the
+    // distance to the NEAREST other centroid; separability < ~1 means the
+    // nearest foreign centroid sits inside the class's own spread, so
+    // centroid/kNN classifiers over these embeddings cannot separate that
+    // class — read this BEFORE debugging a classifier. All distances in the
+    // q134 decimal convention (order-independent sums, rounded 6), so the
+    // report is fully oracled. Scale: narrow (label, pos) rows, one
+    // member-keyed join against broadcast-sized centroid rows, |labels|²
+    // centroid pairs.
+    "q220_separability" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val comps = emb(s, dir)
+        .select(col("label"), col("vec_id"), posexplode(col("v")))
+      val cents = comps.groupBy(col("label"), col("pos"))
+        .agg(round(sum(round(col("col"), 12).cast(dec)).cast("double")
+          / count(lit(1)), 6).as("m"))
+      val dmem = comps.join(cents, Seq("label", "pos"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(round(sqrt(sum(round(pow(col("col") - col("m"), 2), 12).cast(dec))
+          .cast("double")), 6).as("dist"))
+      val intra = dmem.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("dist").cast(dec)).cast("double") / count(lit(1)), 6)
+            .as("intra_mean"))
+      val c2c = cents.select(col("label").as("la"), col("pos"), col("m").as("ma"))
+        .join(cents.select(col("label").as("lb"), col("pos"), col("m").as("mb")),
+          Seq("pos"))
+        .filter(col("la") =!= col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(round(sqrt(sum(round(pow(col("ma") - col("mb"), 2), 12).cast(dec))
+          .cast("double")), 6).as("d"))
+      val nearest = c2c.withColumn("rn", row_number().over(
+          Window.partitionBy(col("la")).orderBy(col("d"), col("lb"))))
+        .filter(col("rn") === 1)
+        .select(col("la").as("label"), col("lb").as("nearest_label"),
+          col("d").as("inter_dist"))
+      intra.join(nearest, Seq("label"))
+        .select(col("label"), col("n_vecs"), col("intra_mean"),
+          col("nearest_label"), col("inter_dist"),
+          round(col("inter_dist") / col("intra_mean"), 6).as("separability"))
+        .orderBy(col("label"))
+    }),
+
     // Embedding corpus statistics per label: count + mean L2 norm.
     "q42_embedding_stats" -> ((s, dir) =>
       emb(s, dir)
@@ -1314,6 +1391,46 @@ object Similarity extends QueryModule {
           |SELECT vec_id, p.proj, nc.norm_c, nr.norm_resid,
           |       round(nr.norm_resid / nullif(nc.norm_c, 0), 6) AS resid_ratio
           |FROM p JOIN nc USING (vec_id) JOIN nr USING (vec_id) ORDER BY vec_id""".stripMargin),
+    "q220_separability" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, vec_id, unnest(range(len(v))) AS pos, unnest(v) AS c FROM e),
+        |cents AS (SELECT label, pos,
+        |            round(CAST(sum(CAST(round(c, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
+        |          FROM x GROUP BY 1, 2),
+        |dmem AS (SELECT x.label, x.vec_id,
+        |           round(sqrt(CAST(sum(CAST(round(pow(x.c - cents.m, 2), 12) AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+        |         FROM x JOIN cents ON cents.label = x.label AND cents.pos = x.pos
+        |         GROUP BY 1, 2),
+        |intra AS (SELECT label, count(*) AS n_vecs,
+        |            round(CAST(sum(CAST(dist AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS intra_mean
+        |          FROM dmem GROUP BY 1),
+        |c2c AS (SELECT a.label AS la, b.label AS lb,
+        |          round(sqrt(CAST(sum(CAST(round(pow(a.m - b.m, 2), 12) AS DECIMAL(38,12))) AS DOUBLE)), 6) AS d
+        |        FROM cents a JOIN cents b ON a.pos = b.pos AND a.label != b.label
+        |        GROUP BY 1, 2),
+        |near AS (SELECT la AS label, lb AS nearest_label, d AS inter_dist FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY la ORDER BY d, lb) AS rn FROM c2c)
+        |         WHERE rn = 1)
+        |SELECT label, n_vecs, intra_mean, nearest_label, inter_dist,
+        |       round(inter_dist / intra_mean, 6) AS separability
+        |FROM intra JOIN near USING (label) ORDER BY label""".stripMargin,
+    "q219_jl_distortion" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT * FROM (VALUES
+        |            $planesSqlValues) AS t(plane_id, p)),
+        |ii AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+        |d AS (SELECT e.vec_id, pl.plane_id,
+        |        round(CAST(sum(CAST(round(e.v[i+1] * pl.p[i+1], 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS d
+        |      FROM e CROSS JOIN pl CROSS JOIN ii GROUP BY 1, 2),
+        |n2 AS (SELECT vec_id,
+        |         round(CAST(sum(CAST(round(v[i+1] * v[i+1], 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS norm_sq
+        |       FROM e CROSS JOIN ii GROUP BY 1),
+        |est AS (SELECT vec_id,
+        |          round(CAST(sum(CAST(round(d * d, 12) AS DECIMAL(38,12))) AS DOUBLE) * 0.375, 6) AS est_norm_sq
+        |        FROM d GROUP BY 1)
+        |SELECT vec_id, n2.norm_sq, est.est_norm_sq,
+        |       round(est.est_norm_sq / nullif(n2.norm_sq, 0), 6) AS distortion
+        |FROM n2 JOIN est USING (vec_id) ORDER BY vec_id""".stripMargin,
     "q216_label_noise" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

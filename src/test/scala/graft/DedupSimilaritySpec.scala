@@ -542,6 +542,47 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     math.abs(cos) should be > 0.95
   }
 
+  test("q218 soft-dedup weights conserve mass: one unit of gradient per cluster") {
+    val rows = SparkEntry.queries("q218_softdedup_weights")(spark, sf0001).collect()
+    val docs = graft.sources.Tables.read(spark, sf0001, "documents").count()
+    rows.length.toLong shouldBe docs // every doc gets a weight
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (_, members) =>
+      members.map(_.getAs[Long]("cluster_size")).distinct.length shouldBe 1
+      members.head.getAs[Long]("cluster_size") shouldBe members.length.toLong
+      // cluster mass ≈ 1 (each member carries round(1/n, 6))
+      members.map(_.getAs[Double]("weight")).sum shouldBe 1.0 +- 1e-4
+    }
+    rows.map(_.getAs[Double]("weight")).sum shouldBe byCluster.size.toDouble +- 1e-3
+  }
+
+  test("q219 JL distortion: estimates are positive and concentrate around 1") {
+    val rows = SparkEntry.queries("q219_jl_distortion")(spark, sf0001).collect()
+    rows.length shouldBe 500
+    rows.foreach { r =>
+      r.getAs[Double]("norm_sq") should be > 0.0
+      r.getAs[Double]("est_norm_sq") should be >= 0.0
+    }
+    // k=8 is a coarse sketch: individual ratios swing, but the corpus mean
+    // must sit near 1 (the estimator is unbiased) — a wiring bug (wrong
+    // scaling constant, unsquared dots) lands far away
+    val mean = rows.map(_.getAs[Double]("distortion")).sum / rows.length
+    mean shouldBe 1.0 +- 0.35
+  }
+
+  test("q220 separability: random-ish labels are NOT separable and the report says so") {
+    val rows = SparkEntry.queries("q220_separability")(spark, sf0001).collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      r.getAs[Double]("intra_mean") should be > 0.0
+      r.getAs[Double]("inter_dist") should be > 0.0
+      r.getInt(3) should not be r.getInt(0) // nearest is a DIFFERENT label
+      // fixture labels are near-random in embedding space: the nearest
+      // foreign centroid sits well inside the class's own spread
+      r.getAs[Double]("separability") should be < 1.0
+    }
+  }
+
   test("q217 entity closure: every matched pair lands in one entity, entities have >= 2 members") {
     val parts = graft.sources.Tables.read(spark, sf0001, "part")
       .select(col("p_partkey"), col("p_name"))
