@@ -206,6 +206,51 @@ object TextAnalytics extends QueryModule {
     // Margin-calibration of the trained NB filter (see [[nbCalibrationFrom]]).
     "q209_nb_calibration" -> ((s, dir) => nbCalibrationFrom(docs(s, dir))),
 
+    // Source-pair Jensen-Shannon divergence (q221): the distribution-level
+    // source-similarity matrix — each source's unigram distribution over
+    // the corpus's top-200 tokens (bounded, deterministic support: global
+    // count desc, token asc), pairwise JS divergence in bits. q183 counts
+    // shared near-dup DOCUMENTS across sources; this measures how similar
+    // two sources' LANGUAGE is even when no document is shared — the
+    // signal a mixture designer reads to decide whether two crawls are
+    // redundant (JS ≈ 0) or complementary, and symmetric/bounded ([0,1]
+    // in bits) unlike raw KL. Computed in the direct two-sided form
+    // JS = ½Σp·log2(2p/(p+q)) + ½Σq·log2(2q/(p+q)) over a DENSIFIED
+    // (source × token) grid, so p>0,q=0 tokens contribute their full mass.
+    // Determinism: the q206 convention (log10-ratio, 12 dp terms, decimal
+    // sums). Scale: support is capped at 200 tokens (TakeOrdered — no
+    // global sort), the grid is |sources|·200 rows, pairs |sources|²/2·200.
+    "q221_source_divergence" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(split(trim(col("text")), " ")).as("tok"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("gc"))
+        .orderBy(col("gc").desc, col("tok")).limit(200).select(col("tok"))
+      val cnt = toks.join(broadcast(top), Seq("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val grid = docs(s, dir).select(col("source")).distinct().crossJoin(broadcast(top))
+        .join(cnt, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"), coalesce(col("c"), lit(0L)).as("c"))
+      val tot = grid.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val p = grid.join(tot, Seq("source"))
+        .select(col("source"), col("tok"),
+          (col("c").cast("double") / col("n")).as("p"))
+      val j = p.select(col("source").as("src_a"), col("tok"), col("p").as("pa"))
+        .join(p.select(col("source").as("src_b"), col("tok"), col("p").as("pb")),
+          Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+      val termA = when(col("pa") > 0,
+        round(col("pa") * log10(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          / log10(lit(2.0)), 12)).otherwise(lit(0.0))
+      val termB = when(col("pb") > 0,
+        round(col("pb") * log10(lit(2.0) * col("pb") / (col("pa") + col("pb")))
+          / log10(lit(2.0)), 12)).otherwise(lit(0.0))
+      j.groupBy(col("src_a"), col("src_b"))
+        .agg(round((sum(termA.cast(DecimalType(38, 12)))
+          + sum(termB.cast(DecimalType(38, 12)))).cast("double") * 0.5, 6)
+          .as("js_bits"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Per-document unigram Shannon entropy — the information-density quality
     // signal (a low-entropy document is template/boilerplate even when its
     // token COUNT looks healthy; Gopher-style repetition filters catch exact
@@ -368,6 +413,27 @@ object TextAnalytics extends QueryModule {
         |             sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
         |             6) AS entropy
         |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q221_source_divergence" ->
+      """WITH toks AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |top AS (SELECT tok FROM
+        |          (SELECT tok, count(*) AS gc FROM toks GROUP BY 1 ORDER BY gc DESC, tok LIMIT 200)),
+        |cnt AS (SELECT source, tok, count(*) AS c FROM toks JOIN top USING (tok) GROUP BY 1, 2),
+        |grid AS (SELECT s.source, t.tok, coalesce(cnt.c, 0) AS c
+        |         FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN top t
+        |         LEFT JOIN cnt ON cnt.source = s.source AND cnt.tok = t.tok),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM grid GROUP BY 1),
+        |p AS (SELECT grid.source, tok, CAST(c AS DOUBLE) / n AS p
+        |      FROM grid JOIN tot ON tot.source = grid.source),
+        |j AS (SELECT a.source AS src_a, b.source AS src_b, a.tok, a.p AS pa, b.p AS pb
+        |      FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source)
+        |SELECT src_a, src_b,
+        |       round(CAST(sum(CAST(CASE WHEN pa > 0
+        |               THEN round(pa * log10(2.0 * pa / (pa + pb)) / log10(2.0), 12)
+        |               ELSE 0.0 END AS DECIMAL(38,12)))
+        |           + sum(CAST(CASE WHEN pb > 0
+        |               THEN round(pb * log10(2.0 * pb / (pa + pb)) / log10(2.0), 12)
+        |               ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) * 0.5, 6) AS js_bits
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q102_nb_langid" ->
       (nbRankedSql +
         """

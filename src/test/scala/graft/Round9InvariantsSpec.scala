@@ -230,6 +230,23 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q221: JS divergence is a bounded symmetric matrix over all source pairs") {
+    val rows = q("q221_source_divergence").collect()
+    val nSrc = graft.sources.Tables.read(spark, sf0001, "documents")
+      .select(col("source")).distinct().count().toInt
+    rows.length shouldBe nSrc * (nSrc - 1) / 2 // upper triangle, no diagonal
+    rows.foreach { r =>
+      r.getString(0) should be < r.getString(1)
+      val js = r.getAs[Double]("js_bits")
+      // JS in base 2 is bounded by [0, 1]; rounding may graze 0 from below
+      js should (be >= -1e-6 and be <= 1.0 + 1e-6)
+    }
+    // same-vocabulary synthetic sources: divergence present but far from
+    // the disjoint-support maximum
+    val mean = rows.map(_.getAs[Double]("js_bits")).sum / rows.length
+    mean should be < 0.5
+  }
+
   test("q213: admission meets each source's target unless the source is exhausted") {
     val rows = q("q213_mixture_materialize").collect()
     rows.length should be > 0
