@@ -19,6 +19,25 @@ class EdgeCasesSpec extends AnyFunSuite with Matchers {
     Tokenizer.heavyHitters(emptyDocs).count() shouldBe 0L
   }
 
+  test("entity closure on a corpus with no fuzzy matches is empty, not an error") {
+    // wildly distinct names: no blocked pair survives dist <= 2, so the
+    // edge set is empty and connected components must degrade to nothing
+    val parts = Seq((1L, "aardvark xylophone unique"),
+      (2L, "brontosaurus quantum rail"), (3L, "chrysanthemum velvet ox"))
+      .toDF("p_partkey", "p_name")
+    val edges = Dedup.fuzzyPairsAllFrom(parts)
+      .select(col("key_a").as("a"), col("key_b").as("b"))
+    edges.count() shouldBe 0L
+    graft.operators.Cluster.connectedComponents(edges).count() shouldBe 0L
+  }
+
+  test("soft-dedup weights on an all-singleton corpus are all exactly 1.0") {
+    // no near-dup pairs → every cluster is a singleton → weight 1/1
+    val rows = SparkEntry.queries("q218_softdedup_weights")(spark, TestSpark.sf0001)
+      .filter(col("cluster_size") === 1).limit(5).collect()
+    rows.foreach(_.getAs[Double]("weight") shouldBe 1.0)
+  }
+
   test("fuzzy match handles 1-token, multi-space, empty and identical names; prefix strip stays exact") {
     // adversarial blocking-key shapes: single-token names (blk == name,
     // empty suffix), consecutive spaces (split keeps empty tokens),
