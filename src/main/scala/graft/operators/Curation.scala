@@ -247,6 +247,38 @@ object Curation extends QueryModule {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // Batch dedup-pressure replay (q222): q87 answers "dedup TODAY's batch
+    // against the corpus"; this replays the WHOLE ingest history — every
+    // batch (doc_id % 10, ordered) deduped against everything that arrived
+    // before it, in one pass: a document is admitted iff its batch is its
+    // normalized fingerprint's FIRST batch, with the within-batch survivor
+    // the min doc_id (the q87 convention). The per-batch duplicate rate is
+    // the dedup-pressure trendline — rising pressure means ingest is
+    // re-collecting the corpus (the document-level companion of q211's
+    // gram-level novelty). One fingerprint-keyed min aggregation + one
+    // fingerprint-keyed join; 32-byte fingerprints are all that shuffles.
+    "q222_dedup_pressure" -> ((s, dir) => {
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      val d = docs(s, dir)
+        .select((col("doc_id") % 10).as("batch"), col("doc_id"), fp.as("fp"))
+      val first = d.groupBy(col("fp"))
+        .agg(min(col("batch")).as("first_batch"))
+      val survivor = d.groupBy(col("fp"), col("batch"))
+        .agg(min(col("doc_id")).as("survivor_id"))
+      d.join(first, Seq("fp"))
+        .join(survivor, Seq("fp", "batch"))
+        .select(col("batch"),
+          when(col("batch") === col("first_batch") &&
+            col("doc_id") === col("survivor_id"), 1L).otherwise(0L).as("admitted"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_arrivals"),
+          sum(col("admitted")).as("n_admitted"))
+        .select(col("batch"), col("n_arrivals"), col("n_admitted"),
+          round(lit(1.0) - col("n_admitted").cast("double") / col("n_arrivals"), 6)
+            .as("dup_rate"))
+        .orderBy(col("batch"))
+    }),
+
     // Per-batch n-gram novelty (q211) — the corpus-freshness readout of a
     // continuously-ingesting pipeline: with ingest batches stood in by the
     // q87 convention (doc_id % 10), each batch reports how many of its
@@ -326,6 +358,20 @@ object Curation extends QueryModule {
         |       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
         |FROM inter JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
+    "q222_dedup_pressure" ->
+      """WITH d AS (SELECT doc_id % 10 AS batch, doc_id,
+        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |           FROM documents),
+        |first AS (SELECT fp, min(batch) AS first_batch FROM d GROUP BY 1),
+        |surv AS (SELECT fp, batch, min(doc_id) AS survivor_id FROM d GROUP BY 1, 2),
+        |a AS (SELECT d.batch,
+        |        CASE WHEN d.batch = first.first_batch AND d.doc_id = surv.survivor_id
+        |             THEN 1 ELSE 0 END AS admitted
+        |      FROM d JOIN first USING (fp) JOIN surv ON surv.fp = d.fp AND surv.batch = d.batch)
+        |SELECT batch, count(*) AS n_arrivals,
+        |       CAST(sum(admitted) AS BIGINT) AS n_admitted,
+        |       round(1.0 - CAST(sum(admitted) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM a GROUP BY batch ORDER BY batch""".stripMargin,
     "q211_ngram_novelty" ->
       """WITH t AS (SELECT doc_id % 10 AS batch, string_split(trim(text), ' ') AS w FROM documents),
         |g AS (SELECT batch, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram

@@ -95,6 +95,40 @@ object EventAnalytics extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Bot-regularity audit (q223): per sufficiently-active user, the
+    // coefficient of variation of inter-event gaps — humans are bursty
+    // (CV >~ 1, heavy-tailed gaps), schedulers and scripted clients are
+    // REGULAR (CV → 0), which is why gap regularity is the classic
+    // first-line bot screen in traffic hygiene (and the event-log analog of
+    // q67's text repetition filters: machine-generated data betrays itself
+    // by low dispersion). Gap moments are exact integer sums (epoch-second
+    // gaps), so mean/std/CV compute from the same exact operands on both
+    // engines; flag at CV < 0.3 with n >= 10 events. One user-partitioned
+    // lag window + one grouped rollup; output is per qualifying user.
+    "q223_bot_regularity" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          (col("ts").cast(LongType) -
+            lag(col("ts").cast(LongType), 1).over(w)).as("gap"))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sg"), sum(col("gap") * col("gap")).as("sg2"))
+        .filter(col("n_gaps") >= 9) // >= 10 events
+        .select(col("user_id"), (col("n_gaps") + 1).as("n_events"),
+          round(col("sg").cast("double") / col("n_gaps"), 6).as("mean_gap_s"),
+          round(sqrt((col("sg2").cast("double") -
+            col("sg").cast("double") * col("sg") / col("n_gaps")) / col("n_gaps")), 6)
+            .as("std_gap_s"))
+        .select(col("user_id"), col("n_events"), col("mean_gap_s"), col("std_gap_s"),
+          when(col("mean_gap_s") === 0, lit(null).cast("double"))
+            .otherwise(round(col("std_gap_s") / col("mean_gap_s"), 6)).as("cv_gap"))
+        .withColumn("bot_flag",
+          when(col("cv_gap").isNotNull && col("cv_gap") < 0.3, 1L).otherwise(0L))
+        .orderBy(col("user_id"))
+    }),
+
     // Tumbling 1-hour windows: events + exact value sum per hour.
     "q24_tumbling_window" -> ((s, dir) =>
       ev(s, dir)
@@ -1005,6 +1039,25 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q223_bot_regularity" ->
+      """WITH g AS (SELECT user_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) -
+        |               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |           FROM events),
+        |m AS (SELECT user_id, count(*) AS n_gaps,
+        |        CAST(sum(gap) AS BIGINT) AS sg, CAST(sum(gap * gap) AS BIGINT) AS sg2
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 9),
+        |r AS (SELECT user_id, n_gaps + 1 AS n_events,
+        |        round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+        |        round(sqrt((CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n_gaps) / n_gaps), 6) AS std_gap_s
+        |      FROM m),
+        |c AS (SELECT user_id, n_events, mean_gap_s, std_gap_s,
+        |        CASE WHEN mean_gap_s = 0 THEN NULL
+        |             ELSE round(std_gap_s / mean_gap_s, 6) END AS cv_gap
+        |      FROM r)
+        |SELECT user_id, n_events, mean_gap_s, std_gap_s, cv_gap,
+        |       CAST(CASE WHEN cv_gap IS NOT NULL AND cv_gap < 0.3 THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+        |FROM c ORDER BY user_id""".stripMargin,
     "q157_gap_fill" ->
       """WITH hourly AS (SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour,
         |                 count(*) AS n_events,

@@ -230,6 +230,40 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q222: every distinct fingerprint is admitted exactly once across the replay") {
+    val rows = q("q222_dedup_pressure").orderBy(col("batch")).collect()
+    rows.length shouldBe 10
+    val d = graft.sources.Tables.read(spark, sf0001, "documents")
+    rows.map(_.getAs[Long]("n_arrivals")).sum shouldBe d.count()
+    val distinctFp = d.select(
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .distinct().count()
+    rows.map(_.getAs[Long]("n_admitted")).sum shouldBe distinctFp
+    rows.foreach { r =>
+      r.getAs[Long]("n_admitted") should be <= r.getAs[Long]("n_arrivals")
+      r.getAs[Double]("dup_rate") should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
+  test("q223: qualifying users only, flags cohere with CV, moments replay for one user") {
+    val rows = q("q223_bot_regularity").collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getAs[Long]("n_events") should be >= 10L
+      val cv = Option(r.getAs[java.lang.Double]("cv_gap")).map(_.doubleValue)
+      (r.getAs[Long]("bot_flag") == 1L) shouldBe cv.exists(_ < 0.3)
+    }
+    // recompute one user's gap moments independently
+    val u = rows.head.getAs[Long]("user_id")
+    val ts = graft.sources.Tables.read(spark, sf0001, "events")
+      .filter(col("user_id") === u)
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("ts").cast("long")).collect().map(_.getLong(0))
+    val gaps = ts.sliding(2).map(p => (p(1) - p(0)).toDouble).toArray
+    val mean = gaps.sum / gaps.length
+    rows.head.getAs[Double]("mean_gap_s") shouldBe mean +- 1e-4
+  }
+
   test("q221: JS divergence is a bounded symmetric matrix over all source pairs") {
     val rows = q("q221_source_divergence").collect()
     val nSrc = graft.sources.Tables.read(spark, sf0001, "documents")
