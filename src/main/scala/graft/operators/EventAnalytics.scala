@@ -129,6 +129,52 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // Deterministic A/B readout (q224): users hash-assigned to two arms
+    // (md5(user_id || ':ab') % 2 — the same salted-hash discipline as the
+    // q68 split, so assignment is stable under re-runs, appends and
+    // re-partitioning), compared on purchase conversion with the two-
+    // proportion pooled z statistic. This is the experimentation primitive
+    // the reference's dashboards would sit on; on a null experiment (no
+    // treatment exists here) |z| should be small — which is exactly the
+    // A/A-test sanity check an experimentation platform runs to validate
+    // its assignment hash, and the spec gates it. Two grouped passes over
+    // (user, arm) rows; output is one row per arm plus pooled stats.
+    "q224_ab_readout" -> ((s, dir) => {
+      val arm = expr(
+        "cast(conv(substring(md5(concat(cast(user_id as string), ':ab')), 1, 4), 16, 10) as bigint) % 2")
+      // conversion = "made a HIGH-VALUE purchase" (value >= 150): on this
+      // fixture every user purchases SOMETHING, and a saturated metric
+      // (p = 1) has zero variance — no experiment can read it
+      val users = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 150, 1L)
+          .otherwise(0L)).as("converted"))
+        .select(col("user_id"), arm.as("arm"), col("converted"))
+      val arms = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+        .withColumn("conv_rate",
+          round(col("n_converted").cast("double") / col("n_users"), 6))
+      val a = arms.filter(col("arm") === 0)
+        .select(col("n_users").as("na"), col("n_converted").as("ca"))
+      val b = arms.filter(col("arm") === 1)
+        .select(col("n_users").as("nb"), col("n_converted").as("cb"))
+      val z = a.crossJoin(b).select(
+        ((col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))).as("p"),
+        col("na"), col("ca"), col("nb"), col("cb"))
+        // a saturated pooled rate (p = 0 or 1) has zero variance: the z
+        // statistic is undefined, not infinite — and under ANSI an
+        // unguarded /0 aborts the job
+        .select(when(col("p") <= 0 || col("p") >= 1, lit(null).cast("double"))
+          .otherwise(round(
+            (col("ca").cast("double") / col("na") - col("cb").cast("double") / col("nb")) /
+              sqrt(col("p") * (lit(1.0) - col("p")) *
+                (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6)).as("z_stat"))
+      arms.crossJoin(broadcast(z))
+        .select(col("arm"), col("n_users"), col("n_converted"), col("conv_rate"),
+          col("z_stat"))
+        .orderBy(col("arm"))
+    }),
+
     // Tumbling 1-hour windows: events + exact value sum per hour.
     "q24_tumbling_window" -> ((s, dir) =>
       ev(s, dir)
@@ -1039,6 +1085,24 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q224_ab_readout" ->
+      """WITH u AS (SELECT user_id,
+        |             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,
+        |             max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS converted
+        |           FROM events GROUP BY user_id),
+        |arms AS (SELECT arm, count(*) AS n_users,
+        |           CAST(sum(converted) AS BIGINT) AS n_converted,
+        |           round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conv_rate
+        |         FROM u GROUP BY 1),
+        |ab AS (SELECT a.n_users AS na, a.n_converted AS ca, b.n_users AS nb, b.n_converted AS cb
+        |       FROM (SELECT * FROM arms WHERE arm = 0) a CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b),
+        |z AS (SELECT CASE WHEN CAST(ca + cb AS DOUBLE) / (na + nb) <= 0
+        |                    OR CAST(ca + cb AS DOUBLE) / (na + nb) >= 1 THEN NULL
+        |        ELSE round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) /
+        |          sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) *
+        |               (1.0 / na + 1.0 / nb)), 6) END AS z_stat FROM ab)
+        |SELECT arm, n_users, n_converted, conv_rate, z_stat
+        |FROM arms CROSS JOIN z ORDER BY arm""".stripMargin,
     "q223_bot_regularity" ->
       """WITH g AS (SELECT user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) -

@@ -230,6 +230,24 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q224: the A/A null experiment reads as null — small |z|, sane arms") {
+    val rows = q("q224_ab_readout").orderBy(col("arm")).collect()
+    rows.length shouldBe 2
+    rows.map(_.getAs[Long]("arm")) shouldBe Array(0L, 1L)
+    val users = graft.sources.Tables.read(spark, sf0001, "events")
+      .select(col("user_id")).distinct().count()
+    rows.map(_.getAs[Long]("n_users")).sum shouldBe users
+    rows.foreach { r =>
+      r.getAs[Long]("n_converted") should be <= r.getAs[Long]("n_users")
+      r.getAs[Long]("n_users") should be > 0L // the hash actually splits
+    }
+    // there is NO treatment — both arms sample the same population, so a
+    // large |z| would mean the assignment hash correlates with behavior
+    val z = rows.head.getAs[Double]("z_stat")
+    rows.map(_.getAs[Double]("z_stat")).distinct.length shouldBe 1
+    math.abs(z) should be < 3.5
+  }
+
   test("q222: every distinct fingerprint is admitted exactly once across the replay") {
     val rows = q("q222_dedup_pressure").orderBy(col("batch")).collect()
     rows.length shouldBe 10
