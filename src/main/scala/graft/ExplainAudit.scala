@@ -72,5 +72,8 @@ object ExplainAudit {
     "q140_wow_growth" -> "bounded: lag over the per-week rollup (#weeks rows)",
     "q205_conformal_gate" -> ("bounded: k-th order statistic over the CALIBRATION sample only " +
       "(split-conformal calibration sets are capped by design at deployment — a few thousand " +
-      "rows; the corpus side is a plain grouped count and never sorts)"))
+      "rows; the corpus side is a plain grouped count and never sorts)"),
+    "q225_km_survival" -> ("bounded: reverse-cumsum and KM product windows over the per-DAY " +
+      "rollup (<= observation-horizon-days rows); the event log itself only passes grouped " +
+      "aggregations"))
 }

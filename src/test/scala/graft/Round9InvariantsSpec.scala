@@ -230,6 +230,22 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q225: KM survival is a proper non-increasing curve and matches the hand recurrence") {
+    val rows = q("q225_km_survival").orderBy(col("day")).collect()
+    rows.length should be > 0
+    // survival in [0,1], non-increasing; n_risk non-increasing in day
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      p(1).getAs[Double]("survival") should be <= p(0).getAs[Double]("survival") + 1e-9
+      p(1).getAs[Long]("n_risk") should be <= p(0).getAs[Long]("n_risk")
+    }
+    // replay the product recurrence from the emitted (d, n) columns
+    var s = 1.0
+    rows.foreach { r =>
+      s *= 1.0 - r.getAs[Long]("n_events").toDouble / r.getAs[Long]("n_risk")
+      r.getAs[Double]("survival") shouldBe s +- 1e-4
+    }
+  }
+
   test("q224: the A/A null experiment reads as null — small |z|, sane arms") {
     val rows = q("q224_ab_readout").orderBy(col("arm")).collect()
     rows.length shouldBe 2
