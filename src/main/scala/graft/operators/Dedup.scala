@@ -640,6 +640,38 @@ object Dedup extends QueryModule {
     // planted near-duplicates at J≈0.98). The df-cap is active (no fixture
     // shingle approaches it — verified in DedupSimilaritySpec with a planted
     // boilerplate corpus).
+    // Weighted (multiset) token Jaccard over the candidate layer (q226):
+    // the q35 shingle Jaccard treats a document as a SET, so a page that
+    // repeats one paragraph 50 times and one that has it once can look
+    // identical; the multiset form J_w = Σ_t min(c_a,c_b) / Σ_t max(c_a,c_b)
+    // over per-token COUNTS (Ioffe 2010 frames the estimator family;
+    // computed exactly here) separates true near-copies from
+    // template-stuffed look-alikes. Scored ONLY on the shared candidate
+    // pairs (never all pairs): per candidate, the two token-count maps
+    // full-outer-join on (pair, token) so one-sided tokens contribute their
+    // full mass to the denominator. Emitted next to the set Jaccard so the
+    // divergence between the two IS the repetition signal.
+    "q226_weighted_jaccard" -> ((s, dir) => {
+      val pairs = sharedNgramJaccardPairs(s, dir)
+        .select(col("id_a"), col("id_b"), col("jaccard").as("set_jaccard"))
+      val tc = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val xa = pairs.join(tc.select(col("doc_id").as("id_a"), col("tok"), col("c").as("ca")), Seq("id_a"))
+        .select(col("id_a"), col("id_b"), col("tok"), col("ca"))
+      val xb = pairs.join(tc.select(col("doc_id").as("id_b"), col("tok"), col("c").as("cb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("tok"), col("cb"))
+      xa.join(xb, Seq("id_a", "id_b", "tok"), "full")
+        .select(col("id_a"), col("id_b"),
+          least(coalesce(col("ca"), lit(0L)), coalesce(col("cb"), lit(0L))).as("mn"),
+          greatest(coalesce(col("ca"), lit(0L)), coalesce(col("cb"), lit(0L))).as("mx"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(round(sum(col("mn")).cast("double") / sum(col("mx")), 6).as("weighted_jaccard"))
+        .join(pairs, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("set_jaccard"), col("weighted_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q35_ngram_jaccard" -> ((s, dir) =>
       sharedNgramJaccardPairs(s, dir)
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
@@ -754,6 +786,35 @@ object Dedup extends QueryModule {
         |SELECT CAST(floor(jaccard * 10) AS BIGINT) / 10.0 AS bucket_lo,
         |       count(*) AS n_pairs
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q226_weighted_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+        |       FROM toks WHERE len(w) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           WHERE a.s IN (SELECT s FROM capped) GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (SELECT id_a, id_b,
+        |            round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS set_jaccard
+        |          FROM common JOIN sizes sa ON sa.doc_id = id_a
+        |                      JOIN sizes sb ON sb.doc_id = id_b),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM
+        |         (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+        |       GROUP BY 1, 2),
+        |xa AS (SELECT p.id_a, p.id_b, tc.tok, tc.c AS ca FROM pairs p JOIN tc ON tc.doc_id = p.id_a),
+        |xb AS (SELECT p.id_a, p.id_b, tc.tok, tc.c AS cb FROM pairs p JOIN tc ON tc.doc_id = p.id_b),
+        |m AS (SELECT coalesce(xa.id_a, xb.id_a) AS id_a, coalesce(xa.id_b, xb.id_b) AS id_b,
+        |        least(coalesce(ca, 0), coalesce(cb, 0)) AS mn,
+        |        greatest(coalesce(ca, 0), coalesce(cb, 0)) AS mx
+        |      FROM xa FULL JOIN xb ON xa.id_a = xb.id_a AND xa.id_b = xb.id_b AND xa.tok = xb.tok),
+        |wj AS (SELECT id_a, id_b,
+        |         round(CAST(sum(mn) AS DOUBLE) / sum(mx), 6) AS weighted_jaccard
+        |       FROM m GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.set_jaccard, wj.weighted_jaccard
+        |FROM wj JOIN pairs p USING (id_a, id_b) ORDER BY id_a, id_b""".stripMargin,
     "q35_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),

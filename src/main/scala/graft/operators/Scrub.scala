@@ -243,6 +243,33 @@ object Scrub extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Boilerplate-opener census (q227): per source, the most repeated
+    // 5-token document OPENERS — the navigation headers / cookie banners /
+    // template preambles that dominate crawled sources (RefinedWeb and
+    // CCNet both strip them line-wise; this is the detection pass that
+    // decides WHAT to strip, per source). An opener carried by a large
+    // share of one source's documents is template, not content — and
+    // because it sits at position 0 it also poisons prefix-sensitive
+    // tooling (winnowing anchors, packing boundaries). Top-3 per source by
+    // (count desc, opener asc); share = n_docs / source size. One grouped
+    // count over (source, opener) + a source-partitioned rank window.
+    "q227_boilerplate_openers" -> ((s, dir) => {
+      val opener = array_join(slice(split(trim(col("text")), " "), 1, 5), " ")
+      val d = docs(s, dir)
+        .filter(TextAnalytics.nTokens(col("text")) >= 5)
+        .select(col("source"), opener.as("opener"))
+      val srcTot = d.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
+      val cnt = d.groupBy(col("source"), col("opener")).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("n_docs").desc, col("opener"))
+      cnt.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .join(srcTot, Seq("source"))
+        .select(col("source"), col("rk"), col("opener"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("src_docs"), 6).as("share"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     "q66_pattern_scrub" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -383,6 +410,19 @@ object Scrub extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q227_boilerplate_openers" ->
+      """WITH d AS (SELECT source,
+        |             array_to_string(string_split(trim(text), ' ')[1:5], ' ') AS opener
+        |           FROM documents WHERE len(string_split(trim(text), ' ')) >= 5),
+        |tot AS (SELECT source, count(*) AS src_docs FROM d GROUP BY 1),
+        |cnt AS (SELECT source, opener, count(*) AS n_docs FROM d GROUP BY 1, 2),
+        |rk AS (SELECT source, opener, n_docs,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY n_docs DESC, opener) AS BIGINT) AS rk
+        |       FROM cnt)
+        |SELECT rk.source, rk.rk, rk.opener, rk.n_docs,
+        |       round(CAST(rk.n_docs AS DOUBLE) / tot.src_docs, 6) AS share
+        |FROM rk JOIN tot ON tot.source = rk.source
+        |WHERE rk.rk <= 3 ORDER BY rk.source, rk.rk""".stripMargin,
     "q66_pattern_scrub" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(text, '\bcustomer\b')) AS n_hits,

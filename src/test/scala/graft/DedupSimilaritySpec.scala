@@ -542,6 +542,34 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     math.abs(cos) should be > 0.95
   }
 
+  test("q226 weighted jaccard: bounded, defined on exactly the candidate pairs") {
+    val rows = SparkEntry.queries("q226_weighted_jaccard")(spark, sf0001).collect()
+    val candidates = Dedup.sharedNgramJaccardPairs(spark, sf0001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe candidates
+    rows.foreach { r =>
+      val (sj, wj) = (r.getAs[Double]("set_jaccard"), r.getAs[Double]("weighted_jaccard"))
+      sj should (be > 0.0 and be <= 1.0)
+      wj should (be >= 0.0 and be <= 1.0)
+    }
+    // the planted near-dup pairs overlap heavily in BOTH metrics
+    val top = rows.maxBy(_.getAs[Double]("set_jaccard"))
+    top.getAs[Double]("weighted_jaccard") should be > 0.5
+  }
+
+  test("q227 boilerplate openers: ranks are a dense 1..k prefix with non-increasing counts") {
+    val rows = SparkEntry.queries("q227_boilerplate_openers")(spark, sf0001).collect()
+    rows.length should be > 0
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      sorted.map(_.getAs[Long]("rk")) shouldBe (1L to sorted.length).toArray
+      sorted.map(_.getAs[Long]("n_docs")).sliding(2).filter(_.length == 2)
+        .foreach(p => p(1) should be <= p(0))
+      g.foreach(_.getAs[Double]("share") should (be > 0.0 and be <= 1.0))
+    }
+  }
+
   test("q218 soft-dedup weights conserve mass: one unit of gradient per cluster") {
     val rows = SparkEntry.queries("q218_softdedup_weights")(spark, sf0001).collect()
     val docs = graft.sources.Tables.read(spark, sf0001, "documents").count()
