@@ -282,6 +282,40 @@ object Retrieval extends QueryModule {
     "q79_bm25_search" -> ((s, dir) =>
       bm25SearchTf(sharedTermFreqs(s, dir), QueryTerms)),
 
+    // Retrieval-quality eval (q228): BM25's top-20 scored against the
+    // EXACT conjunctive relevance set per eval query — precision@10,
+    // recall@20, and reciprocal rank, the numbers a search rollout reads
+    // before trusting a ranker. Relevance here is self-supervised (docs
+    // containing every query term — q80's semantics), so the eval is fully
+    // oracled and needs no judgments; BM25 ranking a conjunctive match
+    // high is the sanity floor any lexical ranker must clear. All frames
+    // serve from the shared inverted-index layer; the only windows rank
+    // the 20-row BM25 results (bounded, AuditSpec-classified).
+    "q228_retrieval_eval" -> ((s, dir) => {
+      val tf = sharedTermFreqs(s, dir)
+      val per = EvalQueries.map { case (qid, terms) =>
+        val rel = keywordAndSearchTf(tf, terms).select(col("doc_id"))
+        val ranked = bm25SearchTf(tf, terms, 20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        val hits = ranked.join(rel, Seq("doc_id"))
+        val agg = hits.agg(count(lit(1)).as("h20"),
+          sum(when(col("rank") <= 10, 1L).otherwise(0L)).as("h10"),
+          min(col("rank")).as("fr"))
+        rel.agg(count(lit(1)).as("n_rel")).crossJoin(agg)
+          .select(lit(qid).as("query_id"), col("n_rel"),
+            coalesce(col("h10"), lit(0L)).as("hits_at_10"),
+            coalesce(col("h20"), lit(0L)).as("hits_at_20"),
+            round(coalesce(col("h10"), lit(0L)).cast("double") / 10, 6).as("p_at_10"),
+            when(col("n_rel") === 0, lit(null).cast("double"))
+              .otherwise(round(coalesce(col("h20"), lit(0L)).cast("double")
+                / col("n_rel"), 6)).as("recall_at_20"),
+            when(col("fr").isNull, lit(0.0))
+              .otherwise(round(lit(1.0) / col("fr"), 6)).as("rr"))
+      }
+      per.reduce(_ unionAll _).orderBy(col("query_id"))
+    }),
+
     // Conjunctive keyword search: docs containing every query term.
     "q80_keyword_and" -> ((s, dir) =>
       keywordAndSearchTf(sharedTermFreqs(s, dir), QueryTerms)
@@ -305,13 +339,61 @@ object Retrieval extends QueryModule {
     })
   )
 
+  /** The q228 eval query set: small conjunctive queries whose EXACT
+    * relevant set (docs containing every term) is computable, so BM25's
+    * ranking quality is measurable without human judgments — the standard
+    * self-supervised IR eval shape. */
+  val EvalQueries: Seq[(String, Seq[String])] = Seq(
+    "e1" -> Seq("spark", "vector"), "e2" -> Seq("merge", "hash"),
+    "e3" -> Seq("table", "scan"), "e4" -> Seq("query", "join"))
+
   private val invIndexCte: String =
     """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf)""".stripMargin
 
+  /** q228 oracle, built per eval query from one template so engine and SQL
+    * can never drift on the query set: each block replays the q79 BM25
+    * arithmetic for its terms, ranks the LIMIT-20 result, intersects the
+    * conjunctive relevance set, and emits the metric row. */
+  private val retrievalEvalSql: String = {
+    val blocks = EvalQueries.map { case (qid, terms) =>
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""w_$qid AS (SELECT tf.doc_id,
+         |             ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+         |             (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS w
+         |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+         |      WHERE tf.term IN ($inList)),
+         |rk_$qid AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+         |       FROM (SELECT doc_id, round(sum(w), 6) AS bm25 FROM w_$qid GROUP BY doc_id
+         |             ORDER BY bm25 DESC, doc_id LIMIT 20)),
+         |rel_$qid AS (SELECT doc_id FROM tf WHERE term IN ($inList)
+         |        GROUP BY doc_id HAVING count(*) = ${terms.length}),
+         |m_$qid AS (SELECT '$qid' AS query_id,
+         |        (SELECT count(*) FROM rel_$qid) AS n_rel,
+         |        (SELECT count(*) FROM rk_$qid JOIN rel_$qid USING (doc_id) WHERE rank <= 10) AS h10,
+         |        (SELECT count(*) FROM rk_$qid JOIN rel_$qid USING (doc_id)) AS h20,
+         |        (SELECT min(rank) FROM rk_$qid JOIN rel_$qid USING (doc_id)) AS fr)""".stripMargin
+    }
+    val unions = EvalQueries.map { case (qid, _) => s"SELECT * FROM m_$qid" }
+      .mkString("\n|      UNION ALL ")
+    (invIndexCte +
+      s""",
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+         |ad AS (SELECT round(avg(dl), 6) AS avgdl FROM dl),
+         |${blocks.mkString(",\n|")},
+         |m AS (${unions})
+         |SELECT query_id, n_rel, h10 AS hits_at_10, h20 AS hits_at_20,
+         |       round(CAST(h10 AS DOUBLE) / 10, 6) AS p_at_10,
+         |       CASE WHEN n_rel = 0 THEN NULL
+         |            ELSE round(CAST(h20 AS DOUBLE) / n_rel, 6) END AS recall_at_20,
+         |       CASE WHEN fr IS NULL THEN 0.0 ELSE round(1.0 / fr, 6) END AS rr
+         |FROM m ORDER BY query_id""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q228_retrieval_eval" -> retrievalEvalSql,
     "q78_tfidf_topterms" ->
       (invIndexCte +
         """,

@@ -145,4 +145,21 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     Retrieval.phraseSearch(Seq((9L, "a a b c")).toDF("doc_id", "text"), Seq("a", "b", "c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((9L, 1L))
   }
+
+  test("q228 eval: metrics are bounded and BM25 clears the conjunctive sanity floor") {
+    val rows = SparkEntry.queries("q228_retrieval_eval")(spark, TestSpark.sf0001).collect()
+    rows.length shouldBe Retrieval.EvalQueries.length
+    rows.foreach { r =>
+      val (h10, h20) = (r.getAs[Long]("hits_at_10"), r.getAs[Long]("hits_at_20"))
+      h10 should be <= h20
+      r.getAs[Double]("p_at_10") should (be >= 0.0 and be <= 1.0)
+      Option(r.getAs[java.lang.Double]("recall_at_20"))
+        .foreach(_.doubleValue should (be >= 0.0 and be <= 1.0))
+      val rr = r.getAs[Double]("rr")
+      rr should (be >= 0.0 and be <= 1.0)
+      // a doc matching EVERY query term carries both idf masses — BM25 must
+      // surface at least one conjunctive match in its top 20
+      if (r.getAs[Long]("n_rel") > 0) rr should be > 0.0
+    }
+  }
 }
