@@ -358,6 +358,33 @@ object Cluster extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality × duplication interaction (q229): the cross-tier audit that
+    // decides whether dedup and quality filtering are REDUNDANT or
+    // COMPLEMENTARY on this corpus — if near-dup members concentrate in the
+    // low-quality buckets, aggressive dedup already removes what the
+    // quality gate would, and the pipeline can spend its filtering budget
+    // elsewhere; a flat profile means the two filters prune different
+    // populations and both earn their keep. Quality (q31's score) bucketed
+    // on fixed 0.1-wide edges (data-independent, comparable across
+    // corpora), duplication = membership in a multi-member q76 cluster.
+    // One join of the label table against row-local scores + a bucket
+    // rollup.
+    "q229_quality_dup_interaction" -> ((s, dir) => {
+      val labeled = dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+      val sizes = labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+      val q = Tables.read(s, dir, "documents").select(col("doc_id"),
+        TextAnalytics.qualityScore.as("quality"))
+      val bucket = least(floor(col("quality") * 10).cast("long"), lit(9L))
+      q.join(labeled, Seq("doc_id")).join(sizes, Seq("cluster_id"))
+        .select(bucket.as("bucket"),
+          when(col("csz") >= 2, 1L).otherwise(0L).as("in_multi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("in_multi")).as("n_dup"))
+        .select(col("bucket"), col("n_docs"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_docs"), 6).as("dup_rate"))
+        .orderBy(col("bucket"))
+    }),
+
     "q76_dedup_clusters" -> ((s, dir) =>
       dedupClusters(s, dir)
         .select(col("doc_id"), col("cluster_id"))
@@ -532,6 +559,24 @@ object Cluster extends QueryModule {
     "q107_pagerank" -> pageRankOracle,
     "q76_dedup_clusters" ->
       (clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    "q229_quality_dup_interaction" ->
+      (clusterCte +
+        """,
+          |sz AS (SELECT cluster_id, count(*) AS csz FROM clusters GROUP BY 1),
+          |q AS (SELECT doc_id,
+          |        round(0.5 * least(1.0, length(text) / 500.0)
+          |            + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+          |                     len(string_split(trim(text), ' ')))
+          |            + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+          |                     length(text)), 6) AS quality
+          |      FROM documents),
+          |b AS (SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS bucket,
+          |        CASE WHEN sz.csz >= 2 THEN 1 ELSE 0 END AS in_multi
+          |      FROM q JOIN clusters c ON c.doc_id = q.doc_id
+          |      JOIN sz ON sz.cluster_id = c.cluster_id)
+          |SELECT bucket, count(*) AS n_docs, CAST(sum(in_multi) AS BIGINT) AS n_dup,
+          |       round(CAST(sum(in_multi) AS DOUBLE) / count(*), 6) AS dup_rate
+          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
     "q218_softdedup_weights" ->
       (clusterCte +
         """,

@@ -246,6 +246,21 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q229: buckets partition the corpus and dup totals reconcile with q218's cluster sizes") {
+    val rows = q("q229_quality_dup_interaction").collect()
+    val docs = graft.sources.Tables.read(spark, sf0001, "documents").count()
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe docs
+    rows.foreach { r =>
+      r.getAs[Long]("bucket") should (be >= 0L and be <= 9L)
+      r.getAs[Long]("n_dup") should be <= r.getAs[Long]("n_docs")
+      r.getAs[Double]("dup_rate") should (be >= 0.0 and be <= 1.0)
+    }
+    // total duplicated docs == docs sitting in multi-member q218 clusters
+    val multi = q("q218_softdedup_weights")
+      .filter(col("cluster_size") >= 2).count()
+    rows.map(_.getAs[Long]("n_dup")).sum shouldBe multi
+  }
+
   test("q224: the A/A null experiment reads as null — small |z|, sane arms") {
     val rows = q("q224_ab_readout").orderBy(col("arm")).collect()
     rows.length shouldBe 2
