@@ -438,6 +438,32 @@ object Expectations extends QueryModule {
     "q171_snapshot_diff" -> snapshotDiff,
     "q205_conformal_gate" -> ((s, dir) => conformalGate(s, dir)),
     "q206_mi_association" -> miAssociation,
+
+    // Conformal-threshold stability (q230): tau re-fit per ingest batch
+    // (doc_id % 10 — each batch's own calibration order statistic at the
+    // same alpha = 0.1) with the drift against the standing q205 tau. A
+    // conformal deployment re-fits its threshold on the calibration
+    // cadence; a tau that whipsaws batch-to-batch means the quality-score
+    // distribution is unstable and the gate's coverage guarantee is being
+    // spent on distribution shift, not noise — re-fit faster or fix
+    // upstream. The per-batch order statistic ranks WITHIN the batch
+    // (partition-parallel window, never a global sort); the standing tau
+    // broadcasts as one row.
+    "q230_tau_stability" -> ((s, dir) => {
+      val scored = Tables.read(s, dir, "documents")
+        .select((col("doc_id") % 10).as("batch"), TextAnalytics.qualityScore.as("q"))
+      val n = scored.groupBy(col("batch")).agg(count(lit(1)).as("n_cal"))
+      val ranked = scored.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("batch"))
+          .orderBy(col("q"))).cast("long"))
+      val tauB = ranked.join(n, Seq("batch"))
+        .filter(col("rn") === floor(lit(0.1) * (col("n_cal") + 1)).cast("long"))
+        .select(col("batch"), col("n_cal"), col("q").as("tau_batch"))
+      tauB.crossJoin(broadcast(conformalTauFrame(s, dir)))
+        .select(col("batch"), col("n_cal"), col("tau_batch"), col("tau").as("tau_standing"),
+          round(col("tau_batch") - col("tau"), 6).as("tau_drift"))
+        .orderBy(col("batch"))
+    }),
     "q179_ref_integrity" -> refIntegrity,
     "q184_ks_source_drift" -> ksSourceDrift,
     "q185_fd_audit" -> fdAudit,
@@ -475,6 +501,18 @@ object Expectations extends QueryModule {
       |        WHERE rn = CAST(floor(0.1 * (n_cal + 1)) AS BIGINT))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q230_tau_stability" ->
+      (conformalTauSql +
+        """,
+          |sb AS (SELECT doc_id % 10 AS batch, q FROM s),
+          |nb AS (SELECT batch, count(*) AS n_cal FROM sb GROUP BY 1),
+          |rb AS (SELECT batch, q, row_number() OVER (PARTITION BY batch ORDER BY q) AS rn FROM sb),
+          |tb AS (SELECT rb.batch, nb.n_cal, rb.q AS tau_batch
+          |       FROM rb JOIN nb USING (batch)
+          |       WHERE rn = CAST(floor(0.1 * (n_cal + 1)) AS BIGINT))
+          |SELECT batch, n_cal, tau_batch, tau AS tau_standing,
+          |       round(tau_batch - tau, 6) AS tau_drift
+          |FROM tb CROSS JOIN tau ORDER BY batch""".stripMargin),
     "q206_mi_association" ->
       """WITH d AS (SELECT source, lang, CAST(label AS VARCHAR) AS label
         |           FROM documents JOIN embeddings ON vec_id = doc_id),

@@ -246,6 +246,24 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q230: per-batch taus bracket the standing tau and drift is their exact difference") {
+    val rows = q("q230_tau_stability").orderBy(col("batch")).collect()
+    rows.length shouldBe 10
+    val standing = rows.map(_.getAs[Double]("tau_standing")).distinct
+    standing.length shouldBe 1
+    rows.foreach { r =>
+      r.getAs[Double]("tau_drift") shouldBe
+        BigDecimal(r.getAs[Double]("tau_batch") - standing.head)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getAs[Long]("n_cal") should be > 0L
+    }
+    // batches sample the same corpus: per-batch taus scatter AROUND the
+    // standing threshold, not systematically on one side
+    val drifts = rows.map(_.getAs[Double]("tau_drift"))
+    drifts.count(_ > 0) should be >= 1
+    drifts.count(_ < 0) should be >= 1
+  }
+
   test("q229: buckets partition the corpus and dup totals reconcile with q218's cluster sizes") {
     val rows = q("q229_quality_dup_interaction").collect()
     val docs = graft.sources.Tables.read(spark, sf0001, "documents").count()
