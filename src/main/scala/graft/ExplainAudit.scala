@@ -75,5 +75,8 @@ object ExplainAudit {
       "rows; the corpus side is a plain grouped count and never sorts)"),
     "q225_km_survival" -> ("bounded: reverse-cumsum and KM product windows over the per-DAY " +
       "rollup (<= observation-horizon-days rows); the event log itself only passes grouped " +
-      "aggregations"))
+      "aggregations"),
+    "q230_tau_stability" -> ("bounded: the STANDING-tau leg is q205's calibration-sample " +
+      "order statistic (same bounded-sample contract); the per-batch taus rank inside " +
+      "batch partitions — partition-parallel"))
 }
