@@ -206,6 +206,41 @@ object TextAnalytics extends QueryModule {
     // Margin-calibration of the trained NB filter (see [[nbCalibrationFrom]]).
     "q209_nb_calibration" -> ((s, dir) => nbCalibrationFrom(docs(s, dir))),
 
+    // Hill tail-index estimate of document lengths per source (q231): the
+    // heavy-tail diagnostic behind capacity planning — packing (q65/q210),
+    // per-task memory sizing, and straggler risk all hinge on whether a
+    // source's length distribution has a finite-variance tail. Hill (1975):
+    // over the k largest lengths, alpha = k / Σ ln(x_i / x_threshold) with
+    // x_threshold the (k+1)-th largest; alpha <= 2 means infinite variance
+    // (plan for stragglers), large alpha means a light tail. k = 50 per
+    // source, threshold ties broken by doc_id; logs rounded at 12 dp and
+    // decimal-summed (the q206 convention). The per-source top-(k+1) comes
+    // from a source-partitioned rank window — partition-parallel, and
+    // WindowGroupLimit prunes below the sort at scale. k = 15 here (the
+    // fixture holds ~25 docs/source); a production corpus uses k ~ √n_s.
+    "q231_hill_tail_index" -> ((s, dir) => {
+      val k = 15
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("doc_id"))
+      val ranked = docs(s, dir)
+        .select(col("source"), col("doc_id"), nTokens(col("text")).as("n"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k + 1)
+      val thr = ranked.filter(col("rn") === k + 1)
+        .select(col("source"), col("n").as("x_thr"))
+      ranked.filter(col("rn") <= k)
+        .join(thr, Seq("source"))
+        .groupBy(col("source"), col("x_thr"))
+        .agg(count(lit(1)).as("k_used"),
+          sum(round(log(col("n").cast("double") / col("x_thr")), 12)
+            .cast(DecimalType(38, 12))).cast("double").as("slog"))
+        .select(col("source"), col("k_used"), col("x_thr"),
+          when(col("slog") <= 0, lit(null).cast("double"))
+            .otherwise(round(col("k_used").cast("double") / col("slog"), 6))
+            .as("alpha_hill"))
+        .orderBy(col("source"))
+    }),
+
     // Source-pair Jensen-Shannon divergence (q221): the distribution-level
     // source-similarity matrix — each source's unigram distribution over
     // the corpus's top-200 tokens (bounded, deterministic support: global
@@ -413,6 +448,18 @@ object TextAnalytics extends QueryModule {
         |             sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
         |             6) AS entropy
         |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q231_hill_tail_index" ->
+      """WITH t AS (SELECT source, doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |r AS (SELECT source, n, row_number() OVER (PARTITION BY source ORDER BY n DESC, doc_id) AS rn FROM t),
+        |thr AS (SELECT source, n AS x_thr FROM r WHERE rn = 16),
+        |g AS (SELECT r.source, thr.x_thr, count(*) AS k_used,
+        |        CAST(sum(CAST(round(ln(CAST(r.n AS DOUBLE) / thr.x_thr), 12) AS DECIMAL(38,12))) AS DOUBLE) AS slog
+        |      FROM r JOIN thr ON thr.source = r.source WHERE rn <= 15 GROUP BY 1, 2)
+        |SELECT source, k_used, x_thr,
+        |       CASE WHEN slog <= 0 THEN NULL
+        |            ELSE round(CAST(k_used AS DOUBLE) / slog, 6) END AS alpha_hill
+        |FROM g ORDER BY source""".stripMargin,
     "q221_source_divergence" ->
       """WITH toks AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
         |top AS (SELECT tok FROM

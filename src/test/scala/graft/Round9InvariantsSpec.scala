@@ -246,6 +246,27 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q231: Hill alphas are positive and reproduce the estimator on one source") {
+    val rows = q("q231_hill_tail_index").collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getAs[Long]("k_used") shouldBe 15L
+      Option(r.getAs[java.lang.Double]("alpha_hill"))
+        .foreach(_.doubleValue should be > 0.0)
+    }
+    // hand-replay the estimator for the first source
+    val src = rows.head.getString(0)
+    val lens = graft.sources.Tables.read(spark, sf0001, "documents")
+      .filter(col("source") === src)
+      .select(org.apache.spark.sql.functions.size(split(trim(col("text")), " "))
+        .cast("long").as("n"), col("doc_id"))
+      .orderBy(col("n").desc, col("doc_id")).limit(16)
+      .collect().map(_.getLong(0))
+    val thr = lens.last.toDouble
+    val slog = lens.take(15).map(x => math.log(x / thr)).sum
+    rows.head.getAs[Double]("alpha_hill") shouldBe (15.0 / slog) +- 1e-3
+  }
+
   test("q230: per-batch taus bracket the standing tau and drift is their exact difference") {
     val rows = q("q230_tau_stability").orderBy(col("batch")).collect()
     rows.length shouldBe 10
