@@ -89,6 +89,49 @@ object Relational extends QueryModule {
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bivariate Mahalanobis outlier audit (q232): orders scored on
+    // (total price, line count) JOINTLY — the multivariate companion to
+    // the univariate z/MAD tiers (q105/q132), which cannot see an order
+    // whose price is plausible and whose line count is plausible but whose
+    // COMBINATION is not (a 1-line order at a 50-line price is the classic
+    // missed-by-marginals anomaly). d² = (x−μ)ᵀ Σ⁻¹ (x−μ) with the 2×2
+    // covariance inverted in closed form from decimal-exact moments
+    // (rounded 6 — every downstream double derives from the same rounded
+    // scalars on both engines). Top-20 by distance via a bounded
+    // TakeOrderedAndProject; the moment pass is one map-side-combined
+    // aggregation over narrow rows.
+    "q232_mahalanobis_outliers" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+      val o = Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("x1"))
+        .join(li.select(col("l_orderkey").as("o_orderkey"),
+          col("n_lines").cast("double").as("x2")), Seq("o_orderkey"))
+      val dec = DecimalType(38, 12)
+      val m = o.agg(count(lit(1)).as("n"),
+        round(sum(round(col("x1"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("m1"),
+        round(sum(round(col("x2"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("m2"),
+        round(sum(round(col("x1") * col("x1"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("s11"),
+        round(sum(round(col("x2") * col("x2"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("s22"),
+        round(sum(round(col("x1") * col("x2"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("s12"))
+      val stats = m.select(
+        round(col("s11") - col("m1") * col("m1"), 6).as("v11"),
+        round(col("s22") - col("m2") * col("m2"), 6).as("v22"),
+        round(col("s12") - col("m1") * col("m2"), 6).as("v12"),
+        col("m1"), col("m2"))
+        .select(col("m1"), col("m2"), col("v11"), col("v22"), col("v12"),
+          round(col("v11") * col("v22") - col("v12") * col("v12"), 6).as("det"))
+      o.crossJoin(broadcast(stats))
+        .select(col("o_orderkey"), col("x1").as("totalprice"),
+          col("x2").cast("long").as("n_lines"),
+          round(
+            (col("v22") * (col("x1") - col("m1")) * (col("x1") - col("m1"))
+              - lit(2.0) * col("v12") * (col("x1") - col("m1")) * (col("x2") - col("m2"))
+              + col("v11") * (col("x2") - col("m2")) * (col("x2") - col("m2")))
+              / col("det"), 6).as("d2"))
+        .orderBy(col("d2").desc, col("o_orderkey"))
+        .limit(20)
+    }),
 
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
@@ -788,6 +831,30 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q232_mahalanobis_outliers" ->
+      """WITH li AS (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS DOUBLE) AS x2
+        |            FROM lineitem GROUP BY 1),
+        |o AS (SELECT o.o_orderkey, CAST(o_totalprice AS DOUBLE) AS x1, li.x2
+        |      FROM orders o JOIN li USING (o_orderkey)),
+        |m AS (SELECT count(*) AS n,
+        |        round(CAST(sum(CAST(round(x1, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m1,
+        |        round(CAST(sum(CAST(round(x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m2,
+        |        round(CAST(sum(CAST(round(x1 * x1, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s11,
+        |        round(CAST(sum(CAST(round(x2 * x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s22,
+        |        round(CAST(sum(CAST(round(x1 * x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s12
+        |      FROM o),
+        |st AS (SELECT m1, m2,
+        |         round(s11 - m1 * m1, 6) AS v11,
+        |         round(s22 - m2 * m2, 6) AS v22,
+        |         round(s12 - m1 * m2, 6) AS v12
+        |       FROM m),
+        |st2 AS (SELECT *, round(v11 * v22 - v12 * v12, 6) AS det FROM st)
+        |SELECT o_orderkey, x1 AS totalprice, CAST(x2 AS BIGINT) AS n_lines,
+        |       round((v22 * (x1 - m1) * (x1 - m1)
+        |              - 2.0 * v12 * (x1 - m1) * (x2 - m2)
+        |              + v11 * (x2 - m2) * (x2 - m2)) / det, 6) AS d2
+        |FROM o CROSS JOIN st2
+        |ORDER BY d2 DESC, o_orderkey LIMIT 20""".stripMargin,
     // The two *_ok flags are PINNED at 1: DuckDB cannot replay the sketch
     // internals, so the oracle asserts the engine's sketches meet their
     // bounds — a sketch drifting out of bound hash-fails this query.

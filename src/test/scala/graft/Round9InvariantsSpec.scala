@@ -246,6 +246,33 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q232: Mahalanobis distances are positive, descending, and replay from raw moments") {
+    val rows = q("q232_mahalanobis_outliers").collect()
+    rows.length shouldBe 20
+    rows.foreach(_.getAs[Double]("d2") should be > 0.0)
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      p(1).getAs[Double]("d2") should be <= p(0).getAs[Double]("d2") + 1e-9
+    }
+    // replay the top row's distance from independently-computed moments
+    val o = graft.sources.Tables.read(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("x1"))
+      .join(graft.sources.Tables.read(spark, sf0001, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).cast("double").as("x2")), Seq("o_orderkey"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = o.length.toDouble
+    val (m1, m2) = (o.map(_._1).sum / n, o.map(_._2).sum / n)
+    val v11 = o.map(p => (p._1 - m1) * (p._1 - m1)).sum / n
+    val v22 = o.map(p => (p._2 - m2) * (p._2 - m2)).sum / n
+    val v12 = o.map(p => (p._1 - m1) * (p._2 - m2)).sum / n
+    val det = v11 * v22 - v12 * v12
+    val top = rows.head
+    val (x1, x2) = (top.getAs[Double]("totalprice"), top.getAs[Long]("n_lines").toDouble)
+    val d2 = (v22 * (x1 - m1) * (x1 - m1) - 2 * v12 * (x1 - m1) * (x2 - m2)
+      + v11 * (x2 - m2) * (x2 - m2)) / det
+    top.getAs[Double]("d2") shouldBe d2 +- math.max(1e-3, d2 * 1e-3)
+  }
+
   test("q231: Hill alphas are positive and reproduce the estimator on one source") {
     val rows = q("q231_hill_tail_index").collect()
     rows.length should be > 0
