@@ -223,6 +223,54 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Per-arm Kaplan–Meier (q233): q225's censored time-to-conversion
+    // estimator split by q224's hash-assigned arms — the readout an
+    // experiment uses when the treatment should move WHEN users convert,
+    // not just whether ("did checkout get faster?"). Comparing the two
+    // survival curves is the Kaplan–Meier form of a log-rank test's input;
+    // on this A/A null the curves should track each other (spec-gated
+    // loosely). All windows partition on arm — partition-parallel; the
+    // per-(arm, day) rollup stays bounded by 2 × horizon days.
+    "q233_km_by_arm" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val arm = expr(
+        "cast(conv(substring(md5(concat(cast(user_id as string), ':ab')), 1, 4), 16, 10) as bigint) % 2")
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts").cast(LongType)).as("fv"))
+        .select(col("user_id"), arm.as("arm"), col("fv"))
+      val fp = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast(LongType).as("pt"))
+        .join(fv.select(col("user_id"), col("fv")), Seq("user_id"))
+        .filter(col("pt") >= col("fv"))
+        .groupBy(col("user_id")).agg(min(col("pt")).as("fp"))
+      val mx = e.agg(max(col("ts").cast(LongType)).as("mx"))
+      val obs = fv.join(fp, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(col("arm"),
+          when(col("fp").isNotNull, expr("(fp - fv) div 86400"))
+            .otherwise(expr("(mx - fv) div 86400")).as("days"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("event"))
+      val conv = obs.filter(col("event") === 1)
+        .groupBy(col("arm"), col("days").as("day")).agg(count(lit(1)).as("d"))
+      val ending = obs.groupBy(col("arm"), col("days").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val wDesc = Window.partitionBy(col("arm")).orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = ending.withColumn("n_risk", sum(col("cnt")).over(wDesc))
+        .select(col("arm"), col("day"), col("n_risk"))
+      val wAsc = Window.partitionBy(col("arm")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      conv.join(risk, Seq("arm", "day"))
+        .withColumn("lf",
+          when(col("d") >= col("n_risk"), lit(null).cast("double"))
+            .otherwise(round(log10(lit(1.0) - col("d").cast("double") / col("n_risk")), 12)))
+        .withColumn("dead", max(when(col("lf").isNull, 1L).otherwise(0L)).over(wAsc))
+        .withColumn("ls", sum(col("lf").cast(DecimalType(38, 12))).over(wAsc))
+        .select(col("arm"), col("day"), col("n_risk"), col("d").as("n_events"),
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(round(pow(lit(10.0), col("ls").cast("double")), 6)).as("survival"))
+        .orderBy(col("arm"), col("day"))
+    }),
+
     // Tumbling 1-hour windows: events + exact value sum per hour.
     "q24_tumbling_window" -> ((s, dir) =>
       ev(s, dir)
@@ -1133,6 +1181,40 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q233_km_by_arm" ->
+      """WITH fv AS (SELECT user_id,
+        |              CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,
+        |              CAST(min(floor(epoch(ts))) AS BIGINT) AS fv
+        |            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (SELECT e.user_id, CAST(min(floor(epoch(e.ts))) AS BIGINT) AS fp
+        |       FROM events e JOIN fv ON fv.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND floor(epoch(e.ts)) >= fv.fv
+        |       GROUP BY 1),
+        |mx AS (SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS mx FROM events),
+        |obs AS (SELECT fv.arm,
+        |               CASE WHEN fp.fp IS NOT NULL THEN (fp.fp - fv.fv) // 86400
+        |                    ELSE (mx.mx - fv.fv) // 86400 END AS days,
+        |               CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END AS event
+        |        FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+        |conv AS (SELECT arm, days AS day, count(*) AS d FROM obs WHERE event = 1 GROUP BY 1, 2),
+        |ending AS (SELECT arm, days AS day, count(*) AS cnt FROM obs GROUP BY 1, 2),
+        |risk AS (SELECT arm, day, CAST(sum(cnt) OVER (PARTITION BY arm ORDER BY day DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |         FROM ending),
+        |f AS (SELECT conv.arm, conv.day, risk.n_risk, conv.d,
+        |        CASE WHEN conv.d >= risk.n_risk THEN NULL
+        |             ELSE round(log10(1.0 - CAST(conv.d AS DOUBLE) / risk.n_risk), 12) END AS lf
+        |      FROM conv JOIN risk USING (arm, day)),
+        |c AS (SELECT arm, day, n_risk, d,
+        |        max(CASE WHEN lf IS NULL THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY arm ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+        |        sum(CAST(lf AS DECIMAL(38,12)))
+        |          OVER (PARTITION BY arm ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+        |      FROM f)
+        |SELECT arm, day, n_risk, d AS n_events,
+        |       CASE WHEN dead = 1 THEN 0.0
+        |            ELSE round(pow(10.0, CAST(ls AS DOUBLE)), 6) END AS survival
+        |FROM c ORDER BY arm, day""".stripMargin,
     "q225_km_survival" ->
       """WITH fv AS (SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS fv
         |            FROM events WHERE event_type = 'view' GROUP BY 1),

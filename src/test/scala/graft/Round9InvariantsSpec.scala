@@ -246,6 +246,23 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q233: per-arm KM curves are proper and their day-0 risk pools partition q225's") {
+    val rows = q("q233_km_by_arm").orderBy(col("arm"), col("day")).collect()
+    val arms = rows.map(_.getAs[Long]("arm")).distinct.sorted
+    arms shouldBe Array(0L, 1L)
+    arms.foreach { a =>
+      val curve = rows.filter(_.getAs[Long]("arm") == a)
+      curve.sliding(2).filter(_.length == 2).foreach { p =>
+        p(1).getAs[Double]("survival") should be <= p(0).getAs[Double]("survival") + 1e-9
+        p(1).getAs[Long]("n_risk") should be <= p(0).getAs[Long]("n_risk")
+      }
+      curve.foreach(_.getAs[Double]("survival") should (be >= 0.0 and be <= 1.0))
+    }
+    // the two arms' total conversions equal the pooled q225 total
+    val pooled = q("q225_km_survival").collect().map(_.getAs[Long]("n_events")).sum
+    rows.map(_.getAs[Long]("n_events")).sum shouldBe pooled
+  }
+
   test("q232: Mahalanobis distances are positive, descending, and replay from raw moments") {
     val rows = q("q232_mahalanobis_outliers").collect()
     rows.length shouldBe 20
