@@ -498,7 +498,7 @@ object Cluster extends QueryModule {
     * closure exactly; at audit scale (sf0.01) the edge set is tiny, so
     * closure cost is irrelevant — the point is bit-exact cluster labels
     * against the Spark star-contraction. */
-  private val clusterCte: String = edgeCte +
+  private[operators] val clusterCte: String = edgeCte +
     """,
       |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
       |reach(u, v) AS (SELECT u, v FROM sym

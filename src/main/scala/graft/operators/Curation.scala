@@ -247,6 +247,45 @@ object Curation extends QueryModule {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // Per-source dedup ROI (q234): where each dedup tier spends its removal
+    // budget, by source — the allocation view behind crawl re-prioritization
+    // ("source X is 30% exact dups: stop re-crawling it" vs "source Y only
+    // falls to the near-dup tier: cheap fingerprinting won't help there").
+    // Three INDEPENDENT tier counts per source (a doc can fall to several —
+    // the tiers are nested filters, not a partition): exact (raw-fingerprint
+    // non-survivor, q34's key), normalized (canonicalized-fingerprint
+    // non-survivor, q86's key), near-dup (multi-member q76 cluster
+    // non-survivor). Fingerprint tiers are window marks over fp-keyed
+    // shuffles of 32-byte rows; the cluster tier joins the shared component
+    // labels. Output is |sources| rows.
+    "q234_dedup_roi" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rawFp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      val wRaw = Window.partitionBy(col("rfp"))
+      val wNorm = Window.partitionBy(col("nfp"))
+      val marks = d.select(col("doc_id"), col("source"),
+          rawFp.as("rfp"), normalizedFingerprint.as("nfp"))
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") =!= min(col("doc_id")).over(wRaw)).as("exact_dup"),
+          (col("doc_id") =!= min(col("doc_id")).over(wNorm)).as("norm_dup"))
+      val labeled = Cluster.dedupClusters(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val csz = labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+      val near = labeled.join(csz, Seq("cluster_id"))
+        .select(col("doc_id"),
+          (col("csz") >= 2 && col("doc_id") =!= col("cluster_id")).as("near_dup"))
+      marks.join(near, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("norm_dup"), 1L).otherwise(0L)).as("n_norm_dup"),
+          sum(when(col("near_dup"), 1L).otherwise(0L)).as("n_near_dup"))
+        .select(col("source"), col("n_docs"), col("n_exact_dup"), col("n_norm_dup"),
+          col("n_near_dup"),
+          round(col("n_near_dup").cast("double") / col("n_docs"), 6).as("near_dup_rate"))
+        .orderBy(col("source"))
+    }),
+
     // Batch dedup-pressure replay (q222): q87 answers "dedup TODAY's batch
     // against the corpus"; this replays the WHOLE ingest history — every
     // batch (doc_id % 10, ordered) deduped against everything that arrived
@@ -358,6 +397,27 @@ object Curation extends QueryModule {
         |       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
         |FROM inter JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
+    "q234_dedup_roi" ->
+      (Cluster.clusterCte +
+        """,
+          |marks AS (SELECT doc_id, source,
+          |            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS rfp,
+          |            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nfp
+          |          FROM documents),
+          |mr AS (SELECT doc_id, source,
+          |         doc_id != min(doc_id) OVER (PARTITION BY rfp) AS exact_dup,
+          |         doc_id != min(doc_id) OVER (PARTITION BY nfp) AS norm_dup
+          |       FROM marks),
+          |csz AS (SELECT cluster_id, count(*) AS csz FROM clusters GROUP BY 1),
+          |nr AS (SELECT c.doc_id, (csz.csz >= 2 AND c.doc_id != c.cluster_id) AS near_dup
+          |       FROM clusters c JOIN csz USING (cluster_id))
+          |SELECT mr.source, count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN mr.exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+          |       CAST(sum(CASE WHEN mr.norm_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_dup,
+          |       CAST(sum(CASE WHEN nr.near_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+          |       round(CAST(sum(CASE WHEN nr.near_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS near_dup_rate
+          |FROM mr JOIN nr USING (doc_id)
+          |GROUP BY mr.source ORDER BY mr.source""".stripMargin),
     "q222_dedup_pressure" ->
       """WITH d AS (SELECT doc_id % 10 AS batch, doc_id,
         |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

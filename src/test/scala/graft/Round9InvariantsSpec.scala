@@ -246,6 +246,23 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q234: ROI tiers nest (exact ⊆ normalized) and near-dup totals match q218") {
+    val rows = q("q234_dedup_roi").collect()
+    val docs = graft.sources.Tables.read(spark, sf0001, "documents").count()
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe docs
+    rows.foreach { r =>
+      // canonicalization only MERGES fingerprints: every raw-exact dup is
+      // also a normalized dup (within a source this still holds globally,
+      // but survivor identity could differ only if normalization merged the
+      // raw survivor into an earlier cluster — which keeps it a dup)
+      r.getAs[Long]("n_exact_dup") should be <= r.getAs[Long]("n_norm_dup")
+      r.getAs[Long]("n_near_dup") should be <= r.getAs[Long]("n_docs")
+    }
+    val nearTotal = q("q218_softdedup_weights")
+      .filter(col("cluster_size") >= 2 && col("doc_id") =!= col("cluster_id")).count()
+    rows.map(_.getAs[Long]("n_near_dup")).sum shouldBe nearTotal
+  }
+
   test("q233: per-arm KM curves are proper and their day-0 risk pools partition q225's") {
     val rows = q("q233_km_by_arm").orderBy(col("arm"), col("day")).collect()
     val arms = rows.map(_.getAs[Long]("arm")).distinct.sorted
