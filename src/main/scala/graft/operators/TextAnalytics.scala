@@ -206,6 +206,28 @@ object TextAnalytics extends QueryModule {
     // Margin-calibration of the trained NB filter (see [[nbCalibrationFrom]]).
     "q209_nb_calibration" -> ((s, dir) => nbCalibrationFrom(docs(s, dir))),
 
+    // Tokenizer fertility by language (q235): BPE-ish tokens per whitespace
+    // word and bytes per BPE token, per language — the per-language COST
+    // model of a tokenizer (high fertility = more compute and context
+    // budget per sentence; the metric multilingual-tokenizer papers report
+    // per language, and the number that turns a raw per-lang token budget
+    // into an actual document quota). Exact integer sums only; one grouped
+    // pass.
+    "q235_tokenizer_fertility" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), nTokens(col("text")).as("nw"),
+          nBpeTokens(col("text")).as("nb"),
+          octet_length(col("text")).cast(LongType).as("bytes"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("ws_tokens"), sum(col("nb")).as("bpe_tokens"),
+          sum(col("bytes")).as("bytes"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+          col("bytes"),
+          round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6).as("fertility"),
+          round(col("bytes").cast("double") / col("bpe_tokens"), 6).as("bytes_per_token"))
+        .orderBy(col("lang"))),
+
     // Hill tail-index estimate of document lengths per source (q231): the
     // heavy-tail diagnostic behind capacity planning — packing (q65/q210),
     // per-task memory sizing, and straggler risk all hinge on whether a
@@ -448,6 +470,19 @@ object TextAnalytics extends QueryModule {
         |             sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
         |             6) AS entropy
         |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q235_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nw,
+        |             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nb,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        |           FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(nw) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(nb) AS BIGINT) AS bpe_tokens,
+        |       CAST(sum(bytes) AS BIGINT) AS bytes,
+        |       round(CAST(sum(nb) AS DOUBLE) / sum(nw), 6) AS fertility,
+        |       round(CAST(sum(bytes) AS DOUBLE) / sum(nb), 6) AS bytes_per_token
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q231_hill_tail_index" ->
       """WITH t AS (SELECT source, doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
         |           FROM documents),

@@ -246,6 +246,21 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q235: fertility >= 1 (BPE can only split words) and totals reconcile with q32") {
+    val rows = q("q235_tokenizer_fertility").collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      // every whitespace word yields >= 1 BPE-ish token on ASCII text
+      r.getAs[Double]("fertility") should be >= 1.0
+      r.getAs[Double]("bytes_per_token") should be > 0.0
+    }
+    val q32 = q("q32_token_count").collect()
+    rows.map(_.getAs[Long]("ws_tokens")).sum shouldBe
+      q32.map(_.getAs[Long]("n_ws_tokens")).sum
+    rows.map(_.getAs[Long]("bpe_tokens")).sum shouldBe
+      q32.map(_.getAs[Long]("n_bpe_tokens")).sum
+  }
+
   test("q234: ROI tiers nest (exact ⊆ normalized) and near-dup totals match q218") {
     val rows = q("q234_dedup_roi").collect()
     val docs = graft.sources.Tables.read(spark, sf0001, "documents").count()
