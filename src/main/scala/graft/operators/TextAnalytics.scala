@@ -228,6 +228,57 @@ object TextAnalytics extends QueryModule {
           round(col("bytes").cast("double") / col("bpe_tokens"), 6).as("bytes_per_token"))
         .orderBy(col("lang"))),
 
+    // Per-source batch drift (q236): for every (source, ingest batch), the
+    // Jensen-Shannon divergence between the batch's token distribution and
+    // the source's OVERALL distribution, on the same bounded top-200 global
+    // support as q221. q221 compares sources to each other; this watches
+    // each source against its own history — the within-source drift signal
+    // that catches a crawl whose content pivots (site redesign, spam
+    // takeover, language shift) while cross-source comparisons still look
+    // normal. Batches here are the SALTED-HASH slices (md5(doc_id||':batch')
+    // % 5) — the fixture's doc_id%10 residues are perfectly correlated with
+    // source (each source owns one residue), which would make every batch
+    // identical to its source and the drift identically zero; the hash
+    // slice cuts across sources, exactly like a real ingest day does. Same
+    // determinism conventions as q221 (densified grid, two-sided JS, 12 dp
+    // decimal terms). Output is |sources|×|batches| rows.
+    "q236_source_batch_drift" -> ((s, dir) => {
+      val batchCol = expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':batch')), 1, 4), 16, 10) as bigint) % 5")
+      val toks = docs(s, dir)
+        .select(col("source"), batchCol.as("batch"),
+          explode(split(trim(col("text")), " ")).as("tok"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("gc"))
+        .orderBy(col("gc").desc, col("tok")).limit(200).select(col("tok"))
+      val capped = toks.join(broadcast(top), Seq("tok"))
+      val sb = capped.groupBy(col("source"), col("batch"), col("tok"))
+        .agg(count(lit(1)).as("cb"))
+      val so = capped.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("co"))
+      val grid = docs(s, dir).select(col("source"), batchCol.as("batch"))
+        .distinct().crossJoin(broadcast(top))
+        .join(sb, Seq("source", "batch", "tok"), "left")
+        .join(so, Seq("source", "tok"), "left")
+        .select(col("source"), col("batch"), col("tok"),
+          coalesce(col("cb"), lit(0L)).as("cb"), coalesce(col("co"), lit(0L)).as("co"))
+      val nb = grid.groupBy(col("source"), col("batch")).agg(sum(col("cb")).as("nb"))
+      val no = grid.groupBy(col("source"), col("batch")).agg(sum(col("co")).as("no"))
+      val p = grid.join(nb, Seq("source", "batch")).join(no, Seq("source", "batch"))
+        .select(col("source"), col("batch"),
+          (col("cb").cast("double") / col("nb")).as("p"),
+          (col("co").cast("double") / col("no")).as("q"))
+      val termP = when(col("p") > 0,
+        round(col("p") * log10(lit(2.0) * col("p") / (col("p") + col("q")))
+          / log10(lit(2.0)), 12)).otherwise(lit(0.0))
+      val termQ = when(col("q") > 0,
+        round(col("q") * log10(lit(2.0) * col("q") / (col("p") + col("q")))
+          / log10(lit(2.0)), 12)).otherwise(lit(0.0))
+      p.groupBy(col("source"), col("batch"))
+        .agg(round((sum(termP.cast(DecimalType(38, 12)))
+          + sum(termQ.cast(DecimalType(38, 12)))).cast("double") * 0.5, 6)
+          .as("js_bits"))
+        .orderBy(col("source"), col("batch"))
+    }),
+
     // Hill tail-index estimate of document lengths per source (q231): the
     // heavy-tail diagnostic behind capacity planning — packing (q65/q210),
     // per-task memory sizing, and straggler risk all hinge on whether a
@@ -470,6 +521,37 @@ object TextAnalytics extends QueryModule {
         |             sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
         |             6) AS entropy
         |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q236_source_batch_drift" ->
+      """WITH toks AS (SELECT source,
+        |                CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':batch'), 1, 4)) AS BIGINT) % 5 AS batch,
+        |                unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |top AS (SELECT tok FROM
+        |          (SELECT tok, count(*) AS gc FROM toks GROUP BY 1 ORDER BY gc DESC, tok LIMIT 200)),
+        |cap AS (SELECT toks.* FROM toks JOIN top USING (tok)),
+        |sb AS (SELECT source, batch, tok, count(*) AS cb FROM cap GROUP BY 1, 2, 3),
+        |so AS (SELECT source, tok, count(*) AS co FROM cap GROUP BY 1, 2),
+        |grid AS (SELECT g.source, g.batch, t.tok,
+        |           coalesce(sb.cb, 0) AS cb, coalesce(so.co, 0) AS co
+        |         FROM (SELECT DISTINCT source,
+        |                 CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':batch'), 1, 4)) AS BIGINT) % 5 AS batch
+        |               FROM documents) g
+        |         CROSS JOIN top t
+        |         LEFT JOIN sb ON sb.source = g.source AND sb.batch = g.batch AND sb.tok = t.tok
+        |         LEFT JOIN so ON so.source = g.source AND so.tok = t.tok),
+        |nb AS (SELECT source, batch, CAST(sum(cb) AS BIGINT) AS nb FROM grid GROUP BY 1, 2),
+        |no AS (SELECT source, batch, CAST(sum(co) AS BIGINT) AS no FROM grid GROUP BY 1, 2),
+        |p AS (SELECT grid.source, grid.batch,
+        |        CAST(cb AS DOUBLE) / nb.nb AS p, CAST(co AS DOUBLE) / no.no AS q
+        |      FROM grid JOIN nb ON nb.source = grid.source AND nb.batch = grid.batch
+        |                JOIN no ON no.source = grid.source AND no.batch = grid.batch)
+        |SELECT source, batch,
+        |       round(CAST(sum(CAST(CASE WHEN p > 0
+        |               THEN round(p * log10(2.0 * p / (p + q)) / log10(2.0), 12)
+        |               ELSE 0.0 END AS DECIMAL(38,12)))
+        |           + sum(CAST(CASE WHEN q > 0
+        |               THEN round(q * log10(2.0 * q / (p + q)) / log10(2.0), 12)
+        |               ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) * 0.5, 6) AS js_bits
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q235_tokenizer_fertility" ->
       """WITH t AS (SELECT lang,
         |             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nw,

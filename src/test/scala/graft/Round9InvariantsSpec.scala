@@ -246,6 +246,24 @@ class Round9InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q236: drift matrix covers every (source, hash-batch) cell with bounded JS") {
+    val rows = q("q236_source_batch_drift").collect()
+    val nSrc = graft.sources.Tables.read(spark, sf0001, "documents")
+      .select(col("source")).distinct().count().toInt
+    rows.length shouldBe nSrc * 5
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      g.map(_.getAs[Long]("batch")).sorted shouldBe Array(0L, 1L, 2L, 3L, 4L)
+    }
+    rows.foreach { r =>
+      val js = r.getAs[Double]("js_bits")
+      js should (be >= -1e-6 and be <= 1.0 + 1e-6)
+    }
+    // hash batches are uniform samples of their source: sampling noise, not
+    // systematic divergence — the mean sits far from the disjoint maximum
+    val mean = rows.map(_.getAs[Double]("js_bits")).sum / rows.length
+    mean should be < 0.5
+  }
+
   test("q235: fertility >= 1 (BPE can only split words) and totals reconcile with q32") {
     val rows = q("q235_tokenizer_fertility").collect()
     rows.length should be > 0
