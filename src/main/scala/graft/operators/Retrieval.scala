@@ -282,6 +282,42 @@ object Retrieval extends QueryModule {
     "q79_bm25_search" -> ((s, dir) =>
       bm25SearchTf(sharedTermFreqs(s, dir), QueryTerms)),
 
+    // Pseudo-relevance-feedback expansion (q237): the RM3-lite second
+    // retrieval stage (Lavrenko & Croft's relevance-model family, the
+    // Rocchio shape) — run the original BM25 query, treat its top-10 as
+    // pseudo-relevant, pick the 3 highest summed-TF-IDF terms in that
+    // feedback set (original terms excluded), and RERANK with the expanded
+    // query. PRF is the standard zero-supervision recall booster: documents
+    // about the topic that happen not to contain the literal query terms
+    // enter through the expansion vocabulary. The chosen expansion terms
+    // are a 3-term bounded model fetch (the trainCentroids contract) and
+    // are pinned into every output row, so the oracle hash-gates WHAT was
+    // expanded, not just the final ranking; `in_first_pass` marks which
+    // final-top-10 docs the original query alone would have found. */
+    "q237_prf_expansion" -> ((s, dir) => {
+      val tf = sharedTermFreqs(s, dir)
+      val first = bm25SearchTf(tf, QueryTerms, 10).select(col("doc_id"))
+      val dfr = docFreqs(tf)
+      val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+      val cand = tf.join(first, Seq("doc_id"))
+        .filter(!col("term").isin(QueryTerms: _*))
+        .join(dfr, "term").crossJoin(broadcast(n))
+        .select(col("term"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("w"))
+        .groupBy(col("term"))
+        .agg(round(sum(col("w").cast(DecimalType(18, 6))).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("term")).limit(3)
+      val expTerms = cand.collect().map(_.getString(0)) // bounded: 3 terms
+      val ranked = bm25SearchTf(tf, QueryTerms ++ expTerms, 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      ranked.join(first.withColumn("in_first", lit(1L)), Seq("doc_id"), "left")
+        .select(col("rank"), col("doc_id"), col("bm25"),
+          coalesce(col("in_first"), lit(0L)).as("in_first_pass"),
+          lit(expTerms.sorted.mkString(",")).as("exp_terms"))
+        .orderBy(col("rank"))
+    }),
+
     // Retrieval-quality eval (q228): BM25's top-20 scored against the
     // EXACT conjunctive relevance set per eval query — precision@10,
     // recall@20, and reciprocal rank, the numbers a search rollout reads
@@ -393,6 +429,39 @@ object Retrieval extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q237_prf_expansion" ->
+      (invIndexCte +
+        """,
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+          |ad AS (SELECT round(avg(dl), 6) AS avgdl FROM dl),
+          |w1 AS (SELECT tf.doc_id,
+          |             ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+          |             (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS w
+          |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+          |      WHERE tf.term IN ('spark', 'vector', 'merge')),
+          |top1 AS (SELECT doc_id FROM
+          |          (SELECT doc_id, round(sum(w), 6) AS bm25 FROM w1 GROUP BY doc_id
+          |           ORDER BY bm25 DESC, doc_id LIMIT 10)),
+          |cand AS (SELECT tf.term,
+          |           round(CAST(sum(CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+          |         FROM tf JOIN top1 USING (doc_id) JOIN df USING (term) CROSS JOIN n
+          |         WHERE tf.term NOT IN ('spark', 'vector', 'merge')
+          |         GROUP BY tf.term),
+          |e3 AS (SELECT term FROM cand ORDER BY score DESC, term LIMIT 3),
+          |w2 AS (SELECT tf.doc_id,
+          |             ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+          |             (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS w
+          |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+          |      WHERE tf.term IN ('spark', 'vector', 'merge') OR tf.term IN (SELECT term FROM e3)),
+          |rk AS (SELECT doc_id, bm25, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+          |       FROM (SELECT doc_id, round(sum(w), 6) AS bm25 FROM w2 GROUP BY doc_id
+          |             ORDER BY bm25 DESC, doc_id LIMIT 10)),
+          |ex AS (SELECT string_agg(term, ',' ORDER BY term) AS exp_terms FROM e3)
+          |SELECT rk.rank, rk.doc_id, rk.bm25,
+          |       CAST(CASE WHEN t1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_first_pass,
+          |       ex.exp_terms
+          |FROM rk LEFT JOIN top1 t1 USING (doc_id) CROSS JOIN ex
+          |ORDER BY rank""".stripMargin),
     "q228_retrieval_eval" -> retrievalEvalSql,
     "q78_tfidf_topterms" ->
       (invIndexCte +

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Retrieval
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -144,6 +145,25 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     // overlapping occurrences each count: "a a b c" windows at the repeated a
     Retrieval.phraseSearch(Seq((9L, "a a b c")).toDF("doc_id", "text"), Seq("a", "b", "c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((9L, 1L))
+  }
+
+  test("q237 PRF: expansion excludes query terms, pins 3 terms, and keeps a sane top-10") {
+    val rows = SparkEntry.queries("q237_prf_expansion")(spark, TestSpark.sf0001)
+      .orderBy(col("rank")).collect()
+    rows.length shouldBe 10
+    rows.map(_.getAs[Long]("rank")) shouldBe (1L to 10L).toArray
+    val exp = rows.map(_.getAs[String]("exp_terms")).distinct
+    exp.length shouldBe 1
+    val terms = exp.head.split(",")
+    terms.length shouldBe 3
+    terms.toSet.intersect(Retrieval.QueryTerms.toSet) shouldBe empty
+    // expansion broadens, it doesn't replace: the original query's top docs
+    // remain competitive — at least a few survive into the expanded top-10
+    rows.map(_.getAs[Long]("in_first_pass")).sum should be >= 3L
+    // scores are the final ranking's sort key: non-increasing
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      p(1).getAs[Double]("bm25") should be <= p(0).getAs[Double]("bm25") + 1e-9
+    }
   }
 
   test("q228 eval: metrics are bounded and BM25 clears the conjunctive sanity floor") {
