@@ -32,7 +32,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(
+  private[graft] val modules: Seq[QueryModule] = Seq(
     Medallion, Relational, EventAnalytics, TextAnalytics, Dedup, Similarity, Multimodal, Skew,
     AsOf, RangeJoin, Sampling, Scrub, Curation, Cluster, Retrieval, Tokenizer, Expectations,
     graft.streaming.StreamParity)

@@ -351,7 +351,9 @@ object Expectations extends QueryModule {
     * count with map-side partials. */
   /** The 1-row calibration-threshold frame q205 and the streaming gate
     * (q212) share: tau = k-th smallest calibration quality score,
-    * k = floor(alpha * (n_cal + 1)). */
+    * k = floor(alpha * (n_cal + 1)), clamped to >= 1 so a tiny calibration
+    * slice degrades to "tau = min score" instead of an empty frame (and a
+    * NoSuchElementException from the scalar fetch). */
   def conformalTauFrame(s: SparkSession, dir: String, alpha: Double = 0.1): DataFrame = {
     val cal = Tables.read(s, dir, "documents")
       .filter(col("doc_id") % 7 === 0)
@@ -364,7 +366,8 @@ object Expectations extends QueryModule {
       row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("q")))
         .cast("long"))
     ranked.crossJoin(broadcast(nCal))
-      .filter(col("rn") === floor(lit(alpha) * (col("n_cal") + 1)).cast("long"))
+      .filter(col("rn") ===
+        greatest(floor(lit(alpha) * (col("n_cal") + 1)).cast("long"), lit(1L)))
       .select(col("q").as("tau"))
   }
 
@@ -457,7 +460,8 @@ object Expectations extends QueryModule {
         org.apache.spark.sql.expressions.Window.partitionBy(col("batch"))
           .orderBy(col("q"))).cast("long"))
       val tauB = ranked.join(n, Seq("batch"))
-        .filter(col("rn") === floor(lit(0.1) * (col("n_cal") + 1)).cast("long"))
+        .filter(col("rn") ===
+          greatest(floor(lit(0.1) * (col("n_cal") + 1)).cast("long"), lit(1L)))
         .select(col("batch"), col("n_cal"), col("q").as("tau_batch"))
       tauB.crossJoin(broadcast(conformalTauFrame(s, dir)))
         .select(col("batch"), col("n_cal"), col("tau_batch"), col("tau").as("tau_standing"),
@@ -498,7 +502,7 @@ object Expectations extends QueryModule {
       |n AS (SELECT count(*) AS n_cal FROM cal),
       |r AS (SELECT q, row_number() OVER (ORDER BY q) AS rn FROM cal),
       |tau AS (SELECT q AS tau FROM r CROSS JOIN n
-      |        WHERE rn = CAST(floor(0.1 * (n_cal + 1)) AS BIGINT))""".stripMargin
+      |        WHERE rn = greatest(CAST(floor(0.1 * (n_cal + 1)) AS BIGINT), 1))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q230_tau_stability" ->
@@ -509,7 +513,7 @@ object Expectations extends QueryModule {
           |rb AS (SELECT batch, q, row_number() OVER (PARTITION BY batch ORDER BY q) AS rn FROM sb),
           |tb AS (SELECT rb.batch, nb.n_cal, rb.q AS tau_batch
           |       FROM rb JOIN nb USING (batch)
-          |       WHERE rn = CAST(floor(0.1 * (n_cal + 1)) AS BIGINT))
+          |       WHERE rn = greatest(CAST(floor(0.1 * (n_cal + 1)) AS BIGINT), 1))
           |SELECT batch, n_cal, tau_batch, tau AS tau_standing,
           |       round(tau_batch - tau, 6) AS tau_drift
           |FROM tb CROSS JOIN tau ORDER BY batch""".stripMargin),

@@ -246,8 +246,11 @@ object Sampling extends QueryModule {
             .as("tokens_admitted"))
         .select(col("source"), col("n_docs_total"), col("n_admitted"),
           col("tokens_admitted"), col("target_tokens"),
-          round(col("tokens_admitted").cast("double") / col("target_tokens"), 6)
-            .as("realized_ratio"))
+          // zero-target guard: a source whose 6-dp share floors to zero of
+          // the budget reports NULL, not Infinity (DuckDB x/0 differs)
+          when(col("target_tokens") === 0L, lit(null).cast("double"))
+            .otherwise(round(col("tokens_admitted").cast("double")
+              / col("target_tokens"), 6)).as("realized_ratio"))
         .orderBy(col("source"))
     }),
 
@@ -436,7 +439,9 @@ object Sampling extends QueryModule {
         |       CAST(sum(CASE WHEN pre < target_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
         |       CAST(sum(CASE WHEN pre < target_tokens THEN n ELSE 0 END) AS BIGINT) AS tokens_admitted,
         |       target_tokens,
-        |       round(CAST(sum(CASE WHEN pre < target_tokens THEN n ELSE 0 END) AS DOUBLE) / target_tokens, 6) AS realized_ratio
+        |       CASE WHEN target_tokens = 0 THEN NULL
+        |            ELSE round(CAST(sum(CASE WHEN pre < target_tokens THEN n ELSE 0 END) AS DOUBLE) / target_tokens, 6)
+        |       END AS realized_ratio
         |FROM r GROUP BY source, target_tokens ORDER BY source""".stripMargin,
     "q210_packing_curve" ->
       """WITH sz AS (SELECT CAST(unnest([32, 64, 128, 256]) AS BIGINT) AS context),

@@ -285,8 +285,8 @@ object TextAnalytics extends QueryModule {
     // source's length distribution has a finite-variance tail. Hill (1975):
     // over the k largest lengths, alpha = k / Σ ln(x_i / x_threshold) with
     // x_threshold the (k+1)-th largest; alpha <= 2 means infinite variance
-    // (plan for stragglers), large alpha means a light tail. k = 50 per
-    // source, threshold ties broken by doc_id; logs rounded at 12 dp and
+    // (plan for stragglers), large alpha means a light tail. Threshold
+    // ties are broken by doc_id; logs rounded at 12 dp and
     // decimal-summed (the q206 convention). The per-source top-(k+1) comes
     // from a source-partitioned rank window — partition-parallel, and
     // WindowGroupLimit prunes below the sort at scale. k = 15 here (the

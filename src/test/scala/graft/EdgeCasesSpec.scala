@@ -106,6 +106,22 @@ class EdgeCasesSpec extends AnyFunSuite with Matchers {
     Dedup.ngramJaccardPairsFrom(short).count() shouldBe 0L
   }
 
+  test("conformal tau on a tiny calibration slice clamps k to 1 instead of emptying") {
+    // doc_id < 7 leaves exactly one calibration doc (doc_id 0): n_cal = 1,
+    // k = floor(0.1 * 2) = 0 — unclamped, the rank filter matches nothing
+    // and the scalar fetch throws; clamped, tau degrades to the min score
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiny-cal")
+      .toFile.getAbsolutePath
+    graft.sources.Tables.read(spark, TestSpark.sf0001, "documents")
+      .filter(col("doc_id") < 7)
+      .write.parquet(s"$dir/documents.parquet")
+    val tau = graft.operators.Expectations.conformalTau(spark, dir)
+    val minQ = graft.sources.Tables.read(spark, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .agg(min(graft.operators.TextAnalytics.qualityScore)).head.getDouble(0)
+    tau shouldBe minQ
+  }
+
   test("deadline funnel with zero qualifying users reports zeros, not an error") {
     import java.sql.Timestamp
     val events = Seq((1L, "click", new Timestamp(1000L)))

@@ -26,12 +26,9 @@ class RegistrySpec extends AnyFunSuite with Matchers {
   test("no module shadows another module's query or oracle key") {
     // flatMap(_.queries).toMap silently keeps the LAST binding on key
     // collision — assert there is nothing to keep silently
-    val modulesField = SparkEntry.getClass.getDeclaredField("modules")
-    modulesField.setAccessible(true)
-    val modules = modulesField.get(SparkEntry).asInstanceOf[Seq[QueryModule]]
-    val qKeys = modules.flatMap(_.queries.keys)
+    val qKeys = SparkEntry.modules.flatMap(_.queries.keys)
     qKeys.diff(qKeys.distinct) shouldBe empty
-    val oKeys = modules.flatMap(_.oracles.keys)
+    val oKeys = SparkEntry.modules.flatMap(_.oracles.keys)
     oKeys.diff(oKeys.distinct) shouldBe empty
   }
 
