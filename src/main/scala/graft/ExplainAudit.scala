@@ -78,5 +78,8 @@ object ExplainAudit {
       "aggregations"),
     "q230_tau_stability" -> ("bounded: the STANDING-tau leg is q205's calibration-sample " +
       "order statistic (same bounded-sample contract); the per-batch taus rank inside " +
-      "batch partitions — partition-parallel"))
+      "batch partitions — partition-parallel"),
+    "q238_unimax_alloc" -> ("bounded: water-filling windows over the per-source token " +
+      "rollup (|sources| rows); the corpus itself only passes one map-side-combined " +
+      "grouped sum"))
 }

@@ -133,6 +133,37 @@ object Relational extends QueryModule {
         .limit(20)
     }),
 
+    // Sole-blame late suppliers (q241) — the TPC-H Q21 shape on the slim
+    // schema: suppliers whose line in a multi-supplier finished order
+    // shipped late (> 90 days after the order date) while every OTHER
+    // supplier in the order shipped on time, i.e. the one who alone kept
+    // the order waiting. Q21 is the classic correlated
+    // EXISTS + NOT-EXISTS stressor; here it is expressed as ONE grouped
+    // pass instead: per order, count distinct suppliers and distinct LATE
+    // suppliers, keep (n_supp > 1, n_late = 1), rejoin the late lines.
+    // That turns two decorrelated semi/anti joins over the fact table into
+    // a single map-side-combined aggregation plus one shuffled fact-fact
+    // join on l_orderkey — the co-partitioned key both sides already
+    // shuffle on, so AQE can reuse the exchange. Top-20 by a bounded
+    // TakeOrderedAndProject with a total tiebreak order.
+    "q241_waiting_suppliers" -> ((s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1)
+            .otherwise(0).as("late"))
+      val os = lo.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late") === 1, col("l_suppkey"))).as("n_late"))
+      lo.join(os, Seq("l_orderkey"))
+        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+        .limit(20)
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -855,6 +886,19 @@ object Relational extends QueryModule {
         |              + v11 * (x2 - m2) * (x2 - m2)) / det, 6) AS d2
         |FROM o CROSS JOIN st2
         |ORDER BY d2 DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q241_waiting_suppliers" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+        |              CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |                   THEN 1 ELSE 0 END AS late
+        |            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |            WHERE o_orderstatus = 'F'),
+        |os AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+        |       FROM lo GROUP BY 1)
+        |SELECT l_suppkey, count(DISTINCT l_orderkey) AS numwait
+        |FROM lo JOIN os USING (l_orderkey)
+        |WHERE late = 1 AND n_supp > 1 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
     // The two *_ok flags are PINNED at 1: DuckDB cannot replay the sketch
     // internals, so the oracle asserts the engine's sketches meet their
     // bounds — a sketch drifting out of bound hash-fails this query.

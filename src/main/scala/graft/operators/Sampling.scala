@@ -220,6 +220,94 @@ object Sampling extends QueryModule {
     // reshuffle. Scale shape: one grouped pass for shares (|sources| rows),
     // a source-partitioned window for the running count (partition-parallel;
     // a mega-source serializes its own stream only), one grouped rollup.
+    // DoReMi-style domain reweighting (q239) — mixture weights from excess
+    // difficulty (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures
+    // Speeds Up Language Model Pretraining", one multiplicative-update
+    // step with the corpus's own unigram LM standing in for the proxy
+    // model): a source whose tokens are MORE surprising than the corpus
+    // average (lower mean log-prob — rarer vocabulary, i.e. the
+    // underfit/underrepresented domain) is upweighted by
+    // w ∝ 10^(corpus_mean − source_mean), then normalized. The q73 scoring
+    // layer computes per-token log10 p under the corpus unigram counts;
+    // per-source means are decimal-space sums of 12-dp-rounded terms
+    // (order-independent, the q206 convention), the exponential is taken
+    // on the 6-dp-rounded excess, and normalization decimal-sums the
+    // 6-dp-rounded raw weights — every float both engines see derives
+    // from the same rounded scalars. Scale: one broadcast frequency
+    // rejoin (exploded tokens never shuffle), two |sources|-row rollups.
+    "q239_doremi_weights" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+      val toks = docs(s, dir)
+        .select(col("source"), explode(split(trim(col("text")), " ")).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("total"))
+      val sc = toks.join(broadcast(freq), Seq("tok")).crossJoin(broadcast(tot))
+        .select(col("source"),
+          round(log10(col("cnt").cast("double") / col("total")), 12).as("lp"))
+      val per = sc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("lp").cast(dec)).cast("double") / count(lit(1)), 6)
+            .as("mean_logprob"))
+      val all = sc.agg(
+        round(sum(col("lp").cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("corpus_mean"))
+      val raw = per.crossJoin(broadcast(all))
+        .withColumn("excess", round(col("corpus_mean") - col("mean_logprob"), 6))
+        .withColumn("w_raw", round(pow(lit(10.0), col("excess")), 6))
+      val tw = raw.agg(
+        sum(col("w_raw").cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("tot_w"))
+      raw.crossJoin(broadcast(tw))
+        .select(col("source"), col("n_tokens"), col("mean_logprob"), col("excess"),
+          round(col("w_raw").cast("double") / col("tot_w").cast("double"), 6).as("weight"))
+        .orderBy(col("source"))
+    }),
+
+    // UniMax budget allocation (q238) — the mixture tier ABOVE q101's
+    // temperature shares: given a total token budget B = floor(0.9 · corpus)
+    // and a per-source repeat cap of 1 epoch (cap_s = n_s — the UniMax
+    // N=1 setting), allocate the budget so every source gets an equal
+    // share EXCEPT the ones whose cap binds: the smallest sources are
+    // served whole, the large ones truncate to the common share (Chung et
+    // al. 2023, "UniMax: Fairer and More Effective Language Sampling" —
+    // the allocation that avoids both proportional sampling's head
+    // domination and uniform sampling's tail over-repetition). The sequential water-filling loop has a
+    // closed form over the cap-ascending order: a prefix of sources is
+    // capped, the rest split the remainder equally — computed here as two
+    // window passes (running cap-sum → bind flag; running min → the
+    // prefix) plus one scalar rejoin, all in INTEGER space until the final
+    // division, so both engines replay it bit-for-bit. Windows run over
+    // the |sources|-row rollup, never the corpus (AuditSpec-classified).
+    "q238_unimax_alloc" -> ((s, dir) => {
+      val per = docs(s, dir).groupBy(col("source"))
+        .agg(sum(TextAnalytics.nTokens(col("text"))).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("tot"), count(lit(1)).as("n_src"))
+      val base = per.crossJoin(broadcast(tot))
+        .withColumn("cap", col("n_tokens"))
+        .withColumn("budget", floor(col("tot") * 9 / lit(10.0)).cast("long"))
+      val asc = Window.orderBy(col("cap"), col("source"))
+      val flagged = base
+        .withColumn("rn", row_number().over(asc).cast("long"))
+        .withColumn("cum", coalesce(sum(col("cap"))
+          .over(asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("flag",
+          when(col("cap") * (col("n_src") - col("rn") + 1) + col("cum") <= col("budget"), 1L)
+            .otherwise(0L))
+        .withColumn("capped",
+          min(col("flag")).over(asc.rowsBetween(Window.unboundedPreceding, 0)))
+      val sums = flagged.agg(
+        sum(when(col("capped") === 1, col("cap")).otherwise(0L)).as("capsum"),
+        sum(col("capped")).as("t"))
+      flagged.crossJoin(broadcast(sums))
+        .withColumn("alloc_tokens",
+          when(col("capped") === 1, col("cap").cast("double"))
+            .otherwise(round((col("budget") - col("capsum")).cast("double")
+              / (col("n_src") - col("t")), 6)))
+        .withColumn("epochs", round(col("alloc_tokens") / col("n_tokens"), 6))
+        .select(col("source"), col("n_tokens"), col("cap").as("cap_tokens"),
+          col("capped"), col("alloc_tokens"), col("epochs"))
+        .orderBy(col("source"))
+    }),
+
     "q213_mixture_materialize" -> ((s, dir) => {
       val budget = 10000L
       val n = TextAnalytics.nTokens(col("text"))
@@ -421,6 +509,50 @@ object Sampling extends QueryModule {
         |  (SELECT CAST(row_number() OVER (ORDER BY vtime, source, doc_id) AS BIGINT) AS pos,
         |          doc_id, source, vtime FROM v)
         |WHERE pos <= 100 ORDER BY pos""".stripMargin,
+    "q239_doremi_weights" ->
+      """WITH toks AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |sc AS (SELECT source,
+        |         CAST(round(log10(CAST(cnt AS DOUBLE) / total), 12) AS DECIMAL(38,12)) AS lp
+        |       FROM toks JOIN freq USING (tok) CROSS JOIN tot),
+        |per AS (SELECT source, count(*) AS n_tokens,
+        |          round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
+        |        FROM sc GROUP BY 1),
+        |al AS (SELECT round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS corpus_mean FROM sc),
+        |raw AS (SELECT source, n_tokens, mean_logprob,
+        |          round(corpus_mean - mean_logprob, 6) AS excess,
+        |          round(pow(10.0, round(corpus_mean - mean_logprob, 6)), 6) AS w_raw
+        |        FROM per CROSS JOIN al),
+        |tw AS (SELECT sum(CAST(w_raw AS DECIMAL(28,6))) AS tot_w FROM raw)
+        |SELECT source, n_tokens, mean_logprob, excess,
+        |       round(CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS weight
+        |FROM raw CROSS JOIN tw ORDER BY source""".stripMargin,
+    "q238_unimax_alloc" ->
+      """WITH per AS (SELECT source, CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+        |             FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, count(*) AS n_src FROM per),
+        |base AS (SELECT source, n_tokens, n_tokens AS cap,
+        |           CAST(floor(tot * 9 / 10.0) AS BIGINT) AS budget, n_src
+        |         FROM per CROSS JOIN tot),
+        |f AS (SELECT *, CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS rn,
+        |        CAST(COALESCE(sum(cap) OVER (ORDER BY cap, source
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |      FROM base),
+        |g AS (SELECT *, CASE WHEN cap * (n_src - rn + 1) + cum <= budget
+        |                     THEN 1 ELSE 0 END AS flag FROM f),
+        |h AS (SELECT *, min(flag) OVER (ORDER BY cap, source
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped FROM g),
+        |s AS (SELECT CAST(sum(CASE WHEN capped = 1 THEN cap ELSE 0 END) AS BIGINT) AS capsum,
+        |        CAST(sum(capped) AS BIGINT) AS t FROM h)
+        |SELECT source, n_tokens, cap AS cap_tokens, CAST(capped AS BIGINT) AS capped,
+        |       CASE WHEN capped = 1 THEN CAST(cap AS DOUBLE)
+        |            ELSE round(CAST(budget - capsum AS DOUBLE) / (n_src - t), 6)
+        |       END AS alloc_tokens,
+        |       round(CASE WHEN capped = 1 THEN CAST(cap AS DOUBLE)
+        |                  ELSE round(CAST(budget - capsum AS DOUBLE) / (n_src - t), 6)
+        |             END / n_tokens, 6) AS epochs
+        |FROM h CROSS JOIN s ORDER BY source""".stripMargin,
     "q213_mixture_materialize" ->
       """WITH t AS (SELECT source, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
         |             md5(CAST(doc_id AS VARCHAR) || ':mix') AS ok FROM documents),

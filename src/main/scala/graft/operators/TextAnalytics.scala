@@ -206,6 +206,35 @@ object TextAnalytics extends QueryModule {
     // Margin-calibration of the trained NB filter (see [[nbCalibrationFrom]]).
     "q209_nb_calibration" -> ((s, dir) => nbCalibrationFrom(docs(s, dir))),
 
+    // Lang-id method-agreement matrix (q243): the q30 regex heuristic vs
+    // the q102 trained NB classifier, cross-tabulated over the NB eval
+    // slice with each method's accuracy against the declared label inside
+    // every cell. The operational read: cells where the two DISAGREE are
+    // where routing-by-language is risky, and the per-cell accuracies say
+    // WHICH method to trust there (the standard two-rater triage before
+    // spending human review budget). The heuristic only knows {en,de,es},
+    // so its fr/zh rows land in the es fallback — visible in the matrix
+    // rather than papered over. One row-local projection per method (the
+    // NB side reuses q102's broadcast-scored frame), one join on doc_id,
+    // one |langs|²-bounded grouped count.
+    "q243_langid_agreement" -> ((s, dir) => {
+      val heur = docs(s, dir)
+        .select(col("doc_id"), col("lang"), predictedLang.as("heur_pred"))
+      val nb = nbLangIdFrom(docs(s, dir))
+        .select(col("doc_id"), col("pred_lang").as("nb_pred"))
+      heur.join(nb, Seq("doc_id"))
+        .groupBy(col("heur_pred"), col("nb_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("heur_pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_heur_correct"),
+          sum(when(col("nb_pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_nb_correct"))
+        .select(col("heur_pred"), col("nb_pred"), col("n_docs"),
+          col("n_heur_correct"), col("n_nb_correct"),
+          when(col("heur_pred") === col("nb_pred"), 1L).otherwise(0L).as("agree"))
+        .orderBy(col("heur_pred"), col("nb_pred"))
+    }),
+
     // Tokenizer fertility by language (q235): BPE-ish tokens per whitespace
     // word and bytes per BPE token, per language — the per-language COST
     // model of a tokenizer (high fertility = more compute and context
@@ -604,6 +633,26 @@ object TextAnalytics extends QueryModule {
           |SELECT doc_id, true_lang, pred_lang, score,
           |       CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
           |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "q243_langid_agreement" ->
+      (nbRankedSql +
+        """,
+          |nb AS (SELECT doc_id, pred_lang AS nb_pred FROM rk WHERE rn = 1),
+          |he AS (SELECT doc_id, lang,
+          |         CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+          |               AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b'))
+          |              THEN 'en'
+          |              WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b'))
+          |              THEN 'de' ELSE 'es' END AS heur_pred
+          |       FROM documents)
+          |SELECT heur_pred, nb_pred, count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN heur_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_heur_correct,
+          |       CAST(sum(CASE WHEN nb_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_correct,
+          |       CAST(CASE WHEN heur_pred = nb_pred THEN 1 ELSE 0 END AS BIGINT) AS agree
+          |FROM he JOIN nb USING (doc_id)
+          |GROUP BY heur_pred, nb_pred ORDER BY heur_pred, nb_pred""".stripMargin),
     "q209_nb_calibration" ->
       (nbRankedSql +
         """,

@@ -29,6 +29,22 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("unimax water-fill conserves the budget, honors caps, equalizes the uncapped") {
+    val rows = SparkEntry.queries("q238_unimax_alloc")(spark, sf0001).collect()
+    val tot = rows.map(_.getLong(1)).sum
+    val budget = tot * 9 / 10 // floor(0.9 * corpus), integer math as in the query
+    // capped sources are served exactly their cap; uncapped all get the
+    // same share; the shares exhaust the budget (up to the 6-dp rounding
+    // of the common share, spread over the uncapped count)
+    val (capped, uncapped) = rows.partition(_.getLong(3) == 1L)
+    capped.foreach(r => r.getDouble(4) shouldBe r.getLong(2).toDouble)
+    uncapped.map(_.getDouble(4)).distinct.length should be <= 1
+    val alloc = rows.map(_.getDouble(4)).sum
+    math.abs(alloc - budget) should be <= 0.5 * math.max(1, uncapped.length)
+    // every allocation respects its cap
+    rows.foreach(r => r.getDouble(4) should be <= r.getLong(2).toDouble + 1e-9)
+  }
+
   test("fixed-count stratum sample keeps exactly min(n, stratum) per source, hash-ordered") {
     val n = 40
     val rows = SparkEntry.queries("q111_stratum_topn")(spark, sf0001).collect()
