@@ -746,6 +746,46 @@ object Dedup extends QueryModule {
             round(col("n_hit").cast("double") / col("n_exact"), 6)).as("recall"),
           when(col("n_verified") > 0,
             round(col("n_hit").cast("double") / col("n_verified"), 6)).as("precision"))
+    }),
+
+    // SimHash threshold ROC (q240): q145 prices ONE operating point of the
+    // MinHash-LSH tier; this sweeps the whole SimHash operating CURVE —
+    // precision/recall of "hamming(simhash_a, simhash_b) <= t" against the
+    // exact 5-gram-Jaccard >= 0.5 ground truth, for t in {0,4,...,32}.
+    // The curve is what picks the production threshold: the knee where
+    // recall stops buying and precision starts bleeding. Both scores are
+    // computed over the SAME universe — the df-capped shingle-sharing
+    // candidate pairs of the shared pair-count layer — so the comparison
+    // is like-for-like and the corpus is never pairwise-joined. Scale
+    // shape: the pair frame reduces to a <= 65-row hamming histogram
+    // FIRST (map-side combined), and only that bounded rollup meets the
+    // 9-row threshold frame; signatures ride the codegen'd
+    // graft_simhash64 kernel and join the (narrow) pair frame by id.
+    "q240_simhash_roc" -> ((s, dir) => {
+      val pairs = sharedNgramJaccardPairs(s, dir)
+      val sig = simhashSignatures(s, dir)
+      val hp = pairs
+        .join(sig.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+        .select(expr("bit_count(sha ^ shb)").cast(LongType).as("hamming"),
+          when(col("jaccard") >= 0.5, 1L).otherwise(0L).as("truth"))
+      val hist = hp.groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n"), sum(col("truth")).as("nt"))
+      val totals = hp.agg(count(lit(1)).as("n_pairs"), sum(col("truth")).as("n_true"))
+      val thr = broadcast(s.range(1).select(explode(array(
+        lit(0L), lit(4L), lit(8L), lit(12L), lit(16L),
+        lit(20L), lit(24L), lit(28L), lit(32L))).as("threshold")))
+      thr.join(hist, col("hamming") <= col("threshold"), "left")
+        .groupBy(col("threshold"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_predicted"),
+          coalesce(sum(col("nt")), lit(0L)).as("n_tp"))
+        .crossJoin(broadcast(totals))
+        .select(col("threshold"), col("n_predicted"), col("n_tp"), col("n_true"),
+          when(col("n_predicted") > 0,
+            round(col("n_tp").cast("double") / col("n_predicted"), 6)).as("precision"),
+          when(col("n_true") > 0,
+            round(col("n_tp").cast("double") / col("n_true"), 6)).as("recall"))
+        .orderBy(col("threshold"))
     })
   )
 
@@ -1013,6 +1053,52 @@ object Dedup extends QueryModule {
         |  GROUP BY doc_id, b)
         |SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q240_simhash_roc" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shg AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+        |        FROM toks WHERE len(w) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shg),
+        |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           WHERE a.s IN (SELECT s FROM capped)
+        |           GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM shg),
+        |pr AS (SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |       FROM common JOIN sizes sa ON sa.doc_id = id_a
+        |                   JOIN sizes sb ON sb.doc_id = id_b),
+        |tk2 AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
+        |hh AS (SELECT doc_id,
+        |         CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS hi,
+        |         CAST(concat('0x', substring(md5(tk), 9, 8)) AS BIGINT) AS lo
+        |       FROM tk2),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) ELSE (hi >> (b - 32)) END & 1) = 1
+        |                           THEN 1 ELSE -1 END) > 0
+        |              THEN (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |                         ELSE (CAST(1 AS BIGINT) << b) END)
+        |              ELSE 0 END AS bv
+        |  FROM hh CROSS JOIN (SELECT unnest(range(64)) AS b)
+        |  GROUP BY doc_id, b),
+        |sg AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS sig FROM bits GROUP BY doc_id),
+        |hp AS (SELECT CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+        |              CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END AS truth
+        |       FROM pr JOIN sg a ON a.doc_id = pr.id_a
+        |               JOIN sg b ON b.doc_id = pr.id_b),
+        |tot AS (SELECT count(*) AS n_pairs, CAST(sum(truth) AS BIGINT) AS n_true FROM hp),
+        |th AS (SELECT CAST(unnest([0, 4, 8, 12, 16, 20, 24, 28, 32]) AS BIGINT) AS threshold),
+        |agg AS (SELECT threshold,
+        |          CAST(count(hamming) AS BIGINT) AS n_predicted,
+        |          CAST(COALESCE(sum(truth), 0) AS BIGINT) AS n_tp
+        |        FROM th LEFT JOIN hp ON hamming <= threshold GROUP BY 1)
+        |SELECT threshold, n_predicted, n_tp, n_true,
+        |       CASE WHEN n_predicted > 0
+        |            THEN round(CAST(n_tp AS DOUBLE) / n_predicted, 6) END AS precision,
+        |       CASE WHEN n_true > 0
+        |            THEN round(CAST(n_tp AS DOUBLE) / n_true, 6) END AS recall
+        |FROM agg CROSS JOIN tot ORDER BY threshold""".stripMargin,
     "q58_simhash_hamming" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
         |h AS (SELECT doc_id,

@@ -318,6 +318,64 @@ object Retrieval extends QueryModule {
         .orderBy(col("rank"))
     }),
 
+    // MMR diversified rerank (q244) — maximal marginal relevance
+    // (Carbonell & Goldstein, SIGIR '98), the context-assembly step of a
+    // RAG pipeline: from the BM25 top-10, greedily pick 5 documents
+    // maximizing 0.7·relevance − 0.3·max-similarity-to-already-picked, so
+    // the selected context covers the query without spending its budget
+    // on near-duplicate passages (the failure q35/q47 measure corpus-wide
+    // shows up HERE as wasted context slots). Relevance is BM25
+    // normalized by the top score; redundancy is the tf-cosine between
+    // candidates, served from the shared inverted-index layer. The greedy
+    // loop is inherently sequential over a top-k frame, so it runs on the
+    // driver over TWO bounded fetches (<= 10 relevance rows, <= 90 pair
+    // sims — the q237 bounded-fetch contract); every scalar the loop
+    // touches is 6-dp-rounded Spark output, and the loop's own arithmetic
+    // (0.7·r − 0.3·m, HALF_UP at 6 dp) is replayed verbatim by the
+    // oracle's unrolled selection CTEs, so the two engines pick identical
+    // sequences. At 100 TB nothing changes: the corpus-sized work is the
+    // one BM25 pass; the rerank stays k²-bounded.
+    "q244_mmr_rerank" -> ((s, dir) => {
+      val tf = sharedTermFreqs(s, dir)
+      val cand = bm25SearchTf(tf, QueryTerms, 10)
+      val mx = cand.agg(max(col("bm25")).as("mx"))
+      val rel = cand.crossJoin(broadcast(mx))
+        .select(col("doc_id"), round(col("bm25") / col("mx"), 6).as("r"))
+      val ctf = tf.join(cand.select(col("doc_id")), Seq("doc_id"))
+      val ssq = ctf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("ssq"))
+      val dp = ctf.as("a").join(ctf.as("b"),
+          col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      val sim = dp
+        .join(ssq.select(col("doc_id").as("ia"), col("ssq").as("sa")), Seq("ia"))
+        .join(ssq.select(col("doc_id").as("ib"), col("ssq").as("sb")), Seq("ib"))
+        .select(col("ia"), col("ib"),
+          round(col("dot").cast("double") / (sqrt(col("sa")) * sqrt(col("sb"))), 6)
+            .as("sim"))
+      val relArr = rel.orderBy(col("doc_id")).collect()
+        .map(r0 => r0.getLong(0) -> r0.getDouble(1))
+      val simMap = sim.collect()
+        .map(r0 => (r0.getLong(0), r0.getLong(1)) -> r0.getDouble(2)).toMap
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var selected = Vector.empty[(Long, Double, Double)]
+      for (_ <- 1 to 5) {
+        val selIds = selected.map(_._1).toSet
+        val best = relArr.iterator.filter(p => !selIds(p._1)).map { case (id, r) =>
+          val m = if (selIds.isEmpty) 0.7 * r
+            else 0.7 * r - 0.3 * selIds.iterator
+              .map(sid => simMap.getOrElse((id, sid), 0.0)).max
+          (id, r, r6(m))
+        }.minBy(t => (-t._3, t._1))
+        selected :+= best
+      }
+      import s.implicits._
+      selected.zipWithIndex
+        .map { case ((id, r, m), i) => (i + 1L, id, r, m) }
+        .toDF("pos", "doc_id", "rel_norm", "mmr")
+    }),
+
     // Retrieval-quality eval (q228): BM25's top-20 scored against the
     // EXACT conjunctive relevance set per eval query — precision@10,
     // recall@20, and reciprocal rank, the numbers a search rollout reads
@@ -429,6 +487,63 @@ object Retrieval extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // Unrolled greedy selection: s1..s5 are the five MMR picks, each step
+    // re-scoring the unpicked candidates against the selected-so-far list
+    // (l2..l4) with the exact driver-loop arithmetic.
+    "q244_mmr_rerank" ->
+      (invIndexCte +
+        """,
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+          |ad AS (SELECT round(avg(dl), 6) AS avgdl FROM dl),
+          |w AS (SELECT tf.doc_id,
+          |             ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+          |             (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS w
+          |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+          |      WHERE tf.term IN ('spark', 'vector', 'merge')),
+          |cand AS (SELECT doc_id, round(sum(w), 6) AS bm25 FROM w GROUP BY doc_id
+          |         ORDER BY bm25 DESC, doc_id LIMIT 10),
+          |mx AS (SELECT max(bm25) AS mx FROM cand),
+          |rel AS (SELECT doc_id, round(bm25 / mx, 6) AS r FROM cand CROSS JOIN mx),
+          |ctf AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN cand USING (doc_id)),
+          |ssq AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS ssq FROM ctf GROUP BY 1),
+          |dp AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+          |       FROM ctf a JOIN ctf b ON a.term = b.term AND a.doc_id != b.doc_id
+          |       GROUP BY 1, 2),
+          |sim AS (SELECT ia, ib,
+          |          round(CAST(dot AS DOUBLE) / (sqrt(sa.ssq) * sqrt(sb.ssq)), 6) AS sim
+          |        FROM dp JOIN ssq sa ON sa.doc_id = ia JOIN ssq sb ON sb.doc_id = ib),
+          |s1 AS (SELECT doc_id, r, round(0.7 * r, 6) AS mmr FROM rel
+          |       ORDER BY mmr DESC, doc_id LIMIT 1),
+          |p2 AS (SELECT rel.doc_id, rel.r,
+          |         round(0.7 * rel.r - 0.3 * COALESCE((SELECT max(sim) FROM sim
+          |             WHERE ia = rel.doc_id AND ib IN (SELECT doc_id FROM s1)), 0), 6) AS mmr
+          |       FROM rel WHERE rel.doc_id NOT IN (SELECT doc_id FROM s1)),
+          |s2 AS (SELECT doc_id, r, mmr FROM p2 ORDER BY mmr DESC, doc_id LIMIT 1),
+          |l2 AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+          |p3 AS (SELECT rel.doc_id, rel.r,
+          |         round(0.7 * rel.r - 0.3 * COALESCE((SELECT max(sim) FROM sim
+          |             WHERE ia = rel.doc_id AND ib IN (SELECT doc_id FROM l2)), 0), 6) AS mmr
+          |       FROM rel WHERE rel.doc_id NOT IN (SELECT doc_id FROM l2)),
+          |s3 AS (SELECT doc_id, r, mmr FROM p3 ORDER BY mmr DESC, doc_id LIMIT 1),
+          |l3 AS (SELECT doc_id FROM l2 UNION ALL SELECT doc_id FROM s3),
+          |p4 AS (SELECT rel.doc_id, rel.r,
+          |         round(0.7 * rel.r - 0.3 * COALESCE((SELECT max(sim) FROM sim
+          |             WHERE ia = rel.doc_id AND ib IN (SELECT doc_id FROM l3)), 0), 6) AS mmr
+          |       FROM rel WHERE rel.doc_id NOT IN (SELECT doc_id FROM l3)),
+          |s4 AS (SELECT doc_id, r, mmr FROM p4 ORDER BY mmr DESC, doc_id LIMIT 1),
+          |l4 AS (SELECT doc_id FROM l3 UNION ALL SELECT doc_id FROM s4),
+          |p5 AS (SELECT rel.doc_id, rel.r,
+          |         round(0.7 * rel.r - 0.3 * COALESCE((SELECT max(sim) FROM sim
+          |             WHERE ia = rel.doc_id AND ib IN (SELECT doc_id FROM l4)), 0), 6) AS mmr
+          |       FROM rel WHERE rel.doc_id NOT IN (SELECT doc_id FROM l4)),
+          |s5 AS (SELECT doc_id, r, mmr FROM p5 ORDER BY mmr DESC, doc_id LIMIT 1)
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS pos, doc_id, r AS rel_norm, mmr FROM s1
+          |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id, r, mmr FROM s2
+          |  UNION ALL SELECT CAST(3 AS BIGINT), doc_id, r, mmr FROM s3
+          |  UNION ALL SELECT CAST(4 AS BIGINT), doc_id, r, mmr FROM s4
+          |  UNION ALL SELECT CAST(5 AS BIGINT), doc_id, r, mmr FROM s5)
+          |ORDER BY pos""".stripMargin),
     "q237_prf_expansion" ->
       (invIndexCte +
         """,

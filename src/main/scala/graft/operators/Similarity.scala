@@ -576,12 +576,16 @@ object Similarity extends QueryModule {
     * the probe batch would be chunked, or the join shuffled on a
     * finer-than-cell key — the cell key alone (kCells values) must never
     * be the shuffle key. */
-  def knnClassifySeeded(s: SparkSession, dir: String, k: Int = 5,
-                        kCells: Int = 8): DataFrame = {
+  /** Every vector assigned to its seeded-quantizer cell (k lowest-id
+    * centroids, rounded-cosine argmax with the deterministic −cid
+    * tiebreak) — the shared blocking layer of [[knnClassifySeeded]] (q204)
+    * and [[hardNegatives]] (q242). */
+  private def seededAssigned(s: SparkSession, dir: String,
+                             kCells: Int): DataFrame = {
     val e = emb(s, dir)
     val cents = e.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("label"),
         struct(round(cosineFast(s, col("v"), col("cv")), 6).as("cos"),
           (-col("cid")).as("ncid")).as("sc"))
@@ -589,6 +593,11 @@ object Similarity extends QueryModule {
       .agg(max(col("sc")).as("m"), first(col("v")).as("v"),
         first(col("label")).as("label"))
       .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("v"), col("label"))
+  }
+
+  def knnClassifySeeded(s: SparkSession, dir: String, k: Int = 5,
+                        kCells: Int = 8): DataFrame = {
+    val assigned = seededAssigned(s, dir, kCells)
     val probes = broadcast(assigned.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("cell").as("q_cell"), col("label").as("true_label")))
@@ -606,6 +615,44 @@ object Similarity extends QueryModule {
     votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
       .select(col("q_id").as("vec_id"), col("true_label").as("label"),
         col("n_label").as("pred"), col("n_votes"))
+  }
+
+  /** Hard-negative triplet mining (q242) — the contrastive-training data
+    * generator (DPR, Karpukhin et al. 2020; SimCSE's hard-negative
+    * ablation): for each anchor in the probe slice (vec_id % 5 == 0), the
+    * most-similar SAME-label corpus vector (the positive) and the
+    * most-similar DIFFERENT-label vector (the hard negative), with the
+    * triplet margin sim_pos − sim_neg. Small or negative margins are the
+    * triplets worth training on — and, read the other way, the anchors
+    * q216's noise audit should look at first. Candidates come from the
+    * anchor's seeded-quantizer cell ([[seededAssigned]] — the same
+    * blocking layer as q204, so the corpus is never pairwise-joined);
+    * both argmaxes are one anchor-partitioned window over the cell-join
+    * frame. Anchors whose cell lacks a same-label or different-label
+    * neighbor drop out (no triplet exists in-cell). */
+  def hardNegatives(s: SparkSession, dir: String, kCells: Int = 8): DataFrame = {
+    val assigned = seededAssigned(s, dir, kCells)
+    val probes = broadcast(assigned.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("cell").as("q_cell"), col("label").as("q_label")))
+    val corpus = assigned.filter(col("vec_id") % 5 =!= 0)
+    val scored = probes.join(corpus, col("cell") === col("q_cell"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val pos = scored.filter(col("n_label") === col("q_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("q_label"), col("n_id").as("pos_id"),
+        col("sim").as("sim_pos"))
+    val neg = scored.filter(col("n_label") =!= col("q_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id").as("neg_id"), col("sim").as("sim_neg"))
+    pos.join(neg, Seq("q_id"))
+      .select(col("q_id").as("anchor_id"), col("q_label").as("label"),
+        col("pos_id"), col("sim_pos"), col("neg_id"), col("sim_neg"),
+        round(col("sim_pos") - col("sim_neg"), 6).as("margin"))
+      .orderBy(col("anchor_id"))
   }
 
   /** Dominant embedding direction via power iteration (q207) — the top
@@ -1097,6 +1144,9 @@ object Similarity extends QueryModule {
     "q216_label_noise" -> ((s, dir) =>
       knnLabelNoise(s, dir).orderBy(col("label"))),
 
+    // Hard-negative triplet mining (see [[hardNegatives]]).
+    "q242_hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
+
     // JL-sketch norm-distortion audit (see [[jlDistortion]]).
     "q219_jl_distortion" -> ((s, dir) =>
       jlDistortion(s, dir).orderBy(col("vec_id"))),
@@ -1489,6 +1539,29 @@ object Similarity extends QueryModule {
         |SELECT q_id AS vec_id, true_label AS label, n_label AS pred, n_votes FROM
         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr FROM votes)
         |WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "q242_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM
+        |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a)
+        |        WHERE rn = 1),
+        |av AS (SELECT asg.vec_id, asg.cid, e.v, e.label FROM asg JOIN e USING (vec_id)),
+        |sc AS (SELECT q.vec_id AS q_id, q.label AS q_label, n.vec_id AS n_id, n.label AS n_label,
+        |         round(list_cosine_similarity(q.v, n.v), 6) AS sim
+        |       FROM av q JOIN av n ON n.cid = q.cid AND n.vec_id % 5 != 0
+        |       WHERE q.vec_id % 5 = 0),
+        |pos AS (SELECT q_id, q_label, n_id AS pos_id, sim AS sim_pos FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |          FROM sc WHERE n_label = q_label)
+        |        WHERE rn = 1),
+        |neg AS (SELECT q_id, n_id AS neg_id, sim AS sim_neg FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |          FROM sc WHERE n_label != q_label)
+        |        WHERE rn = 1)
+        |SELECT q_id AS anchor_id, q_label AS label, pos_id, sim_pos, neg_id, sim_neg,
+        |       round(sim_pos - sim_neg, 6) AS margin
+        |FROM pos JOIN neg USING (q_id) ORDER BY anchor_id""".stripMargin,
     "q191_ann_ivf_audit" ->
       (ivfSeededScSql +
         """,
