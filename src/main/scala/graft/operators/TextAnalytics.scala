@@ -127,10 +127,30 @@ object TextAnalytics extends QueryModule {
     scored
   }
 
-  def nbLangIdFrom(d: DataFrame): DataFrame = {
+  private val nbCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** [[nbScoredFrom]] over the fixture corpus, session-materialized: the
+    * trained-NB score frame is a MODEL ARTIFACT shared by q102 (argmax),
+    * q209 (margin calibration) and q243 (method agreement) — training it
+    * three times per session is the q40-retraining anti-pattern the
+    * round-12 verdict flagged. Same lifecycle/bypass contract as
+    * Retrieval.sharedTermFreqs (`-Dgraft.noEdgeCache=1` recomputes). */
+  def sharedNbScored(s: SparkSession, dir: String): DataFrame = {
+    if (sys.props.get("graft.noEdgeCache").contains("1"))
+      return nbScoredFrom(docs(s, dir))
+    if (nbCache.size > 4) nbCache.clear()
+    nbCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => nbScoredFrom(docs(s, dir)).localCheckpoint())
+  }
+
+  def nbLangIdFrom(d: DataFrame): DataFrame = nbLangIdScored(nbScoredFrom(d))
+
+  /** [[nbLangIdFrom]] over a precomputed (possibly shared) score frame. */
+  def nbLangIdScored(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
-    nbScoredFrom(d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("true_lang"), col("cand").as("pred_lang"),
         round(col("score"), 6).as("score"),
         when(col("cand") === col("true_lang"), lit(1L)).otherwise(lit(0L)).as("correct"))
@@ -153,10 +173,14 @@ object TextAnalytics extends QueryModule {
     * Scale shape: q102's scored frame + one doc-keyed window (top-2), a
     * self-join on doc_id (both sides one row per doc), and a 5-bucket
     * grouped count with map-side partials. */
-  def nbCalibrationFrom(d: DataFrame): DataFrame = {
+  def nbCalibrationFrom(d: DataFrame): DataFrame =
+    nbCalibrationScored(nbScoredFrom(d))
+
+  /** [[nbCalibrationFrom]] over a precomputed (possibly shared) score frame. */
+  def nbCalibrationScored(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
-    val rk = nbScoredFrom(d).withColumn("rn", row_number().over(w))
+    val rk = scored.withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("true_lang"), col("cand"),
         round(col("score"), 6).as("s"), col("rn"))
     val top = rk.filter(col("rn") === 1)
@@ -200,11 +224,13 @@ object TextAnalytics extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Trained naive-Bayes language classifier over the held-out slice.
-    "q102_nb_langid" -> ((s, dir) => nbLangIdFrom(docs(s, dir))),
+    // Trained naive-Bayes language classifier over the held-out slice,
+    // served from the session model layer (see [[sharedNbScored]]).
+    "q102_nb_langid" -> ((s, dir) => nbLangIdScored(sharedNbScored(s, dir))),
 
     // Margin-calibration of the trained NB filter (see [[nbCalibrationFrom]]).
-    "q209_nb_calibration" -> ((s, dir) => nbCalibrationFrom(docs(s, dir))),
+    "q209_nb_calibration" -> ((s, dir) =>
+      nbCalibrationScored(sharedNbScored(s, dir))),
 
     // Lang-id method-agreement matrix (q243): the q30 regex heuristic vs
     // the q102 trained NB classifier, cross-tabulated over the NB eval
@@ -220,7 +246,7 @@ object TextAnalytics extends QueryModule {
     "q243_langid_agreement" -> ((s, dir) => {
       val heur = docs(s, dir)
         .select(col("doc_id"), col("lang"), predictedLang.as("heur_pred"))
-      val nb = nbLangIdFrom(docs(s, dir))
+      val nb = nbLangIdScored(sharedNbScored(s, dir))
         .select(col("doc_id"), col("pred_lang").as("nb_pred"))
       heur.join(nb, Seq("doc_id"))
         .groupBy(col("heur_pred"), col("nb_pred"))
