@@ -195,6 +195,54 @@ object Curation extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Curation survival funnel (q246) — the per-source "where does my data
+    // go" report a pipeline owner reads before debating any single filter:
+    // each document walks the standard curation cascade IN ORDER — quality
+    // gate (q31 score >= 0.5) → exact dedup among the quality survivors
+    // (q34 semantics: min-doc_id survivor per raw fingerprint) → eval
+    // holdout + decontamination (drop the q72 eval slice itself and any
+    // doc with >= 20% shingle overlap against it) — and the funnel counts
+    // survivors per source at every stage, with end-to-end retention.
+    // Stage ORDER is load-bearing and mirrored exactly by the oracle:
+    // dedup-after-quality means a duplicate whose better-quality copy was
+    // filtered can still survive via its remaining copy. Scale: one
+    // row-local scoring pass, one fingerprint-keyed grouped min (32-byte
+    // keys), the q72 broadcast marker join for contamination, then a
+    // |sources|-row conditional rollup — no corpus-sized join or window.
+    "q246_curation_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("source"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
+        (TextAnalytics.qualityScore >= 0.5).as("pass_q"))
+      val surv = base.filter(col("pass_q"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("survivor_id"))
+      val sh = Dedup.shingledFrom(d)
+      val ev = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("shingles")).as("s")).distinct()
+      val contam = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .join(broadcast(ev.withColumn("hit", lit(1))), Seq("s"), "left")
+        .groupBy(col("doc_id"))
+        .agg((count(col("hit")).cast("double") / count(lit(1))).as("contamination"))
+      val staged = base
+        .join(surv, Seq("fp"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("source"), col("pass_q"),
+          (col("pass_q") && col("doc_id") === col("survivor_id")).as("pass_d"),
+          (col("pass_q") && col("doc_id") === col("survivor_id")
+            && col("doc_id") % 97 =!= 0
+            && coalesce(col("contamination"), lit(0.0)) < 0.2).as("pass_c"))
+      staged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("pass_d"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("pass_c"), 1L).otherwise(0L)).as("n_clean"))
+        .select(col("source"), col("n_docs"), col("n_quality"), col("n_dedup"),
+          col("n_clean"),
+          round(col("n_clean").cast("double") / col("n_docs"), 6).as("retention"))
+        .orderBy(col("source"))
+    }),
+
     // Source-overlap matrix (q183): corpus-level Jaccard between SOURCES'
     // shingle sets — the mixture-planning signal ("these two crawls are
     // 5% the same material") that doc-pair dedup reports can't aggregate
@@ -383,6 +431,37 @@ object Curation extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q246_curation_funnel" ->
+      """WITH base AS (SELECT doc_id, source,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |        (round(0.5 * least(1.0, length(text) / 500.0)
+        |             + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |                      len(string_split(trim(text), ' ')))
+        |             + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |                      length(text)), 6) >= 0.5) AS pass_q
+        |      FROM documents),
+        |surv AS (SELECT fp, min(doc_id) AS survivor_id FROM base WHERE pass_q GROUP BY fp),
+        |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shg AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+        |        FROM toks WHERE len(w) >= 5),
+        |ev AS (SELECT DISTINCT unnest(shingles) AS s FROM shg WHERE doc_id % 97 = 0),
+        |exd AS (SELECT doc_id, unnest(shingles) AS s FROM shg WHERE doc_id % 97 != 0),
+        |ct AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN s IN (SELECT s FROM ev) THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / count(*) AS contamination
+        |       FROM exd GROUP BY 1),
+        |st AS (SELECT b.source, b.pass_q,
+        |         (b.pass_q AND b.doc_id = sv.survivor_id) AS pass_d,
+        |         (b.pass_q AND b.doc_id = sv.survivor_id AND b.doc_id % 97 != 0
+        |            AND COALESCE(ct.contamination, 0) < 0.2) AS pass_c
+        |       FROM base b LEFT JOIN surv sv USING (fp) LEFT JOIN ct USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |       CAST(sum(CASE WHEN pass_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+        |       CAST(sum(CASE WHEN pass_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |       round(CAST(sum(CASE WHEN pass_c THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS retention
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
     "q183_source_overlap" ->
       """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (SELECT source, unnest(list_distinct(list_transform(range(len(w) - 4),

@@ -376,6 +376,48 @@ object Retrieval extends QueryModule {
         .toDF("pos", "doc_id", "rel_norm", "mmr")
     }),
 
+    // Graded nDCG@10 (q245) — the ranking-quality metric q228's binary
+    // precision/recall can't express: relevance is GRADED by the
+    // query-term mass a document carries (gain = Σ tf over the query
+    // terms — tf-graded self-supervised relevance), and DCG@10 uses the
+    // original linear-gain form (Järvelin & Kekäläinen 2002), discounting
+    // each gain by log2(rank+1)
+    // over the BM25 top-10, and IDCG re-ranks the whole graded set by
+    // gain to price the ceiling — nDCG = DCG/IDCG is the number that
+    // says "the ranker finds the right docs but orders them badly"
+    // (high recall, low nDCG), which neither q228 metric can see. Every
+    // discounted term is 12-dp-rounded and decimal-summed (q206
+    // convention); both rankings are bounded top-10 heaps
+    // (TakeOrderedAndProject), and gains ride the shared inverted index.
+    "q245_ndcg_eval" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val tf = sharedTermFreqs(s, dir)
+      val per = EvalQueries.map { case (qid, terms) =>
+        val gains = tf.filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id")).agg(sum(col("tf")).as("gain"))
+        val dcgTerm = round(col("gain").cast("double")
+          / log2(col("rank") + lit(1.0)), 12).cast(dec)
+        val ranked = bm25SearchTf(tf, terms, 10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .join(gains, Seq("doc_id"))
+        val dcg = ranked.agg(
+          round(sum(dcgTerm).cast("double"), 6).as("dcg"))
+        val ideal = gains
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("gain").desc, col("doc_id"))).cast("long"))
+          .filter(col("rank") <= 10)
+        val idcg = ideal.agg(
+          round(sum(dcgTerm).cast("double"), 6).as("idcg"),
+          count(lit(1)).as("n_graded"))
+        dcg.crossJoin(idcg)
+          .select(lit(qid).as("query_id"), col("n_graded"),
+            col("dcg"), col("idcg"),
+            round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      }
+      per.reduce(_.union(_)).orderBy(col("query_id"))
+    }),
+
     // Retrieval-quality eval (q228): BM25's top-20 scored against the
     // EXACT conjunctive relevance set per eval query — precision@10,
     // recall@20, and reciprocal rank, the numbers a search rollout reads
@@ -486,7 +528,44 @@ object Retrieval extends QueryModule {
          |FROM m ORDER BY query_id""".stripMargin)
   }
 
+  /** q245 oracle, one block per eval query from the same template as q228
+    * (engine and SQL share the query set by construction): graded gains,
+    * the BM25 top-10, and the DCG/IDCG decimal sums. */
+  private val ndcgEvalSql: String = {
+    val dcgSum = "round(CAST(sum(CAST(round(CAST(gain AS DOUBLE) / " +
+      "log2(rank + 1.0), 12) AS DECIMAL(38,12))) AS DOUBLE), 6)"
+    val blocks = EvalQueries.map { case (qid, terms) =>
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""w_$qid AS (SELECT tf.doc_id,
+         |             ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+         |             (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS w
+         |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+         |      WHERE tf.term IN ($inList)),
+         |g_$qid AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS gain FROM tf
+         |       WHERE term IN ($inList) GROUP BY doc_id),
+         |rk_$qid AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+         |       FROM (SELECT doc_id, round(sum(w), 6) AS bm25 FROM w_$qid GROUP BY doc_id
+         |             ORDER BY bm25 DESC, doc_id LIMIT 10)),
+         |d_$qid AS (SELECT $dcgSum AS dcg FROM rk_$qid JOIN g_$qid USING (doc_id)),
+         |i_$qid AS (SELECT $dcgSum AS idcg, count(*) AS n_graded
+         |       FROM (SELECT gain, CAST(row_number() OVER (ORDER BY gain DESC, doc_id) AS BIGINT) AS rank
+         |             FROM g_$qid) WHERE rank <= 10),
+         |m_$qid AS (SELECT '$qid' AS query_id, n_graded, dcg, idcg,
+         |             round(dcg / idcg, 6) AS ndcg
+         |           FROM d_$qid CROSS JOIN i_$qid)""".stripMargin
+    }
+    val unions = EvalQueries.map { case (qid, _) => s"SELECT * FROM m_$qid" }
+      .mkString("\n|      UNION ALL ")
+    (invIndexCte +
+      s""",
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+         |ad AS (SELECT round(avg(dl), 6) AS avgdl FROM dl),
+         |${blocks.mkString(",\n|")}
+         |SELECT * FROM ($unions) ORDER BY query_id""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q245_ndcg_eval" -> ndcgEvalSql,
     // Unrolled greedy selection: s1..s5 are the five MMR picks, each step
     // re-scoring the unpicked candidates against the selected-so-far list
     // (l2..l4) with the exact driver-loop arithmetic.
