@@ -243,6 +243,56 @@ object Curation extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Cross-lingual near-dup matrix (q247): the q35 near-dup pairs
+    // (Jaccard >= 0.5) cross-tabulated by the two documents' DECLARED
+    // languages. Off-diagonal mass is the multilingual-curation smell the
+    // per-language dedup runs miss entirely (they partition by lang
+    // first): near-identical token streams labeled as different languages
+    // mean mislabeled documents, untranslated boilerplate, or a lang-id
+    // stage upstream that disagrees with itself — and deduping
+    // per-language would KEEP both copies. One projection over the shared
+    // materialized pair layer + two narrow id-lang joins; the (lang_a,
+    // lang_b) key is order-normalized so each unordered language pair
+    // lands in one cell.
+    "q247_crosslingual_dup" -> ((s, dir) => {
+      val pairs = Dedup.sharedNgramJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.5)
+      val lg = docs(s, dir).select(col("doc_id"), col("lang"))
+      pairs
+        .join(lg.select(col("doc_id").as("id_a"), col("lang").as("la")), Seq("id_a"))
+        .join(lg.select(col("doc_id").as("id_b"), col("lang").as("lb")), Seq("id_b"))
+        .select(least(col("la"), col("lb")).as("lang_a"),
+          greatest(col("la"), col("lb")).as("lang_b"), col("jaccard"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("jaccard").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)), 6).as("avg_jaccard"))
+        .select(col("lang_a"), col("lang_b"), col("n_pairs"), col("avg_jaccard"),
+          when(col("lang_a") === col("lang_b"), 1L).otherwise(0L).as("same_lang"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
+    // Near-dup graph degree histogram (q248): per-document degree in the
+    // Jaccard >= 0.5 similarity graph, rolled into a degree histogram.
+    // q84 reads CLUSTER sizes (connected components); degree is the other
+    // lens — a heavy-tailed degree histogram with a few huge-degree hubs
+    // is the signature of template/boilerplate text (one skeleton, many
+    // instantiations), which inflates candidate volume quadratically in
+    // the hub degree and is exactly what the df-cap and q227's opener
+    // census exist to catch. Degrees come from ONE grouped count over the
+    // shared pair layer (each edge counted from both endpoints via a
+    // union of its two narrow projections); the histogram is a
+    // degree-keyed rollup, all map-side combined.
+    "q248_dup_degree_hist" -> ((s, dir) => {
+      val pairs = Dedup.sharedNgramJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.5)
+      val deg = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("degree"))
+    }),
+
     // Source-overlap matrix (q183): corpus-level Jaccard between SOURCES'
     // shingle sets — the mixture-planning signal ("these two crawls are
     // 5% the same material") that doc-pair dedup reports can't aggregate
@@ -430,7 +480,46 @@ object Curation extends QueryModule {
         .orderBy(col("source")))
   )
 
+  /** The q35 candidate-pair pipeline as a WITH prefix ending in
+    * `pr(id_a, id_b, jaccard)` — shared by the q247/q248 oracles (the
+    * SQL mirror of Dedup.sharedNgramJaccardPairs). */
+  private val jaccardPairsCte: String =
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |shg AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+      |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+      |        FROM toks WHERE len(w) >= 5),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shg),
+      |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
+      |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           WHERE a.s IN (SELECT s FROM capped)
+      |           GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM shg),
+      |pr AS (SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      |       FROM common JOIN sizes sa ON sa.doc_id = id_a
+      |                   JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q247_crosslingual_dup" ->
+      (jaccardPairsCte +
+        """,
+          |lp AS (SELECT least(da.lang, db.lang) AS lang_a,
+          |         greatest(da.lang, db.lang) AS lang_b, jaccard
+          |       FROM pr JOIN documents da ON da.doc_id = id_a
+          |               JOIN documents db ON db.doc_id = id_b
+          |       WHERE jaccard >= 0.5)
+          |SELECT lang_a, lang_b, count(*) AS n_pairs,
+          |       round(CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_jaccard,
+          |       CAST(CASE WHEN lang_a = lang_b THEN 1 ELSE 0 END AS BIGINT) AS same_lang
+          |FROM lp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q248_dup_degree_hist" ->
+      (jaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS doc_id FROM pr WHERE jaccard >= 0.5
+          |       UNION ALL SELECT id_b FROM pr WHERE jaccard >= 0.5),
+          |deg AS (SELECT doc_id, count(*) AS degree FROM ed GROUP BY 1)
+          |SELECT degree, count(*) AS n_docs
+          |FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
     "q246_curation_funnel" ->
       """WITH base AS (SELECT doc_id, source,
         |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

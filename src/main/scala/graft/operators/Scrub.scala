@@ -4,7 +4,7 @@ import graft.QueryModule
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Corpus governance operators over the `documents` table — the scrub /
   * filter / stratify stages that run between raw ingest and training:
@@ -380,6 +380,45 @@ object Scrub extends QueryModule {
     "q100_dsir_weights" -> ((s, dir) =>
       dsirWeightsFrom(docs(s, dir), col("doc_id") % 7 === 0)),
 
+    // Length-quartile × quality confounder matrix (q249): the audit run
+    // BEFORE trusting the q31 quality gate — the score's 0.5·min(1,
+    // chars/500) term mechanically rewards length, so a "quality" filter
+    // can silently become a LENGTH filter (the known C4-style bias toward
+    // long prose). Documents bucket by exact token-count quartiles (the
+    // q71 broadcast-threshold layout — never an unpartitioned ntile), and
+    // each bucket reports mean quality plus the >= 0.5 gate's pass rate.
+    // A pass rate marching monotonically with the length bucket is the
+    // confounder made visible; mixture planners then stratify on length
+    // (q65/q210) instead of letting the gate skew the corpus long. One
+    // row-local scoring pass, one 1-row percentile aggregate broadcast
+    // back, one 4-row rollup.
+    "q249_length_quality" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        TextAnalytics.nTokens(col("text")).cast("double").as("len"),
+        TextAnalytics.qualityScore.as("q"))
+      val th = scored.agg(
+        expr("percentile(len, 0.25)").as("p25"),
+        expr("percentile(len, 0.50)").as("p50"),
+        expr("percentile(len, 0.75)").as("p75"))
+      scored.crossJoin(broadcast(th))
+        .withColumn("len_bucket",
+          when(col("len") <= col("p25"), lit(1L))
+            .when(col("len") <= col("p50"), lit(2L))
+            .when(col("len") <= col("p75"), lit(3L))
+            .otherwise(lit(4L)))
+        .groupBy(col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("len")).cast("long").cast("double") / count(lit(1)), 6)
+            .as("avg_len"),
+          round(sum(col("q").cast(DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 6).as("avg_quality"),
+          sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_pass"))
+        .select(col("len_bucket"), col("n_docs"), col("avg_len"),
+          col("avg_quality"), col("n_pass"),
+          round(col("n_pass").cast("double") / col("n_docs"), 6).as("pass_rate"))
+        .orderBy(col("len_bucket"))
+    }),
+
     "q71_curriculum_buckets" -> ((s, dir) => {
       val scored = docs(s, dir)
         .select(col("doc_id"), TextAnalytics.qualityScore.as("score"))
@@ -531,6 +570,28 @@ object Scrub extends QueryModule {
         |       CAST(round(sum(CAST(logratio AS DECIMAL(18,9))), 6) AS DOUBLE) AS importance
         |FROM bt JOIN lr USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q249_length_quality" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS len,
+        |  round(0.5 * least(1.0, length(text) / 500.0)
+        |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |               len(string_split(trim(text), ' ')))
+        |      + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |               length(text)), 6) AS q
+        |  FROM documents),
+        |b AS (SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY len) AS p25,
+        |             percentile_cont(0.50) WITHIN GROUP (ORDER BY len) AS p50,
+        |             percentile_cont(0.75) WITHIN GROUP (ORDER BY len) AS p75 FROM s),
+        |g AS (SELECT CASE WHEN len <= p25 THEN 1 WHEN len <= p50 THEN 2
+        |               WHEN len <= p75 THEN 3 ELSE 4 END AS len_bucket,
+        |        count(*) AS n_docs,
+        |        round(CAST(CAST(sum(len) AS BIGINT) AS DOUBLE) / count(*), 6) AS avg_len,
+        |        round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+        |        CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |      FROM s, b GROUP BY 1)
+        |SELECT CAST(len_bucket AS BIGINT) AS len_bucket, n_docs, avg_len, avg_quality,
+        |       n_pass, round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate
+        |FROM g ORDER BY len_bucket""".stripMargin,
     "q71_curriculum_buckets" ->
       """WITH s AS (SELECT doc_id,
         |  round(0.5 * least(1.0, length(text) / 500.0)
