@@ -4,7 +4,7 @@ import graft.QueryModule
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Corpus deduplication for a training-data pipeline, following the
   * published playbook — w-shingling + resemblance (Broder, "On the
@@ -240,13 +240,20 @@ object Dedup extends QueryModule {
     * the shuffle carries k longs per doc. (The array-lambda formulation is
     * shorter but evaluates interpreted: higher-order functions sit outside
     * whole-stage codegen, and at corpus scale that per-element dispatch
-    * dominates.) Permutation i is the universal hash (2i+1)*h + i*PRIME
-    * over the base hash. */
+    * dominates.) Permutation i is the universal hash
+    * ((2i+1)*h + i*PRIME) mod p with p = 4294967311 (the first prime past
+    * 2^32). The mod is LOAD-BEARING: without it the map is monotone in h,
+    * every "permutation" selects the same min-shingle, and the whole
+    * signature degenerates to one hash repeated k times — the q252
+    * k-sensitivity curve caught exactly that (every position-match
+    * estimate collapsed to 0 or 1). (2i+1)*h < 2^38, so the arithmetic
+    * stays overflow-safe under ANSI mode. */
   def minhashSignatures(shingled: DataFrame, k: Int = 32): DataFrame = {
     val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), expr("cast(conv(substring(md5(s), 1, 8), 16, 10) AS bigint)").as("h"))
     val mins = (0 until k).map(i =>
-      min(col("h") * lit(2L * i + 1) + lit(i.toLong * 1099511628211L)).as(s"m$i"))
+      min(pmod(col("h") * lit(2L * i + 1) + lit(i.toLong * 1099511628211L),
+        lit(4294967311L))).as(s"m$i"))
     ex.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -748,6 +755,41 @@ object Dedup extends QueryModule {
             round(col("n_hit").cast("double") / col("n_verified"), 6)).as("precision"))
     }),
 
+    // MinHash k-sensitivity curve (q252): the estimator-budget question
+    // q145/q240 don't answer — how many hash functions does the MinHash
+    // Jaccard estimate actually need? For k in {4,8,16,32}, the mean
+    // absolute error and bias of (matching positions)/k against the exact
+    // Jaccard over the shared candidate-pair universe. The theoretical
+    // MAE shrinks like ~1/√k (each position is a Bernoulli(J) trial);
+    // this measures it ON THE LIVE CORPUS, which is what justifies (or
+    // shrinks) the 32-long signature every q36 run pays to shuffle. One
+    // k=32 signature pass serves all four curves (a k-prefix of a minhash
+    // signature IS a valid k-hash signature); the per-pair position
+    // matching is k-bounded array arithmetic on the narrow pair frame.
+    "q252_minhash_k_curve" -> ((s, dir) => {
+      val pairs = sharedNgramJaccardPairs(s, dir)
+      val sig = minhashSignatures(shingledFrom(docs(s, dir)))
+      val j = pairs
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+      val kv = Seq(4, 8, 16, 32)
+      val rows = j.select(col("jaccard"), explode(array(kv.map { k =>
+        struct(lit(k.toLong).as("k"),
+          expr(s"aggregate(zip_with(slice(sa, 1, $k), slice(sb, 1, $k), " +
+            "(x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+            .cast("double").as("m"))
+      }: _*)).as("e"))
+        .select(col("jaccard"), col("e.k").as("k"),
+          (col("e.m") / col("e.k")).as("est"))
+      rows.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(round(abs(col("est") - col("jaccard")), 12)
+            .cast(DecimalType(38, 12))).cast("double") / count(lit(1)), 6).as("mae"),
+          round(sum(round(col("est") - col("jaccard"), 12)
+            .cast(DecimalType(38, 12))).cast("double") / count(lit(1)), 6).as("bias"))
+        .orderBy(col("k"))
+    }),
+
     // SimHash threshold ROC (q240): q145 prices ONE operating point of the
     // MinHash-LSH tier; this sweeps the whole SimHash operating CURVE —
     // precision/recall of "hamming(simhash_a, simhash_b) <= t" against the
@@ -898,7 +940,7 @@ object Dedup extends QueryModule {
     // The 32 min-aggregates and 8 band projections are generated by code.
     "q36_minhash_lsh" -> {
       val mins = (0 until 32)
-        .map(i => s"min((2*$i+1)*h + $i*1099511628211) AS m$i").mkString(", ")
+        .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
       val bandSelects = (0 until 8)
         .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
           s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
@@ -933,7 +975,7 @@ object Dedup extends QueryModule {
     // with its best verified match and admission verdict.
     "q200_incremental_lsh" -> {
       val mins = (0 until 32)
-        .map(i => s"min((2*$i+1)*h + $i*1099511628211) AS m$i").mkString(", ")
+        .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
       val bandSelects = (0 until 8)
         .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
           s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
@@ -979,7 +1021,7 @@ object Dedup extends QueryModule {
 
     "q145_lsh_audit" -> {
       val mins = (0 until 32)
-        .map(i => s"min((2*$i+1)*h + $i*1099511628211) AS m$i").mkString(", ")
+        .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
       val bandSelects = (0 until 8)
         .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
           s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
@@ -1053,6 +1095,37 @@ object Dedup extends QueryModule {
         |  GROUP BY doc_id, b)
         |SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q252_minhash_k_curve" -> {
+      val mins = (0 until 32)
+        .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
+      val kRows = Seq(4, 8, 16, 32).map { k =>
+        val mm = (0 until k)
+          .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"SELECT jaccard, $k AS k, CAST($mm AS DOUBLE) / $k AS est " +
+          "FROM pr JOIN sigs a ON a.doc_id = pr.id_a JOIN sigs b ON b.doc_id = pr.id_b"
+      }.mkString("\n|      UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+         |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+         |       FROM toks WHERE len(w) >= 5),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |           WHERE a.s IN (SELECT s FROM capped)
+         |           GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |pr AS (SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+         |       FROM common JOIN sizes sa ON sa.doc_id = id_a
+         |                   JOIN sizes sb ON sb.doc_id = id_b),
+         |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h FROM ex),
+         |sigs AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |est AS ($kRows)
+         |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_pairs,
+         |       round(CAST(sum(CAST(round(abs(est - jaccard), 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mae,
+         |       round(CAST(sum(CAST(round(est - jaccard, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS bias
+         |FROM est GROUP BY k ORDER BY k""".stripMargin
+    },
     "q240_simhash_roc" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |shg AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),

@@ -164,6 +164,48 @@ object Relational extends QueryModule {
         .limit(20)
     }),
 
+    // Promotion revenue share by ship month (q250) — the TPC-H Q14 shape:
+    // what fraction of each month's discounted revenue came from PROMO
+    // parts. The part dimension broadcasts (no fact shuffle on p_partkey);
+    // both revenue legs fall out of ONE grouped pass (conditional + total
+    // decimal sums — no second scan, no self-join); months emit as epoch
+    // seconds (the driver-compare convention for time buckets).
+    "q250_promo_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+      li.groupBy(date_trunc("month", col("l_shipdate")).cast("long").as("month"))
+        .agg(
+          exactSum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(0.0)), 4)
+            .as("promo_revenue"),
+          exactSum(discPrice, 4).as("total_revenue"))
+        .select(col("month"), col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+            .as("promo_share_pct"))
+        .orderBy(col("month"))
+    }),
+
+    // Large-volume orders (q251) — the TPC-H Q18 shape: orders whose total
+    // line quantity exceeds 280, with their customers. The quantity rollup
+    // is a map-side-combined aggregation over (l_orderkey) that FILTERS
+    // BEFORE joining (the having-pushdown Q18 plans live or die on: only
+    // ~1% of orders survive, so the orders/customer joins see a tiny
+    // probe side and AQE broadcasts it); top-50 by price via a bounded
+    // TakeOrderedAndProject with a total tiebreak order.
+    "q251_big_orders" -> ((s, dir) => {
+      val oq = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 280)
+      t(s, dir, "orders").join(oq, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("long").as("orderdate_epoch"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -886,6 +928,27 @@ object Relational extends QueryModule {
         |              + v11 * (x2 - m2) * (x2 - m2)) / det, 6) AS d2
         |FROM o CROSS JOIN st2
         |ORDER BY d2 DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q250_promo_share" ->
+      """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month,
+        |       CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        |       round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_share_pct
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q251_big_orders" ->
+      """WITH oq AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 280)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
+        |       o_totalprice, total_qty
+        |FROM orders JOIN oq ON o_orderkey = l_orderkey
+        |            JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
     "q241_waiting_suppliers" ->
       """WITH lo AS (SELECT l_orderkey, l_suppkey,
         |              CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
