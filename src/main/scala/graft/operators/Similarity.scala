@@ -617,6 +617,60 @@ object Similarity extends QueryModule {
         col("n_label").as("pred"), col("n_votes"))
   }
 
+  /** IVF probe-budget recall curve (q253) — THE tuning decision an IVF
+    * deployment makes: how many cells must a query probe before recall
+    * stops paying for latency? For each query vector and nprobe in
+    * {1,2,4}, the in-probed-cells exact-cosine top-10 is scored for
+    * recall against the global exact top-10. q191 audits ONE operating
+    * point; this sweeps the curve, and its shape (how fast recall
+    * saturates) is the published-benchmark readout (Jégou et al., PAMI
+    * 2011) that decides the production nprobe. All seeded-quantizer
+    * machinery (lowest-id centroids, rounded-cosine argmax, rn tiebreaks)
+    * so the whole sweep replays in SQL. Scale: the corpus is assigned
+    * once (broadcast centroids), candidates fan out per (query, probed
+    * cell) — probe cost ∝ nprobe·cell-size, never the corpus; the exact
+    * leg scans the corpus once per query batch (the audit's price, not
+    * the serving path's). */
+  def ivfNprobeCurve(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = seededAssigned(s, dir, 8).select(col("vec_id"), col("cell"), col("v"))
+    val qs = broadcast(e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val qc = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cid"),
+        round(cosineFast(s, col("qv"), col("cv")), 6).as("cos"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cid"))
+    val cellRank = qc.withColumn("crk", row_number().over(wq).cast(LongType))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val exact = qs.join(e.select(col("vec_id").as("n_id"), col("v")),
+        col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"))
+    val legs = Seq(1, 2, 4).map { p =>
+      val probed = cellRank.filter(col("crk") <= p)
+        .select(col("q_id").as("pq"), col("cid"))
+      val ann = assigned.join(broadcast(probed), col("cell") === col("cid"))
+        .join(qs, col("q_id") === col("pq") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(cosineFast(s, col("qv"), col("v")), 6).as("sim"))
+        .withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+        .select(col("q_id"), col("n_id"))
+      val hits = ann.join(exact, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+      qs.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), lit(p.toLong).as("nprobe"),
+          coalesce(col("h"), lit(0L)).as("n_hits"))
+    }
+    legs.reduce(_.union(_))
+      .select(col("q_id"), col("nprobe"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+      .orderBy(col("q_id"), col("nprobe"))
+  }
+
   /** Hard-negative triplet mining (q242) — the contrastive-training data
     * generator (DPR, Karpukhin et al. 2020; SimCSE's hard-negative
     * ablation): for each anchor in the probe slice (vec_id % 5 == 0), the
@@ -1147,6 +1201,9 @@ object Similarity extends QueryModule {
     // Hard-negative triplet mining (see [[hardNegatives]]).
     "q242_hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
 
+    // IVF probe-budget recall curve (see [[ivfNprobeCurve]]).
+    "q253_ivf_nprobe_curve" -> ((s, dir) => ivfNprobeCurve(s, dir)),
+
     // JL-sketch norm-distortion audit (see [[jlDistortion]]).
     "q219_jl_distortion" -> ((s, dir) =>
       jlDistortion(s, dir).orderBy(col("vec_id"))),
@@ -1539,6 +1596,40 @@ object Similarity extends QueryModule {
         |SELECT q_id AS vec_id, true_label AS label, n_label AS pred, n_votes FROM
         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr FROM votes)
         |WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "q253_ivf_nprobe_curve" -> {
+      val legs = Seq(1, 2, 4).map { p =>
+        s"""ann_$p AS (SELECT q_id, n_id FROM
+           |         (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+           |          FROM cand WHERE crk <= $p) WHERE rn <= 10),
+           |h_$p AS (SELECT q_id, count(*) AS n_hits FROM ann_$p JOIN ex USING (q_id, n_id) GROUP BY 1),
+           |m_$p AS (SELECT q.q_id, CAST($p AS BIGINT) AS nprobe, COALESCE(h_$p.n_hits, 0) AS n_hits
+           |       FROM q LEFT JOIN h_$p ON h_$p.q_id = q.q_id)""".stripMargin
+      }.mkString(",\n|")
+      val unions = Seq(1, 2, 4).map(p => s"SELECT * FROM m_$p").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, cid FROM
+         |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a)
+         |        WHERE rn = 1),
+         |av AS (SELECT asg.vec_id, asg.cid, e.v FROM asg JOIN e USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+         |qc AS (SELECT q_id, cid, round(list_cosine_similarity(qv, cv), 6) AS cos FROM q CROSS JOIN c),
+         |cr AS (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid) AS crk FROM qc),
+         |sa AS (SELECT q_id, e.vec_id AS n_id, round(list_cosine_similarity(qv, e.v), 6) AS sim
+         |       FROM q JOIN e ON e.vec_id != q.q_id),
+         |ex AS (SELECT q_id, n_id FROM
+         |        (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sa)
+         |       WHERE rn <= 10),
+         |cand AS (SELECT cr.crk, q.q_id, av.vec_id AS n_id,
+         |           round(list_cosine_similarity(q.qv, av.v), 6) AS sim
+         |         FROM q JOIN cr ON cr.q_id = q.q_id
+         |                JOIN av ON av.cid = cr.cid AND av.vec_id != q.q_id),
+         |$legs
+         |SELECT q_id, nprobe, n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / 10, 6) AS recall
+         |FROM ($unions) ORDER BY q_id, nprobe""".stripMargin
+    },
     "q242_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
