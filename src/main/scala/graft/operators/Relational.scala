@@ -206,6 +206,38 @@ object Relational extends QueryModule {
         .limit(50)
     }),
 
+    // Cross-nation trade volume (q254) — the TPC-H Q7 shape generalized to
+    // the full matrix: discounted revenue between every (supplier nation →
+    // customer nation) pair with supp != cust, by order year. The join
+    // chain is the Q7 stress test: lineitem ⋈ orders shuffles once on the
+    // order key (the only fact-fact exchange), while supplier, customer
+    // and nation (twice, via two aliased broadcast copies) all attach
+    // broadcast-side — five joins, one shuffle. Top-20 cells by revenue
+    // through a bounded TakeOrderedAndProject with a total tiebreak.
+    "q254_nation_trade" -> ((s, dir) => {
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val cus = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("snk"))
+        .join(n2, col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(exactSum(discPrice, 4).as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("supp_nation"), col("cust_nation"),
+          col("o_year"))
+        .limit(20)
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -928,6 +960,20 @@ object Relational extends QueryModule {
         |              + v11 * (x2 - m2) * (x2 - m2)) / det, 6) AS d2
         |FROM o CROSS JOIN st2
         |ORDER BY d2 DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q254_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name != n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, supp_nation, cust_nation, o_year LIMIT 20""".stripMargin,
     "q250_promo_share" ->
       """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month,
         |       CAST(sum(CAST(CASE WHEN p_type = 'PROMO'

@@ -112,6 +112,33 @@ object Tokenizer extends QueryModule {
         .orderBy(col("rank"))
     }),
 
+    // Term burstiness / adaptation (q255) — Church & Gale's observation
+    // ("Poisson mixtures", 1995; Church, "Empirical estimates of
+    // adaptation", 2000): content words are BURSTY — once a document
+    // mentions a term, it tends to mention it again — while function
+    // words spread evenly. Two standard statistics per head term: rate =
+    // cf/df (mean occurrences per containing doc) and adaptation =
+    // P(tf >= 2 | tf >= 1) = df2/df. The tokenizer/stopword read: high-
+    // adaptation terms carry topical signal (keep whole in the vocab,
+    // index them); low-adaptation high-df terms are function words (the
+    // principled stopword list q31/q80 currently hard-code). Same bounded
+    // head shape as q96 (30-row window, never corpus-wide); counts ride
+    // the shared inverted-index layer.
+    "q255_term_burstiness" -> ((s, dir) => {
+      val tf = Retrieval.sharedTermFreqs(s, dir)
+      val terms = tf.groupBy(col("term"))
+        .agg(sum(col("tf")).as("n_occ"), count(lit(1)).as("df"),
+          sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("df2"))
+      val byRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occ").desc, col("term"))
+      terms.orderBy(col("n_occ").desc, col("term")).limit(30)
+        .withColumn("rank", row_number().over(byRank).cast("long"))
+        .select(col("rank"), col("term"), col("n_occ"), col("df"), col("df2"),
+          round(col("n_occ").cast("double") / col("df"), 6).as("rate"),
+          round(col("df2").cast("double") / col("df"), 6).as("adaptation"))
+        .orderBy(col("rank"))
+    }),
+
     // Zipf head-fit (q115): least-squares slope of log10(freq) on
     // log10(rank) over the top-500 terms — the corpus-health check behind
     // "does this look like natural language?" (clean text fits slope ≈ −1;
@@ -320,6 +347,18 @@ object Tokenizer extends QueryModule {
         |        CROSS JOIN bn CROSS JOIN un
         |        WHERE c12 >= 10)
         |SELECT t1, t2, c12, pmi FROM pmi ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin,
+    "q255_term_burstiness" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |terms AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n_occ, count(*) AS df,
+        |            CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |          FROM tf GROUP BY term),
+        |head AS (SELECT * FROM terms ORDER BY n_occ DESC, term LIMIT 30),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n_occ DESC, term) AS rank FROM head)
+        |SELECT rank, term, n_occ, df, df2,
+        |       round(CAST(n_occ AS DOUBLE) / df, 6) AS rate,
+        |       round(CAST(df2 AS DOUBLE) / df, 6) AS adaptation
+        |FROM r ORDER BY rank""".stripMargin,
     "q96_vocab_head" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
