@@ -175,6 +175,105 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("arm"))
     }),
 
+    // Sample-ratio-mismatch audit (q256) — the FIRST check an experiment
+    // readout runs, before any uplift number is trusted: if the hash
+    // assignment doesn't split users 50/50, the assignment itself is
+    // broken (redirect loss, bot filtering applied to one arm, a biased
+    // hash) and q224/q233/q257 are reading selection bias, not treatment
+    // effect. Chi-square of observed arm sizes against the equal split,
+    // flagged at the df=1 95% critical value (3.841). One grouped count
+    // over users; the statistic is closed-form from two scalars.
+    "q256_srm_audit" -> ((s, dir) => {
+      val arm = expr(
+        "cast(conv(substring(md5(concat(cast(user_id as string), ':ab')), 1, 4), 16, 10) as bigint) % 2")
+      val users = ev(s, dir).select(col("user_id")).distinct()
+        .select(arm.as("arm"))
+      val counts = users.groupBy(col("arm")).agg(count(lit(1)).as("n_users"))
+      val a = counts.filter(col("arm") === 0).select(col("n_users").as("na"))
+      val b = counts.filter(col("arm") === 1).select(col("n_users").as("nb"))
+      a.crossJoin(b).select(
+        col("na"), col("nb"),
+        round(pow(col("na") - (col("na") + col("nb")) / lit(2.0), 2)
+          / ((col("na") + col("nb")) / lit(2.0))
+          + pow(col("nb") - (col("na") + col("nb")) / lit(2.0), 2)
+          / ((col("na") + col("nb")) / lit(2.0)), 6).as("chi2"))
+        .select(col("na"), col("nb"), col("chi2"),
+          when(col("chi2") > 3.841, 1L).otherwise(0L).as("srm_flag"))
+    }),
+
+    // CUPED variance-reduced uplift (q257) — Deng et al., WSDM 2013: the
+    // industry-standard experiment readout. Per user, spend splits at the
+    // calendar midpoint into a PRE-period covariate (unaffected by
+    // treatment by construction) and a POST-period metric; theta =
+    // cov(pre, post)/var(pre) from decimal-exact pooled moments, and the
+    // adjusted metric post − theta·(pre − mean_pre) removes the
+    // between-user variance the covariate explains — the same experiment
+    // reads significance at a fraction of the sample size. Output: per
+    // arm the raw and CUPED means, plus the pooled variance-reduction
+    // ratio (1 − var_adj/var_post) and theta pinned into both rows so the
+    // oracle hash-gates the MODEL, not just the means. All moments are
+    // 12-dp decimal sums → 6-dp scalars (the q232 convention); the only
+    // wide ops are two user-keyed grouped sums and |arms|-row rollups.
+    "q257_cuped_uplift" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val arm = expr(
+        "cast(conv(substring(md5(concat(cast(user_id as string), ':ab')), 1, 4), 16, 10) as bigint) % 2")
+      val e0 = ev(s, dir)
+      val mid = e0.agg(((min(col("ts").cast("long")) + max(col("ts").cast("long")))
+        / lit(2L)).as("mid"))
+      val users = e0.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          round(sum(when(col("ts").cast("long") < col("mid"),
+            round(col("value"), 6)).otherwise(lit(0.0)).cast(dec)).cast("double"), 6)
+            .as("pre"),
+          round(sum(when(col("ts").cast("long") >= col("mid"),
+            round(col("value"), 6)).otherwise(lit(0.0)).cast(dec)).cast("double"), 6)
+            .as("post"))
+        .select(col("user_id"), arm.as("arm"), col("pre"), col("post"))
+      val m = users.agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("pre"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("mpre"),
+        round(sum(round(col("post"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("mpost"),
+        round(sum(round(col("pre") * col("pre"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("spp"),
+        round(sum(round(col("post") * col("post"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("sqq"),
+        round(sum(round(col("pre") * col("post"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("spq"))
+      val stats = m.select(col("mpre"), col("mpost"),
+        round(col("spp") - col("mpre") * col("mpre"), 6).as("vpre"),
+        round(col("sqq") - col("mpost") * col("mpost"), 6).as("vpost"),
+        round(col("spq") - col("mpre") * col("mpost"), 6).as("cpq"))
+        .select(col("mpre"), col("vpost"),
+          when(col("vpre") <= 0, lit(0.0))
+            .otherwise(round(col("cpq") / col("vpre"), 6)).as("theta"),
+          col("cpq"), col("vpre"))
+      val adj = users.crossJoin(broadcast(stats))
+        .select(col("arm"),
+          col("post"),
+          round(col("post") - col("theta") * (col("pre") - col("mpre")), 6).as("adjusted"),
+          col("theta"), col("vpost"), col("vpre"), col("cpq"))
+      val varred = adj.agg(
+        round(sum(round(col("adjusted") * col("adjusted"), 6).cast(dec)).cast("double")
+          / count(lit(1)), 6).as("saa"),
+        round(sum(round(col("adjusted"), 6).cast(dec)).cast("double")
+          / count(lit(1)), 6).as("ma"))
+        .crossJoin(broadcast(stats))
+        .select(col("theta"),
+          when(col("vpost") <= 0, lit(null).cast("double"))
+            .otherwise(round(lit(1.0) -
+              round(col("saa") - col("ma") * col("ma"), 6) / col("vpost"), 6))
+            .as("var_reduction"))
+      adj.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(round(col("post"), 6).cast(dec)).cast("double") / count(lit(1)), 6)
+            .as("mean_post"),
+          round(sum(round(col("adjusted"), 6).cast(dec)).cast("double") / count(lit(1)), 6)
+            .as("mean_cuped"))
+        .crossJoin(broadcast(varred))
+        .select(col("arm"), col("n_users"), col("mean_post"), col("mean_cuped"),
+          col("theta"), col("var_reduction"))
+        .orderBy(col("arm"))
+    }),
+
     // Kaplan–Meier time-to-conversion survival (q225): per user, days from
     // first view to first subsequent purchase, right-CENSORED at the corpus
     // horizon for users who never convert — the estimator product-analytics
@@ -1246,6 +1345,62 @@ object EventAnalytics extends QueryModule {
         |       CASE WHEN dead = 1 THEN 0.0
         |            ELSE round(pow(10.0, CAST(ls AS DOUBLE)), 6) END AS survival
         |FROM c ORDER BY day""".stripMargin,
+    "q256_srm_audit" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |ua AS (SELECT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm FROM u),
+        |c AS (SELECT arm, count(*) AS n_users FROM ua GROUP BY 1),
+        |ab AS (SELECT a.n_users AS na, b.n_users AS nb
+        |       FROM (SELECT * FROM c WHERE arm = 0) a
+        |       CROSS JOIN (SELECT * FROM c WHERE arm = 1) b)
+        |SELECT na, nb,
+        |       round(pow(na - (na + nb) / 2.0, 2) / ((na + nb) / 2.0)
+        |           + pow(nb - (na + nb) / 2.0, 2) / ((na + nb) / 2.0), 6) AS chi2,
+        |       CAST(CASE WHEN round(pow(na - (na + nb) / 2.0, 2) / ((na + nb) / 2.0)
+        |           + pow(nb - (na + nb) / 2.0, 2) / ((na + nb) / 2.0), 6) > 3.841
+        |            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM ab""".stripMargin,
+    "q257_cuped_uplift" ->
+      """WITH mid AS (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+        |                   + max(CAST(floor(epoch(ts)) AS BIGINT))) / 2.0 AS mid FROM events),
+        |users AS (SELECT user_id,
+        |            round(CAST(sum(CAST(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid
+        |                   THEN round(value, 6) ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE), 6) AS pre,
+        |            round(CAST(sum(CAST(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= mid
+        |                   THEN round(value, 6) ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE), 6) AS post
+        |          FROM events CROSS JOIN mid GROUP BY user_id),
+        |ua AS (SELECT user_id,
+        |         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,
+        |         pre, post FROM users),
+        |m AS (SELECT count(*) AS n,
+        |        round(CAST(sum(CAST(round(pre, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mpre,
+        |        round(CAST(sum(CAST(round(post, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mpost,
+        |        round(CAST(sum(CAST(round(pre * pre, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS spp,
+        |        round(CAST(sum(CAST(round(post * post, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS sqq,
+        |        round(CAST(sum(CAST(round(pre * post, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS spq
+        |      FROM ua),
+        |st AS (SELECT mpre,
+        |         round(sqq - mpost * mpost, 6) AS vpost,
+        |         CASE WHEN round(spp - mpre * mpre, 6) <= 0 THEN 0.0
+        |              ELSE round(round(spq - mpre * mpost, 6) / round(spp - mpre * mpre, 6), 6)
+        |         END AS theta
+        |       FROM m),
+        |adj AS (SELECT arm, post,
+        |          round(post - theta * (pre - mpre), 6) AS adjusted, theta, vpost
+        |        FROM ua CROSS JOIN st),
+        |vr AS (SELECT theta,
+        |         CASE WHEN vpost <= 0 THEN NULL
+        |              ELSE round(1.0 - round(
+        |                round(CAST(sum(CAST(round(adjusted * adjusted, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+        |                - round(CAST(sum(CAST(round(adjusted, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+        |                * round(CAST(sum(CAST(round(adjusted, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6), 6)
+        |                / vpost, 6)
+        |         END AS var_reduction
+        |       FROM adj GROUP BY theta, vpost)
+        |SELECT arm, count(*) AS n_users,
+        |       round(CAST(sum(CAST(round(post, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_post,
+        |       round(CAST(sum(CAST(round(adjusted, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_cuped,
+        |       vr.theta AS theta, vr.var_reduction AS var_reduction
+        |FROM adj CROSS JOIN vr GROUP BY arm, vr.theta, vr.var_reduction ORDER BY arm""".stripMargin,
     "q224_ab_readout" ->
       """WITH u AS (SELECT user_id,
         |             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,
