@@ -238,6 +238,162 @@ object Relational extends QueryModule {
         .limit(20)
     }),
 
+    // National market share (q258) — the TPC-H Q8 shape: within ASIA-region
+    // customers buying STANDARD parts, NATION_3 suppliers' share of revenue
+    // per order year. The selective dimensions (part type, region-filtered
+    // customer nations) broadcast and PRUNE the fact side before the single
+    // lineitem⋈orders shuffle — at 100 TB the part-type filter alone drops
+    // ~5/6 of lineitem before any exchange. Both share legs (conditional +
+    // total revenue) fall out of ONE grouped pass; no self-join.
+    "q258_market_share" -> ((s, dir) => {
+      val pt = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "STANDARD").select(col("p_partkey")))
+      val custAsia = broadcast(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey")))
+      val suppNation = broadcast(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+          .join(t(s, dir, "nation").select(col("n_nationkey"),
+            col("n_name").as("supp_nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("supp_nation")))
+      t(s, dir, "lineitem")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          exactSum(when(col("supp_nation") === "NATION_3", discPrice)
+            .otherwise(lit(0.0)), 4).as("nation_revenue"),
+          exactSum(discPrice, 4).as("total_revenue"))
+        .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+          round(col("nation_revenue") / col("total_revenue"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Product-line profit (q259) — the TPC-H Q9 shape adapted to this
+    // schema's columns: for parts whose name mentions a component family
+    // ('%bolt%'), profit per supplier nation per order year, where profit =
+    // discounted revenue − 60%-of-retail landed cost × quantity (the fixture
+    // has no partsupp table; the cost basis rides the broadcast part row the
+    // name filter already ships, adding zero joins). The name LIKE prunes
+    // part BEFORE broadcast — the fact side shrinks to matching lines ahead
+    // of the one lineitem⋈orders exchange.
+    "q259_product_profit" -> ((s, dir) => {
+      val pt = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val suppNation = broadcast(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+          .join(t(s, dir, "nation").select(col("n_nationkey"),
+            col("n_name").as("nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("nation")))
+      t(s, dir, "lineitem")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(exactSum(round(
+          discPrice - col("p_retailprice") * lit(0.6) * col("l_quantity"), 6), 6)
+          .as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Customer order-count distribution (q260) — the TPC-H Q13 shape: LEFT
+    // OUTER join customers to their non-'4-NOT SPECIFIED' orders, count per
+    // customer (null-preserving: order-less customers count 0), then
+    // histogram the counts. The double aggregation is the Q13 stress test —
+    // both group-bys map-side-combine, and the second one runs over at most
+    // |customers| rows of two small integers. The left join keys on
+    // c_custkey, so customers with zero surviving orders emerge as c_count=0
+    // rather than vanishing (the inner-join bug this query exists to catch).
+    "q260_custdist" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_custkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Small-quantity-order revenue (q261) — the TPC-H Q17 shape: the yearly
+    // revenue lost if Brand#23 orders below half the part's average quantity
+    // moved to scheduled delivery. The correlated AVG decorrelates into a
+    // per-part aggregate REJOINED to the same filtered scan — computed once
+    // per part, never per row — and the brand filter prunes part before
+    // broadcast, so both the agg and the probe see only Brand#23 lines.
+    // One scalar out; /7.0 per the classic query text.
+    "q261_small_qty_revenue" -> ((s, dir) => {
+      val pt = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey")))
+      val li = t(s, dir, "lineitem")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgQty = li.groupBy(col("p_partkey"))
+        .agg(round(avg(col("l_quantity")), 6).as("avg_qty"))
+      li.join(broadcast(avgQty), "p_partkey")
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(round(exactSum(col("l_extendedprice"), 4) / lit(7.0), 6)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Disjunctive discounted revenue (q262) — the TPC-H Q19 shape: three
+    // OR'd conjunction clusters over (brand, size, quantity). The predicate
+    // is written as one boolean expression on the JOINED row so Catalyst
+    // can factor the common l_quantity bounds; the part columns it needs
+    // ride a single broadcast. The point at scale: the whole disjunction
+    // evaluates inside one codegen stage — no union of three scans, which
+    // would read lineitem three times.
+    "q262_disjunctive_revenue" -> ((s, dir) => {
+      val pt = broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      val cl1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)
+      val cl2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)
+      val cl3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30)
+      t(s, dir, "lineitem")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .filter(cl1 || cl2 || cl3)
+        .agg(exactSum(discPrice, 4).as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
+    // Idle wealthy customers (q263) — the TPC-H Q22 shape on this schema:
+    // customers above the average positive balance who have placed no
+    // URGENT order, rolled up by nation. The scalar AVG subquery attaches
+    // as a broadcast 1-row cross join (evaluated once, not per row); the
+    // "no urgent order" test is a LEFT ANTI join against the
+    // priority-filtered orders projection — the anti side ships only
+    // o_custkey. (The classic NOT-EXISTS-any-order is empty on this data —
+    // every fixture customer orders — so the urgent tier keeps the shape
+    // AND a nonempty answer.)
+    "q263_idle_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(round(avg(col("c_acctbal")), 6).as("avg_bal"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast(LongType).as("nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(exactSum(col("c_acctbal"), 2), 2).as("totacctbal"))
+        .orderBy(col("nationkey"))
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -974,6 +1130,76 @@ object Relational extends QueryModule {
         |WHERE n1.n_name != n2.n_name
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, supp_nation, cust_nation, o_year LIMIT 20""".stripMargin,
+    "q258_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS nation_revenue,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        |       round(CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q259_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                           - p_retailprice * 0.6 * l_quantity, 6)
+        |                     AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q260_custdist" ->
+      """WITH cc AS (SELECT c_custkey, count(o_custkey) AS c_count
+        |            FROM customer LEFT JOIN orders
+        |              ON c_custkey = o_custkey
+        |             AND o_orderpriority != '4-NOT SPECIFIED'
+        |            GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q261_small_qty_revenue" ->
+      """WITH li AS (SELECT p_partkey, l_quantity, l_extendedprice
+        |            FROM lineitem JOIN part ON p_partkey = l_partkey
+        |            WHERE p_brand = 'Brand#23'),
+        |aq AS (SELECT p_partkey, round(avg(l_quantity), 6) AS avg_qty
+        |       FROM li GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM li JOIN aq USING (p_partkey)
+        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+    "q262_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q263_idle_customers" ->
+      """WITH ab AS (SELECT round(avg(c_acctbal), 6) AS avg_bal
+        |            FROM customer WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       count(*) AS numcust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+        |FROM customer CROSS JOIN ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q250_promo_share" ->
       """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month,
         |       CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
