@@ -616,6 +616,56 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Spearman rank correlation (q266): per type, the rank-based companion
+    // to q188's Pearson diurnality screen — identical question ("does value
+    // co-move with hour-of-day?") but invariant to monotone transforms and
+    // immune to the heavy tails event values actually have (one spike hour
+    // can saturate Pearson; ranks cap its leverage at 1/n). Spearman-with-
+    // ties = Pearson over AVERAGE ranks, computed distributed via the
+    // distinct-value identity: group to distinct points per type, one
+    // cumulative window per (type) assigns each tie group the DOUBLED rank
+    // 2·cum_before + t + 1 — every intermediate an exact integer, summed in
+    // decimal space (operand-cast BEFORE multiply so a 100 TB rank product
+    // can't overflow a long), and rho is scale-invariant so the doubling
+    // cancels. Windows partition per type over |distinct values| rows —
+    // never corpus-ordered.
+    "q266_spearman_corr" -> ((s, dir) => {
+      val dec0 = DecimalType(38, 0)
+      val dec18 = DecimalType(18, 0)
+      val x = ev(s, dir).select(col("event_type"),
+        pmod(floor(col("ts").cast(LongType) / 3600L).cast(LongType), lit(24L)).as("h"),
+        round(col("value"), 6).as("v"))
+      def rank2(keyed: DataFrame, key: String, out: String): DataFrame = {
+        val w = Window.partitionBy(col("event_type")).orderBy(col(key))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        keyed.groupBy(col("event_type"), col(key)).agg(count(lit(1)).as("t"))
+          .withColumn("cc", sum(col("t")).over(w))
+          .select(col("event_type"), col(key),
+            (lit(2L) * (col("cc") - col("t")) + col("t") + 1L).as(out))
+      }
+      val joined = x
+        .join(rank2(x, "h", "rx"), Seq("event_type", "h"))
+        .join(rank2(x, "v", "ry"), Seq("event_type", "v"))
+      val m = joined.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("rx").cast(dec0)).cast("double").as("sx"),
+        sum(col("ry").cast(dec0)).cast("double").as("sy"),
+        sum((col("rx").cast(dec18) * col("ry").cast(dec18)).cast(dec0))
+          .cast("double").as("sxy"),
+        sum((col("rx").cast(dec18) * col("rx").cast(dec18)).cast(dec0))
+          .cast("double").as("sxx"),
+        sum((col("ry").cast(dec18) * col("ry").cast(dec18)).cast(dec0))
+          .cast("double").as("syy"))
+      m.select(col("event_type"), col("n"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0
+          && (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("spearman_rho"))
+        .orderBy(col("event_type"))
+    }),
+
     // Theil–Sen robust trend (q176): the median of all pairwise slopes of
     // the per-type daily-count series — the robust counterpart of q151's
     // OLS fit (one outlier day can swing least squares arbitrarily; the
@@ -1472,6 +1522,35 @@ object EventAnalytics extends QueryModule {
         |       CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
         |         round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
         |       END AS pearson_r
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q266_spearman_corr" ->
+      """WITH x AS (SELECT event_type,
+        |             CAST(floor(epoch(ts)/3600) AS BIGINT) % 24 AS h,
+        |             round(value, 6) AS v
+        |           FROM events),
+        |gh AS (SELECT event_type, h, count(*) AS t FROM x GROUP BY 1, 2),
+        |rh AS (SELECT event_type, h,
+        |         2*(sum(t) OVER (PARTITION BY event_type ORDER BY h
+        |                         ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS rx
+        |       FROM gh),
+        |gv AS (SELECT event_type, v, count(*) AS t FROM x GROUP BY 1, 2),
+        |rv AS (SELECT event_type, v,
+        |         2*(sum(t) OVER (PARTITION BY event_type ORDER BY v
+        |                         ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS ry
+        |       FROM gv),
+        |j AS (SELECT x.event_type, rx, ry
+        |      FROM x JOIN rh USING (event_type, h) JOIN rv USING (event_type, v)),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(CAST(ry AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        |      FROM j GROUP BY 1)
+        |SELECT event_type, n,
+        |       CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |         round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+        |       END AS spearman_rho
         |FROM m ORDER BY event_type""".stripMargin,
     "q178_session_stats" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),

@@ -269,6 +269,63 @@ object Expectations extends QueryModule {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Mann–Whitney rank-sum drift (q264): for every source pair, the
+    * two-sample U test on the length distribution — the LOCATION-shift
+    * companion to q184's KS (KS reacts to any CDF gap including shape;
+    * U asks specifically "does one source run longer?", which is the
+    * question a mixture rebalance actually acts on). Exact and
+    * distributed via the distinct-value average-rank identity: pooled
+    * values group to distinct points per pair, ONE cumulative window per
+    * pair (partitioned on the pair key) assigns each tie group the rank
+    * 2·cum_before + t + 1 in DOUBLED integer space — every intermediate
+    * is an exact integer (decimal-summed so a 100 TB corpus can't
+    * overflow), and both engines derive z from the same integers with
+    * the same operand sequence. Tie-corrected normal approximation:
+    * sigma² = na·nb/12 · ((N+1) − Σ(t³−t)/(N(N−1))). Pair cardinality is
+    * |sources|², a constant — window partitions never grow with the
+    * corpus. */
+  def mannWhitneyDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val srcs = Tables.read(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = srcs.select(col("source").as("sa"), col("n").as("na"))
+      .crossJoin(srcs.select(col("source").as("sb"), col("n").as("nb")))
+      .filter(col("sa") < col("sb"))
+    val v = Tables.read(s, dir, "documents").select(col("source"), col("n_chars").as("x"))
+    val xsA = pairs.join(v.select(col("source").as("sa"), col("x")), "sa")
+      .withColumn("is_a", lit(1L))
+    val xsB = pairs.join(v.select(col("source").as("sb"), col("x")), "sb")
+      .withColumn("is_a", lit(0L))
+    val g = xsA.unionByName(xsB)
+      .groupBy(col("sa"), col("sb"), col("na"), col("nb"), col("x"))
+      .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = g.withColumn("cc", sum(col("t")).over(w))
+      .withColumn("avgrank2", lit(2L) * (col("cc") - col("t")) + col("t") + 1L)
+    val st = ranked.groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+      .agg(
+        sum((col("ca") * col("avgrank2")).cast(DecimalType(38, 0)))
+          .cast("double").as("r2a"),
+        sum((col("t") * col("t") * col("t") - col("t")).cast(DecimalType(38, 0)))
+          .cast("double").as("ties"))
+    st.select(col("sa"), col("sb"), col("na"), col("nb"),
+      ((col("r2a") - (col("na") * (col("na") + 1L)).cast("double")) / lit(2.0))
+        .as("u_stat"),
+      (col("na") + col("nb")).as("nn"), col("ties"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("na"), col("nb"), col("u_stat"),
+        round((col("u_stat") - (col("na") * col("nb")).cast("double") / lit(2.0))
+          / sqrt((col("na") * col("nb")).cast("double")
+            * ((col("nn") + 1L).cast("double")
+              - col("ties") / (col("nn").cast("double") * (col("nn") - 1L).cast("double")))
+            / lit(12.0)), 6).as("z_stat"))
+      .withColumn("drift_flag", when(abs(col("z_stat")) > 1.96, 1L).otherwise(0L))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Functional-dependency audit (q185): violation counts for declared
     * column dependencies — the candidate-key / denormalization-consistency
     * check a profiler runs before trusting a join key as stable. Each rule
@@ -470,6 +527,7 @@ object Expectations extends QueryModule {
     }),
     "q179_ref_integrity" -> refIntegrity,
     "q184_ks_source_drift" -> ksSourceDrift,
+    "q264_mann_whitney" -> mannWhitneyDrift,
     "q185_fd_audit" -> fdAudit,
     "q187_low_variance" -> lowVarianceAudit,
     "q154_data_expectations" -> orderExpectations,
@@ -616,6 +674,37 @@ object Expectations extends QueryModule {
         |SELECT sa AS src_a, sb AS src_b,
         |       round(max(abs(CAST(cca AS DOUBLE)/na - CAST(ccb AS DOUBLE)/nb)), 6) AS ks_stat
         |FROM c GROUP BY 1, 2, na, nb ORDER BY 1, 2""".stripMargin,
+    "q264_mann_whitney" ->
+      """WITH srcs AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        |          FROM srcs a JOIN srcs b ON a.source < b.source),
+        |xs AS (SELECT p.sa, p.sb, p.na, p.nb, d.source AS src, d.n_chars AS x
+        |       FROM pairs p JOIN documents d ON d.source IN (p.sa, p.sb)),
+        |g AS (SELECT sa, sb, na, nb, x,
+        |        sum(CASE WHEN src = sa THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN src = sb THEN 1 ELSE 0 END) AS cb,
+        |        count(*) AS t
+        |      FROM xs GROUP BY 1, 2, 3, 4, 5),
+        |r AS (SELECT *, sum(t) OVER (PARTITION BY sa, sb ORDER BY x
+        |                             ROWS UNBOUNDED PRECEDING) AS cc
+        |      FROM g),
+        |st AS (SELECT sa, sb, na, nb,
+        |         CAST(sum(CAST(ca * (2 * (cc - t) + t + 1) AS DECIMAL(38,0))) AS DOUBLE) AS r2a,
+        |         CAST(sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE) AS ties
+        |       FROM r GROUP BY 1, 2, 3, 4),
+        |u AS (SELECT sa, sb, na, nb, ties, na + nb AS nn,
+        |        (r2a - CAST(na * (na + 1) AS DOUBLE)) / 2.0 AS u_stat
+        |      FROM st),
+        |z AS (SELECT sa AS src_a, sb AS src_b, na, nb, u_stat,
+        |        round((u_stat - CAST(na * nb AS DOUBLE) / 2.0)
+        |              / sqrt(CAST(na * nb AS DOUBLE)
+        |                     * (CAST(nn + 1 AS DOUBLE)
+        |                        - ties / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))
+        |                     / 12.0), 6) AS z_stat
+        |      FROM u)
+        |SELECT src_a, src_b, na, nb, u_stat, z_stat,
+        |       CAST(CASE WHEN abs(z_stat) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+        |FROM z ORDER BY 1, 2""".stripMargin,
     "q185_fd_audit" ->
       """WITH fd1 AS (SELECT 'l_orderkey->o_custkey' AS fd,
         |               count(*) AS n_violating_keys FROM (

@@ -394,6 +394,27 @@ object Relational extends QueryModule {
         .orderBy(col("nationkey"))
     }),
 
+    // Relative-rank ladder (q265) — the three ANSI relative-rank window
+    // functions (percent_rank, cume_dist, ntile) in one pass: each
+    // supplier's balance standing WITHIN its nation, reporting the top
+    // decile (cume_dist >= 0.9). The ORDER BY carries the unique
+    // (s_acctbal, s_suppkey) tiebreak so all three functions are
+    // deterministic on both engines; windows partition by nation, so
+    // partition width tracks suppliers-per-nation — never the corpus.
+    "q265_balance_ladder" -> ((s, dir) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      t(s, dir, "supplier")
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cum_dist", round(cume_dist().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w).cast(LongType))
+        .filter(col("cum_dist") >= 0.9)
+        .select(col("s_nationkey").cast(LongType).as("nationkey"),
+          col("s_suppkey"), col("s_acctbal"),
+          col("pct_rank"), col("cum_dist"), col("quartile"))
+        .orderBy(col("nationkey"), col("s_suppkey"))
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -1200,6 +1221,17 @@ object Relational extends QueryModule {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q265_balance_ladder" ->
+      """WITH r AS (SELECT s_nationkey, s_suppkey, s_acctbal,
+        |             round(percent_rank() OVER w, 6) AS pct_rank,
+        |             round(cume_dist() OVER w, 6) AS cum_dist,
+        |             CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |           FROM supplier
+        |           WINDOW w AS (PARTITION BY s_nationkey
+        |                        ORDER BY s_acctbal, s_suppkey))
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_suppkey, s_acctbal,
+        |       pct_rank, cum_dist, quartile
+        |FROM r WHERE cum_dist >= 0.9 ORDER BY 1, 2""".stripMargin,
     "q250_promo_share" ->
       """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month,
         |       CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
