@@ -44,21 +44,27 @@ object Bench {
       if (runs.forall(_._2)) Some(name -> runs.map(_._1).min)
       else { failed += name; None } // a failing query must not pollute totals
     }
-    // The driver records only a tail window of stdout, and rounds 6-8 each
-    // lost part of the summary to it (round 8 lost `total_s` and ~8 queries
-    // even with qNN-prefix keys). Two-part fix:
-    //   1. stdout carries ONE line only — the canonical summary, with
-    //      per-query minima at 2 decimals (10 ms; bench noise floor is far
-    //      above that) and qNN-prefix keys. ~1.4 KB at 150 queries, well
-    //      inside every window size observed so far.
-    //   2. Full fidelity (full names, 4-dp minima, raw per-rep timings)
+    // The driver records only the LAST 2000 chars of stdout (observed in
+    // BENCH_r14.json), and sbt's own "[success] Total time" line trails the
+    // summary inside that window. Rounds 6, 8, and 14 each lost the summary
+    // when the one-line per-query map outgrew the window (266 queries ≈
+    // 3.5 KB — unfixable by compression). Round-15 fix, truncation-proof by
+    // construction:
+    //   1. The FULL per-query map streams first as ≤1 KB chunk lines
+    //      ({"metric":"chunk",...}) — clipped harmlessly when the surface
+    //      is large; human-readable in the full log either way.
+    //   2. The LAST line is the canonical summary with a BOUNDED queries
+    //      map: the top-60 slowest queries (2-dp, qNN keys ≈ 0.9 KB). Total,
+    //      failure list, and the hot set always survive the tail window.
+    //   3. Full fidelity (full names, 4-dp minima, raw per-rep timings)
     //      goes to BENCH_SUMMARY.json in the working directory, immune to
     //      stream truncation entirely.
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def short(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => s"\"" + short(k) + "\":" + fmt2(v) }
-      .mkString("{", ",", "}")
+    val entries2 = results.toSeq.map { case (k, v) => (short(k), fmt2(v), v) }
+    val topQs = entries2.sortBy(e => (-e._3, e._1)).take(60)
+      .map { case (k, v2, _) => s"\"$k\":$v2" }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rawJson = raw.map { case (k, vs) => "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]") }
@@ -67,7 +73,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$topQs,"queries_note":"top-60 by time; full map in BENCH_SUMMARY.json","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
     val fileJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"failed":$failedJson,"reps":$reps,"sf":"$sfDir","runs":$rawJson}"""
     try {
@@ -75,6 +81,20 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SUMMARY.json"))
       java.nio.file.Files.write(p, (fileJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // file dump is best-effort; stdout is canonical
+    // full map as bounded chunk lines BEFORE the canonical summary — each
+    // line is complete JSON, so however the tail window lands, every fully
+    // captured line parses and the final summary line always fits whole
+    val chunkEntries = entries2.map { case (k, v2, _) => s"\"$k\":$v2" }
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+    var cur = List.empty[String]; var curLen = 0
+    chunkEntries.foreach { e =>
+      if (curLen + e.length > 900 && cur.nonEmpty) { chunks += cur.reverse; cur = Nil; curLen = 0 }
+      cur = e :: cur; curLen += e.length + 1
+    }
+    if (cur.nonEmpty) chunks += cur.reverse
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"chunk","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+    }
     println(summary)
     spark.stop()
   }

@@ -305,11 +305,16 @@ object Expectations extends QueryModule {
       .rowsBetween(Window.unboundedPreceding, 0)
     val ranked = g.withColumn("cc", sum(col("t")).over(w))
       .withColumn("avgrank2", lit(2L) * (col("cc") - col("t")) + col("t") + 1L)
+    // operands cast to decimal BEFORE the multiply (q266 convention): a
+    // Long-space ca·avgrank2 or t³ can overflow on a 100 TB corpus under
+    // ANSI mode even though the decimal sum that follows cannot
+    val td = col("t").cast(DecimalType(12, 0))
     val st = ranked.groupBy(col("sa"), col("sb"), col("na"), col("nb"))
       .agg(
-        sum((col("ca") * col("avgrank2")).cast(DecimalType(38, 0)))
+        sum(col("ca").cast(DecimalType(18, 0))
+            * col("avgrank2").cast(DecimalType(18, 0)))
           .cast("double").as("r2a"),
-        sum((col("t") * col("t") * col("t") - col("t")).cast(DecimalType(38, 0)))
+        sum(td * td * td - td)
           .cast("double").as("ties"))
     st.select(col("sa"), col("sb"), col("na"), col("nb"),
       ((col("r2a") - (col("na") * (col("na") + 1L)).cast("double")) / lit(2.0))
@@ -689,8 +694,10 @@ object Expectations extends QueryModule {
         |                             ROWS UNBOUNDED PRECEDING) AS cc
         |      FROM g),
         |st AS (SELECT sa, sb, na, nb,
-        |         CAST(sum(CAST(ca * (2 * (cc - t) + t + 1) AS DECIMAL(38,0))) AS DOUBLE) AS r2a,
-        |         CAST(sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE) AS ties
+        |         CAST(sum(CAST(ca AS DECIMAL(18,0))
+        |                  * CAST(2 * (cc - t) + t + 1 AS DECIMAL(18,0))) AS DOUBLE) AS r2a,
+        |         CAST(sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+        |                  * CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0))) AS DOUBLE) AS ties
         |       FROM r GROUP BY 1, 2, 3, 4),
         |u AS (SELECT sa, sb, na, nb, ties, na + nb AS nn,
         |        (r2a - CAST(na * (na + 1) AS DOUBLE)) / 2.0 AS u_stat

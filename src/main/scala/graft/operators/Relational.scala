@@ -415,6 +415,155 @@ object Relational extends QueryModule {
         .orderBy(col("nationkey"), col("s_suppkey"))
     }),
 
+    // Returned-item revenue (q267) — the TPC-H Q10 shape: customers ranked
+    // by the revenue they returned ('R'-flag lines) in one order quarter.
+    // The quarter filter prunes orders BEFORE the fact-fact shuffle and the
+    // returnflag filter prunes lineitem at the scan (both pushed), so the
+    // l_orderkey exchange ships ~2% of each table; nation stays a broadcast.
+    // The customer join shuffles on c_custkey — at 100 TB customer is itself
+    // a fact-sized table, the one dimension Q10 exists to stress.
+    "q267_returned_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(exactSum(discPrice, 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Important-part concentration (q268) — the TPC-H Q11 shape without a
+    // partsupp table: per part, the traded value (price × quantity) moved by
+    // NATION_3's suppliers, keeping parts whose value exceeds 0.1% of the
+    // nation's total — the "group HAVING > fraction-of-total scalar
+    // subquery" decorrelation Q11 exists to test. The supplier subset is a
+    // broadcast (suppliers-per-nation is bounded); the total rides as a
+    // broadcast 1-row aggregate over the ALREADY-grouped per-part frame, so
+    // the fact table is scanned once.
+    "q268_important_parts" -> ((s, dir) => {
+      val s3 = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val v = t(s, dir, "lineitem")
+        .join(s3, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(exactSum(col("l_extendedprice") * col("l_quantity"), 4).as("value"))
+      val tot = v.agg(exactSum(col("value"), 4).as("tot"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value") > col("tot") * 0.001)
+        .select(col("partkey"), col("value"))
+        .orderBy(col("value").desc, col("partkey"))
+        .limit(50)
+    }),
+
+    // Shipping-delay priority audit (q269) — the TPC-H Q12 shape on this
+    // schema (no l_shipmode/commitdate): lines shipped in 1997 bucketed by
+    // order-to-ship delay, counting critical-priority (URGENT/HIGH) vs other
+    // orders per bucket — "are late shipments eating the urgent orders?".
+    // The year filter is pushed to the lineitem scan; one orderkey shuffle;
+    // the CASE buckets and both conditional counts evaluate in a single
+    // codegen stage (no union of per-bucket scans).
+    "q269_ship_priority" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val crit = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      val delay = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+      li.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(when(delay <= 30, "ON-TIME").when(delay <= 90, "LATE")
+          .otherwise("VERY-LATE").as("delay_bucket"))
+        .agg(sum(when(crit, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+          sum(when(crit, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+        .orderBy(col("delay_bucket"))
+    }),
+
+    // Top supplier (q270) — the TPC-H Q15 shape: the revenue view (per
+    // supplier, one shipping quarter) consumed twice — once for its max
+    // (a broadcast 1-row aggregate, the classic scalar subquery) and once
+    // as the probe side that keeps every supplier AT the max (ties all
+    // surface, per the spec's note). The view is tiny (|suppliers| rows)
+    // after one map-side-combined aggregation of the pruned quarter scan.
+    "q270_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(exactSum(discPrice, 4).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").as("suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("suppkey"))
+    }),
+
+    // Supplier-part variety census (q271) — the TPC-H Q16 shape: how many
+    // distinct suppliers move each surviving (brand, type, size) combo,
+    // excluding one brand, one type tier, an IN-list of sizes, and — the
+    // NOT IN correlate — suppliers in deficit (s_acctbal < 0, the fixture's
+    // stand-in for the spec's complaint filter). Part-supplier pairs come
+    // from lineitem (this schema's partsupp); the part filter broadcasts
+    // pre-pruned, the NOT IN becomes a broadcast LEFT ANTI (suppkeys are
+    // non-null, so anti ≡ NOT IN), and the distinct count shuffles once on
+    // the 3-column group key.
+    "q271_part_variety" -> ((s, dir) => {
+      val pr = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      val deficit = broadcast(t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(pr, col("l_partkey") === col("p_partkey"))
+        .join(deficit, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast(LongType).as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // Part-promotion suppliers (q272) — the TPC-H Q20 shape: suppliers who
+    // moved more than half of some bolt-family part's 1996 volume — the
+    // nested semi-join (supplier IN ... part IN ... correlated agg) that
+    // Q20 exists to decorrelate. The name filter broadcasts pre-pruned
+    // parts; per-(part,supplier) and per-part quantities fall out of one
+    // grouped pass + a regroup of its (small) output; the >half test joins
+    // the two on partkey; the surviving supplier set semi-joins supplier
+    // (never widening it) and nation stays broadcast.
+    "q272_promo_suppliers" -> ((s, dir) => {
+      val bolts = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("%bolt%")).select(col("p_partkey")))
+      val pq = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .join(bolts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(exactSum(col("l_quantity"), 2).as("qty"))
+      val pt = pq.groupBy(col("l_partkey"))
+        .agg(exactSum(col("qty"), 2).as("tot"))
+      val promo = pq.join(pt, "l_partkey")
+        .filter(col("qty") > col("tot") * 0.5)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(promo, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name").as("nation"))), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("suppkey"), col("s_name"), col("nation"))
+        .orderBy(col("suppkey"))
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -658,12 +807,16 @@ object Relational extends QueryModule {
     // inflating support), pairs via ONE order-keyed self-join of the
     // deduped narrow rows (bounded by brands-per-order², never parts²),
     // probabilities over the order universe; 6-dp lift, support floor 5.
+    // The distinct frame feeds FOUR consumers (tot, single, both self-join
+    // legs) — localCheckpoint materializes it once so the scan+join+distinct
+    // doesn't replay per consumer.
     "q144_basket_lift" -> ((s, dir) => {
       val ob = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
         .distinct()
+        .localCheckpoint()
       // the order-universe size rides as a broadcast 1-row aggregate —
       // never a driver-side count inside the query path
       val tot = ob.agg(countDistinct(col("okey")).as("n"))
@@ -1113,6 +1266,81 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q267_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q268_important_parts" ->
+      """WITH s3 AS (SELECT s_suppkey FROM supplier
+        |            JOIN nation ON s_nationkey = n_nationkey
+        |            WHERE n_name = 'NATION_3'),
+        |v AS (SELECT l_partkey AS partkey,
+        |        CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS value
+        |      FROM lineitem JOIN s3 ON l_suppkey = s_suppkey
+        |      GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot FROM v)
+        |SELECT partkey, value FROM v, t
+        |WHERE value > tot * 0.001
+        |ORDER BY value DESC, partkey LIMIT 50""".stripMargin,
+    "q269_ship_priority" ->
+      """SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30
+        |            THEN 'ON-TIME'
+        |            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90
+        |            THEN 'LATE'
+        |            ELSE 'VERY-LATE' END AS delay_bucket,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q270_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |             FROM lineitem
+        |             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |               AND l_shipdate < TIMESTAMP '1996-04-01'
+        |             GROUP BY 1)
+        |SELECT s_suppkey AS suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY suppkey""".stripMargin,
+    "q271_part_variety" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand != 'Brand#45' AND p_type != 'PROMO'
+        |  AND p_size IN (1, 4, 7)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q272_promo_suppliers" ->
+      """WITH pq AS (SELECT l_partkey, l_suppkey,
+        |              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey
+        |            WHERE p_name LIKE '%bolt%'
+        |              AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |              AND l_shipdate < TIMESTAMP '1997-01-01'
+        |            GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |       FROM pq GROUP BY 1),
+        |promo AS (SELECT DISTINCT l_suppkey FROM pq JOIN pt USING (l_partkey)
+        |          WHERE qty > tot * 0.5)
+        |SELECT s_suppkey AS suppkey, s_name, n_name AS nation
+        |FROM supplier
+        |  JOIN promo ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY suppkey""".stripMargin,
     "q232_mahalanobis_outliers" ->
       """WITH li AS (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS DOUBLE) AS x2
         |            FROM lineitem GROUP BY 1),

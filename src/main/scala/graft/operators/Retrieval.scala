@@ -360,7 +360,10 @@ object Retrieval extends QueryModule {
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       var selected = Vector.empty[(Long, Double, Double)]
-      for (_ <- 1 to 5) {
+      // bound by the candidate count: on a corpus with <5 BM25 hits the
+      // engine degrades to fewer rows exactly like the oracle (minBy on an
+      // empty iterator would throw otherwise)
+      for (_ <- 1 to math.min(5, relArr.length)) {
         val selIds = selected.map(_._1).toSet
         val best = relArr.iterator.filter(p => !selIds(p._1)).map { case (id, r) =>
           val m = if (selIds.isEmpty) 0.7 * r

@@ -665,9 +665,14 @@ object Similarity extends QueryModule {
         .select(col("q_id"), lit(p.toLong).as("nprobe"),
           coalesce(col("h"), lit(0L)).as("n_hits"))
     }
+    // recall denominator is the ACTUAL exact-top-k size per query (≤ k):
+    // on a corpus with fewer than k candidate vectors, dividing by the
+    // constant k would cap recall below 1.0 even for a perfect probe
+    val exN = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_ex"))
     legs.reduce(_.union(_))
+      .join(broadcast(exN), Seq("q_id"))
       .select(col("q_id"), col("nprobe"), col("n_hits"),
-        round(col("n_hits").cast("double") / k, 6).as("recall"))
+        round(col("n_hits").cast("double") / col("n_ex"), 6).as("recall"))
       .orderBy(col("q_id"), col("nprobe"))
   }
 
@@ -1625,10 +1630,11 @@ object Similarity extends QueryModule {
          |           round(list_cosine_similarity(q.qv, av.v), 6) AS sim
          |         FROM q JOIN cr ON cr.q_id = q.q_id
          |                JOIN av ON av.cid = cr.cid AND av.vec_id != q.q_id),
+         |exn AS (SELECT q_id, count(*) AS n_ex FROM ex GROUP BY 1),
          |$legs
          |SELECT q_id, nprobe, n_hits,
-         |       round(CAST(n_hits AS DOUBLE) / 10, 6) AS recall
-         |FROM ($unions) ORDER BY q_id, nprobe""".stripMargin
+         |       round(CAST(n_hits AS DOUBLE) / n_ex, 6) AS recall
+         |FROM ($unions) JOIN exn USING (q_id) ORDER BY q_id, nprobe""".stripMargin
     },
     "q242_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
