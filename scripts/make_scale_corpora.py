@@ -76,6 +76,26 @@ def main(outs):
                     f"TO '{out}/events.parquet' (FORMAT PARQUET)")
         en = con.sql(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
         print(f"{out}: {en} events ({mult}x)")
+
+        # Embeddings for the similarity tier (q47/q99/q108/q214): copies get
+        # offset vec_ids and a tiny per-copy component nudge (1e-4 * copy),
+        # so every cross-copy pair is a genuine near-duplicate (cosine just
+        # under 1) — LSH bands / IVF cells / PQ buckets densify super-
+        # linearly while vector count grows linearly, the adversarial shape
+        # for embedding-dedup scaling. Labels ride unchanged.
+        kv = con.sql(f"SELECT max(vec_id) + 1 FROM '{base_dir}/embeddings.parquet'").fetchone()[0]
+        con.execute(f"CREATE OR REPLACE VIEW sbase_emb AS SELECT * FROM '{base_dir}/embeddings.parquet'")
+        vparts = ["SELECT vec_id, embedding, label FROM sbase_emb"]
+        for c in range(1, mult):
+            vparts.append(
+                f"SELECT vec_id + {c * kv} AS vec_id, "
+                f"list_transform(embedding, x -> CAST(x + {c} * 0.0001 AS FLOAT)) AS embedding, "
+                f"label FROM sbase_emb")
+        con.execute(f"COPY ({' UNION ALL '.join(vparts)} ORDER BY vec_id) "
+                    f"TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+        vn = con.sql(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+        print(f"{out}: {vn} embeddings ({mult}x)")
+
         for tbl, (key, _, tmpl) in star.items():
             con.execute(f"CREATE OR REPLACE VIEW sbase_{tbl} AS SELECT * FROM '{base_dir}/{tbl}.parquet'")
             sparts = [f"SELECT * FROM sbase_{tbl}"]
