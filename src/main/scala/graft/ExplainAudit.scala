@@ -70,6 +70,7 @@ object ExplainAudit {
     "q130_pareto_share" -> "bounded: cumulative share over the nation rollup (~25 rows)",
     "q135_user_growth" -> "bounded: running total over the per-day rollup (#days rows)",
     "q140_wow_growth" -> "bounded: lag over the per-week rollup (#weeks rows)",
+    "q276_cusum_changepoint" -> "bounded: cumulative deviation over the per-day rollup (#days rows; the event log itself only passes one grouped sum)",
     "q205_conformal_gate" -> ("bounded: k-th order statistic over the CALIBRATION sample only " +
       "(split-conformal calibration sets are capped by design at deployment — a few thousand " +
       "rows; the corpus side is a plain grouped count and never sorts)"),

@@ -1172,6 +1172,67 @@ object EventAnalytics extends QueryModule {
             round(col("n_events").cast("double") / col("prev_events"), 6)))
         .orderBy(col("week"))),
 
+    // Daily-count autocorrelation (q275): Pearson r between the per-day
+    // event count and itself shifted by lag 1..7 — the weekly-rhythm
+    // detector (a lag-7 spike = weekday seasonality) that decides whether
+    // q170's seasonal model is even warranted. NO window at all: each lag
+    // leg is an equi-join of the per-day rollup on day+lag (partitioned,
+    // parallel), moments are decimal-cast BEFORE multiplication (q266
+    // convention — day counts at 100 TB overflow Long products), and the
+    // day rollup is localCheckpointed once for all seven legs.
+    "q275_daily_acf" -> ((s, dir) => {
+      val dec = DecimalType(18, 0)
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val a = daily.select(col("day"), col("c").as("x"))
+        .select(col("day"), col("x"),
+          explode(array((1 to 7).map(l => lit(l.toLong)): _*)).as("lag"))
+      val b = daily.select(col("day").as("dayb"), col("c").as("y"))
+      val xd = col("x").cast(dec); val yd = col("y").cast(dec)
+      val st = a.join(b, col("dayb") === col("day") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(xd).cast("double").as("sx"), sum(yd).cast("double").as("sy"),
+          sum(xd * xd).cast("double").as("sxx"), sum(yd * yd).cast("double").as("syy"),
+          sum(xd * yd).cast("double").as("sxy"))
+      st.select(col("lag"), col("n").as("n_pairs"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) * (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                * (col("n") * col("syy") - col("sy") * col("sy"))), 6)).as("acf"))
+        .orderBy(col("lag"))
+    }),
+
+    // CUSUM changepoint scan (q276): cumulative sum of the per-day revenue
+    // deviation from the global daily mean — the classic level-shift
+    // detector (|S_t| peaks AT the changepoint). The event log passes ONE
+    // map-side-combined grouped sum; the cumulative window runs over the
+    // per-day rollup only (#days rows, bounded by the calendar — allowlisted
+    // like q135/q140), deviations subtract in exact DECIMAL(38,6) space so
+    // the running sum is order-independent, and the top-10 |S| days emerge
+    // from a bounded sort.
+    "q276_cusum_changepoint" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day")).agg(exactSum(col("value"), 2).as("rev"))
+      val m = daily.agg(
+        round(sum(col("rev").cast(DecimalType(38, 6))).cast("double")
+          / count(lit(1)), 6).as("mu"))
+      val dev = daily.crossJoin(broadcast(m))
+        .select(col("day"), col("rev"), col("mu"),
+          (col("rev").cast(DecimalType(38, 6)) - col("mu").cast(DecimalType(38, 6))).as("dv"))
+      dev
+        .withColumn("s_cusum", sum(col("dv")).over(
+            Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+        .select(col("day"), col("rev"), round(col("s_cusum"), 6).as("s_cusum"))
+        .orderBy(abs(round(col("s_cusum"), 6)).desc, col("day"))
+        .limit(10)
+    }),
+
     // SCD-2 interval build (q138): turn a user's event-type change stream
     // into slowly-changing-dimension type-2 validity intervals —
     // (user_id, state, valid_from, valid_to, is_current), half-open
@@ -1866,6 +1927,40 @@ object EventAnalytics extends QueryModule {
         |               OVER (PARTITION BY user_id ORDER BY t
         |                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS roll_1h
         |FROM e ORDER BY user_id, t, event_id LIMIT 200""".stripMargin,
+    "q275_daily_acf" ->
+      """WITH d AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+        |           FROM events),
+        |c AS (SELECT day, count(*) AS c FROM d GROUP BY day),
+        |lg AS (SELECT CAST(unnest([1,2,3,4,5,6,7]) AS BIGINT) AS lag),
+        |p AS (SELECT lg.lag, a.c AS x, b.c AS y
+        |      FROM c a CROSS JOIN lg JOIN c b ON b.day = a.day + lg.lag),
+        |st AS (SELECT lag, count(*) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+        |       FROM p GROUP BY lag)
+        |SELECT lag, n AS n_pairs,
+        |       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        |            THEN round((n * sxy - sx * sy)
+        |                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |       END AS acf
+        |FROM st ORDER BY lag""".stripMargin,
+    "q276_cusum_changepoint" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |               FROM events GROUP BY 1),
+        |m AS (SELECT round(CAST(sum(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mu
+        |      FROM daily),
+        |dev AS (SELECT day, rev,
+        |          CAST(rev AS DECIMAL(38,6)) - CAST(mu AS DECIMAL(38,6)) AS dv
+        |        FROM daily CROSS JOIN m),
+        |cs AS (SELECT day, rev,
+        |         CAST(sum(dv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s
+        |       FROM dev)
+        |SELECT day, rev, round(s, 6) AS s_cusum
+        |FROM cs ORDER BY abs(round(s, 6)) DESC, day LIMIT 10""".stripMargin,
     "q140_wow_growth" ->
       """WITH w AS (SELECT CAST(floor(epoch(ts)/604800) AS BIGINT) AS week
         |           FROM events),

@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryModule
 import graft.functions.ExactAgg._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -131,6 +131,51 @@ object Relational extends QueryModule {
               / col("det"), 6).as("d2"))
         .orderBy(col("d2").desc, col("o_orderkey"))
         .limit(20)
+    }),
+
+    // Two-feature OLS (q277): closed-form least squares of order value on
+    // line count and total quantity — the "does price scale with basket
+    // size or with volume" decomposition one step past q188's single
+    // Pearson and q151's univariate slope. Normal equations from six
+    // exact decimal moments (the q232 discipline: per-row products
+    // 6-dp-rounded, DECIMAL(38,12)-summed, mean rounded 6) and a 2×2
+    // solve — one grouped pass over the fact join, one 1-row frame, no
+    // iteration; both engines execute the identical operand sequence.
+    "q277_order_ols" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).cast("double").as("x1"),
+          exactSum(col("l_quantity"), 2).as("x2"))
+      val o = Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("y"))
+        .join(li.withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"))
+      val dec = DecimalType(38, 12)
+      def mom(c: Column, n: String) =
+        round(sum(round(c, 6).cast(dec)).cast("double") / count(lit(1)), 6).as(n)
+      val m = o.agg(count(lit(1)).as("n"),
+        mom(col("x1"), "m1"), mom(col("x2"), "m2"), mom(col("y"), "my"),
+        mom(col("x1") * col("x1"), "s11"), mom(col("x2") * col("x2"), "s22"),
+        mom(col("x1") * col("x2"), "s12"),
+        mom(col("x1") * col("y"), "sy1"), mom(col("x2") * col("y"), "sy2"),
+        mom(col("y") * col("y"), "syy"))
+      val v = m.select(col("n"), col("m1"), col("m2"), col("my"),
+        round(col("s11") - col("m1") * col("m1"), 6).as("v11"),
+        round(col("s22") - col("m2") * col("m2"), 6).as("v22"),
+        round(col("s12") - col("m1") * col("m2"), 6).as("v12"),
+        round(col("sy1") - col("m1") * col("my"), 6).as("c1"),
+        round(col("sy2") - col("m2") * col("my"), 6).as("c2"),
+        round(col("syy") - col("my") * col("my"), 6).as("vyy"))
+      v.select(col("n"),
+          round((col("v22") * col("c1") - col("v12") * col("c2"))
+            / (col("v11") * col("v22") - col("v12") * col("v12")), 6).as("beta_lines"),
+          round((col("v11") * col("c2") - col("v12") * col("c1"))
+            / (col("v11") * col("v22") - col("v12") * col("v12")), 6).as("beta_qty"),
+          col("m1"), col("m2"), col("my"), col("c1"), col("c2"), col("vyy"))
+        .select(col("n"), col("beta_lines"), col("beta_qty"),
+          round(col("my") - col("beta_lines") * col("m1")
+            - col("beta_qty") * col("m2"), 6).as("intercept"),
+          round((col("beta_lines") * col("c1") + col("beta_qty") * col("c2"))
+            / col("vyy"), 6).as("r_squared"))
     }),
 
     // Sole-blame late suppliers (q241) — the TPC-H Q21 shape on the slim
@@ -1341,6 +1386,39 @@ object Relational extends QueryModule {
         |  JOIN promo ON s_suppkey = l_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY suppkey""".stripMargin,
+    "q277_order_ols" ->
+      """WITH li AS (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS DOUBLE) AS x1,
+        |              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x2
+        |            FROM lineitem GROUP BY 1),
+        |o AS (SELECT CAST(o_totalprice AS DOUBLE) AS y, li.x1, li.x2
+        |      FROM orders JOIN li USING (o_orderkey)),
+        |m AS (SELECT count(*) AS n,
+        |        round(CAST(sum(CAST(round(x1, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m1,
+        |        round(CAST(sum(CAST(round(x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m2,
+        |        round(CAST(sum(CAST(round(y, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS my,
+        |        round(CAST(sum(CAST(round(x1 * x1, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s11,
+        |        round(CAST(sum(CAST(round(x2 * x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s22,
+        |        round(CAST(sum(CAST(round(x1 * x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s12,
+        |        round(CAST(sum(CAST(round(x1 * y, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS sy1,
+        |        round(CAST(sum(CAST(round(x2 * y, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS sy2,
+        |        round(CAST(sum(CAST(round(y * y, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS syy
+        |      FROM o),
+        |v AS (SELECT n, m1, m2, my,
+        |        round(s11 - m1 * m1, 6) AS v11,
+        |        round(s22 - m2 * m2, 6) AS v22,
+        |        round(s12 - m1 * m2, 6) AS v12,
+        |        round(sy1 - m1 * my, 6) AS c1,
+        |        round(sy2 - m2 * my, 6) AS c2,
+        |        round(syy - my * my, 6) AS vyy
+        |      FROM m),
+        |b AS (SELECT n, m1, m2, my, c1, c2, vyy,
+        |        round((v22 * c1 - v12 * c2) / (v11 * v22 - v12 * v12), 6) AS beta_lines,
+        |        round((v11 * c2 - v12 * c1) / (v11 * v22 - v12 * v12), 6) AS beta_qty
+        |      FROM v)
+        |SELECT n, beta_lines, beta_qty,
+        |       round(my - beta_lines * m1 - beta_qty * m2, 6) AS intercept,
+        |       round((beta_lines * c1 + beta_qty * c2) / vyy, 6) AS r_squared
+        |FROM b""".stripMargin,
     "q232_mahalanobis_outliers" ->
       """WITH li AS (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS DOUBLE) AS x2
         |            FROM lineitem GROUP BY 1),

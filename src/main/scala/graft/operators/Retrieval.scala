@@ -278,6 +278,40 @@ object Retrieval extends QueryModule {
       tfidfTopTermsTf(sharedTermFreqs(s, dir))
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // Per-source distinctive terms (q273): Monroe et al.'s "Fightin'
+    // Words" log-odds with a Dirichlet prior — for each source, the terms
+    // whose usage rate most exceeds the REST of the corpus, z-scored so
+    // rare-but-extreme ratios don't outrank well-attested ones (the
+    // failure mode of plain tf-idf-per-source). The per-(source, term)
+    // rollup rides the shared inverted index and is localCheckpointed
+    // once (it feeds the scores plus both margins — the q144 lesson);
+    // prior α=0.5/term. Top-5 per source, support floor 5.
+    "q273_source_log_odds" -> ((s, dir) => {
+      val tf = sharedTermFreqs(s, dir)
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val st = tf.join(src, "doc_id")
+        .groupBy(col("source"), col("term")).agg(sum(col("tf")).as("n_in_source"))
+        .localCheckpoint()
+      val ns = st.groupBy(col("source")).agg(sum(col("n_in_source")).as("ns"))
+      val yw = st.groupBy(col("term")).agg(sum(col("n_in_source")).as("n_corpus"))
+      val tot = ns.agg(sum(col("ns")).as("nn"))
+      val vs = yw.agg((count(lit(1)).cast("double") * 0.5).as("fa"))
+      val rest = col("n_corpus") - col("n_in_source")
+      val z = round(
+        (log((col("n_in_source") + 0.5) / (col("ns") + col("fa") - col("n_in_source") - 0.5))
+          - log((rest + 0.5) / (col("nn") - col("ns") + col("fa") - rest - 0.5)))
+          / sqrt(lit(1.0) / (col("n_in_source") + 0.5) + lit(1.0) / (rest + 0.5)), 6)
+      st.join(ns, "source").join(yw, "term")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(vs))
+        .filter(col("n_in_source") >= 5)
+        .select(col("source"), col("term"), col("n_in_source"), col("n_corpus"),
+          z.as("z_odds"))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("z_odds").desc, col("term"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("source"), col("rnk"))
+    }),
+
     // BM25-ranked keyword search, top 20 for the fixture query.
     "q79_bm25_search" -> ((s, dir) =>
       bm25SearchTf(sharedTermFreqs(s, dir), QueryTerms)),
@@ -660,6 +694,28 @@ object Retrieval extends QueryModule {
           |FROM rk LEFT JOIN top1 t1 USING (doc_id) CROSS JOIN ex
           |ORDER BY rank""".stripMargin),
     "q228_retrieval_eval" -> retrievalEvalSql,
+    "q273_source_log_odds" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |st AS (SELECT d.source, tf.term, CAST(sum(tf.tf) AS BIGINT) AS n_in_source
+        |       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(n_in_source) AS BIGINT) AS ns FROM st GROUP BY 1),
+        |yw AS (SELECT term, CAST(sum(n_in_source) AS BIGINT) AS n_corpus FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM ns),
+        |vs AS (SELECT count(*) * 0.5 AS fa FROM yw),
+        |sc AS (SELECT st.source, st.term, st.n_in_source, yw.n_corpus,
+        |         round((ln((st.n_in_source + 0.5) / (ns.ns + vs.fa - st.n_in_source - 0.5))
+        |              - ln(((yw.n_corpus - st.n_in_source) + 0.5)
+        |                   / (tot.nn - ns.ns + vs.fa - (yw.n_corpus - st.n_in_source) - 0.5)))
+        |           / sqrt(1.0 / (st.n_in_source + 0.5)
+        |                  + 1.0 / ((yw.n_corpus - st.n_in_source) + 0.5)), 6) AS z_odds
+        |       FROM st JOIN ns USING (source) JOIN yw USING (term)
+        |            CROSS JOIN tot CROSS JOIN vs
+        |       WHERE st.n_in_source >= 5),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                    ORDER BY z_odds DESC, term) AS rnk FROM sc)
+        |SELECT source, term, n_in_source, n_corpus, z_odds, CAST(rnk AS BIGINT) AS rnk
+        |FROM rk WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "q78_tfidf_topterms" ->
       (invIndexCte +
         """,

@@ -1209,6 +1209,38 @@ object Similarity extends QueryModule {
     // IVF probe-budget recall curve (see [[ivfNprobeCurve]]).
     "q253_ivf_nprobe_curve" -> ((s, dir) => ivfNprobeCurve(s, dir)),
 
+    // Cell-label NMI (q278): normalized mutual information between the
+    // seeded-quantizer cell assignment and the declared label — "are the
+    // ANN partitions label-coherent?", the information-theoretic upgrade
+    // of q169's raw confusion counts (NMI prices the whole contingency
+    // table against both marginals at once; 0 = cells ignore labels,
+    // 1 = cells ARE the labels). Useful both ways: high NMI says
+    // label-filtered ANN queries can prune to few cells; low NMI says the
+    // quantizer splits on something labels don't capture. All entropies
+    // from ONE bounded k×|labels| contingency frame (localCheckpointed for
+    // its three marginal consumers), p·log2 p via the q206 log10-ratio
+    // convention, decimal-summed.
+    "q278_cell_label_nmi" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val ct = seededAssigned(s, dir, 8).select(col("cell"), col("label"))
+        .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val nn = ct.agg(sum(col("c")).as("n"))
+      def h(keyed: DataFrame, out: String): DataFrame =
+        keyed.crossJoin(broadcast(nn))
+          .select((col("c").cast("double") / col("n")).as("p"))
+          .agg(round(-sum(round(col("p") * log10(col("p")) / log10(lit(2.0)), 12)
+            .cast(dec)).cast("double"), 6).as(out))
+      val hc = h(ct.groupBy(col("cell")).agg(sum(col("c")).as("c")), "h_cell")
+      val hl = h(ct.groupBy(col("label")).agg(sum(col("c")).as("c")), "h_label")
+      val hj = h(ct, "h_joint")
+      hc.crossJoin(hl).crossJoin(hj)
+        .select(col("h_cell"), col("h_label"), col("h_joint"),
+          round(col("h_cell") + col("h_label") - col("h_joint"), 6).as("mi_bits"))
+        .select(col("h_cell"), col("h_label"), col("h_joint"), col("mi_bits"),
+          round(col("mi_bits") / sqrt(col("h_cell") * col("h_label")), 6).as("nmi"))
+    }),
+
     // JL-sketch norm-distortion audit (see [[jlDistortion]]).
     "q219_jl_distortion" -> ((s, dir) =>
       jlDistortion(s, dir).orderBy(col("vec_id"))),
@@ -1601,6 +1633,34 @@ object Similarity extends QueryModule {
         |SELECT q_id AS vec_id, true_label AS label, n_label AS pred, n_votes FROM
         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr FROM votes)
         |WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "q278_cell_label_nmi" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM
+        |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a)
+        |        WHERE rn = 1),
+        |ct AS (SELECT asg.cid AS cell, e.label, count(*) AS c
+        |       FROM asg JOIN e USING (vec_id) GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+        |hc AS (SELECT round(-CAST(sum(CAST(round(
+        |           (CAST(c AS DOUBLE) / nn.n) * log10(CAST(c AS DOUBLE) / nn.n) / log10(2.0),
+        |           12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_cell
+        |       FROM (SELECT cell, sum(c) AS c FROM ct GROUP BY 1) CROSS JOIN nn),
+        |hl AS (SELECT round(-CAST(sum(CAST(round(
+        |           (CAST(c AS DOUBLE) / nn.n) * log10(CAST(c AS DOUBLE) / nn.n) / log10(2.0),
+        |           12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_label
+        |       FROM (SELECT label, sum(c) AS c FROM ct GROUP BY 1) CROSS JOIN nn),
+        |hj AS (SELECT round(-CAST(sum(CAST(round(
+        |           (CAST(c AS DOUBLE) / nn.n) * log10(CAST(c AS DOUBLE) / nn.n) / log10(2.0),
+        |           12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_joint
+        |       FROM ct CROSS JOIN nn),
+        |mi AS (SELECT h_cell, h_label, h_joint,
+        |         round(h_cell + h_label - h_joint, 6) AS mi_bits
+        |       FROM hc CROSS JOIN hl CROSS JOIN hj)
+        |SELECT h_cell, h_label, h_joint, mi_bits,
+        |       round(mi_bits / sqrt(h_cell * h_label), 6) AS nmi
+        |FROM mi""".stripMargin,
     "q253_ivf_nprobe_curve" -> {
       val legs = Seq(1, 2, 4).map { p =>
         s"""ann_$p AS (SELECT q_id, n_id FROM

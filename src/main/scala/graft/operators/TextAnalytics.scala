@@ -261,6 +261,37 @@ object TextAnalytics extends QueryModule {
         .orderBy(col("heur_pred"), col("nb_pred"))
     }),
 
+    // Cohen's kappa for the two lang-id raters (q274): chance-corrected
+    // agreement between the q30 heuristic and the q102 trained NB — the
+    // scalar q243's confusion matrix doesn't give (raw agreement flatters
+    // raters that both over-predict the majority language; kappa subtracts
+    // the marginal-product chance floor). Everything derives from the
+    // bounded |langs|² contingency frame, localCheckpointed once for its
+    // four consumers; chance terms decimal-summed per the q206 convention.
+    "q274_rater_kappa" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val heur = docs(s, dir).select(col("doc_id"), predictedLang.as("a"))
+      val nb = nbLangIdScored(sharedNbScored(s, dir))
+        .select(col("doc_id"), col("pred_lang").as("b"))
+      val ct = heur.join(nb, Seq("doc_id"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val nn = ct.agg(sum(col("n")).as("nn"))
+      val dg = ct.filter(col("a") === col("b"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("nd"))
+      val ra = ct.groupBy(col("a").as("l")).agg(sum(col("n")).as("na"))
+      val cb = ct.groupBy(col("b").as("l")).agg(sum(col("n")).as("nb"))
+      val pe = ra.join(cb, "l").crossJoin(broadcast(nn))
+        .agg(round(sum(round(
+            (col("na").cast("double") / col("nn")) * (col("nb").cast("double") / col("nn")),
+            12).cast(dec)).cast("double"), 6).as("pe"))
+      dg.crossJoin(broadcast(nn)).crossJoin(broadcast(pe))
+        .select(col("nn").as("n_docs"),
+          round(col("nd").cast("double") / col("nn"), 6).as("po"), col("pe"))
+        .select(col("n_docs"), col("po"), col("pe"),
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
+    }),
+
     // Tokenizer fertility by language (q235): BPE-ish tokens per whitespace
     // word and bytes per BPE token, per language — the per-language COST
     // model of a tokenizer (high fertility = more compute and context
@@ -659,6 +690,33 @@ object TextAnalytics extends QueryModule {
           |SELECT doc_id, true_lang, pred_lang, score,
           |       CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
           |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "q274_rater_kappa" ->
+      (nbRankedSql +
+        """,
+          |nb AS (SELECT doc_id, pred_lang AS b FROM rk WHERE rn = 1),
+          |he AS (SELECT doc_id,
+          |         CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+          |               AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b'))
+          |              THEN 'en'
+          |              WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b'))
+          |              THEN 'de' ELSE 'es' END AS a
+          |       FROM documents),
+          |ct AS (SELECT a, b, count(*) AS n FROM he JOIN nb USING (doc_id) GROUP BY 1, 2),
+          |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM ct),
+          |dg AS (SELECT CAST(COALESCE(sum(CASE WHEN a = b THEN n END), 0) AS BIGINT) AS nd FROM ct),
+          |ra AS (SELECT a AS l, CAST(sum(n) AS BIGINT) AS na FROM ct GROUP BY 1),
+          |cb AS (SELECT b AS l, CAST(sum(n) AS BIGINT) AS nb FROM ct GROUP BY 1),
+          |pe AS (SELECT round(CAST(sum(CAST(round(
+          |           (CAST(na AS DOUBLE) / nn.nn) * (CAST(nb AS DOUBLE) / nn.nn),
+          |           12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS pe
+          |       FROM ra JOIN cb USING (l) CROSS JOIN nn),
+          |po AS (SELECT round(CAST(nd AS DOUBLE) / nn.nn, 6) AS po FROM dg CROSS JOIN nn)
+          |SELECT nn.nn AS n_docs, po.po, pe.pe,
+          |       round((po.po - pe.pe) / (1.0 - pe.pe), 6) AS kappa
+          |FROM nn CROSS JOIN po CROSS JOIN pe""".stripMargin),
     "q243_langid_agreement" ->
       (nbRankedSql +
         """,
