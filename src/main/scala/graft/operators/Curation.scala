@@ -283,6 +283,41 @@ object Curation extends QueryModule {
     // shared pair layer (each edge counted from both endpoints via a
     // union of its two narrow projections); the histogram is a
     // degree-keyed rollup, all map-side combined.
+    // k-core peel trajectory (q280): iteratively strip degree-<2 nodes
+    // from the J >= 0.5 dup graph and report (nodes, edges) after each of
+    // 6 FIXED peel rounds — the graph-robustness readout q248's one-shot
+    // degree histogram can't give: chains and stars evaporate in round 1,
+    // while the counts that survive all rounds are the 2-core — densely
+    // interlinked template/boilerplate families that splitting or sampling
+    // won't break up (the clusters worth manual review before dedup).
+    // Fixed round count (not convergence) keeps both engines on the exact
+    // same computation; per-round localCheckpoint truncates the iterative
+    // lineage (the Cluster.scala discipline). Each round is two bounded
+    // joins over narrow edge rows — never the corpus.
+    "q280_kcore_peel" -> ((s, dir) => {
+      var edges = Dedup.sharedNgramJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      var acc: DataFrame = null
+      for (r <- 1 to 6) {
+        val deg = edges.select(col("id_a").as("d"))
+          .union(edges.select(col("id_b").as("d")))
+          .groupBy(col("d")).agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= 2).select(col("d"))
+        edges = edges
+          .join(keep.withColumnRenamed("d", "id_a"), "id_a")
+          .join(keep.withColumnRenamed("d", "id_b"), "id_b")
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val row = edges.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(
+            edges.select(col("id_a").as("d")).union(edges.select(col("id_b").as("d")))
+              .distinct().agg(count(lit(1)).as("n_nodes")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+        acc = if (acc == null) row else acc.unionByName(row)
+      }
+      acc.orderBy(col("round"))
+    }),
+
     "q248_dup_degree_hist" -> ((s, dir) => {
       val pairs = Dedup.sharedNgramJaccardPairs(s, dir)
         .filter(col("jaccard") >= 0.5)
@@ -499,7 +534,34 @@ object Curation extends QueryModule {
       |       FROM common JOIN sizes sa ON sa.doc_id = id_a
       |                   JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
 
+  /** q280 oracle: the 6 peel rounds unrolled as CTE stages from one
+    * template, so engine and SQL can never drift on the round count. The
+    * edge stages are MATERIALIZED — DuckDB inlines plain CTEs per
+    * reference, so without the hint the 6-deep unroll re-expands the
+    * shingle pipeline exponentially and exhausts file handles. */
+  private val kcorePeelSql: String = {
+    val stages = (1 to 6).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""k$r AS MATERIALIZED (SELECT d FROM
+         |          (SELECT d, count(*) AS deg FROM
+         |             (SELECT id_a AS d FROM $prev UNION ALL SELECT id_b FROM $prev)
+         |           GROUP BY 1)
+         |        WHERE deg >= 2),
+         |e$r AS MATERIALIZED (SELECT id_a, id_b FROM $prev
+         |        WHERE id_a IN (SELECT d FROM k$r) AND id_b IN (SELECT d FROM k$r)),
+         |s$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |          (SELECT count(*) FROM (SELECT DISTINCT d FROM
+         |             (SELECT id_a AS d FROM e$r UNION ALL SELECT id_b FROM e$r))) AS n_nodes,
+         |          (SELECT count(*) FROM e$r) AS n_edges)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to 6).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+    jaccardPairsCte +
+      ",\ne0 AS MATERIALIZED (SELECT id_a, id_b FROM pr WHERE jaccard >= 0.5),\n" +
+      stages + s"\nSELECT * FROM ($unions) ORDER BY round"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q280_kcore_peel" -> kcorePeelSql,
     "q247_crosslingual_dup" ->
       (jaccardPairsCte +
         """,

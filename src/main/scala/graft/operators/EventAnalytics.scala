@@ -1172,6 +1172,57 @@ object EventAnalytics extends QueryModule {
             round(col("n_events").cast("double") / col("prev_events"), 6)))
         .orderBy(col("week"))),
 
+    // Sequential A/B monitor (q281): the day-by-day cumulative z trajectory
+    // of q224's experiment (same md5 arm hash, same high-value-purchase
+    // conversion) with an always-valid 3.29 crossing boundary — the "can I
+    // stop the experiment yet" curve, and the peeking-bias audit: reading
+    // q224's single z at the end is valid, reading THIS curve daily needs
+    // the inflated boundary it carries. Users enter at their first event
+    // and convert at their first qualifying purchase; both cumulative
+    // counts are per-ARM windows over the per-day rollup (2 partitions ×
+    // #days rows — never the event log, which passes two grouped
+    // aggregations only).
+    "q281_sprt_monitor" -> ((s, dir) => {
+      val arm = expr(
+        "cast(conv(substring(md5(concat(cast(user_id as string), ':ab')), 1, 4), 16, 10) as bigint) % 2")
+      val u = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(floor(col("ts").cast(LongType) / 86400L)).cast(LongType).as("day_in"),
+          min(when(col("event_type") === "purchase" && col("value") >= 150,
+            floor(col("ts").cast(LongType) / 86400L))).cast(LongType).as("day_conv"))
+        .select(col("user_id"), arm.as("arm"), col("day_in"), col("day_conv"))
+        .localCheckpoint()
+      val days = u.select(col("day_in").as("day")).distinct()
+      val grid = days.crossJoin(broadcast(
+        days.sparkSession.range(2).select(col("id").as("arm"))))
+      val wArm = Window.partitionBy(col("arm")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ins = u.groupBy(col("arm"), col("day_in").as("day")).agg(count(lit(1)).as("ni"))
+      val convs = u.filter(col("day_conv").isNotNull)
+        .groupBy(col("arm"), col("day_conv").as("day")).agg(count(lit(1)).as("ci"))
+      val cum = grid
+        .join(ins, Seq("arm", "day"), "left")
+        .join(convs, Seq("arm", "day"), "left")
+        .select(col("arm"), col("day"),
+          coalesce(col("ni"), lit(0L)).as("ni"), coalesce(col("ci"), lit(0L)).as("ci"))
+        .select(col("arm"), col("day"),
+          sum(col("ni")).over(wArm).as("n"), sum(col("ci")).over(wArm).as("c"))
+      val a0 = cum.filter(col("arm") === 0)
+        .select(col("day"), col("n").as("na"), col("c").as("ca"))
+      val a1 = cum.filter(col("arm") === 1)
+        .select(col("day").as("day1"), col("n").as("nb"), col("c").as("cb"))
+      val p = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
+      a0.join(a1, col("day") === col("day1"))
+        .select(col("day"), col("na"), col("nb"), col("ca"), col("cb"),
+          when(col("na") > 0 && col("nb") > 0 && p > 0 && p < 1,
+            round((col("ca").cast("double") / col("na") - col("cb").cast("double") / col("nb"))
+              / sqrt(p * (lit(1.0) - p)
+                * (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6)).as("z_stat"))
+        .withColumn("crossed",
+          when(abs(coalesce(col("z_stat"), lit(0.0))) >= 3.29, 1L).otherwise(0L))
+        .orderBy(col("day"))
+    }),
+
     // Daily-count autocorrelation (q275): Pearson r between the per-day
     // event count and itself shifted by lag 1..7 — the weekly-rhythm
     // detector (a lag-7 spike = weekday seasonality) that decides whether
@@ -1927,6 +1978,42 @@ object EventAnalytics extends QueryModule {
         |               OVER (PARTITION BY user_id ORDER BY t
         |                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS roll_1h
         |FROM e ORDER BY user_id, t, event_id LIMIT 200""".stripMargin,
+    "q281_sprt_monitor" ->
+      """WITH u AS (SELECT user_id,
+        |             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,
+        |             CAST(min(floor(epoch(ts)/86400)) AS BIGINT) AS day_in,
+        |             CAST(min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |                           THEN floor(epoch(ts)/86400) END) AS BIGINT) AS day_conv
+        |           FROM events GROUP BY user_id),
+        |days AS (SELECT DISTINCT day_in AS day FROM u),
+        |grid AS (SELECT day, arm FROM days CROSS JOIN (SELECT unnest([0, 1]) AS arm)),
+        |ins AS (SELECT arm, day_in AS day, count(*) AS ni FROM u GROUP BY 1, 2),
+        |cv AS (SELECT arm, day_conv AS day, count(*) AS ci FROM u
+        |       WHERE day_conv IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT g.arm, g.day,
+        |          sum(coalesce(ins.ni, 0)) OVER (PARTITION BY g.arm ORDER BY g.day
+        |                                         ROWS UNBOUNDED PRECEDING) AS n,
+        |          sum(coalesce(cv.ci, 0)) OVER (PARTITION BY g.arm ORDER BY g.day
+        |                                        ROWS UNBOUNDED PRECEDING) AS c
+        |        FROM grid g
+        |        LEFT JOIN ins ON ins.arm = g.arm AND ins.day = g.day
+        |        LEFT JOIN cv ON cv.arm = g.arm AND cv.day = g.day),
+        |j AS (SELECT a.day, a.n AS na, b.n AS nb, a.c AS ca, b.c AS cb,
+        |        CAST(a.c + b.c AS DOUBLE) / (a.n + b.n) AS p
+        |      FROM (SELECT * FROM cum WHERE arm = 0) a
+        |      JOIN (SELECT * FROM cum WHERE arm = 1) b ON b.day = a.day)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |       CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+        |       CASE WHEN na > 0 AND nb > 0 AND p > 0 AND p < 1
+        |            THEN round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+        |                       / sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)), 6)
+        |       END AS z_stat,
+        |       CAST(CASE WHEN abs(coalesce(
+        |              CASE WHEN na > 0 AND nb > 0 AND p > 0 AND p < 1
+        |                   THEN round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+        |                              / sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)), 6)
+        |              END, 0.0)) >= 3.29 THEN 1 ELSE 0 END AS BIGINT) AS crossed
+        |FROM j ORDER BY day""".stripMargin,
     "q275_daily_acf" ->
       """WITH d AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
         |           FROM events),

@@ -380,6 +380,29 @@ object Scrub extends QueryModule {
     "q100_dsir_weights" -> ((s, dir) =>
       dsirWeightsFrom(docs(s, dir), col("doc_id") % 7 === 0)),
 
+    // DSIR effective sample size (q282): per source, ESS = (Σw)²/Σw² of
+    // the q100 importance weights (w = 10^importance) — the number that
+    // says whether importance-resampling a source actually has that many
+    // effective documents behind it, or whether a few huge weights carry
+    // everything (ESS/n near 1 = uniform, near 1/n = one doc dominates —
+    // resampling that source is noise, cap the weights first). One join
+    // of the q100 frame to source metadata, decimal-summed squares.
+    "q282_dsir_ess" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val w = dsirWeightsFrom(docs(s, dir), col("doc_id") % 7 === 0)
+        .select(col("doc_id"), round(pow(lit(10.0), col("importance")), 6).as("w"))
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      w.join(src, "doc_id").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w").cast(DecimalType(18, 6))).cast("double").as("sum_w"),
+          sum(round(col("w") * col("w"), 12).cast(dec)).cast("double").as("sum_w2"))
+        .select(col("source"), col("n_docs"), round(col("sum_w"), 6).as("sum_w"),
+          round(col("sum_w") * col("sum_w") / col("sum_w2"), 6).as("ess"),
+          round(col("sum_w") * col("sum_w") / col("sum_w2") / col("n_docs"), 6)
+            .as("ess_ratio"))
+        .orderBy(col("source"))
+    }),
+
     // Length-quartile × quality confounder matrix (q249): the audit run
     // BEFORE trusting the q31 quality gate — the score's 0.5·min(1,
     // chars/500) term mechanically rewards length, so a "quality" filter
@@ -553,6 +576,31 @@ object Scrub extends QueryModule {
         |       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
         |       round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / d.n, 6) AS dup_gram_frac
         |FROM d LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q282_dsir_ess" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |bt AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 256 AS b FROM toks),
+        |tc AS (SELECT b, count(*) AS ct FROM bt WHERE doc_id % 7 = 0 GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM bt GROUP BY 1),
+        |nt AS (SELECT sum(ct) AS n FROM tc),
+        |nr AS (SELECT sum(cr) AS n FROM rc),
+        |lr AS (SELECT g.b AS b,
+        |         round(log10((CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / (nt.n + 256)) /
+        |                     (CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE) / (nr.n + 256))), 9) AS logratio
+        |       FROM (SELECT unnest(range(256)) AS b) g
+        |       LEFT JOIN tc ON tc.b = g.b LEFT JOIN rc ON rc.b = g.b
+        |       CROSS JOIN nt CROSS JOIN nr),
+        |imp AS (SELECT doc_id,
+        |          CAST(round(sum(CAST(logratio AS DECIMAL(18,9))), 6) AS DOUBLE) AS importance
+        |        FROM bt JOIN lr USING (b) GROUP BY doc_id),
+        |w AS (SELECT doc_id, round(pow(10.0, importance), 6) AS w FROM imp),
+        |st AS (SELECT d.source, count(*) AS n_docs,
+        |         CAST(sum(CAST(w.w AS DECIMAL(18,6))) AS DOUBLE) AS sum_w,
+        |         CAST(sum(CAST(round(w.w * w.w, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sum_w2
+        |       FROM w JOIN documents d USING (doc_id) GROUP BY 1)
+        |SELECT source, n_docs, round(sum_w, 6) AS sum_w,
+        |       round(sum_w * sum_w / sum_w2, 6) AS ess,
+        |       round(sum_w * sum_w / sum_w2 / n_docs, 6) AS ess_ratio
+        |FROM st ORDER BY source""".stripMargin,
     "q100_dsir_weights" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
         |bt AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 256 AS b FROM toks),

@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryModule
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -259,6 +260,55 @@ object TextAnalytics extends QueryModule {
           col("n_heur_correct"), col("n_nb_correct"),
           when(col("heur_pred") === col("nb_pred"), 1L).otherwise(0L).as("agree"))
         .orderBy(col("heur_pred"), col("nb_pred"))
+    }),
+
+    // Bradley-Terry source strength (q279): pairwise quality "matches"
+    // between sources (the i-th doc of source A vs the i-th of source B
+    // within a language — a deterministic, bounded pairing; ties 0.5) fed
+    // through TWO fixed Bradley-Terry fixed-point iterations from s=1 —
+    // the preference-strength model RLHF reward-data QC runs over graded
+    // pairs, here grading the sources themselves. Fixed iteration count
+    // (not convergence) keeps both engines on the same computation; the
+    // iteration state is |sources| rows, the match frame |sources|²
+    // after one grouped pass, and per-opponent terms are 9-dp-rounded and
+    // decimal-summed so the update is order-independent.
+    "q279_bradley_terry" -> ((s, dir) => {
+      val byRank = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+      val sc = docs(s, dir)
+        .select(col("lang"), col("source"), col("doc_id"), qualityScore.as("q"))
+        .withColumn("r", row_number().over(byRank))
+      val a = sc.select(col("lang"), col("r"), col("source").as("sa"), col("q").as("qa"))
+      val b = sc.select(col("lang"), col("r"), col("source").as("sb"), col("q").as("qb"))
+      val comp = a.join(b, Seq("lang", "r")).filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("qa") > col("qb"), lit(1.0))
+            .when(col("qa") === col("qb"), lit(0.5)).otherwise(lit(0.0))
+            .cast(DecimalType(18, 1))).as("wa"))
+      val m = comp.select(col("sa").as("src"), col("sb").as("opp"), col("n"),
+          col("wa").cast("double").as("w"))
+        .unionByName(comp.select(col("sb").as("src"), col("sa").as("opp"), col("n"),
+          (col("n").cast(DecimalType(18, 1)) - col("wa")).cast("double").as("w")))
+        .localCheckpoint()
+      val wt = m.groupBy(col("src"))
+        .agg(sum(col("w").cast(DecimalType(18, 1))).cast("double").as("wins"),
+          sum(col("n")).as("n_comparisons"))
+      def iterate(sPrev: DataFrame): DataFrame =
+        m.join(sPrev, "src")
+          .join(sPrev.select(col("src").as("opp"), col("s").as("so")), "opp")
+          .groupBy(col("src"))
+          .agg(round(sum(round(col("n").cast("double") / (col("s") + col("so")), 9)
+            .cast(DecimalType(38, 9))).cast("double"), 6).as("denom"))
+          .join(wt, "src")
+          .select(col("src"), round(col("wins") / col("denom"), 6).as("s"))
+      val s0 = wt.select(col("src"), lit(1.0).as("s"))
+      val s2 = iterate(iterate(s0))
+      wt.join(s2, "src")
+        .select(col("src").as("source"), col("n_comparisons"), col("wins"),
+          col("s").as("bt_strength"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("bt_strength").desc, col("source"))).cast(LongType))
+        .orderBy(col("rnk"))
     }),
 
     // Cohen's kappa for the two lang-id raters (q274): chance-corrected
@@ -690,6 +740,39 @@ object TextAnalytics extends QueryModule {
           |SELECT doc_id, true_lang, pred_lang, score,
           |       CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
           |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "q279_bradley_terry" ->
+      """WITH sc AS (SELECT lang, source, doc_id,
+        |  round(0.5 * least(1.0, length(text) / 500.0)
+        |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |               len(string_split(trim(text), ' ')))
+        |      + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |               length(text)), 6) AS q
+        |  FROM documents),
+        |rk AS (SELECT lang, source, doc_id, q,
+        |         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS r
+        |       FROM sc),
+        |comp AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n,
+        |           CAST(sum(CASE WHEN a.q > b.q THEN 1.0
+        |                         WHEN a.q = b.q THEN 0.5 ELSE 0.0 END) AS DECIMAL(18,1)) AS wa
+        |         FROM rk a JOIN rk b ON a.lang = b.lang AND a.r = b.r AND a.source < b.source
+        |         GROUP BY 1, 2),
+        |m AS (SELECT sa AS src, sb AS opp, n, CAST(wa AS DOUBLE) AS w FROM comp
+        |      UNION ALL
+        |      SELECT sb, sa, n, CAST(CAST(n AS DECIMAL(18,1)) - wa AS DOUBLE) FROM comp),
+        |wt AS (SELECT src, CAST(sum(CAST(w AS DECIMAL(18,1))) AS DOUBLE) AS wins,
+        |         CAST(sum(n) AS BIGINT) AS n_comparisons
+        |       FROM m GROUP BY 1),
+        |s1 AS (SELECT m.src, round(wt.wins / round(CAST(sum(CAST(round(
+        |           CAST(m.n AS DOUBLE) / (1.0 + 1.0), 9) AS DECIMAL(38,9))) AS DOUBLE), 6), 6) AS s
+        |       FROM m JOIN wt ON wt.src = m.src GROUP BY m.src, wt.wins),
+        |s2 AS (SELECT m.src, round(wt.wins / round(CAST(sum(CAST(round(
+        |           CAST(m.n AS DOUBLE) / (sa.s + sb.s), 9) AS DECIMAL(38,9))) AS DOUBLE), 6), 6) AS s
+        |       FROM m JOIN s1 sa ON sa.src = m.src JOIN s1 sb ON sb.src = m.opp
+        |            JOIN wt ON wt.src = m.src
+        |       GROUP BY m.src, wt.wins)
+        |SELECT wt.src AS source, wt.n_comparisons, wt.wins, s2.s AS bt_strength,
+        |       CAST(row_number() OVER (ORDER BY s2.s DESC, wt.src) AS BIGINT) AS rnk
+        |FROM wt JOIN s2 USING (src) ORDER BY rnk""".stripMargin,
     "q274_rater_kappa" ->
       (nbRankedSql +
         """,
