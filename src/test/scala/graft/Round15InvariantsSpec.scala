@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Mathematical invariants of the round-15 operators — properties the
+  * DuckDB hash gate can't express because they must hold on ANY corpus,
+  * not just equal the oracle on this one: metric ranges (kappa ≤ 1,
+  * |ACF| ≤ 1, 0 ≤ NMI ≤ 1, 0 ≤ R² ≤ 1), conservation (BT wins ≤
+  * comparisons, SPRT conversions ≤ enrollments), and monotonicity (k-core
+  * counts never grow under peeling, cumulative enrollment never shrinks). */
+class Round15InvariantsSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  private def rows(q: String): Seq[Row] =
+    SparkEntry.queries(q)(spark, sf0001).collect().toSeq
+
+  test("q274: kappa is chance-bounded and both agreement rates are probabilities") {
+    val r = rows("q274_rater_kappa")
+    r should have size 1
+    val (po, pe, k) = (r.head.getAs[Double]("po"), r.head.getAs[Double]("pe"),
+      r.head.getAs[Double]("kappa"))
+    po should (be >= 0.0 and be <= 1.0)
+    pe should (be >= 0.0 and be <= 1.0)
+    k should be <= 1.0
+    // kappa's sign must match whether observed agreement beats chance
+    math.signum(k) shouldBe math.signum(BigDecimal(po - pe)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("q275: one row per lag, every ACF inside [-1, 1]") {
+    val r = rows("q275_daily_acf")
+    r.map(_.getLong(0)) shouldBe (1L to 7L)
+    r.foreach { row =>
+      if (!row.isNullAt(row.fieldIndex("acf")))
+        row.getAs[Double]("acf") should (be >= -1.0 and be <= 1.0)
+    }
+  }
+
+  test("q277: R-squared is a proportion of variance") {
+    val r = rows("q277_order_ols")
+    r should have size 1
+    r.head.getAs[Double]("r_squared") should (be >= 0.0 and be <= 1.0 + 1e-6)
+  }
+
+  test("q278: entropies obey subadditivity and NMI is normalized") {
+    val r = rows("q278_cell_label_nmi").head
+    val (hc, hl, hj) = (r.getAs[Double]("h_cell"), r.getAs[Double]("h_label"),
+      r.getAs[Double]("h_joint"))
+    hj should be <= hc + hl + 1e-6          // MI >= 0
+    hj should be >= math.max(hc, hl) - 1e-6 // conditioning can't add entropy
+    r.getAs[Double]("nmi") should (be >= -1e-6 and be <= 1.0 + 1e-6)
+  }
+
+  test("q279: BT strengths are positive, wins conserved, rank a permutation") {
+    val r = rows("q279_bradley_terry")
+    r.foreach { row =>
+      row.getAs[Double]("bt_strength") should be > 0.0
+      row.getAs[Double]("wins") should be <= row.getAs[Long]("n_comparisons").toDouble
+    }
+    r.map(_.getAs[Long]("rnk")).sorted shouldBe (1L to r.size)
+    // total wins across sources = total comparisons (each match awards 1)
+    val totW = r.map(_.getAs[Double]("wins")).sum
+    val totN = r.map(_.getAs[Long]("n_comparisons")).sum
+    totW shouldBe totN.toDouble / 2 +- 1e-6 // mirrored frame counts each match twice
+  }
+
+  test("q280: peeling never grows the graph and counts stay consistent") {
+    val r = rows("q280_kcore_peel")
+    r.map(_.getLong(0)) shouldBe (1L to 6L)
+    val nodes = r.map(_.getAs[Long]("n_nodes"))
+    val edges = r.map(_.getAs[Long]("n_edges"))
+    nodes.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => }
+    edges.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => }
+    // a surviving 2-core node has degree >= 2 => edges >= nodes
+    if (nodes.last > 0) edges.last should be >= nodes.last
+  }
+
+  test("q281: enrollment accumulates and conversions never exceed it") {
+    val r = rows("q281_sprt_monitor")
+    r should not be empty
+    val ns = r.map(row => row.getAs[Long]("na") + row.getAs[Long]("nb"))
+    ns.sliding(2).foreach { case Seq(a, b) => b should be >= a; case _ => }
+    r.foreach { row =>
+      row.getAs[Long]("ca") should be <= row.getAs[Long]("na")
+      row.getAs[Long]("cb") should be <= row.getAs[Long]("nb")
+    }
+  }
+
+  test("q282: ESS lies in [1, n_docs] and the ratio in (0, 1]") {
+    val r = rows("q282_dsir_ess")
+    r should not be empty
+    r.foreach { row =>
+      val (n, ess) = (row.getAs[Long]("n_docs"), row.getAs[Double]("ess"))
+      ess should (be >= 1.0 - 1e-6 and be <= n.toDouble + 1e-6)
+      row.getAs[Double]("ess_ratio") should (be > 0.0 and be <= 1.0 + 1e-6)
+    }
+  }
+
+  test("q273: at most 5 terms per source, z-ordered with support floor") {
+    val r = rows("q273_source_log_odds")
+    r.groupBy(_.getAs[String]("source")).foreach { case (_, g) =>
+      g.size should be <= 5
+      g.map(_.getAs[Long]("rnk")).sorted shouldBe (1L to g.size)
+      val zs = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("z_odds"))
+      zs.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => }
+      g.foreach(_.getAs[Long]("n_in_source") should be >= 5L)
+    }
+  }
+
+  test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
+    val r = rows("q276_cusum_changepoint")
+    r.size should be <= 10
+    val mags = r.map(row => math.abs(row.getAs[Double]("s_cusum")))
+    mags.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => }
+  }
+}
