@@ -584,9 +584,15 @@ object TextAnalytics extends QueryModule {
           col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
-          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
-          round(sum(col("q").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
-            .as("avg_quality"))
+          // half-up 6-dp averages computed ENTIRELY in integer space:
+          // (2·sum·10⁶ + n) div (2n), then /10⁶ — exact integral division
+          // in both engines, where round(sum/count, 6) on a double struck
+          // a half-way boundary differently per engine at sf0.001
+          // (0.518637 vs ...636)
+          (expr("(2 * cast(sum(cast(n_chars as decimal(38,0))) * 1000000 as decimal(38,0))" +
+            " + count(1)) div (2 * count(1))").cast("double") / 1e6).as("avg_chars"),
+          (expr("(2 * cast(sum(cast(q as decimal(18,6))) * 1000000 as decimal(38,0))" +
+            " + count(1)) div (2 * count(1))").cast("double") / 1e6).as("avg_quality"))
         .select(
           coalesce(col("lang"), lit("(all)")).as("lang"),
           coalesce(col("source"), lit("(all)")).as("source"),
@@ -887,8 +893,10 @@ object TextAnalytics extends QueryModule {
         |SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source,
         |       count(*) AS n_docs,
         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
-        |       round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+        |       CAST((2 * CAST(CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000 AS HUGEINT)
+        |             + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS avg_chars,
+        |       CAST((2 * CAST(CAST(sum(CAST(q AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0)) AS HUGEINT)
+        |             + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS avg_quality
         |FROM s GROUP BY GROUPING SETS ((lang, source), (lang), ())
         |ORDER BY lang, source""".stripMargin,
     "q61_corpus_curation" ->
