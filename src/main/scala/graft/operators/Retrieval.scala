@@ -119,6 +119,37 @@ object Retrieval extends QueryModule {
       .limit(k)
   }
 
+  /** ALL eval queries scored in ONE pass: per (query_id, doc_id), the
+    * matched-term count, the term-mass gain, and the exact bm25SearchTf
+    * score — the single-shuffle replacement for q228/q245's former
+    * per-query legs (Q separate global sorts became one query-partitioned
+    * window; at a production eval-set size the pass count no longer grows
+    * with |queries|). Arithmetic is operand-for-operand the bm25SearchTf /
+    * keywordAndSearchTf sequence, so the rewrite is hash-invariant. */
+  def evalScored(s: SparkSession, dir: String): DataFrame = {
+    val tf = sharedTermFreqs(s, dir)
+    val df = docFreqs(tf)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("double").as("dl"))
+    val stats = tf.agg(countDistinct(col("doc_id")).as("n"))
+      .crossJoin(broadcast(dl.agg(round(avg(col("dl")), 6).as("avgdl"))))
+    val qt = EvalQueries.flatMap { case (qid, ts) =>
+      ts.map(t => (qid, t, ts.length.toLong))
+    }
+    import s.implicits._
+    val qtDf = broadcast(qt.toDF("query_id", "term", "n_terms_q"))
+    val idf: Column = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm: Column = col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))
+    tf.join(qtDf, "term")
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("n_terms_q"), col("tf"),
+        (idf * (col("tf") * lit(K1 + 1)) / norm).as("w"))
+      .groupBy(col("query_id"), col("doc_id"), col("n_terms_q"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("gain"),
+        round(sum(col("w")), 6).as("bm25"))
+  }
+
   /** Documents containing ALL of `terms` (posting-list intersection), with
     * the total number of hits across the query terms. */
   def keywordAndSearch(docsDf: DataFrame, terms: Seq[String]): DataFrame =
@@ -428,31 +459,33 @@ object Retrieval extends QueryModule {
     // (TakeOrderedAndProject), and gains ride the shared inverted index.
     "q245_ndcg_eval" -> ((s, dir) => {
       val dec = DecimalType(38, 12)
-      val tf = sharedTermFreqs(s, dir)
-      val per = EvalQueries.map { case (qid, terms) =>
-        val gains = tf.filter(col("term").isin(terms: _*))
-          .groupBy(col("doc_id")).agg(sum(col("tf")).as("gain"))
-        val dcgTerm = round(col("gain").cast("double")
-          / log2(col("rank") + lit(1.0)), 12).cast(dec)
-        val ranked = bm25SearchTf(tf, terms, 10)
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
-          .join(gains, Seq("doc_id"))
-        val dcg = ranked.agg(
-          round(sum(dcgTerm).cast("double"), 6).as("dcg"))
-        val ideal = gains
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("gain").desc, col("doc_id"))).cast("long"))
-          .filter(col("rank") <= 10)
-        val idcg = ideal.agg(
-          round(sum(dcgTerm).cast("double"), 6).as("idcg"),
+      import s.implicits._
+      // ONE pass over the shared eval-scored frame (see evalScored): both
+      // rankings are query-partitioned windows instead of per-query global
+      // sorts, so the pass count no longer grows with the eval-set size.
+      val perDoc = evalScored(s, dir).localCheckpoint()
+      val spine = EvalQueries.map(_._1).toDF("query_id")
+      val dcgTerm = round(col("gain").cast("double")
+        / log2(col("rank") + lit(1.0)), 12).cast(dec)
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val dcg = perDoc.withColumn("rank", row_number().over(wq).cast("long"))
+        .filter(col("rank") <= 10)
+        .groupBy(col("query_id"))
+        .agg(round(sum(dcgTerm).cast("double"), 6).as("dcg"))
+      val wg = Window.partitionBy(col("query_id"))
+        .orderBy(col("gain").desc, col("doc_id"))
+      val idcg = perDoc.withColumn("rank", row_number().over(wg).cast("long"))
+        .filter(col("rank") <= 10)
+        .groupBy(col("query_id"))
+        .agg(round(sum(dcgTerm).cast("double"), 6).as("idcg"),
           count(lit(1)).as("n_graded"))
-        dcg.crossJoin(idcg)
-          .select(lit(qid).as("query_id"), col("n_graded"),
-            col("dcg"), col("idcg"),
-            round(col("dcg") / col("idcg"), 6).as("ndcg"))
-      }
-      per.reduce(_.union(_)).orderBy(col("query_id"))
+      spine.join(dcg, Seq("query_id"), "left")
+        .join(idcg, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_graded"), lit(0L)).as("n_graded"),
+          col("dcg"), col("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy(col("query_id"))
     }),
 
     // Retrieval-quality eval (q228): BM25's top-20 scored against the
@@ -465,28 +498,37 @@ object Retrieval extends QueryModule {
     // serve from the shared inverted-index layer; the only windows rank
     // the 20-row BM25 results (bounded, AuditSpec-classified).
     "q228_retrieval_eval" -> ((s, dir) => {
-      val tf = sharedTermFreqs(s, dir)
-      val per = EvalQueries.map { case (qid, terms) =>
-        val rel = keywordAndSearchTf(tf, terms).select(col("doc_id"))
-        val ranked = bm25SearchTf(tf, terms, 20)
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
-        val hits = ranked.join(rel, Seq("doc_id"))
-        val agg = hits.agg(count(lit(1)).as("h20"),
+      import s.implicits._
+      // ONE pass over the shared eval-scored frame (see evalScored): the
+      // former per-query bm25 legs (each with its own global sort) fold
+      // into one query-partitioned ranking window; relevance is the
+      // conjunctive n_terms == n_terms_q test on the same frame.
+      val perDoc = evalScored(s, dir).localCheckpoint()
+      val spine = EvalQueries.map(_._1).toDF("query_id")
+      val isRel = col("n_terms") === col("n_terms_q")
+      val nrel = spine.join(
+          perDoc.filter(isRel).groupBy(col("query_id")).agg(count(lit(1)).as("nr")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("nr"), lit(0L)).as("n_rel"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val hits = perDoc.withColumn("rank", row_number().over(wq).cast("long"))
+        .filter(col("rank") <= 20 && isRel)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("h20"),
           sum(when(col("rank") <= 10, 1L).otherwise(0L)).as("h10"),
           min(col("rank")).as("fr"))
-        rel.agg(count(lit(1)).as("n_rel")).crossJoin(agg)
-          .select(lit(qid).as("query_id"), col("n_rel"),
-            coalesce(col("h10"), lit(0L)).as("hits_at_10"),
-            coalesce(col("h20"), lit(0L)).as("hits_at_20"),
-            round(coalesce(col("h10"), lit(0L)).cast("double") / 10, 6).as("p_at_10"),
-            when(col("n_rel") === 0, lit(null).cast("double"))
-              .otherwise(round(coalesce(col("h20"), lit(0L)).cast("double")
-                / col("n_rel"), 6)).as("recall_at_20"),
-            when(col("fr").isNull, lit(0.0))
-              .otherwise(round(lit(1.0) / col("fr"), 6)).as("rr"))
-      }
-      per.reduce(_ unionAll _).orderBy(col("query_id"))
+      nrel.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_rel"),
+          coalesce(col("h10"), lit(0L)).as("hits_at_10"),
+          coalesce(col("h20"), lit(0L)).as("hits_at_20"),
+          round(coalesce(col("h10"), lit(0L)).cast("double") / 10, 6).as("p_at_10"),
+          when(col("n_rel") === 0, lit(null).cast("double"))
+            .otherwise(round(coalesce(col("h20"), lit(0L)).cast("double")
+              / col("n_rel"), 6)).as("recall_at_20"),
+          when(col("fr").isNull, lit(0.0))
+            .otherwise(round(lit(1.0) / col("fr"), 6)).as("rr"))
+        .orderBy(col("query_id"))
     }),
 
     // Conjunctive keyword search: docs containing every query term.
