@@ -337,10 +337,13 @@ object Curation extends QueryModule {
     // ≥ 1 shared shingle appear (absent pair = zero overlap).
     "q183_source_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
+      // the distinct (source, shingle) frame feeds THREE consumers (sizes
+      // + both self-join legs) — materialize once (the q144 lesson)
       val ss = Dedup.shingledFrom(d)
         .join(d.select(col("doc_id"), col("source")), "doc_id")
         .select(col("source"), explode(col("shingles")).as("s"))
         .distinct()
+        .localCheckpoint()
       val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
       ss.select(col("source").as("src_a"), col("s"))
         .join(ss.select(col("source").as("src_b"), col("s")), "s")

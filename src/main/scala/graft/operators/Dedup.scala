@@ -518,11 +518,18 @@ object Dedup extends QueryModule {
     * loose thresholds are intrinsically hostile to sign-bit LSH. At real
     * near-dup thresholds (cosine >= 0.9, θ<=26°) the same code with
     * rowsPerBand=8 prunes ~256× per band with >99% recall. The fixture
-    * near-dup pairs at every SF are verified (deterministically — the
-    * hyperplanes are md5-derived constants) to collide under the default
-    * 12×5 banding, so the oracle comparison against the exact all-pairs SQL
-    * stays green; DedupSimilaritySpec pins no-false-positives and a recall
-    * floor at a sub-threshold cut where misses do occur. */
+    * near-dup pairs at the sf0.001/sf0.01 gate SFs are verified
+    * (deterministically — the hyperplanes are md5-derived constants) to
+    * collide under the default 12×5 banding, so the oracle comparison
+    * against the exact all-pairs SQL is green at the driver's gate;
+    * MEASURED at sf0.1 the banding recovers 11/14 true pairs — the three
+    * misses all sit at cosine 0.50–0.51 (θ ≈ 59.5°, per-pair band recall
+    * ≈ 82%), exactly the hostile-regime tail the math above predicts.
+    * That is the honest contract of sign-bit LSH at a loose threshold: a
+    * production τ=0.5 sweep uses the cell-blocked tier (q99 SemDeDup)
+    * instead — see BASELINE.md's round-15 scaling note. DedupSimilaritySpec
+    * pins no-false-positives and a recall floor at a sub-threshold cut
+    * where misses do occur. */
   def embeddingNeardupLsh(s: SparkSession, dir: String, threshold: Double = 0.5,
                           rowsPerBand: Int = 5, nBands: Int = 12): DataFrame = {
     val planes = Similarity.hyperplanes(nBands * rowsPerBand, 64)
