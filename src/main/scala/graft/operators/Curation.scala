@@ -283,6 +283,29 @@ object Curation extends QueryModule {
     // shared pair layer (each edge counted from both endpoints via a
     // union of its two narrow projections); the histogram is a
     // degree-keyed rollup, all map-side combined.
+    // Dedup threshold sensitivity (q285): the pair count and distinct
+    // documents touched at every candidate Jaccard cutoff in one sweep —
+    // the tuning curve read BEFORE committing a dedup threshold (how much
+    // of the corpus does each τ implicate?), the cumulative companion to
+    // q141's per-bin histogram. One projection of the shared pair layer
+    // fanned out per cutoff (|pairs| × 5 narrow rows, never the corpus).
+    "q285_threshold_curve" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.sharedNgramJaccardPairs(s, dir)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("tau")
+      val el = pairs.crossJoin(broadcast(taus))
+        .filter(col("jaccard") >= col("tau"))
+        .localCheckpoint()
+      val e = el.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+      val d = el.select(col("tau"), explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct().groupBy(col("tau")).agg(count(lit(1)).as("n_docs_touched"))
+      taus.join(e, Seq("tau"), "left").join(d, Seq("tau"), "left")
+        .select(col("tau"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_touched"), lit(0L)).as("n_docs_touched"))
+        .orderBy(col("tau"))
+    }),
+
     // k-core peel trajectory (q280): iteratively strip degree-<2 nodes
     // from the J >= 0.5 dup graph and report (nodes, edges) after each of
     // 6 FIXED peel rounds — the graph-robustness readout q248's one-shot
@@ -564,6 +587,21 @@ object Curation extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q285_threshold_curve" ->
+      (jaccardPairsCte +
+        """,
+          |taus AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS tau),
+          |el AS (SELECT tau, id_a, id_b FROM pr CROSS JOIN taus WHERE jaccard >= tau),
+          |e AS (SELECT tau, count(*) AS n_pairs FROM el GROUP BY 1),
+          |d AS (SELECT tau, count(*) AS n_docs_touched FROM
+          |        (SELECT DISTINCT tau, doc_id FROM
+          |           (SELECT tau, id_a AS doc_id FROM el
+          |            UNION ALL SELECT tau, id_b FROM el))
+          |      GROUP BY 1)
+          |SELECT taus.tau, coalesce(e.n_pairs, 0) AS n_pairs,
+          |       coalesce(d.n_docs_touched, 0) AS n_docs_touched
+          |FROM taus LEFT JOIN e ON e.tau = taus.tau LEFT JOIN d ON d.tau = taus.tau
+          |ORDER BY taus.tau""".stripMargin),
     "q280_kcore_peel" -> kcorePeelSql,
     "q247_crosslingual_dup" ->
       (jaccardPairsCte +

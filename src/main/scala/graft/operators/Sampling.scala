@@ -5,6 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Training-data sampling and packing over the `documents` corpus — the
   * operations that sit between curation and the training loop of an LLM
@@ -449,6 +450,71 @@ object Sampling extends QueryModule {
 
     // Sharded training order: shard by one content hash, order within the
     // shard by another — windows stay partition-parallel (see scaladoc).
+    // Epochs-to-exhaustion (q284): for the q101 temperature-weighted
+    // mixture (T=0.7) and a declared per-epoch token budget of 1M, how
+    // many global epochs until each source's tokens run out — the
+    // repeat-data planning table (Muennighoff et al. 2023: data repeated
+    // past ~4 epochs stops helping) a mixture designer reads next to the
+    // shares. Sources with epochs < 1 repeat within a single epoch. One
+    // grouped pass; the q101 weight convention verbatim so the two
+    // queries can never disagree on the shares.
+    "q284_epochs_to_exhaustion" -> ((s, dir) => {
+      val t = docs(s, dir).groupBy(col("source"))
+        .agg(sum(TextAnalytics.nTokens(col("text"))).as("n_tokens"))
+        .withColumn("wt", round(pow(col("n_tokens").cast("double"), 0.7), 6)
+          .cast("decimal(28,6)"))
+      val tots = t.agg(sum(col("wt")).as("tot_w"))
+      val budget = 1000000.0
+      t.crossJoin(broadcast(tots))
+        .select(col("source"), col("n_tokens"),
+          round(col("wt").cast("double") / col("tot_w").cast("double"), 6).as("temp_share"))
+        .select(col("source"), col("n_tokens"), col("temp_share"),
+          round(col("temp_share") * budget, 6).as("tokens_per_epoch"),
+          round(col("n_tokens").cast("double") / (col("temp_share") * budget), 6)
+            .as("epochs_to_exhaustion"))
+        .withColumn("repeats_within_epoch",
+          when(col("epochs_to_exhaustion") < 1.0, 1L).otherwise(0L))
+        .orderBy(col("epochs_to_exhaustion"), col("source"))
+    }),
+
+    // Epoch-shuffle decorrelation (q286): the data-loader QC that q70's
+    // single seeded order can't give — successive epochs must reshuffle
+    // INDEPENDENTLY (a correlated shuffle feeds the model near-identical
+    // batch curricula every epoch). Per q70 shard, documents are ranked
+    // under three epoch-salted md5 orders and each epoch pair's Spearman
+    // rho comes from the exact integer identity 1 − 6Σd²/(n(n²−1)) —
+    // near-zero rho = independent shuffles. All windows partition by the
+    // shard key; rank diffs square in decimal space.
+    "q286_epoch_shuffles" -> ((s, dir) => {
+      val shard = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 8")
+      val base = docs(s, dir).select(col("doc_id"), shard.as("shard"))
+      def ranks(e: Int): DataFrame =
+        base.select(col("doc_id"), col("shard"),
+            md5(concat(lit(s"$e:"), col("doc_id").cast("string"))).as("ok"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id"))).cast(LongType))
+          .select(col("doc_id"), col("shard"), col("r"))
+      val rk = Seq(0, 1, 2).map(ranks)
+      val pairs = Seq((0, 1), (0, 2), (1, 2)).map { case (a, b) =>
+        // rank diff cast to decimal BEFORE squaring (q266 convention):
+        // d² overflows Long once shards reach ~3e9 rows
+        val d = (col("ra") - col("rb")).cast(DecimalType(19, 0))
+        rk(a).select(col("doc_id"), col("shard"), col("r").as("ra"))
+          .join(rk(b).select(col("doc_id"), col("r").as("rb")), "doc_id")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"),
+            sum(d * d).cast("double").as("sd2"))
+          .select(lit(a.toLong).as("epoch_a"), lit(b.toLong).as("epoch_b"),
+            col("shard"), col("n"),
+            round(lit(1.0) - lit(6.0) * col("sd2")
+              / (col("n").cast("double") * (col("n").cast("double") * col("n") - lit(1.0))), 6)
+              .as("rho"))
+      }
+      pairs.reduce(_ unionByName _)
+        .orderBy(col("epoch_a"), col("epoch_b"), col("shard"))
+    }),
+
     "q70_training_order" -> ((s, dir) => {
       val orderKey = md5(col("doc_id").cast("string"))
       val shard = expr(
@@ -495,6 +561,50 @@ object Sampling extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q284_epochs_to_exhaustion" ->
+      """WITH t AS (SELECT source,
+        |             CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |        CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6) AS DECIMAL(28,6)) AS wt
+        |      FROM t),
+        |tot AS (SELECT sum(wt) AS tot_w FROM w),
+        |sh AS (SELECT source, n_tokens,
+        |         round(CAST(wt AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS temp_share
+        |       FROM w CROSS JOIN tot)
+        |SELECT source, n_tokens, temp_share,
+        |       round(temp_share * 1000000.0, 6) AS tokens_per_epoch,
+        |       round(CAST(n_tokens AS DOUBLE) / (temp_share * 1000000.0), 6) AS epochs_to_exhaustion,
+        |       CAST(CASE WHEN round(CAST(n_tokens AS DOUBLE) / (temp_share * 1000000.0), 6) < 1.0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS repeats_within_epoch
+        |FROM sh ORDER BY epochs_to_exhaustion, source""".stripMargin,
+    "q286_epoch_shuffles" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |r0 AS (SELECT doc_id, shard, row_number() OVER (PARTITION BY shard
+        |         ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) AS r FROM base),
+        |r1 AS (SELECT doc_id, shard, row_number() OVER (PARTITION BY shard
+        |         ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS r FROM base),
+        |r2 AS (SELECT doc_id, shard, row_number() OVER (PARTITION BY shard
+        |         ORDER BY md5('2:' || CAST(doc_id AS VARCHAR)), doc_id) AS r FROM base),
+        |p01 AS (SELECT CAST(0 AS BIGINT) AS epoch_a, CAST(1 AS BIGINT) AS epoch_b, a.shard,
+        |          count(*) AS n,
+        |          CAST(sum(CAST(a.r - b.r AS DECIMAL(19,0)) * CAST(a.r - b.r AS DECIMAL(19,0))) AS DOUBLE) AS sd2
+        |        FROM r0 a JOIN r1 b USING (doc_id) GROUP BY 3),
+        |p02 AS (SELECT CAST(0 AS BIGINT) AS epoch_a, CAST(2 AS BIGINT) AS epoch_b, a.shard,
+        |          count(*) AS n,
+        |          CAST(sum(CAST(a.r - b.r AS DECIMAL(19,0)) * CAST(a.r - b.r AS DECIMAL(19,0))) AS DOUBLE) AS sd2
+        |        FROM r0 a JOIN r2 b USING (doc_id) GROUP BY 3),
+        |p12 AS (SELECT CAST(1 AS BIGINT) AS epoch_a, CAST(2 AS BIGINT) AS epoch_b, a.shard,
+        |          count(*) AS n,
+        |          CAST(sum(CAST(a.r - b.r AS DECIMAL(19,0)) * CAST(a.r - b.r AS DECIMAL(19,0))) AS DOUBLE) AS sd2
+        |        FROM r1 a JOIN r2 b USING (doc_id) GROUP BY 3),
+        |u AS (SELECT * FROM p01 UNION ALL SELECT * FROM p02 UNION ALL SELECT * FROM p12)
+        |SELECT epoch_a, epoch_b, shard, n,
+        |       round(1.0 - 6.0 * sd2
+        |             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0)), 6) AS rho
+        |FROM u ORDER BY epoch_a, epoch_b, shard""".stripMargin,
     "q215_curriculum_interleave" ->
       """WITH t AS (SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n,
         |             md5(CAST(doc_id AS VARCHAR) || ':order') AS ok FROM documents),

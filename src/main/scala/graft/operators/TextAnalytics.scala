@@ -262,6 +262,27 @@ object TextAnalytics extends QueryModule {
         .orderBy(col("heur_pred"), col("nb_pred"))
     }),
 
+    // Leave-one-source-out ablation (q283): for each source, the corpus
+    // mean quality WITHOUT it vs with it — the first-order data-ablation
+    // readout a mixture planner runs before a real training ablation
+    // (delta > 0: removing the source would RAISE corpus quality). One
+    // grouped pass + a broadcast 1-row total; both means computed with
+    // the q93 integer-space half-up division so no float boundary exists.
+    "q283_source_ablation" -> ((s, dir) => {
+      val per = docs(s, dir).select(col("source"), qualityScore.as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"), sum(col("q").cast(DecimalType(18, 6))).as("sum_s"))
+      val tot = per.agg(sum(col("n_s")).as("n_all"), sum(col("sum_s")).as("sum_all"))
+      per.crossJoin(broadcast(tot)).selectExpr(
+          "source", "n_s", "n_all",
+          "cast((2 * cast(sum_all * 1000000 as decimal(38,0)) + n_all)" +
+            " div (2 * n_all) as double) / 1e6 as mean_all",
+          "cast((2 * cast((sum_all - sum_s) * 1000000 as decimal(38,0)) + (n_all - n_s))" +
+            " div (2 * nullif(n_all - n_s, 0)) as double) / 1e6 as mean_without")
+        .withColumn("delta", round(col("mean_without") - col("mean_all"), 6))
+        .orderBy(col("delta").desc, col("source"))
+    }),
+
     // Bradley-Terry source strength (q279): pairwise quality "matches"
     // between sources (the i-th doc of source A vs the i-th of source B
     // within a language — a deterministic, bounded pairing; ties 0.5) fed
@@ -746,6 +767,27 @@ object TextAnalytics extends QueryModule {
           |SELECT doc_id, true_lang, pred_lang, score,
           |       CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
           |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "q283_source_ablation" ->
+      """WITH sc AS (SELECT source,
+        |  round(0.5 * least(1.0, length(text) / 500.0)
+        |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |               len(string_split(trim(text), ' ')))
+        |      + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |               length(text)), 6) AS q
+        |  FROM documents),
+        |per AS (SELECT source, count(*) AS n_s,
+        |          sum(CAST(q AS DECIMAL(18,6))) AS sum_s
+        |        FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all, sum(sum_s) AS sum_all FROM per),
+        |j AS (SELECT source, n_s, n_all,
+        |        CAST((2 * CAST(CAST(sum_all * 1000000 AS DECIMAL(38,0)) AS HUGEINT)
+        |              + n_all) // (2 * n_all) AS DOUBLE) / 1e6 AS mean_all,
+        |        CAST((2 * CAST(CAST((sum_all - sum_s) * 1000000 AS DECIMAL(38,0)) AS HUGEINT)
+        |              + (n_all - n_s)) // (2 * nullif(n_all - n_s, 0)) AS DOUBLE) / 1e6 AS mean_without
+        |      FROM per CROSS JOIN tot)
+        |SELECT source, n_s, n_all, mean_all, mean_without,
+        |       round(mean_without - mean_all, 6) AS delta
+        |FROM j ORDER BY delta DESC, source""".stripMargin,
     "q279_bradley_terry" ->
       """WITH sc AS (SELECT lang, source, doc_id,
         |  round(0.5 * least(1.0, length(text) / 500.0)
