@@ -302,6 +302,40 @@ object Scrub extends QueryModule {
     // Eval-leakage scan: contamination(doc) = |shingles(doc) ∩ eval shingles|
     // / |shingles(doc)| over the training slice. Docs with < 5 tokens have
     // no shingles and are out of scope (same domain as q35).
+    // Decontamination n-gram-size curve (q287): the contamination RATE of
+    // the training split against the eval slice at n ∈ {3, 5, 8} — the
+    // tuning table behind q72's fixed-n report (GPT-3 used 13-grams, PaLM
+    // 8-grams; too-short n flags common phrases, too-long n misses real
+    // leaks — this curve is how the cutoff is actually chosen). Per n:
+    // eval-side distinct n-grams broadcast against one training-side pass
+    // (the q72 marker-join layout); denominator = train docs long enough
+    // to carry an n-gram. The tokenized frame is materialized once for
+    // all three legs.
+    "q287_decontam_ngram_curve" -> ((s, dir) => {
+      val w = docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        .localCheckpoint()
+      def shingled(n: Int): DataFrame =
+        w.filter(size(col("w")) >= n)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+            .as("s"))
+      val legs = Seq(3, 5, 8).map { n =>
+        val sh = shingled(n)
+        val ev = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(ev.withColumn("hit", lit(1))), Seq("s"), "left")
+          .groupBy(col("doc_id"))
+          .agg(max(col("hit")).as("hit"))
+          .agg(lit(n.toLong).as("ngram_n"), count(lit(1)).as("n_train_docs"),
+            coalesce(sum(col("hit")), lit(0)).cast("long").as("n_contaminated"))
+          .select(col("ngram_n"), col("n_train_docs"), col("n_contaminated"),
+            round(col("n_contaminated").cast("double") / col("n_train_docs"), 6)
+              .as("contamination_rate"))
+      }
+      legs.reduce(_ unionByName _).orderBy(col("ngram_n"))
+    }),
+
     "q72_decontamination" -> ((s, dir) => {
       val sh = Dedup.shingledFrom(docs(s, dir))
       val ev = sh.filter(col("doc_id") % 97 === 0)
@@ -576,6 +610,28 @@ object Scrub extends QueryModule {
         |       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
         |       round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / d.n, 6) AS dup_gram_frac
         |FROM d LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q287_decontam_ngram_curve" -> {
+      val legs = Seq(3, 5, 8).map { n =>
+        val terms = (1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+        s"""sh$n AS MATERIALIZED (SELECT doc_id,
+           |          unnest(list_transform(range(len(w) - ${n - 1}), i -> $terms)) AS s
+           |        FROM toks WHERE len(w) >= $n),
+           |ev$n AS (SELECT DISTINCT s FROM sh$n WHERE doc_id % 97 = 0),
+           |tr$n AS (SELECT sh$n.doc_id, max(CASE WHEN ev$n.s IS NOT NULL THEN 1 END) AS hit
+           |         FROM sh$n LEFT JOIN ev$n ON ev$n.s = sh$n.s
+           |         WHERE sh$n.doc_id % 97 != 0 GROUP BY 1),
+           |m$n AS (SELECT CAST($n AS BIGINT) AS ngram_n,
+           |          count(*) AS n_train_docs,
+           |          CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_contaminated
+           |        FROM tr$n)""".stripMargin
+      }.mkString(",\n")
+      val unions = Seq(3, 5, 8).map(n => s"SELECT * FROM m$n").mkString(" UNION ALL ")
+      "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),\n" +
+        legs +
+        s"""\nSELECT ngram_n, n_train_docs, n_contaminated,
+           |       round(CAST(n_contaminated AS DOUBLE) / n_train_docs, 6) AS contamination_rate
+           |FROM ($unions) ORDER BY ngram_n""".stripMargin
+    },
     "q282_dsir_ess" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
         |bt AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 256 AS b FROM toks),
