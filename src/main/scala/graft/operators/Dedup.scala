@@ -720,6 +720,26 @@ object Dedup extends QueryModule {
         .select(col("doc_id"), col("sh").as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // SimHash bit-balance audit (q288): per bit position, the fraction of
+    // documents with the bit set — a healthy token-hash mixes each of the
+    // 64 positions to ~50/50, and a position stuck near 0 or 1 carries no
+    // discriminating power (it silently shrinks q58's effective signature
+    // and inflates its hamming-band collision rates). This is the hash-
+    // quality QC run BEFORE trusting simhash distances; deviation is
+    // |p_set − 0.5|. One bounded 64-way explode over the signature frame.
+    "q288_simhash_bit_balance" -> ((s, dir) => {
+      simhashSignatures(s, dir).select(col("sh"))
+        .select(explode(expr("sequence(0, 63)")).as("b"), col("sh"))
+        .select(col("b").cast(LongType).as("bit"),
+          (expr("shiftright(sh, b)").cast(LongType).bitwiseAND(1L)).as("set"))
+        .groupBy(col("bit"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("set")).as("n_set"))
+        .select(col("bit"), col("n_docs"), col("n_set"),
+          round(col("n_set").cast("double") / col("n_docs"), 6).as("p_set"),
+          round(abs(col("n_set").cast("double") / col("n_docs") - 0.5), 6).as("dev"))
+        .orderBy(col("bit"))
+    }),
+
     // Embedding-cosine near-dup pairs >= 0.5 via banded hyperplane-LSH
     // candidates + exact cosine verification (see embeddingNeardupLsh for
     // the recall story). The oracle is the exact all-pairs SQL — green
@@ -1085,6 +1105,24 @@ object Dedup extends QueryModule {
     // raises on overflow and its hex cast tops out at 15 hex chars, so the
     // combined value can't be assembled) and special-cases bit 63, whose
     // two's-complement place value is -2^63.
+    "q288_simhash_bit_balance" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS hi,
+        |        CAST(concat('0x', substring(md5(tk), 9, 8)) AS BIGINT) AS lo
+        |      FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) ELSE (hi >> (b - 32)) END & 1) = 1
+        |                           THEN 1 ELSE -1 END) > 0
+        |              THEN 1 ELSE 0 END AS is_set
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)
+        |  GROUP BY doc_id, b)
+        |SELECT CAST(b AS BIGINT) AS bit, count(*) AS n_docs,
+        |       CAST(sum(is_set) AS BIGINT) AS n_set,
+        |       round(CAST(sum(is_set) AS DOUBLE) / count(*), 6) AS p_set,
+        |       round(abs(CAST(sum(is_set) AS DOUBLE) / count(*) - 0.5), 6) AS dev
+        |FROM bits GROUP BY b ORDER BY bit""".stripMargin,
     "q37_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
         |h AS (SELECT doc_id,

@@ -125,6 +125,18 @@ object Scrub extends QueryModule {
     * guarantee; same >= 8-token domain requirement as [[winnowed]]). */
   def winnowedFps: Column = winnowed.getField("fps")
 
+  /** [[winnowed]] with a parametric window size (q289's sensitivity
+    * sweep); callers must pre-filter to >= 4 + w tokens. */
+  private def winnowedWith(wWin: Int): Column =
+    element_at(transform(array(split(trim(col("text")), " ")), w => {
+      val hashes = transform(sequence(lit(1), size(w) - 4), i =>
+        conv(substring(md5(array_join(slice(w, i, lit(5)), " ")), 1, 8), 16, 10).cast("long"))
+      element_at(transform(array(hashes), h =>
+        struct(size(h).cast(LongType).as("n_grams"),
+          array_distinct(transform(sequence(lit(1), size(h) - (wWin - 1)), j =>
+            array_min(slice(h, j, lit(wWin))))).as("fps"))), 1)
+    }), 1)
+
   /** Session-materialized winnow frame `(doc_id, fp struct(n_grams, fps))`
     * over the >= 8-token documents — the per-doc fingerprint SILVER TABLE
     * both q74 (summary) and q75 (pair candidates) derive from. The winnow
@@ -369,6 +381,34 @@ object Scrub extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing window-size sensitivity (q289): corpus fingerprint count
+    // and measured density at w ∈ {4, 8, 16} against the theoretical
+    // expected density 2/(w+1) (Schleimer et al. 2003) — the storage-vs-
+    // guarantee tuning curve (larger w: fewer fingerprints, but matches
+    // shorter than k+w−1 grams can be missed). Each leg is one row-local
+    // winnow pass (no shuffle beyond the final 1-row aggregates); the
+    // measured/expected ratio near 1 is the sanity check that the min-
+    // sampling isn't biased by the hash.
+    "q289_winnow_w_curve" -> ((s, dir) => {
+      val legs = Seq(4, 8, 16).map { wWin =>
+        val fp = docs(s, dir)
+          .filter(size(split(trim(col("text")), " ")) >= 4 + wWin)
+          .select(winnowedWith(wWin).as("fp"))
+          .select(col("fp.n_grams").as("n_grams"),
+            size(col("fp.fps")).cast(LongType).as("n_fps"))
+        fp.agg(lit(wWin.toLong).as("w"), count(lit(1)).as("n_docs"),
+            sum(col("n_grams")).as("n_grams_total"),
+            sum(col("n_fps")).as("n_fingerprints"),
+            round(sum(col("n_fps")).cast("double")
+              / sum(col("n_grams") - lit(wWin - 1)).cast("double"), 6).as("density"))
+          .select(col("w"), col("n_docs"), col("n_grams_total"), col("n_fingerprints"),
+            col("density"),
+            round(lit(2.0) / (lit(wWin) + lit(1.0)), 6).as("expected_density"),
+            round(col("density") / (lit(2.0) / (lit(wWin) + lit(1.0))), 6).as("ratio"))
+      }
+      legs.reduce(_ unionByName _).orderBy(col("w"))
+    }),
+
     // Winnowed fingerprint summary per document (see scaladoc item 5).
     // Domain: docs with >= 8 tokens (k+w-1), the minimum for one window.
     "q74_winnow_fingerprints" -> ((s, dir) =>
@@ -554,6 +594,30 @@ object Scrub extends QueryModule {
         |       round(avg(log10(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q289_winnow_w_curve" -> {
+      val legs = Seq(4, 8, 16).map { w =>
+        s"""f$w AS (SELECT len(h) AS n_grams,
+           |          len(list_distinct(list_transform(range(len(h) - ${w - 1}),
+           |                j -> list_min(h[j+1:j+$w])))) AS n_fps
+           |        FROM g WHERE len(h) >= $w),
+           |m$w AS (SELECT CAST($w AS BIGINT) AS w, count(*) AS n_docs,
+           |          CAST(sum(n_grams) AS BIGINT) AS n_grams_total,
+           |          CAST(sum(n_fps) AS BIGINT) AS n_fingerprints,
+           |          round(CAST(sum(n_fps) AS DOUBLE)
+           |                / CAST(sum(n_grams - ${w - 1}) AS DOUBLE), 6) AS density
+           |        FROM f$w)""".stripMargin
+      }.mkString(",\n")
+      val tails = Seq(4, 8, 16).map(w =>
+        s"SELECT w, n_docs, n_grams_total, n_fingerprints, density, " +
+          s"round(2.0 / (${w} + 1.0), 6) AS expected_density, " +
+          s"round(density / (2.0 / (${w} + 1.0)), 6) AS ratio FROM m$w").mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         |g AS MATERIALIZED (SELECT doc_id, list_transform(range(len(w) - 4), i ->
+         |        CAST(concat('0x', substring(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]), 1, 8)) AS BIGINT)) AS h
+         |      FROM t WHERE len(w) >= 5),
+         |$legs
+         |SELECT * FROM ($tails) ORDER BY w""".stripMargin
+    },
     "q74_winnow_fingerprints" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |g AS (SELECT doc_id, list_transform(range(len(w) - 4), i ->
