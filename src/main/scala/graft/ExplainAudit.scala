@@ -72,6 +72,7 @@ object ExplainAudit {
     "q140_wow_growth" -> "bounded: lag over the per-week rollup (#weeks rows)",
     "q276_cusum_changepoint" -> "bounded: cumulative deviation over the per-day rollup (#days rows; the event log itself only passes one grouped sum)",
     "q279_bradley_terry" -> "bounded: final strength ranking over the per-source frame (|sources| rows; matches aggregate in one grouped pass first)",
+    "q290_watermark_lateness" -> "bounded: running event-time max over the per-micro-batch rollup (#batches rows; the event log passes one grouped max + one keyed join)",
     "q205_conformal_gate" -> ("bounded: k-th order statistic over the CALIBRATION sample only " +
       "(split-conformal calibration sets are capped by design at deployment — a few thousand " +
       "rows; the corpus side is a plain grouped count and never sorts)"),

@@ -1172,6 +1172,70 @@ object EventAnalytics extends QueryModule {
             round(col("n_events").cast("double") / col("prev_events"), 6)))
         .orderBy(col("week"))),
 
+    // Watermark-lateness audit (q290): how many events each candidate
+    // watermark delay {1m, 10m, 1h} would DROP as too-late — the number
+    // read before choosing the delay for the streaming tier (q24-q26,
+    // q197+): too short silently loses data, too long bloats state. The
+    // replay models Spark's actual per-trigger semantics: arrival order
+    // is event_id, micro-batches of 1000, the watermark entering batch b
+    // is the running max event-time over batches < b minus the delay —
+    // a #batches-row cumulative window (bounded, q135-class), never an
+    // event-level global sort; events join their batch's watermark by key.
+    "q290_watermark_lateness" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+        .select(expr("event_id div 1000").as("b"),
+          col("ts").cast(LongType).as("t"))
+        .localCheckpoint()
+      val bm = e.groupBy(col("b")).agg(max(col("t")).as("bmax"), count(lit(1)).as("nb"))
+      val wB = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+      val wm = bm.withColumn("prior_max", max(col("bmax")).over(wB))
+      val delays = Seq(("d1_60s", 60L), ("d2_600s", 600L), ("d3_3600s", 3600L))
+        .toDF("delay_label", "delay_s")
+      val tot = e.agg(count(lit(1)).as("n_events"))
+      e.join(wm.select(col("b"), col("prior_max")), "b")
+        .crossJoin(broadcast(delays))
+        .filter(col("prior_max").isNotNull &&
+          col("t") < col("prior_max") - col("delay_s"))
+        .groupBy(col("delay_label"), col("delay_s"))
+        .agg(count(lit(1)).as("n_late"))
+        .join(broadcast(delays), Seq("delay_label", "delay_s"), "right")
+        .crossJoin(broadcast(tot))
+        .select(col("delay_label"), col("delay_s"),
+          coalesce(col("n_late"), lit(0L)).as("n_late"), col("n_events"),
+          round(coalesce(col("n_late"), lit(0L)).cast("double") / col("n_events"), 6)
+            .as("late_rate"))
+        .orderBy(col("delay_s"))
+    }),
+
+    // Session-gap sensitivity (q291): session count and mean length at
+    // inactivity gaps {600s, 1800s, 3600s} — the tuning curve behind
+    // q26/q178's fixed 10-minute cut (too short shreds engaged visits,
+    // too long merges distinct ones; the knee of THIS curve is how the
+    // gap is actually chosen). One user-partitioned lag pass shared by
+    // all three cuts: a session starts where the gap exceeds g, so
+    // n_sessions = users + threshold-exceeding gaps — no per-g re-scan.
+    "q291_session_gap_curve" -> ((s, dir) => {
+      import s.implicits._
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val gaps = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts").cast(LongType).as("t"))
+        .withColumn("gap", col("t") - lag(col("t"), 1).over(wU))
+        .localCheckpoint()
+      val cuts = Seq(600L, 1800L, 3600L).toDF("gap_s")
+      val users = gaps.agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      gaps.crossJoin(broadcast(cuts))
+        .groupBy(col("gap_s"))
+        .agg(sum(when(col("gap") > col("gap_s"), 1L).otherwise(0L)).as("n_breaks"))
+        .crossJoin(broadcast(users))
+        .select(col("gap_s"),
+          (col("n_users") + col("n_breaks")).as("n_sessions"),
+          round(col("n_events").cast("double") / (col("n_users") + col("n_breaks")), 6)
+            .as("mean_events_per_session"))
+        .orderBy(col("gap_s"))
+    }),
+
     // Sequential A/B monitor (q281): the day-by-day cumulative z trajectory
     // of q224's experiment (same md5 arm hash, same high-value-purchase
     // conversion) with an always-valid 3.29 crossing boundary — the "can I
@@ -1978,6 +2042,40 @@ object EventAnalytics extends QueryModule {
         |               OVER (PARTITION BY user_id ORDER BY t
         |                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS roll_1h
         |FROM e ORDER BY user_id, t, event_id LIMIT 200""".stripMargin,
+    "q290_watermark_lateness" ->
+      """WITH e AS (SELECT event_id // 1000 AS b,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |bm AS (SELECT b, max(t) AS bmax FROM e GROUP BY 1),
+        |wm AS (SELECT b, max(bmax) OVER (ORDER BY b
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |       FROM bm),
+        |delays AS (SELECT * FROM (VALUES ('d1_60s', CAST(60 AS BIGINT)),
+        |                                 ('d2_600s', CAST(600 AS BIGINT)),
+        |                                 ('d3_3600s', CAST(3600 AS BIGINT))) d(delay_label, delay_s)),
+        |tot AS (SELECT count(*) AS n_events FROM e),
+        |late AS (SELECT delay_label, delay_s, count(*) AS n_late
+        |         FROM e JOIN wm USING (b) CROSS JOIN delays
+        |         WHERE prior_max IS NOT NULL AND t < prior_max - delay_s
+        |         GROUP BY 1, 2)
+        |SELECT d.delay_label, d.delay_s,
+        |       coalesce(late.n_late, 0) AS n_late, tot.n_events,
+        |       round(CAST(coalesce(late.n_late, 0) AS DOUBLE) / tot.n_events, 6) AS late_rate
+        |FROM delays d LEFT JOIN late USING (delay_label, delay_s) CROSS JOIN tot
+        |ORDER BY d.delay_s""".stripMargin,
+    "q291_session_gap_curve" ->
+      """WITH g AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |             CAST(floor(epoch(ts)) AS BIGINT)
+        |               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |           FROM events),
+        |u AS (SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM g),
+        |cuts AS (SELECT CAST(unnest([600, 1800, 3600]) AS BIGINT) AS gap_s),
+        |br AS (SELECT gap_s,
+        |         CAST(sum(CASE WHEN gap > gap_s THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+        |       FROM g CROSS JOIN cuts GROUP BY 1)
+        |SELECT gap_s, n_users + n_breaks AS n_sessions,
+        |       round(CAST(n_events AS DOUBLE) / (n_users + n_breaks), 6) AS mean_events_per_session
+        |FROM br CROSS JOIN u ORDER BY gap_s""".stripMargin,
     "q281_sprt_monitor" ->
       """WITH u AS (SELECT user_id,
         |             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,
