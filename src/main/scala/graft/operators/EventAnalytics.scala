@@ -1172,6 +1172,45 @@ object EventAnalytics extends QueryModule {
             round(col("n_events").cast("double") / col("prev_events"), 6)))
         .orderBy(col("week"))),
 
+    // Weekend-vs-weekday Welch t (q293): do weekend days move different
+    // revenue than weekdays? Unequal-variance two-sample t over the
+    // per-day revenue rollup (weekend by the q123 timezone-free
+    // (epoch_days+4) mod 7 convention), with the Welch–Satterthwaite
+    // degrees of freedom — the test q123's heatmap eyeballs, as a number.
+    // Moments from exact decimal sums (q232 discipline); the event log
+    // passes ONE grouped sum, everything after is a 2-row frame.
+    "q293_weekend_welch" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day")).agg(exactSum(col("value"), 2).as("rev"))
+        .select(col("day"), col("rev"),
+          when(((col("day") + 4) % 7).isin(0, 6), lit("weekend"))
+            .otherwise(lit("weekday")).as("grp"))
+      // rev is an exact 2-dp decimal: multiply IN decimal space so the
+      // ~1e8-magnitude squares never round in double (round(rev², 6) at
+      // that magnitude is the q93 boundary class — it struck here)
+      val revD = col("rev").cast(DecimalType(18, 2))
+      val m = daily.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(revD).cast("double") / count(lit(1)), 6).as("mean"),
+          round(sum(revD * revD).cast("double") / count(lit(1)), 6).as("s2"))
+        .select(col("grp"), col("n"), col("mean"),
+          round((col("s2") - col("mean") * col("mean"))
+            * (col("n").cast("double") / (col("n") - lit(1L))), 6).as("variance"))
+      val a = m.filter(col("grp") === "weekend")
+        .select(col("n").as("n1"), col("mean").as("m1"), col("variance").as("v1"))
+      val b = m.filter(col("grp") === "weekday")
+        .select(col("n").as("n2"), col("mean").as("m2"), col("variance").as("v2"))
+      val se1 = col("v1") / col("n1"); val se2 = col("v2") / col("n2")
+      a.crossJoin(b).select(
+        col("n1"), col("n2"), col("m1"), col("m2"), col("v1"), col("v2"),
+        round((col("m1") - col("m2")) / sqrt(se1 + se2), 6).as("t_stat"),
+        round((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (col("n1") - lit(1L)) + se2 * se2 / (col("n2") - lit(1L))), 6)
+          .as("df_welch"))
+    }),
+
     // Watermark-lateness audit (q290): how many events each candidate
     // watermark delay {1m, 10m, 1h} would DROP as too-late — the number
     // read before choosing the delay for the streaming tier (q24-q26,
@@ -2042,6 +2081,28 @@ object EventAnalytics extends QueryModule {
         |               OVER (PARTITION BY user_id ORDER BY t
         |                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS roll_1h
         |FROM e ORDER BY user_id, t, event_id LIMIT 200""".stripMargin,
+    "q293_weekend_welch" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |               FROM events GROUP BY 1),
+        |g AS (SELECT rev, CASE WHEN ((day + 4) % 7) IN (0, 6)
+        |                       THEN 'weekend' ELSE 'weekday' END AS grp
+        |      FROM daily),
+        |m AS (SELECT grp, count(*) AS n,
+        |        round(CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean,
+        |        round(CAST(sum(CAST(rev AS DECIMAL(18,2)) * CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS s2
+        |      FROM g GROUP BY 1),
+        |v AS (SELECT grp, n, mean,
+        |        round((s2 - mean * mean) * (CAST(n AS DOUBLE) / (n - 1)), 6) AS variance
+        |      FROM m),
+        |a AS (SELECT n AS n1, mean AS m1, variance AS v1 FROM v WHERE grp = 'weekend'),
+        |b AS (SELECT n AS n2, mean AS m2, variance AS v2 FROM v WHERE grp = 'weekday')
+        |SELECT n1, n2, m1, m2, v1, v2,
+        |       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+        |       round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+        |             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+        |                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df_welch
+        |FROM a CROSS JOIN b""".stripMargin,
     "q290_watermark_lateness" ->
       """WITH e AS (SELECT event_id // 1000 AS b,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),

@@ -5,7 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Keyword retrieval over the corpus via the inverted-index statistics a
   * search tier needs: per-document term frequencies, corpus document
@@ -308,6 +308,44 @@ object Retrieval extends QueryModule {
     "q78_tfidf_topterms" -> ((s, dir) =>
       tfidfTopTermsTf(sharedTermFreqs(s, dir))
         .orderBy(col("doc_id"), col("rnk"))),
+
+    // Top-term RBO drift (q292): rank-biased overlap (Webber et al. 2010,
+    // p=0.9, truncated at depth 50) between the top-term lists of the two
+    // corpus halves (doc_id parity) — the vocabulary-drift metric that,
+    // unlike set Jaccard, weights agreement at the TOP of the lists where
+    // tokenizer and mixture decisions actually look. Both lists are
+    // bounded top-50 heaps (TakeOrderedAndProject); the depth sweep is a
+    // 50×50-bounded join; p^(d-1) terms are 12-dp decimal-summed.
+    "q292_topterm_rbo" -> ((s, dir) => {
+      val tf = sharedTermFreqs(s, dir)
+      val src = docs(s, dir).select(col("doc_id"), (col("doc_id") % 2).as("half"))
+      def top50(h: Int): DataFrame =
+        tf.join(src, "doc_id").filter(col("half") === h)
+          .groupBy(col("term")).agg(sum(col("tf")).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(50)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("n").desc, col("term"))).cast(LongType))
+          .select(col("term"), col("r"))
+      val a = top50(0).withColumnRenamed("r", "ra")
+      val b = top50(1).withColumnRenamed("r", "rb")
+      val both = a.join(b, "term").localCheckpoint()
+      import s.implicits._
+      val depths = (1 to 50).map(_.toLong).toDF("d")
+      val ov = depths.crossJoin(broadcast(both))
+        .filter(col("ra") <= col("d") && col("rb") <= col("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("ov"))
+      val terms = depths.join(ov, Seq("d"), "left")
+        .select(col("d"), coalesce(col("ov"), lit(0L)).as("ov"))
+        .select(round(pow(lit(0.9), col("d") - lit(1.0))
+          * col("ov").cast("double") / col("d"), 12)
+          .cast(DecimalType(38, 12)).as("t"))
+      val j = both.agg(count(lit(1)).as("n_common"))
+      terms.agg(round(lit(0.1) * sum(col("t")).cast("double"), 6).as("rbo"))
+        .crossJoin(broadcast(j))
+        .select(col("rbo"), col("n_common"),
+          round(col("n_common").cast("double")
+            / (lit(100.0) - col("n_common")), 6).as("top50_jaccard"))
+    }),
 
     // Per-source distinctive terms (q273): Monroe et al.'s "Fightin'
     // Words" log-odds with a Dirichlet prior — for each source, the terms
@@ -736,6 +774,25 @@ object Retrieval extends QueryModule {
           |FROM rk LEFT JOIN top1 t1 USING (doc_id) CROSS JOIN ex
           |ORDER BY rank""".stripMargin),
     "q228_retrieval_eval" -> retrievalEvalSql,
+    "q292_topterm_rbo" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |ha AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf WHERE doc_id % 2 = 0 GROUP BY 1),
+        |hb AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf WHERE doc_id % 2 = 1 GROUP BY 1),
+        |ta AS (SELECT term, row_number() OVER (ORDER BY n DESC, term) AS ra FROM
+        |         (SELECT * FROM ha ORDER BY n DESC, term LIMIT 50)),
+        |tb AS (SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rb FROM
+        |         (SELECT * FROM hb ORDER BY n DESC, term LIMIT 50)),
+        |bo AS (SELECT term, ra, rb FROM ta JOIN tb USING (term)),
+        |depths AS (SELECT CAST(unnest(range(1, 51)) AS BIGINT) AS d),
+        |ov AS (SELECT d, count(*) AS ov FROM depths JOIN bo ON ra <= d AND rb <= d GROUP BY 1),
+        |terms AS (SELECT CAST(round(pow(0.9, d - 1.0)
+        |            * CAST(coalesce(ov.ov, 0) AS DOUBLE) / d, 12) AS DECIMAL(38,12)) AS t
+        |          FROM depths LEFT JOIN ov USING (d)),
+        |j AS (SELECT count(*) AS n_common FROM bo)
+        |SELECT round(0.1 * CAST(sum(t) AS DOUBLE), 6) AS rbo, j.n_common,
+        |       round(CAST(j.n_common AS DOUBLE) / (100.0 - j.n_common), 6) AS top50_jaccard
+        |FROM terms CROSS JOIN j GROUP BY j.n_common""".stripMargin,
     "q273_source_log_odds" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
