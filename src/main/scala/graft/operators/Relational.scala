@@ -107,13 +107,17 @@ object Relational extends QueryModule {
         .select(col("o_orderkey"), col("o_totalprice").cast("double").as("x1"))
         .join(li.select(col("l_orderkey").as("o_orderkey"),
           col("n_lines").cast("double").as("x2")), Seq("o_orderkey"))
-      val dec = DecimalType(38, 12)
+      // x1 (2-dp price) and x2 (integer count) are exact low-scale
+      // decimals: multiply IN decimal space — rounding the ~1e11 squares
+      // in double is the cross-engine half-way class that struck q293
+      val x1d = col("x1").cast(DecimalType(18, 2))
+      val x2d = col("x2").cast(DecimalType(18, 0))
       val m = o.agg(count(lit(1)).as("n"),
-        round(sum(round(col("x1"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("m1"),
-        round(sum(round(col("x2"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("m2"),
-        round(sum(round(col("x1") * col("x1"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("s11"),
-        round(sum(round(col("x2") * col("x2"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("s22"),
-        round(sum(round(col("x1") * col("x2"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("s12"))
+        round(sum(x1d).cast("double") / count(lit(1)), 6).as("m1"),
+        round(sum(x2d).cast("double") / count(lit(1)), 6).as("m2"),
+        round(sum(x1d * x1d).cast("double") / count(lit(1)), 6).as("s11"),
+        round(sum(x2d * x2d).cast("double") / count(lit(1)), 6).as("s22"),
+        round(sum(x1d * x2d).cast("double") / count(lit(1)), 6).as("s12"))
       val stats = m.select(
         round(col("s11") - col("m1") * col("m1"), 6).as("v11"),
         round(col("s22") - col("m2") * col("m2"), 6).as("v22"),
@@ -149,15 +153,20 @@ object Relational extends QueryModule {
       val o = Tables.read(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice").cast("double").as("y"))
         .join(li.withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"))
-      val dec = DecimalType(38, 12)
+      // all three variables are exact low-scale decimals (x1 integer count,
+      // x2/y 2-dp money): products stay IN decimal space — rounding the
+      // large squares in double is the cross-engine boundary class q293 hit
+      val x1d = col("x1").cast(DecimalType(18, 0))
+      val x2d = col("x2").cast(DecimalType(18, 2))
+      val yd = col("y").cast(DecimalType(18, 2))
       def mom(c: Column, n: String) =
-        round(sum(round(c, 6).cast(dec)).cast("double") / count(lit(1)), 6).as(n)
+        round(sum(c).cast("double") / count(lit(1)), 6).as(n)
       val m = o.agg(count(lit(1)).as("n"),
-        mom(col("x1"), "m1"), mom(col("x2"), "m2"), mom(col("y"), "my"),
-        mom(col("x1") * col("x1"), "s11"), mom(col("x2") * col("x2"), "s22"),
-        mom(col("x1") * col("x2"), "s12"),
-        mom(col("x1") * col("y"), "sy1"), mom(col("x2") * col("y"), "sy2"),
-        mom(col("y") * col("y"), "syy"))
+        mom(x1d, "m1"), mom(x2d, "m2"), mom(yd, "my"),
+        mom(x1d * x1d, "s11"), mom(x2d * x2d, "s22"),
+        mom(x1d * x2d, "s12"),
+        mom(x1d * yd, "sy1"), mom(x2d * yd, "sy2"),
+        mom(yd * yd, "syy"))
       val v = m.select(col("n"), col("m1"), col("m2"), col("my"),
         round(col("s11") - col("m1") * col("m1"), 6).as("v11"),
         round(col("s22") - col("m2") * col("m2"), 6).as("v22"),
@@ -1393,15 +1402,15 @@ object Relational extends QueryModule {
         |o AS (SELECT CAST(o_totalprice AS DOUBLE) AS y, li.x1, li.x2
         |      FROM orders JOIN li USING (o_orderkey)),
         |m AS (SELECT count(*) AS n,
-        |        round(CAST(sum(CAST(round(x1, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m1,
-        |        round(CAST(sum(CAST(round(x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m2,
-        |        round(CAST(sum(CAST(round(y, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS my,
-        |        round(CAST(sum(CAST(round(x1 * x1, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s11,
-        |        round(CAST(sum(CAST(round(x2 * x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s22,
-        |        round(CAST(sum(CAST(round(x1 * x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s12,
-        |        round(CAST(sum(CAST(round(x1 * y, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS sy1,
-        |        round(CAST(sum(CAST(round(x2 * y, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS sy2,
-        |        round(CAST(sum(CAST(round(y * y, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS syy
+        |        round(CAST(sum(CAST(x1 AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS m1,
+        |        round(CAST(sum(CAST(x2 AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS m2,
+        |        round(CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS my,
+        |        round(CAST(sum(CAST(x1 AS DECIMAL(18,0)) * CAST(x1 AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS s11,
+        |        round(CAST(sum(CAST(x2 AS DECIMAL(18,2)) * CAST(x2 AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS s22,
+        |        round(CAST(sum(CAST(x1 AS DECIMAL(18,0)) * CAST(x2 AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS s12,
+        |        round(CAST(sum(CAST(x1 AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS sy1,
+        |        round(CAST(sum(CAST(x2 AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS sy2,
+        |        round(CAST(sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS syy
         |      FROM o),
         |v AS (SELECT n, m1, m2, my,
         |        round(s11 - m1 * m1, 6) AS v11,
@@ -1425,11 +1434,11 @@ object Relational extends QueryModule {
         |o AS (SELECT o.o_orderkey, CAST(o_totalprice AS DOUBLE) AS x1, li.x2
         |      FROM orders o JOIN li USING (o_orderkey)),
         |m AS (SELECT count(*) AS n,
-        |        round(CAST(sum(CAST(round(x1, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m1,
-        |        round(CAST(sum(CAST(round(x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m2,
-        |        round(CAST(sum(CAST(round(x1 * x1, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s11,
-        |        round(CAST(sum(CAST(round(x2 * x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s22,
-        |        round(CAST(sum(CAST(round(x1 * x2, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS s12
+        |        round(CAST(sum(CAST(x1 AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS m1,
+        |        round(CAST(sum(CAST(x2 AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS m2,
+        |        round(CAST(sum(CAST(x1 AS DECIMAL(18,2)) * CAST(x1 AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS s11,
+        |        round(CAST(sum(CAST(x2 AS DECIMAL(18,0)) * CAST(x2 AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS s22,
+        |        round(CAST(sum(CAST(x1 AS DECIMAL(18,2)) * CAST(x2 AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS s12
         |      FROM o),
         |st AS (SELECT m1, m2,
         |         round(s11 - m1 * m1, 6) AS v11,
