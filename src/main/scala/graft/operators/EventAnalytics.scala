@@ -231,13 +231,18 @@ object EventAnalytics extends QueryModule {
             round(col("value"), 6)).otherwise(lit(0.0)).cast(dec)).cast("double"), 6)
             .as("post"))
         .select(col("user_id"), arm.as("arm"), col("pre"), col("post"))
+      // pre/post are 6-dp exact: second moments multiply IN decimal space —
+      // rounding their ~1e8-magnitude products in double is the
+      // cross-engine half-way class that struck q293
+      val preD = col("pre").cast(DecimalType(18, 6))
+      val postD = col("post").cast(DecimalType(18, 6))
       val m = users.agg(
         count(lit(1)).as("n"),
         round(sum(round(col("pre"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("mpre"),
         round(sum(round(col("post"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("mpost"),
-        round(sum(round(col("pre") * col("pre"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("spp"),
-        round(sum(round(col("post") * col("post"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("sqq"),
-        round(sum(round(col("pre") * col("post"), 6).cast(dec)).cast("double") / count(lit(1)), 6).as("spq"))
+        round(sum(preD * preD).cast("double") / count(lit(1)), 6).as("spp"),
+        round(sum(postD * postD).cast("double") / count(lit(1)), 6).as("sqq"),
+        round(sum(preD * postD).cast("double") / count(lit(1)), 6).as("spq"))
       val stats = m.select(col("mpre"), col("mpost"),
         round(col("spp") - col("mpre") * col("mpre"), 6).as("vpre"),
         round(col("sqq") - col("mpost") * col("mpost"), 6).as("vpost"),
@@ -251,8 +256,9 @@ object EventAnalytics extends QueryModule {
           col("post"),
           round(col("post") - col("theta") * (col("pre") - col("mpre")), 6).as("adjusted"),
           col("theta"), col("vpost"), col("vpre"), col("cpq"))
+      val adjD = col("adjusted").cast(DecimalType(18, 6))
       val varred = adj.agg(
-        round(sum(round(col("adjusted") * col("adjusted"), 6).cast(dec)).cast("double")
+        round(sum(adjD * adjD).cast("double")
           / count(lit(1)), 6).as("saa"),
         round(sum(round(col("adjusted"), 6).cast(dec)).cast("double")
           / count(lit(1)), 6).as("ma"))
@@ -1639,9 +1645,9 @@ object EventAnalytics extends QueryModule {
         |m AS (SELECT count(*) AS n,
         |        round(CAST(sum(CAST(round(pre, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mpre,
         |        round(CAST(sum(CAST(round(post, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mpost,
-        |        round(CAST(sum(CAST(round(pre * pre, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS spp,
-        |        round(CAST(sum(CAST(round(post * post, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS sqq,
-        |        round(CAST(sum(CAST(round(pre * post, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS spq
+        |        round(CAST(sum(CAST(pre AS DECIMAL(28,6)) * CAST(pre AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS spp,
+        |        round(CAST(sum(CAST(post AS DECIMAL(28,6)) * CAST(post AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS sqq,
+        |        round(CAST(sum(CAST(pre AS DECIMAL(28,6)) * CAST(post AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS spq
         |      FROM ua),
         |st AS (SELECT mpre,
         |         round(sqq - mpost * mpost, 6) AS vpost,
@@ -1655,7 +1661,7 @@ object EventAnalytics extends QueryModule {
         |vr AS (SELECT theta,
         |         CASE WHEN vpost <= 0 THEN NULL
         |              ELSE round(1.0 - round(
-        |                round(CAST(sum(CAST(round(adjusted * adjusted, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+        |                round(CAST(sum(CAST(adjusted AS DECIMAL(28,6)) * CAST(adjusted AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
         |                - round(CAST(sum(CAST(round(adjusted, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
         |                * round(CAST(sum(CAST(round(adjusted, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6), 6)
         |                / vpost, 6)

@@ -370,7 +370,10 @@ object Expectations extends QueryModule {
     val m = u.groupBy(col("col_name"))
       .agg(count(lit(1)).as("n"), countDistinct(col("x")).as("n_distinct"),
         sum(col("x").cast(DecimalType(18, 2))).cast("double").as("sx"),
-        sum(round(col("x") * col("x"), 6).cast(DecimalType(38, 6))).cast("double").as("sxx"))
+        // 2-dp values: square IN decimal space — rounding extendedprice²
+        // (~1e10, ulp 2e-6) at 6 dp is the q293 cross-engine boundary class
+        sum(col("x").cast(DecimalType(18, 2)) * col("x").cast(DecimalType(18, 2)))
+          .cast("double").as("sxx"))
       .select(col("col_name"), col("n"), col("n_distinct"),
         (col("sx") / col("n")).as("mean"),
         when(col("n") > 1,
@@ -647,7 +650,7 @@ object Expectations extends QueryModule {
         |m AS (SELECT col_name, count(*) AS n, count(DISTINCT x) AS n_distinct,
         |        CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
         |        CASE WHEN count(*) > 1 THEN
-        |          sqrt((CAST(sum(CAST(round(x*x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |          sqrt((CAST(sum(CAST(x AS DECIMAL(28,2)) * CAST(x AS DECIMAL(28,2))) AS DOUBLE)
         |                - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
         |                  * (CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(*)))
         |               / (count(*) - 1)) END AS sd
