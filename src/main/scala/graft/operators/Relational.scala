@@ -618,6 +618,47 @@ object Relational extends QueryModule {
         .orderBy(col("suppkey"))
     }),
 
+    // Late-shipment priority census (q294) — the TPC-H Q4 shape, the last
+    // missing tile of the 22-shape matrix: orders placed in one quarter that
+    // had AT LEAST ONE line shipped more than 60 days after the order (the
+    // fixture's stand-in for Q4's commitdate<receiptdate lateness), counted
+    // per priority. The correlated EXISTS becomes a LEFT SEMI join with the
+    // lateness inequality INSIDE the join condition — each order emerges at
+    // most once with no post-join distinct, the decorrelation Q4 exists to
+    // test (q136 covers EXISTS via the SQL surface; this is the DataFrame
+    // form). The quarter filter prunes orders before the orderkey shuffle;
+    // lineitem ships only (key, shipdate) rows.
+    "q294_late_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60,
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Promotion-discount revenue probe (q295) — the TPC-H Q6 shape: the
+    // pure scan-aggregate "what would revenue change if discounts in this
+    // band were dropped" question. Zero joins, zero group keys — its whole
+    // point is that every predicate (ship year, discount band, quantity
+    // cap) reaches the parquet scan as PushedFilters and the plan is one
+    // WholeStageCodegen over the pruned 4-column read; at 100 TB this is
+    // the query partition pruning + min/max skipping exists for. Revenue
+    // decimal-summed at scale 4 (2-dp price × 2-dp discount is exact).
+    "q295_discount_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(exactSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -1395,6 +1436,24 @@ object Relational extends QueryModule {
         |  JOIN promo ON s_suppkey = l_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY suppkey""".stripMargin,
+    "q294_late_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND date_diff('day', CAST(o_orderdate AS DATE),
+        |                              CAST(l_shipdate AS DATE)) > 60)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q295_discount_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q277_order_ols" ->
       """WITH li AS (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS DOUBLE) AS x1,
         |              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x2

@@ -109,6 +109,35 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q294: late-order census never exceeds the quarter's order population") {
+    val r = rows("q294_late_priority")
+    r should not be empty
+    r.foreach(_.getAs[Long]("order_count") should be >= 1L)
+    // the EXISTS semi-join must count each order at most once: the census
+    // total is bounded by the quarter's order count straight off the fixture
+    val quarter = graft.sources.Tables.read(spark, sf0001, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderdate")
+        .between("1996-01-01", "1996-03-31 23:59:59"))
+      .count()
+    r.map(_.getAs[Long]("order_count")).sum should be <= quarter
+  }
+
+  test("q295: discount-band revenue is filter-monotone against the full scan") {
+    val r = rows("q295_discount_revenue")
+    r should have size 1
+    val (rev, n) = (r.head.getAs[Double]("revenue"), r.head.getAs[Long]("n_lines"))
+    n should be >= 0L
+    if (n == 0) rev shouldBe 0.0
+    else rev should be > 0.0
+    // dropping every predicate can only add non-negative revenue elements
+    import org.apache.spark.sql.functions._
+    val all = graft.sources.Tables.read(spark, sf0001, "lineitem")
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double"))
+      .head.getDouble(0)
+    rev should be <= all
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
