@@ -1217,6 +1217,40 @@ object EventAnalytics extends QueryModule {
           .as("df_welch"))
     }),
 
+    // Kendall tau-b between daily activity and daily revenue (q296): the
+    // tie-robust rank-association companion to q266's Spearman — tau works
+    // directly on concordant/discordant pair counts (pure integers, no rank
+    // midpoints), and the b-variant's denominator discounts the tied pairs
+    // an integer count column inevitably produces. The pair join is on the
+    // per-DAY rollup, so its O(days²) nested loop is bounded by the
+    // calendar span regardless of corpus size; the event log itself passes
+    // once through a map-side-combined grouped aggregation. Everything is
+    // integer-exact until the single final divide.
+    "q296_kendall_tau" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("c"), exactSum(col("value"), 2).as("rev"))
+        .localCheckpoint()
+      val a = daily.select(col("day").as("d1"), col("c").as("c1"), col("rev").as("r1"))
+      val b = daily.select(col("day").as("d2"), col("c").as("c2"), col("rev").as("r2"))
+      a.join(b, col("d1") < col("d2"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when((col("c1") < col("c2") && col("r1") < col("r2")) ||
+            (col("c1") > col("c2") && col("r1") > col("r2")), lit(1L))
+            .otherwise(lit(0L))).as("conc"),
+          sum(when((col("c1") < col("c2") && col("r1") > col("r2")) ||
+            (col("c1") > col("c2") && col("r1") < col("r2")), lit(1L))
+            .otherwise(lit(0L))).as("disc"),
+          sum(when(col("c1") === col("c2"), lit(1L)).otherwise(lit(0L))).as("tx"),
+          sum(when(col("r1") === col("r2"), lit(1L)).otherwise(lit(0L))).as("ty"))
+        .select(col("n0"), col("conc"), col("disc"), col("tx"), col("ty"),
+          round((col("conc") - col("disc")).cast("double") /
+            sqrt((col("n0") - col("tx")).cast("double")
+              * (col("n0") - col("ty")).cast("double")), 6).as("tau_b"))
+    }),
+
     // Watermark-lateness audit (q290): how many events each candidate
     // watermark delay {1m, 10m, 1h} would DROP as too-late — the number
     // read before choosing the delay for the streaming tier (q24-q26,
@@ -2109,6 +2143,25 @@ object EventAnalytics extends QueryModule {
         |             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
         |                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df_welch
         |FROM a CROSS JOIN b""".stripMargin,
+    "q296_kendall_tau" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |                 count(*) AS c,
+        |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |               FROM events GROUP BY 1),
+        |p AS (SELECT a.c AS c1, a.rev AS r1, b.c AS c2, b.rev AS r2
+        |      FROM daily a JOIN daily b ON a.day < b.day),
+        |agg AS (SELECT count(*) AS n0,
+        |          CAST(sum(CASE WHEN (c1 < c2 AND r1 < r2) OR (c1 > c2 AND r1 > r2)
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        |          CAST(sum(CASE WHEN (c1 < c2 AND r1 > r2) OR (c1 > c2 AND r1 < r2)
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        |          CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |          CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |        FROM p)
+        |SELECT n0, conc, disc, tx, ty,
+        |       round(CAST(conc - disc AS DOUBLE)
+        |             / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6) AS tau_b
+        |FROM agg""".stripMargin,
     "q290_watermark_lateness" ->
       """WITH e AS (SELECT event_id // 1000 AS b,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),

@@ -659,6 +659,39 @@ object Relational extends QueryModule {
         .agg(exactSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
           count(lit(1)).as("n_lines"))),
 
+    // Supplier revenue concentration per nation (q297): the Herfindahl-
+    // Hirschman index of each nation's supplier market — Σ share², the
+    // antitrust-standard concentration scalar that q177's Gini ranks can't
+    // replace (HHI weights the top of the distribution quadratically, the
+    // "one supplier owns the nation" signal). Computed as Σrev²/(Σrev)² so
+    // per-supplier shares never materialize: ONE grouped pass over the fact
+    // table (supplier dim broadcast), then a |suppliers|-row regroup whose
+    // squares stay in decimal space (q232 discipline — rev² at ~1e14 is the
+    // double-rounding boundary class). n_effective = 1/HHI is the
+    // equivalent-equal-suppliers readout, derived from the rounded HHI so
+    // both engines divide identical doubles.
+    "q297_supplier_hhi" -> ((s, dir) => {
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val rev = t(s, dir, "lineitem")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(exactSum(discPrice, 4).as("rev"))
+      val rd = col("rev").cast(DecimalType(18, 4))
+      rev.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(rd).cast("double").as("tot"),
+          sum(rd * rd).cast("double").as("ssq"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("nation"), col("n_suppliers"),
+          round(col("ssq") / (col("tot") * col("tot")), 6).as("hhi"))
+        .select(col("nation"), col("n_suppliers"), col("hhi"),
+          round(lit(1.0) / col("hhi"), 6).as("n_effective"))
+        .orderBy(col("nation"))
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -1436,6 +1469,20 @@ object Relational extends QueryModule {
         |  JOIN promo ON s_suppkey = l_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY suppkey""".stripMargin,
+    "q297_supplier_hhi" ->
+      """WITH r AS (SELECT s_nationkey, s_suppkey,
+        |             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |           GROUP BY 1, 2),
+        |h AS (SELECT s_nationkey, count(*) AS n_suppliers,
+        |        CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS tot,
+        |        CAST(sum(CAST(rev AS DECIMAL(19,4)) * CAST(rev AS DECIMAL(19,4))) AS DOUBLE) AS ssq
+        |      FROM r GROUP BY 1),
+        |x AS (SELECT n_name AS nation, n_suppliers,
+        |        round(ssq / (tot * tot), 6) AS hhi
+        |      FROM h JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT nation, n_suppliers, hhi, round(1.0 / hhi, 6) AS n_effective
+        |FROM x ORDER BY nation""".stripMargin,
     "q294_late_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

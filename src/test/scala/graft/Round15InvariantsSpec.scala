@@ -138,6 +138,31 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     rev should be <= all
   }
 
+  test("q296: tau-b is bounded and the pair partition is conserved") {
+    val r = rows("q296_kendall_tau")
+    r should have size 1
+    val row = r.head
+    val (n0, conc, disc) = (row.getAs[Long]("n0"), row.getAs[Long]("conc"),
+      row.getAs[Long]("disc"))
+    // strict-concordant + strict-discordant pairs can never exceed the
+    // pair universe, and any remainder must be tied in x or y
+    (conc + disc) should be <= n0
+    (n0 - conc - disc) should be <= (row.getAs[Long]("tx") + row.getAs[Long]("ty"))
+    row.getAs[Double]("tau_b") should (be >= -1.0 and be <= 1.0)
+  }
+
+  test("q297: HHI sits in (1/n, 1] and n_effective never exceeds the census") {
+    val r = rows("q297_supplier_hhi")
+    r should not be empty
+    r.foreach { row =>
+      val (n, hhi) = (row.getAs[Long]("n_suppliers"), row.getAs[Double]("hhi"))
+      hhi should (be > 0.0 and be <= 1.0 + 1e-9)
+      // equal shares minimize HHI at exactly 1/n
+      hhi should be >= 1.0 / n - 1e-6
+      row.getAs[Double]("n_effective") should be <= n.toDouble + 1e-6
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
