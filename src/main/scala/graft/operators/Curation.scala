@@ -341,6 +341,39 @@ object Curation extends QueryModule {
       acc.orderBy(col("round"))
     }),
 
+    // Degree assortativity of the dup graph (q299): Pearson correlation of
+    // endpoint degrees over edges (Newman 2002) — do template hubs link to
+    // other hubs (assortative, one giant boilerplate family the large-star
+    // rounds will slog through) or to leaves (disassortative star forests
+    // that collapse in one round)? The scalar that tells you which shape
+    // q248's histogram and q280's peel curve are looking at. Each
+    // undirected edge contributes both orientations so the two endpoint
+    // moments coincide; degrees come from one grouped count over the
+    // shared pair layer, the moment pass runs over narrow (du, dv) rows,
+    // and every square/cross-product stays in decimal space (q232
+    // discipline).
+    "q299_degree_assortativity" -> ((s, dir) => {
+      val pairs = Dedup.sharedNgramJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val deg = pairs.select(col("id_a").as("d"))
+        .union(pairs.select(col("id_b").as("d")))
+        .groupBy(col("d")).agg(count(lit(1)).as("deg"))
+      val e = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .join(deg.select(col("d").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("d").as("v"), col("deg").as("dv")), "v")
+      val dud = col("du").cast(org.apache.spark.sql.types.DecimalType(18, 0))
+      val dvd = col("dv").cast(org.apache.spark.sql.types.DecimalType(18, 0))
+      e.agg(count(lit(1)).as("m2"),
+          round(sum(dud).cast("double") / count(lit(1)), 6).as("mu"),
+          round(sum(dud * dud).cast("double") / count(lit(1)), 6).as("s2"),
+          round(sum(dud * dvd).cast("double") / count(lit(1)), 6).as("sxy"))
+        .select(col("m2"), col("mu"), col("s2"), col("sxy"),
+          round((col("sxy") - col("mu") * col("mu"))
+            / (col("s2") - col("mu") * col("mu")), 6).as("assortativity"))
+    }),
+
     "q248_dup_degree_hist" -> ((s, dir) => {
       val pairs = Dedup.sharedNgramJaccardPairs(s, dir)
         .filter(col("jaccard") >= 0.5)
@@ -615,6 +648,26 @@ object Curation extends QueryModule {
           |       round(CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_jaccard,
           |       CAST(CASE WHEN lang_a = lang_b THEN 1 ELSE 0 END AS BIGINT) AS same_lang
           |FROM lp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q299_degree_assortativity" ->
+      (jaccardPairsCte +
+        """,
+          |e0 AS MATERIALIZED (SELECT id_a, id_b FROM pr WHERE jaccard >= 0.5),
+          |deg AS (SELECT d, count(*) AS deg FROM
+          |          (SELECT id_a AS d FROM e0 UNION ALL SELECT id_b FROM e0)
+          |        GROUP BY 1),
+          |ed AS (SELECT du.deg AS du, dv.deg AS dv
+          |       FROM (SELECT id_a AS u, id_b AS v FROM e0
+          |             UNION ALL SELECT id_b, id_a FROM e0) e
+          |         JOIN deg du ON du.d = e.u
+          |         JOIN deg dv ON dv.d = e.v),
+          |m AS (SELECT count(*) AS m2,
+          |        round(CAST(sum(CAST(du AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS mu,
+          |        round(CAST(sum(CAST(du AS DECIMAL(18,0)) * CAST(du AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS s2,
+          |        round(CAST(sum(CAST(du AS DECIMAL(18,0)) * CAST(dv AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS sxy
+          |      FROM ed)
+          |SELECT m2, mu, s2, sxy,
+          |       round((sxy - mu * mu) / (s2 - mu * mu), 6) AS assortativity
+          |FROM m""".stripMargin),
     "q248_dup_degree_hist" ->
       (jaccardPairsCte +
         """,

@@ -262,6 +262,73 @@ object TextAnalytics extends QueryModule {
         .orderBy(col("heur_pred"), col("nb_pred"))
     }),
 
+    // Reliability diagram + Brier score (q298): is the en-marker density a
+    // CALIBRATED probability of "document is English"? q209 bins the NB
+    // margin by accuracy; this is the proper-scoring-rule companion against
+    // the declared label — per predicted-probability decile: how many docs
+    // land there, what the mean prediction was, what fraction actually IS
+    // English (the reliability curve; |mean_pred − obs_rate| is the gap a
+    // recalibration would close), and the decile's Brier contribution. The
+    // decile cut and p share one marker-count projection; per-doc terms are
+    // 9-dp pre-rounded then decimal-summed (q100 convention — order-
+    // independent at any cluster size); one grouped pass, ≤10 output rows.
+    "q298_calibration_brier" -> ((s, dir) => {
+      val dec9 = DecimalType(38, 9)
+      val sEn = langScore(col("text"), enPat)
+      val nTok = nTokens(col("text"))
+      val p = least(lit(1.0), sEn.cast("double") / nTok.cast("double"))
+      val base = docs(s, dir).select(
+        least(lit(9L), floor((sEn * 10).cast("double") / nTok.cast("double"))
+          .cast(LongType)).as("bucket"),
+        round(p, 9).as("p"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+      base.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+          round(sum(col("p").cast(dec9)).cast("double") / count(lit(1)), 6)
+            .as("mean_pred"),
+          round(sum(round((col("p") - col("y")) * (col("p") - col("y")), 9)
+            .cast(dec9)).cast("double") / count(lit(1)), 6).as("brier"))
+        .select(col("bucket"), col("n_docs"), col("n_pos"), col("mean_pred"),
+          round(col("n_pos").cast("double") / col("n_docs"), 6).as("obs_rate"),
+          col("brier"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Hash-bucket jackknife for mean corpus quality (q300): the estimator-
+    // uncertainty readout every per-source/per-slice mean in this surface
+    // implicitly needs — delete-one-bucket jackknife over 10 deterministic
+    // doc_id buckets gives a standard error WITHOUT resampling the corpus:
+    // ONE grouped pass produces per-bucket (count, quality sum); every
+    // leave-one-out mean derives from the 10-row frame and the broadcast
+    // total (theta_i = (S − s_i)/(N − n_i)); SE = sqrt((B−1)/B · Σ(theta_i
+    // − thetā)²). At 100 TB this costs exactly one aggregation of the
+    // corpus; the jackknife algebra runs on 10 rows.
+    "q300_jackknife_quality" -> ((s, dir) => {
+      val dec6 = DecimalType(38, 6); val dec9 = DecimalType(38, 9)
+      val b = docs(s, dir)
+        .select((col("doc_id") % 10).cast(LongType).as("bucket"),
+          qualityScore.as("q"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("q").cast(dec6)).as("sq"))
+        .localCheckpoint()
+      val tot = b.agg(sum(col("n")).as("nn"), sum(col("sq")).as("ss"))
+      val th = b.crossJoin(broadcast(tot))
+        .select(round((col("ss") - col("sq")).cast("double")
+          / (col("nn") - col("n")), 9).as("theta"))
+      val ts = th.agg(count(lit(1)).as("bks"),
+        round(sum(col("theta").cast(dec9)).cast("double") / count(lit(1)), 9)
+          .as("tbar"))
+      val dev = th.crossJoin(broadcast(ts))
+        .agg(round(sum(round((col("theta") - col("tbar"))
+            * (col("theta") - col("tbar")), 12).cast(DecimalType(38, 12)))
+          .cast("double"), 12).as("ssd"))
+      tot.crossJoin(broadcast(ts)).crossJoin(broadcast(dev))
+        .select(col("nn").as("n_docs"), col("bks").as("n_buckets"),
+          round(col("ss").cast("double") / col("nn"), 6).as("mean_quality"),
+          round(sqrt((col("bks") - lit(1L)).cast("double") / col("bks")
+            * col("ssd")), 9).as("se_jack"))
+    }),
+
     // Leave-one-source-out ablation (q283): for each source, the corpus
     // mean quality WITHOUT it vs with it — the first-order data-ablation
     // readout a mixture planner runs before a real training ablation
@@ -894,6 +961,41 @@ object TextAnalytics extends QueryModule {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q298_calibration_brier" ->
+      """WITH d AS (SELECT len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS s_en,
+        |             len(string_split(trim(text), ' ')) AS n_tok,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |           FROM documents),
+        |b AS (SELECT least(9, CAST(floor((10.0 * s_en) / n_tok) AS BIGINT)) AS bucket,
+        |        round(least(1.0, CAST(s_en AS DOUBLE) / n_tok), 9) AS p, y
+        |      FROM d)
+        |SELECT bucket, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
+        |       round(CAST(sum(CAST(p AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS mean_pred,
+        |       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate,
+        |       round(CAST(sum(CAST(round((p - y) * (p - y), 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |             / count(*), 6) AS brier
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q300_jackknife_quality" ->
+      """WITH b AS (SELECT doc_id % 10 AS bucket, count(*) AS n,
+        |             sum(CAST(round(0.5 * least(1.0, length(text) / 500.0)
+        |                 + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |                          len(string_split(trim(text), ' ')))
+        |                 + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |                          length(text)), 6) AS DECIMAL(38,6))) AS sq
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sq) AS ss FROM b),
+        |th AS (SELECT round(CAST(ss - sq AS DOUBLE) / (nn - n), 9) AS theta
+        |       FROM b CROSS JOIN tot),
+        |ts AS (SELECT count(*) AS bks,
+        |         round(CAST(sum(CAST(theta AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9) AS tbar
+        |       FROM th),
+        |dev AS (SELECT round(CAST(sum(CAST(round((theta - tbar) * (theta - tbar), 12)
+        |                                  AS DECIMAL(38,12))) AS DOUBLE), 12) AS ssd
+        |        FROM th CROSS JOIN ts)
+        |SELECT nn AS n_docs, bks AS n_buckets,
+        |       round(CAST(ss AS DOUBLE) / nn, 6) AS mean_quality,
+        |       round(sqrt(CAST(bks - 1 AS DOUBLE) / bks * ssd), 9) AS se_jack
+        |FROM tot CROSS JOIN ts CROSS JOIN dev""".stripMargin,
     "q30_lang_id" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS s_en,

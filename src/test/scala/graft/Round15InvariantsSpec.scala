@@ -163,6 +163,39 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q298: reliability rows are probabilistically coherent (Jensen bound)") {
+    val r = rows("q298_calibration_brier")
+    r should not be empty
+    r.foreach { row =>
+      val (mp, obs, br) = (row.getAs[Double]("mean_pred"),
+        row.getAs[Double]("obs_rate"), row.getAs[Double]("brier"))
+      mp should (be >= 0.0 and be <= 1.0)
+      obs should (be >= 0.0 and be <= 1.0)
+      br should (be >= 0.0 and be <= 1.0)
+      row.getAs[Long]("n_pos") should be <= row.getAs[Long]("n_docs")
+      // E[(p−y)²] ≥ (E[p]−E[y])² within a bucket (Jensen)
+      br should be >= (mp - obs) * (mp - obs) - 1e-6
+    }
+  }
+
+  test("q299: assortativity is a correlation and the edge census is even") {
+    val r = rows("q299_degree_assortativity")
+    r should have size 1
+    val row = r.head
+    row.getAs[Long]("m2") % 2 shouldBe 0L // both orientations of each edge
+    row.getAs[Double]("s2") should be >=
+      row.getAs[Double]("mu") * row.getAs[Double]("mu") - 1e-6
+    row.getAs[Double]("assortativity") should (be >= -1.0 - 1e-6 and be <= 1.0 + 1e-6)
+  }
+
+  test("q300: jackknife SE is nonnegative and the bucket census is full") {
+    val r = rows("q300_jackknife_quality")
+    r should have size 1
+    r.head.getAs[Long]("n_buckets") shouldBe 10L
+    r.head.getAs[Double]("mean_quality") should (be > 0.0 and be <= 1.0)
+    r.head.getAs[Double]("se_jack") should be >= 0.0
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
