@@ -376,6 +376,67 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("arm"), col("day"))
     }),
 
+    // Log-rank test between the A/B arms' conversion processes (q302):
+    // q233 draws the two Kaplan–Meier curves; this is the hypothesis test
+    // that compares them — at every conversion day t, the observed arm-0
+    // conversions d1t against the expectation dt·n1t/nt under "both arms
+    // share one hazard", with the hypergeometric variance; χ² = (O1−E1)²/V.
+    // On the q224 A/A hash split this should sit near 0 — the null
+    // calibration every real experiment's test rides on. At-risk counts
+    // come from a |per-arm-day rollup| × |event days| inequality join —
+    // calendar², NEVER users² — and the event log is touched exactly
+    // twice (the q233 first-view/first-purchase passes). Per-day terms
+    // are 9-dp pre-rounded and decimal-summed (order-independent).
+    "q302_logrank" -> ((s, dir) => {
+      val dec9 = DecimalType(38, 9)
+      val e = ev(s, dir)
+      val arm = expr(
+        "cast(conv(substring(md5(concat(cast(user_id as string), ':ab')), 1, 4), 16, 10) as bigint) % 2")
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts").cast(LongType)).as("fv"))
+        .select(col("user_id"), arm.as("arm"), col("fv"))
+      val fp = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast(LongType).as("pt"))
+        .join(fv.select(col("user_id"), col("fv")), Seq("user_id"))
+        .filter(col("pt") >= col("fv"))
+        .groupBy(col("user_id")).agg(min(col("pt")).as("fp"))
+      val mx = e.agg(max(col("ts").cast(LongType)).as("mx"))
+      val obs = fv.join(fp, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(col("arm"),
+          when(col("fp").isNotNull, expr("(fp - fv) div 86400"))
+            .otherwise(expr("(mx - fv) div 86400")).as("days"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("event"))
+      val ending = obs.groupBy(col("arm"), col("days"))
+        .agg(count(lit(1)).as("cnt"), sum(col("event")).as("d"))
+        .localCheckpoint()
+      val evDays = ending.filter(col("d") > 0).select(col("days").as("day")).distinct()
+      val risk = ending.join(evDays, col("days") >= col("day"))
+        .groupBy(col("arm"), col("day"))
+        .agg(sum(col("cnt")).as("n_risk"),
+          sum(when(col("days") === col("day"), col("d")).otherwise(lit(0L))).as("d_arm"))
+      val a0 = risk.filter(col("arm") === 0)
+        .select(col("day"), col("n_risk").as("n1"), col("d_arm").as("d1"))
+      val a1 = risk.filter(col("arm") === 1)
+        .select(col("day"), col("n_risk").as("n2"), col("d_arm").as("d2"))
+      val dd = a0.join(a1, Seq("day"), "full")
+        .select(col("day"),
+          coalesce(col("n1"), lit(0L)).as("n1"), coalesce(col("d1"), lit(0L)).as("d1"),
+          coalesce(col("n2"), lit(0L)).as("n2"), coalesce(col("d2"), lit(0L)).as("d2"))
+      val nt = col("n1") + col("n2"); val dt = col("d1") + col("d2")
+      val terms = dd.select(col("day"), col("d1"),
+        round(dt.cast("double") * col("n1") / nt, 9).as("e1t"),
+        when(nt > 1,
+          round(dt.cast("double") * (col("n1").cast("double") / nt)
+            * (col("n2").cast("double") / nt) * (nt - dt) / (nt - lit(1L)), 9))
+          .otherwise(lit(0.0)).as("vt"))
+      terms.agg(count(lit(1)).as("n_days"), sum(col("d1")).as("o1"),
+          round(sum(col("e1t").cast(dec9)).cast("double"), 6).as("e1"),
+          round(sum(col("vt").cast(dec9)).cast("double"), 6).as("v"))
+        .select(col("n_days"), col("o1"), col("e1"), col("v"),
+          round((col("o1") - col("e1")) * (col("o1") - col("e1")) / col("v"), 6)
+            .as("chi2"))
+    }),
+
     // Tumbling 1-hour windows: events + exact value sum per hour.
     "q24_tumbling_window" -> ((s, dir) =>
       ev(s, dir)
@@ -1585,6 +1646,48 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q302_logrank" ->
+      """WITH fv AS (SELECT user_id,
+        |              CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,
+        |              CAST(min(floor(epoch(ts))) AS BIGINT) AS fv
+        |            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (SELECT e.user_id, CAST(min(floor(epoch(e.ts))) AS BIGINT) AS fp
+        |       FROM events e JOIN fv ON fv.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND floor(epoch(e.ts)) >= fv.fv
+        |       GROUP BY 1),
+        |mx AS (SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS mx FROM events),
+        |obs AS (SELECT fv.arm,
+        |               CASE WHEN fp.fp IS NOT NULL THEN (fp.fp - fv.fv) // 86400
+        |                    ELSE (mx.mx - fv.fv) // 86400 END AS days,
+        |               CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END AS event
+        |        FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+        |ending AS (SELECT arm, days, count(*) AS cnt, CAST(sum(event) AS BIGINT) AS d
+        |           FROM obs GROUP BY 1, 2),
+        |ed AS (SELECT DISTINCT days AS day FROM ending WHERE d > 0),
+        |risk AS (SELECT arm, day, CAST(sum(cnt) AS BIGINT) AS n_risk,
+        |           CAST(sum(CASE WHEN days = day THEN d ELSE 0 END) AS BIGINT) AS d_arm
+        |         FROM ending JOIN ed ON days >= day GROUP BY 1, 2),
+        |a0 AS (SELECT day, n_risk AS n1, d_arm AS d1 FROM risk WHERE arm = 0),
+        |a1 AS (SELECT day, n_risk AS n2, d_arm AS d2 FROM risk WHERE arm = 1),
+        |dd AS (SELECT coalesce(a0.day, a1.day) AS day,
+        |         coalesce(n1, 0) AS n1, coalesce(d1, 0) AS d1,
+        |         coalesce(n2, 0) AS n2, coalesce(d2, 0) AS d2
+        |       FROM a0 FULL JOIN a1 ON a0.day = a1.day),
+        |t AS (SELECT day, d1,
+        |        round(CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2), 9) AS e1t,
+        |        CASE WHEN n1 + n2 > 1
+        |             THEN round(CAST(d1 + d2 AS DOUBLE) * (CAST(n1 AS DOUBLE) / (n1 + n2))
+        |                        * (CAST(n2 AS DOUBLE) / (n1 + n2))
+        |                        * ((n1 + n2) - (d1 + d2)) / ((n1 + n2) - 1), 9)
+        |             ELSE 0.0 END AS vt
+        |      FROM dd),
+        |agg AS (SELECT count(*) AS n_days, CAST(sum(d1) AS BIGINT) AS o1,
+        |          round(CAST(sum(CAST(e1t AS DECIMAL(38,9))) AS DOUBLE), 6) AS e1,
+        |          round(CAST(sum(CAST(vt AS DECIMAL(38,9))) AS DOUBLE), 6) AS v
+        |        FROM t)
+        |SELECT n_days, o1, e1, v,
+        |       round((o1 - e1) * (o1 - e1) / v, 6) AS chi2
+        |FROM agg""".stripMargin,
     "q233_km_by_arm" ->
       """WITH fv AS (SELECT user_id,
         |              CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,

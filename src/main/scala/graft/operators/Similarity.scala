@@ -1241,6 +1241,44 @@ object Similarity extends QueryModule {
           round(col("mi_bits") / sqrt(col("h_cell") * col("h_label")), 6).as("nmi"))
     }),
 
+    // Per-cell simplified silhouette (q301): the partition-quality scalar
+    // for the seeded IVF cells — a = cosine distance to the OWN centroid,
+    // b = distance to the nearest OTHER centroid, s = (b−a)/max(a,b)
+    // (Rousseeuw's silhouette with centroids standing in for cluster-mean
+    // dissimilarity, the standard big-data variant: exact silhouette is
+    // all-pairs). q278 asks "do cells align with labels"; this asks "are
+    // the cells geometrically tight vs their neighbors" — the readout
+    // that says whether kCells is carving real structure before an IVF
+    // deployment trusts its recall curve (q253). Because assignment IS
+    // the cosine argmax, a ≤ b by construction and every silhouette lands
+    // in [0,1] (spec-pinned). One corpus × 8-centroid broadcast scan —
+    // the same cost as assignment itself; both distances fall out of ONE
+    // ranked frame (rn=1 own, rn=2 runner-up), 9-dp pre-rounded decimal
+    // sums per cell.
+    "q301_cell_silhouette" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val allcos = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          round(cosineFast(s, col("v"), col("cv")), 6).as("cos"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      val ranked = allcos.withColumn("rn", row_number().over(w))
+      val own = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"),
+          round(lit(1.0) - col("cos"), 6).as("a"))
+      val nxt = ranked.filter(col("rn") === 2)
+        .select(col("vec_id"), round(lit(1.0) - col("cos"), 6).as("b"))
+      own.join(nxt, "vec_id")
+        .select(col("cell"),
+          round((col("b") - col("a")) / greatest(col("a"), col("b")), 9).as("sil"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("sil").cast(DecimalType(38, 9))).cast("double")
+            / count(lit(1)), 6).as("mean_silhouette"))
+        .orderBy(col("cell"))
+    }),
+
     // JL-sketch norm-distortion audit (see [[jlDistortion]]).
     "q219_jl_distortion" -> ((s, dir) =>
       jlDistortion(s, dir).orderBy(col("vec_id"))),
@@ -1633,6 +1671,19 @@ object Similarity extends QueryModule {
         |SELECT q_id AS vec_id, true_label AS label, n_label AS pred, n_votes FROM
         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr FROM votes)
         |WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "q301_cell_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
+        |rk AS (SELECT vec_id, cid, cos,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a),
+        |own AS (SELECT vec_id, cid AS cell, round(1.0 - cos, 6) AS a FROM rk WHERE rn = 1),
+        |nxt AS (SELECT vec_id, round(1.0 - cos, 6) AS b FROM rk WHERE rn = 2),
+        |sil AS (SELECT cell, round((b - a) / greatest(a, b), 9) AS sil
+        |        FROM own JOIN nxt USING (vec_id))
+        |SELECT cell, count(*) AS n_vectors,
+        |       round(CAST(sum(CAST(sil AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS mean_silhouette
+        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
     "q278_cell_label_nmi" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -329,6 +329,45 @@ object TextAnalytics extends QueryModule {
             * col("ssd")), 9).as("se_jack"))
     }),
 
+    // Empirical-Bayes shrinkage of per-source high-quality rates (q303):
+    // the small-sample fix for every per-source rate this surface reports —
+    // a source with 8 docs and 7 "high quality" should NOT outrank one
+    // with 5,000 docs at 80%. Method-of-moments beta prior fitted from the
+    // per-source rates themselves (prior strength α+β = m(1−m)/v − 1,
+    // clamped to 1 when the rates are under-dispersed), then each source's
+    // rate shrunk to (k + m·s)/(n + s) — the James-Stein-flavored
+    // estimator rate dashboards actually ship. ONE corpus pass produces
+    // the per-source (n, k); all prior algebra runs on the bounded
+    // source frame (9/12-dp pre-rounded decimal sums).
+    "q303_eb_shrinkage" -> ((s, dir) => {
+      val dec9 = DecimalType(38, 9); val dec12 = DecimalType(38, 12)
+      val per = docs(s, dir)
+        .select(col("source"), when(qualityScore >= 0.75, lit(1L)).otherwise(lit(0L)).as("hi"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("hi")).as("k"))
+        .select(col("source"), col("n"), col("k"),
+          round(col("k").cast("double") / col("n"), 9).as("p"))
+        .localCheckpoint()
+      val s1 = per.agg(count(lit(1)).as("ns"),
+        round(sum(col("p").cast(dec9)).cast("double") / count(lit(1)), 9).as("m"))
+      val s2 = per.crossJoin(broadcast(s1))
+        .agg(round(sum(round((col("p") - col("m")) * (col("p") - col("m")), 12)
+          .cast(dec12)).cast("double") / count(lit(1)), 12).as("v"))
+      val pri = s1.crossJoin(s2)
+        .select(col("m"),
+          when(col("v") > 0 &&
+            (col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)) > 0,
+            round(col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0), 9))
+            .otherwise(lit(1.0)).as("strength"))
+      per.crossJoin(broadcast(pri))
+        .select(col("source"), col("n").as("n_docs"), col("k").as("n_high"),
+          round(col("p"), 6).as("raw_rate"),
+          round((col("k") + col("m") * col("strength"))
+            / (col("n") + col("strength")), 6).as("shrunk_rate"),
+          col("m").as("prior_mean"), col("strength").as("prior_strength"))
+        .orderBy(col("source"))
+    }),
+
     // Leave-one-source-out ablation (q283): for each source, the corpus
     // mean quality WITHOUT it vs with it — the first-order data-ablation
     // readout a mixture planner runs before a real training ablation
@@ -996,6 +1035,29 @@ object TextAnalytics extends QueryModule {
         |       round(CAST(ss AS DOUBLE) / nn, 6) AS mean_quality,
         |       round(sqrt(CAST(bks - 1 AS DOUBLE) / bks * ssd), 9) AS se_jack
         |FROM tot CROSS JOIN ts CROSS JOIN dev""".stripMargin,
+    "q303_eb_shrinkage" ->
+      """WITH qd AS (SELECT source,
+        |              CASE WHEN round(0.5 * least(1.0, length(text) / 500.0)
+        |                   + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |                            len(string_split(trim(text), ' ')))
+        |                   + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |                            length(text)), 6) >= 0.75
+        |                   THEN 1 ELSE 0 END AS hi
+        |            FROM documents),
+        |per AS (SELECT source, count(*) AS n, CAST(sum(hi) AS BIGINT) AS k FROM qd GROUP BY 1),
+        |pp AS (SELECT source, n, k, round(CAST(k AS DOUBLE) / n, 9) AS p FROM per),
+        |s1 AS (SELECT count(*) AS ns,
+        |         round(CAST(sum(CAST(p AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9) AS m FROM pp),
+        |s2 AS (SELECT round(CAST(sum(CAST(round((p - m) * (p - m), 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |               / count(*), 12) AS v
+        |       FROM pp CROSS JOIN s1),
+        |pri AS (SELECT m, CASE WHEN v > 0 AND (m * (1.0 - m) / v - 1.0) > 0
+        |                       THEN round(m * (1.0 - m) / v - 1.0, 9) ELSE 1.0 END AS strength
+        |        FROM s1 CROSS JOIN s2)
+        |SELECT source, n AS n_docs, k AS n_high, round(p, 6) AS raw_rate,
+        |       round((k + m * strength) / (n + strength), 6) AS shrunk_rate,
+        |       m AS prior_mean, strength AS prior_strength
+        |FROM pp CROSS JOIN pri ORDER BY source""".stripMargin,
     "q30_lang_id" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS s_en,

@@ -196,6 +196,38 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     r.head.getAs[Double]("se_jack") should be >= 0.0
   }
 
+  test("q301: silhouettes land in [0,1] and the cell census covers the corpus") {
+    val r = rows("q301_cell_silhouette")
+    r should not be empty
+    // assignment IS the cosine argmax, so a <= b and silhouette >= 0
+    r.foreach(_.getAs[Double]("mean_silhouette") should (be >= 0.0 and be <= 1.0))
+    r.foreach(_.getAs[Long]("cell") should (be >= 0L and be <= 7L))
+    val total = graft.sources.Tables.read(spark, sf0001, "embeddings").count()
+    r.map(_.getAs[Long]("n_vectors")).sum shouldBe total
+  }
+
+  test("q302: the log-rank pieces are nonnegative and O1 is bounded by events") {
+    val r = rows("q302_logrank")
+    r should have size 1
+    val row = r.head
+    row.getAs[Long]("o1") should be >= 0L
+    row.getAs[Double]("e1") should be >= 0.0
+    row.getAs[Double]("v") should be >= 0.0
+    row.getAs[Double]("chi2") should be >= 0.0
+  }
+
+  test("q303: every shrunk rate sits between its raw rate and the prior mean") {
+    val r = rows("q303_eb_shrinkage")
+    r should not be empty
+    r.foreach { row =>
+      val (raw, shrunk, m) = (row.getAs[Double]("raw_rate"),
+        row.getAs[Double]("shrunk_rate"), row.getAs[Double]("prior_mean"))
+      shrunk should be >= math.min(raw, m) - 1e-6
+      shrunk should be <= math.max(raw, m) + 1e-6
+      row.getAs[Double]("prior_strength") should be > 0.0
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
