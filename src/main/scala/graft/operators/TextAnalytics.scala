@@ -329,6 +329,38 @@ object TextAnalytics extends QueryModule {
             * col("ssd")), 9).as("se_jack"))
     }),
 
+    // McNemar paired-rater test (q304): q274's kappa says how much the two
+    // lang-id raters AGREE; McNemar says which one is BETTER, and whether
+    // the difference is significant — it conditions on the discordant docs
+    // only (heur-right/NB-wrong vs heur-wrong/NB-right), the paired design
+    // that makes a rater comparison valid on the same eval slice. χ² =
+    // (b−c)²/(b+c) over pure integer cells from one join + one grouped
+    // pass; the concordant cells ride along for the full 2×2 readout.
+    "q304_mcnemar" -> ((s, dir) => {
+      val heur = docs(s, dir).select(col("doc_id"), col("lang"), predictedLang.as("a"))
+      val nb = nbLangIdScored(sharedNbScored(s, dir))
+        .select(col("doc_id"), col("pred_lang").as("bp"))
+      heur.join(nb, Seq("doc_id"))
+        .select(when(col("a") === col("lang"), lit(1L)).otherwise(lit(0L)).as("ha"),
+          when(col("bp") === col("lang"), lit(1L)).otherwise(lit(0L)).as("nb"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ha") === 1 && col("nb") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("both_right"),
+          sum(when(col("ha") === 0 && col("nb") === 0, lit(1L)).otherwise(lit(0L)))
+            .as("both_wrong"),
+          sum(when(col("ha") === 1 && col("nb") === 0, lit(1L)).otherwise(lit(0L)))
+            .as("heur_only"),
+          sum(when(col("ha") === 0 && col("nb") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("nb_only"))
+        .select(col("n_docs"), col("both_right"), col("both_wrong"),
+          col("heur_only"), col("nb_only"),
+          when(col("heur_only") + col("nb_only") > 0,
+            round((col("heur_only") - col("nb_only")).cast("double")
+              * (col("heur_only") - col("nb_only"))
+              / (col("heur_only") + col("nb_only")), 6))
+            .otherwise(lit(0.0)).as("chi2"))
+    }),
+
     // Empirical-Bayes shrinkage of per-source high-quality rates (q303):
     // the small-sample fix for every per-source rate this surface reports —
     // a source with 8 docs and 7 "high quality" should NOT outrank one
@@ -1035,6 +1067,35 @@ object TextAnalytics extends QueryModule {
         |       round(CAST(ss AS DOUBLE) / nn, 6) AS mean_quality,
         |       round(sqrt(CAST(bks - 1 AS DOUBLE) / bks * ssd), 9) AS se_jack
         |FROM tot CROSS JOIN ts CROSS JOIN dev""".stripMargin,
+    "q304_mcnemar" ->
+      (nbRankedSql +
+        """,
+          |nb AS (SELECT doc_id, pred_lang AS bp FROM rk WHERE rn = 1),
+          |he AS (SELECT doc_id, lang,
+          |         CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+          |               AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b'))
+          |              THEN 'en'
+          |              WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b'))
+          |              THEN 'de' ELSE 'es' END AS a
+          |       FROM documents),
+          |cells AS (SELECT CASE WHEN a = lang THEN 1 ELSE 0 END AS ha,
+          |            CASE WHEN bp = lang THEN 1 ELSE 0 END AS nb
+          |          FROM he JOIN nb USING (doc_id)),
+          |m AS (SELECT count(*) AS n_docs,
+          |        CAST(sum(CASE WHEN ha = 1 AND nb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+          |        CAST(sum(CASE WHEN ha = 0 AND nb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+          |        CAST(sum(CASE WHEN ha = 1 AND nb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS heur_only,
+          |        CAST(sum(CASE WHEN ha = 0 AND nb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_only
+          |      FROM cells)
+          |SELECT n_docs, both_right, both_wrong, heur_only, nb_only,
+          |       CASE WHEN heur_only + nb_only > 0
+          |            THEN round(CAST(heur_only - nb_only AS DOUBLE) * (heur_only - nb_only)
+          |                       / (heur_only + nb_only), 6)
+          |            ELSE 0.0 END AS chi2
+          |FROM m""".stripMargin),
     "q303_eb_shrinkage" ->
       """WITH qd AS (SELECT source,
         |              CASE WHEN round(0.5 * least(1.0, length(text) / 500.0)

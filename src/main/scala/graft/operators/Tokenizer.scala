@@ -112,6 +112,34 @@ object Tokenizer extends QueryModule {
         .orderBy(col("rank"))
     }),
 
+    // Good-Turing missing mass per source (q305) — Gale & Sampson's
+    // estimator of the probability that the NEXT token drawn from a source
+    // is a type never seen yet: P0 = N1/N (hapax share of tokens). The
+    // "how much vocabulary is this crawl still hiding" readout that says
+    // whether more of the same source buys new content or re-treads — the
+    // probabilistic complement to q126's Heaps growth fit — plus the first
+    // Good-Turing smoothed count r*₁ = 2·N2/N1 (what a singleton's count is
+    // actually worth). Pure integer count-of-counts over the shared
+    // inverted-index layer keyed (source, term) — two natural-key shuffles,
+    // map-side combined, single-division finals.
+    "q305_missing_mass" -> ((s, dir) => {
+      val st = Retrieval.sharedTermFreqs(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"), col("term"))
+        .agg(sum(col("tf")).as("n"))
+      st.groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"),
+          sum(when(col("n") === 2, lit(1L)).otherwise(lit(0L))).as("n_dis"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"), col("n_dis"),
+          round(col("n_hapax").cast("double") / col("n_tokens"), 6).as("p_unseen"),
+          when(col("n_hapax") > 0,
+            round(lit(2.0) * col("n_dis") / col("n_hapax"), 6))
+            .otherwise(lit(null).cast("double")).as("r_star_1"))
+        .orderBy(col("source"))
+    }),
+
     // Term burstiness / adaptation (q255) — Church & Gale's observation
     // ("Poisson mixtures", 1995; Church, "Empirical estimates of
     // adaptation", 2000): content words are BURSTY — once a document
@@ -325,6 +353,20 @@ object Tokenizer extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q305_missing_mass" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |st AS (SELECT d.source, tf.term, CAST(sum(tf.tf) AS BIGINT) AS n
+        |       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |m AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |        CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+        |      FROM st GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax, n_dis,
+        |       round(CAST(n_hapax AS DOUBLE) / n_tokens, 6) AS p_unseen,
+        |       CASE WHEN n_hapax > 0 THEN round(2.0 * n_dis / n_hapax, 6)
+        |            ELSE NULL END AS r_star_1
+        |FROM m ORDER BY source""".stripMargin,
     "q81_bigram_merges" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |big AS (SELECT unnest(list_transform(range(len(w) - 1), i -> {'t1': w[i+1], 't2': w[i+2]})) AS p

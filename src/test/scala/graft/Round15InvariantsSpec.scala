@@ -228,6 +228,31 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q304: the 2x2 cells partition the eval slice and chi2 is nonnegative") {
+    val r = rows("q304_mcnemar")
+    r should have size 1
+    val row = r.head
+    val cells = Seq("both_right", "both_wrong", "heur_only", "nb_only")
+      .map(row.getAs[Long])
+    cells.sum shouldBe row.getAs[Long]("n_docs")
+    cells.foreach(_ should be >= 0L)
+    row.getAs[Double]("chi2") should be >= 0.0
+  }
+
+  test("q305: count-of-count identities hold per source") {
+    val r = rows("q305_missing_mass")
+    r should not be empty
+    r.foreach { row =>
+      val (tok, typ, h1, h2) = (row.getAs[Long]("n_tokens"), row.getAs[Long]("n_types"),
+        row.getAs[Long]("n_hapax"), row.getAs[Long]("n_dis"))
+      typ should be <= tok
+      (h1 + h2) should be <= typ
+      // tokens from hapax+dis types alone can never exceed the total
+      (h1 + 2 * h2) should be <= tok
+      row.getAs[Double]("p_unseen") should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
