@@ -136,6 +136,44 @@ object Sampling extends QueryModule {
         array_join(col("p.c"), " ").as("chunk_text"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Neyman optimal audit allocation (q307): how a fixed manual-review
+    // budget (B = 1000 docs) SHOULD split across sources — n_i ∝ N_i·σ_i,
+    // the stratified-sampling allocation that minimizes the variance of
+    // the corpus-wide quality estimate (Neyman 1934). The planning readout
+    // beside q63's fixed keep-rates: a source that is big but homogeneous
+    // (tiny σ) deserves fewer audits than proportional allocation gives
+    // it; a small volatile source deserves more. σ from the q232 decimal
+    // moment discipline in ONE corpus pass; the allocation algebra runs on
+    // the bounded per-source frame (proportional column included for the
+    // contrast).
+    "q307_neyman_allocation" -> ((s, dir) => {
+      val dec9 = DecimalType(38, 9); val dec12 = DecimalType(38, 12)
+      val q = TextAnalytics.qualityScore
+      val per = docs(s, dir)
+        .select(col("source"), q.as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("q").cast(DecimalType(38, 6))).cast("double")
+            / count(lit(1)), 9).as("m"),
+          round(sum(round(col("q") * col("q"), 12).cast(dec12)).cast("double")
+            / count(lit(1)), 9).as("s2"))
+        .select(col("source"), col("n"), col("m"),
+          round(sqrt(round((col("s2") - col("m") * col("m"))
+            * (col("n").cast("double") / (col("n") - lit(1L))), 12)), 9).as("sigma"))
+        .select(col("source"), col("n"), col("m"), col("sigma"),
+          round(col("n") * col("sigma"), 9).as("w"))
+        .localCheckpoint()
+      val tot = per.agg(sum(col("w").cast(dec9)).as("wt"),
+        sum(col("n")).as("nn"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n").as("n_docs"),
+          col("m").as("mean_quality"), col("sigma"),
+          round(lit(1000.0) * col("w") / col("wt").cast("double"), 6)
+            .as("neyman_alloc"),
+          round(lit(1000.0) * col("n") / col("nn"), 6).as("prop_alloc"))
+        .orderBy(col("source"))
+    }),
+
     // Context-bucket padding waste (q168): the batch-planning report for a
     // bucketed-sequence training loop — each doc lands in the smallest
     // context bucket that holds it (overflowing docs truncate to the top
@@ -561,6 +599,27 @@ object Sampling extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q307_neyman_allocation" ->
+      """WITH qd AS (SELECT source,
+        |              round(0.5 * least(1.0, length(text) / 500.0)
+        |                  + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+        |                           len(string_split(trim(text), ' ')))
+        |                  + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |                           length(text)), 6) AS q
+        |            FROM documents),
+        |per AS (SELECT source, count(*) AS n,
+        |          round(CAST(sum(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / count(*), 9) AS m,
+        |          round(CAST(sum(CAST(round(q * q, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS s2
+        |        FROM qd GROUP BY 1),
+        |sg AS (SELECT source, n, m,
+        |         round(sqrt(round((s2 - m * m) * (CAST(n AS DOUBLE) / (n - 1)), 12)), 9) AS sigma
+        |       FROM per),
+        |wf AS (SELECT source, n, m, sigma, round(n * sigma, 9) AS w FROM sg),
+        |tot AS (SELECT sum(CAST(w AS DECIMAL(38,9))) AS wt, CAST(sum(n) AS BIGINT) AS nn FROM wf)
+        |SELECT source, n AS n_docs, m AS mean_quality, sigma,
+        |       round(1000.0 * w / CAST(wt AS DOUBLE), 6) AS neyman_alloc,
+        |       round(1000.0 * n / nn, 6) AS prop_alloc
+        |FROM wf CROSS JOIN tot ORDER BY source""".stripMargin,
     "q284_epochs_to_exhaustion" ->
       """WITH t AS (SELECT source,
         |             CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens

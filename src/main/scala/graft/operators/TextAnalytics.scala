@@ -361,6 +361,39 @@ object TextAnalytics extends QueryModule {
             .otherwise(lit(0.0)).as("chi2"))
     }),
 
+    // Fleiss' kappa for THREE raters (q306): the declared label, the q30
+    // heuristic and the q102 NB treated as three annotators of the same
+    // docs — the multi-rater generalization Cohen's kappa (q274, strictly
+    // two raters) can't express, and the form real annotation QC uses once
+    // a third labeler (or the "gold" label itself) enters the pool. The
+    // per-doc agreement P_i = (Σ_j n_ij² − r)/(r(r−1)) is an exact multiple
+    // of 1/6 at r=3, so Σ_i numerators stay pure integers until ONE final
+    // division; chance agreement Σ p_j² squares the category totals in
+    // decimal space (they're corpus-scaled). Two bounded grouped passes
+    // over (doc, category) vote rows.
+    "q306_fleiss_kappa" -> ((s, dir) => {
+      val dec0 = DecimalType(38, 0)
+      val heur = docs(s, dir).select(col("doc_id"), col("lang"), predictedLang.as("heur"))
+      val nb = nbLangIdScored(sharedNbScored(s, dir))
+        .select(col("doc_id"), col("pred_lang").as("nbp"))
+      val nij = heur.join(nb, Seq("doc_id"))
+        .select(col("doc_id"), explode(array(col("lang"), col("heur"), col("nbp"))).as("cat"))
+        .groupBy(col("doc_id"), col("cat")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val sp = nij.groupBy(col("doc_id"))
+        .agg((sum(col("c") * col("c")) - lit(3L)).as("num"))
+        .agg(count(lit(1)).as("n"), sum(col("num")).as("spn"))
+      val ssq = nij.groupBy(col("cat")).agg(sum(col("c")).as("cj"))
+        .agg(sum(col("cj").cast(dec0) * col("cj").cast(dec0)).as("ssq"))
+      sp.crossJoin(broadcast(ssq))
+        .select(col("n").as("n_docs"),
+          round(col("spn").cast("double") / (lit(6.0) * col("n")), 9).as("p_bar"),
+          round(col("ssq").cast("double") / (lit(9.0) * col("n") * col("n")), 9)
+            .as("p_e"))
+        .select(col("n_docs"), col("p_bar"), col("p_e"),
+          round((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")), 6).as("kappa"))
+    }),
+
     // Empirical-Bayes shrinkage of per-source high-quality rates (q303):
     // the small-sample fix for every per-source rate this surface reports —
     // a source with 8 docs and 7 "high quality" should NOT outrank one
@@ -1067,6 +1100,35 @@ object TextAnalytics extends QueryModule {
         |       round(CAST(ss AS DOUBLE) / nn, 6) AS mean_quality,
         |       round(sqrt(CAST(bks - 1 AS DOUBLE) / bks * ssd), 9) AS se_jack
         |FROM tot CROSS JOIN ts CROSS JOIN dev""".stripMargin,
+    "q306_fleiss_kappa" ->
+      (nbRankedSql +
+        """,
+          |nb AS (SELECT doc_id, pred_lang AS nbp FROM rk WHERE rn = 1),
+          |he AS (SELECT doc_id, lang,
+          |         CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+          |               AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b'))
+          |              THEN 'en'
+          |              WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+          |                   >= len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b'))
+          |              THEN 'de' ELSE 'es' END AS heur
+          |       FROM documents),
+          |votes AS (SELECT doc_id, unnest([lang, heur, nbp]) AS cat
+          |          FROM he JOIN nb USING (doc_id)),
+          |nij AS (SELECT doc_id, cat, count(*) AS c FROM votes GROUP BY 1, 2),
+          |sp AS (SELECT count(*) AS n, CAST(sum(num) AS BIGINT) AS spn FROM
+          |         (SELECT doc_id, CAST(sum(c * c) - 3 AS BIGINT) AS num
+          |          FROM nij GROUP BY 1)),
+          |ssq AS (SELECT sum(CAST(cj AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0))) AS ssq FROM
+          |          (SELECT cat, CAST(sum(c) AS BIGINT) AS cj FROM nij GROUP BY 1)),
+          |x AS (SELECT n AS n_docs,
+          |        round(CAST(spn AS DOUBLE) / (6.0 * n), 9) AS p_bar,
+          |        round(CAST(ssq AS DOUBLE) / (9.0 * n * n), 9) AS p_e
+          |      FROM sp CROSS JOIN ssq)
+          |SELECT n_docs, p_bar, p_e,
+          |       round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
+          |FROM x""".stripMargin),
     "q304_mcnemar" ->
       (nbRankedSql +
         """,

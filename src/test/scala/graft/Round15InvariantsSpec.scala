@@ -253,6 +253,26 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q306: Fleiss components are probabilities and kappa is bounded") {
+    val r = rows("q306_fleiss_kappa")
+    r should have size 1
+    val row = r.head
+    row.getAs[Double]("p_bar") should (be >= 0.0 and be <= 1.0)
+    row.getAs[Double]("p_e") should (be >= 0.0 and be <= 1.0)
+    row.getAs[Double]("kappa") should be <= 1.0
+  }
+
+  test("q307: both allocations exhaust the budget and Neyman tilts to variance") {
+    val r = rows("q307_neyman_allocation")
+    r should not be empty
+    val neyman = r.map(_.getAs[Double]("neyman_alloc"))
+    val prop = r.map(_.getAs[Double]("prop_alloc"))
+    neyman.sum shouldBe 1000.0 +- 0.01
+    prop.sum shouldBe 1000.0 +- 0.01
+    neyman.foreach(_ should be >= 0.0)
+    r.foreach(_.getAs[Double]("sigma") should be >= 0.0)
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
