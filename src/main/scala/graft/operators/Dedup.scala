@@ -830,6 +830,45 @@ object Dedup extends QueryModule {
     // FIRST (map-side combined), and only that bounded rollup meets the
     // 9-row threshold frame; signatures ride the codegen'd
     // graft_simhash64 kernel and join the (narrow) pair frame by id.
+    // Capture-recapture dedup-coverage estimate (q308): Lincoln–Petersen
+    // over the two INDEPENDENT near-dup detectors this engine runs — how
+    // many true duplicate pairs exist, estimated only from what the
+    // MinHash-LSH bucketer (q36 candidates) and the SimHash hamming≤12
+    // screen (q58) each caught and both caught: N̂ = n_lsh·n_simhash /
+    // n_both. The estimator wildlife surveys use, pointed at the question
+    // every dedup deployment actually has ("how much did we MISS?") —
+    // and because the fixture's exact-Jaccard truth IS computable, the
+    // query reports N̂ beside n_true, auditing the estimator itself
+    // (est_ratio ≈ 1 ⇔ the detectors' misses are independent). All three
+    // capture sets are semi-joins over the session pair/candidate layers;
+    // the final algebra runs on four broadcast 1-row counts.
+    "q308_capture_recapture" -> ((s, dir) => {
+      val truth = sharedNgramJaccardPairs(s, dir).filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val lsh = sharedMinhashCandidates(s, dir)
+      val sig = simhashSignatures(s, dir)
+      val capA = truth.join(lsh, Seq("id_a", "id_b"), "left_semi").localCheckpoint()
+      val capB = truth
+        .join(sig.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+        .filter(expr("bit_count(sha ^ shb)") <= 12)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val both = capA.join(capB, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(capA.agg(count(lit(1)).as("n_lsh"))))
+        .crossJoin(broadcast(capB.agg(count(lit(1)).as("n_simhash"))))
+        .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+        .select(col("n_true"), col("n_lsh"), col("n_simhash"), col("n_both"),
+          when(col("n_both") > 0,
+            round(col("n_lsh").cast("double") * col("n_simhash") / col("n_both"), 6))
+            .as("n_hat"),
+          round(col("n_lsh").cast("double") / col("n_true"), 6).as("cov_lsh"),
+          round(col("n_simhash").cast("double") / col("n_true"), 6).as("cov_simhash"))
+        .select(col("n_true"), col("n_lsh"), col("n_simhash"), col("n_both"),
+          col("n_hat"), col("cov_lsh"), col("cov_simhash"),
+          round(col("n_hat") / col("n_true"), 6).as("est_ratio"))
+    }),
+
     "q240_simhash_roc" -> ((s, dir) => {
       val pairs = sharedNgramJaccardPairs(s, dir)
       val sig = simhashSignatures(s, dir)
@@ -965,6 +1004,70 @@ object Dedup extends QueryModule {
     // band-value bucket join, exact-Jaccard verification — so it checks the
     // CANDIDATE GENERATION exactly, not just the verified similarity math.
     // The 32 min-aggregates and 8 band projections are generated by code.
+    "q308_capture_recapture" -> {
+      val mins = (0 until 32)
+        .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
+      val bandSelects = (0 until 8)
+        .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
+          s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         |shg AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+         |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+         |        FROM toks WHERE len(w) >= 5),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shg),
+         |capped AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 8192),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |           WHERE a.s IN (SELECT s FROM capped)
+         |           GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM shg),
+         |tr AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM common JOIN sizes sa ON sa.doc_id = id_a
+         |                                JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+         |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h FROM ex),
+         |sigs AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.b0 = b.b0 AND a.b1 = b.b1
+         |          AND a.b2 = b.b2 AND a.b3 = b.b3 AND a.doc_id < b.doc_id),
+         |capa AS MATERIALIZED (SELECT tr.id_a, tr.id_b FROM tr JOIN cand USING (id_a, id_b)),
+         |tk2 AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
+         |hh AS (SELECT doc_id,
+         |         CAST(concat('0x', substring(md5(tk), 1, 8)) AS BIGINT) AS hi,
+         |         CAST(concat('0x', substring(md5(tk), 9, 8)) AS BIGINT) AS lo
+         |       FROM tk2),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         CASE WHEN sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) ELSE (hi >> (b - 32)) END & 1) = 1
+         |                           THEN 1 ELSE -1 END) > 0
+         |              THEN (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |                         ELSE (CAST(1 AS BIGINT) << b) END)
+         |              ELSE 0 END AS bv
+         |  FROM hh CROSS JOIN (SELECT unnest(range(64)) AS b)
+         |  GROUP BY doc_id, b),
+         |sg AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS sig FROM bits GROUP BY doc_id),
+         |capb AS MATERIALIZED (
+         |  SELECT tr.id_a, tr.id_b FROM tr JOIN sg a ON a.doc_id = tr.id_a
+         |                                  JOIN sg b ON b.doc_id = tr.id_b
+         |  WHERE CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) <= 12),
+         |mm AS (SELECT capa.id_a FROM capa JOIN capb USING (id_a, id_b)),
+         |agg AS (SELECT (SELECT count(*) FROM tr) AS n_true,
+         |          (SELECT count(*) FROM capa) AS n_lsh,
+         |          (SELECT count(*) FROM capb) AS n_simhash,
+         |          (SELECT count(*) FROM mm) AS n_both),
+         |x AS (SELECT n_true, n_lsh, n_simhash, n_both,
+         |        CASE WHEN n_both > 0
+         |             THEN round(CAST(n_lsh AS DOUBLE) * n_simhash / n_both, 6) END AS n_hat,
+         |        round(CAST(n_lsh AS DOUBLE) / n_true, 6) AS cov_lsh,
+         |        round(CAST(n_simhash AS DOUBLE) / n_true, 6) AS cov_simhash
+         |      FROM agg)
+         |SELECT n_true, n_lsh, n_simhash, n_both, n_hat, cov_lsh, cov_simhash,
+         |       round(n_hat / n_true, 6) AS est_ratio
+         |FROM x""".stripMargin
+    },
     "q36_minhash_lsh" -> {
       val mins = (0 until 32)
         .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")

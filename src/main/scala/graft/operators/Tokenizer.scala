@@ -140,6 +140,64 @@ object Tokenizer extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Chao1 vocabulary-richness estimate per source (q309): how many word
+    // types does the source's full population hold, given what this sample
+    // shows? Chao's bias-corrected lower bound S_obs + N1(N1−1)/(2(N2+1))
+    // — the ecology estimator corpus linguistics borrowed — read with
+    // q305's missing MASS: q305 prices the next token drawn, Chao1 sizes
+    // the whole unseen vocabulary, and completeness = S_obs/chao1 is the
+    // "how much of this source's lexicon have we even seen" fraction that
+    // decides whether crawling more of it can pay. Same integer
+    // count-of-counts layer as q305; single-division finals.
+    "q309_chao1_richness" -> ((s, dir) => {
+      val st = Retrieval.sharedTermFreqs(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"), col("term"))
+        .agg(sum(col("tf")).as("n"))
+      st.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+          sum(when(col("n") === 2, lit(1L)).otherwise(lit(0L))).as("n2"))
+        .select(col("source"), col("n_types"), col("n1"), col("n2"),
+          round(col("n1").cast("double") * (col("n1") - lit(1L))
+            / (lit(2.0) * (col("n2") + lit(1L))), 6).as("undetected"))
+        .select(col("source"), col("n_types"), col("n1"), col("n2"),
+          col("undetected"),
+          round(col("n_types") + col("undetected"), 6).as("chao1"),
+          round(col("n_types").cast("double")
+            / (col("n_types") + col("undetected")), 6).as("completeness"))
+        .orderBy(col("source"))
+    }),
+
+    // Corpus conditional bigram entropy (q310): H(w₂|w₁) = H(bigrams) −
+    // H(first words) — how predictable the NEXT token is given the current
+    // one, in bits. The sequence-level information readout the per-doc
+    // unigram entropy (q104) can't see: a corpus of shuffled word salad
+    // and one of fluent prose can share unigram stats while their
+    // conditional entropies diverge; 2^H is the corpus's bigram perplexity,
+    // the number LM folks actually quote. Both entropy terms fall out of
+    // ONE adjacent-pair count frame (row-local zip, q81's layout) via the
+    // q206 log10-ratio convention (12-dp pre-rounded decimal sums).
+    "q310_conditional_entropy" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+      val bc = bigramsOf(docs(s, dir))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val bn = bc.agg(sum(col("c")).as("n"))
+      def h(keyed: DataFrame, out: String): DataFrame =
+        keyed.crossJoin(broadcast(bn))
+          .select((col("c").cast("double") / col("n")).as("p"))
+          .agg(round(-sum(round(col("p") * log10(col("p")) / log10(lit(2.0)), 12)
+            .cast(dec)).cast("double"), 6).as(out))
+      val h2 = h(bc, "h_bigram")
+      val h1 = h(bc.groupBy(col("t1")).agg(sum(col("c")).as("c")), "h_first")
+      bn.crossJoin(h2).crossJoin(h1)
+        .select(col("n").as("n_bigrams"), col("h_bigram"), col("h_first"),
+          round(col("h_bigram") - col("h_first"), 6).as("h_cond"))
+        .select(col("n_bigrams"), col("h_bigram"), col("h_first"), col("h_cond"),
+          round(pow(lit(2.0), col("h_cond")), 6).as("perplexity"))
+    }),
+
     // Term burstiness / adaptation (q255) — Church & Gale's observation
     // ("Poisson mixtures", 1995; Church, "Empirical estimates of
     // adaptation", 2000): content words are BURSTY — once a document
@@ -367,6 +425,42 @@ object Tokenizer extends QueryModule {
         |       CASE WHEN n_hapax > 0 THEN round(2.0 * n_dis / n_hapax, 6)
         |            ELSE NULL END AS r_star_1
         |FROM m ORDER BY source""".stripMargin,
+    "q309_chao1_richness" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |st AS (SELECT d.source, tf.term, CAST(sum(tf.tf) AS BIGINT) AS n
+        |       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |m AS (SELECT source, count(*) AS n_types,
+        |        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |      FROM st GROUP BY 1),
+        |u AS (SELECT source, n_types, n1, n2,
+        |        round(CAST(n1 AS DOUBLE) * (n1 - 1) / (2.0 * (n2 + 1)), 6) AS undetected
+        |      FROM m)
+        |SELECT source, n_types, n1, n2, undetected,
+        |       round(n_types + undetected, 6) AS chao1,
+        |       round(CAST(n_types AS DOUBLE) / (n_types + undetected), 6) AS completeness
+        |FROM u ORDER BY source""".stripMargin,
+    "q310_conditional_entropy" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |big AS (SELECT unnest(list_transform(range(len(w) - 1), i -> {'t1': w[i+1], 't2': w[i+2]})) AS p
+        |        FROM toks WHERE len(w) >= 2),
+        |bc AS (SELECT p.t1 AS t1, p.t2 AS t2, count(*) AS c FROM big GROUP BY 1, 2),
+        |bn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bc),
+        |h2 AS (SELECT round(-CAST(sum(CAST(round(
+        |           (CAST(c AS DOUBLE) / bn.n) * log10(CAST(c AS DOUBLE) / bn.n) / log10(2.0),
+        |           12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_bigram
+        |       FROM bc CROSS JOIN bn),
+        |h1 AS (SELECT round(-CAST(sum(CAST(round(
+        |           (CAST(c AS DOUBLE) / bn.n) * log10(CAST(c AS DOUBLE) / bn.n) / log10(2.0),
+        |           12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_first
+        |       FROM (SELECT t1, CAST(sum(c) AS BIGINT) AS c FROM bc GROUP BY 1) CROSS JOIN bn),
+        |x AS (SELECT bn.n AS n_bigrams, h_bigram, h_first,
+        |        round(h_bigram - h_first, 6) AS h_cond
+        |      FROM bn CROSS JOIN h2 CROSS JOIN h1)
+        |SELECT n_bigrams, h_bigram, h_first, h_cond,
+        |       round(pow(2.0, h_cond), 6) AS perplexity
+        |FROM x""".stripMargin,
     "q81_bigram_merges" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |big AS (SELECT unnest(list_transform(range(len(w) - 1), i -> {'t1': w[i+1], 't2': w[i+2]})) AS p

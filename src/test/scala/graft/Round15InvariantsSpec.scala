@@ -273,6 +273,41 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     r.foreach(_.getAs[Double]("sigma") should be >= 0.0)
   }
 
+  test("q308: capture sets nest and the L-P estimate dominates each capture") {
+    val r = rows("q308_capture_recapture")
+    r should have size 1
+    val row = r.head
+    val (nt, n1, n2, nb) = (row.getAs[Long]("n_true"), row.getAs[Long]("n_lsh"),
+      row.getAs[Long]("n_simhash"), row.getAs[Long]("n_both"))
+    nb should be <= math.min(n1, n2)
+    n1 should be <= nt
+    n2 should be <= nt
+    if (!row.isNullAt(row.fieldIndex("n_hat"))) {
+      // n̂ = n1·n2/m >= max(n1, n2) whenever m <= min(n1, n2)
+      row.getAs[Double]("n_hat") should be >= math.max(n1, n2).toDouble - 1e-6
+    }
+  }
+
+  test("q309: Chao1 never shrinks the observed vocabulary") {
+    val r = rows("q309_chao1_richness")
+    r should not be empty
+    r.foreach { row =>
+      row.getAs[Double]("chao1") should be >= row.getAs[Long]("n_types").toDouble - 1e-6
+      row.getAs[Double]("completeness") should (be > 0.0 and be <= 1.0 + 1e-9)
+      row.getAs[Double]("undetected") should be >= 0.0
+    }
+  }
+
+  test("q310: conditioning can only reduce entropy; perplexity >= 1") {
+    val r = rows("q310_conditional_entropy")
+    r should have size 1
+    val row = r.head
+    // H(w2|w1) = H(pair) - H(first) is nonnegative and bounded by H(pair)
+    row.getAs[Double]("h_cond") should be >= -1e-6
+    row.getAs[Double]("h_cond") should be <= row.getAs[Double]("h_bigram") + 1e-6
+    row.getAs[Double]("perplexity") should be >= 1.0 - 1e-6
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
