@@ -540,6 +540,79 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Weekly cohort retention matrix (q311): users bucketed by FIRST-seen
+    // week, then the classic retention triangle — of cohort w's users, how
+    // many were active k weeks later, as a rate of the cohort's size. The
+    // longitudinal readout q56's day-over-day pairs can't give (it has no
+    // cohort axis, so aging and acquisition mix). Distinct (user, week)
+    // activity is the only corpus-sized frame (one distinct + one min-per-
+    // user grouped pass, both map-side combined); the matrix itself is
+    // |weeks|² rows, calendar-bounded at any corpus scale.
+    "q311_cohort_retention" -> ((s, dir) => {
+      val act = ev(s, dir)
+        .select(col("user_id"),
+          floor(col("ts").cast(LongType) / 604800L).cast(LongType).as("week"))
+        .distinct().localCheckpoint()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("week")).as("cw"))
+      val m = act.join(cohort, "user_id")
+        .groupBy(col("cw"), (col("week") - col("cw")).as("k"))
+        .agg(count(lit(1)).as("n_active"))
+      val base = m.filter(col("k") === 0)
+        .select(col("cw"), col("n_active").as("n_cohort"))
+      m.join(base, "cw")
+        .select(col("cw").as("cohort_week"), col("k").as("weeks_since"),
+          col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    }),
+
+    // Feature information gain for purchase prediction (q312): the
+    // decision-stump / feature-selection readout — for each candidate
+    // feature (6-hour time-of-day bucket, weekend flag, and the props k%10
+    // field q142 proves uniform), the mutual information with "this event
+    // is a purchase": IG(f) = H(y) − H(y|f). The uniform k feature is the
+    // planted null (IG ≈ 0), so the ranking is self-calibrating — features
+    // below the null's gain carry nothing. All three features cell-count in
+    // ONE grouped pass over a union of narrow projections; entropies follow
+    // the q206 log10 convention (12-dp pre-rounded decimal sums).
+    "q312_info_gain" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val base = ev(s, dir).select(
+        col("ts").cast(LongType).as("t"),
+        when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)).as("y"),
+        (regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(LongType) % 10)
+          .as("kf"))
+        .select(col("y"),
+          expr("((t div 3600) % 24) div 6").as("b1"),
+          when(((expr("t div 86400") + lit(4L)) % 7).isin(0, 6), lit(1L))
+            .otherwise(lit(0L)).as("b2"),
+          col("kf").as("b3"))
+        .localCheckpoint()
+      val u = base.select(lit("f1_hod_bucket").as("feature"), col("b1").as("v"), col("y"))
+        .unionByName(base.select(lit("f2_weekend").as("feature"), col("b2").as("v"), col("y")))
+        .unionByName(base.select(lit("f3_props_k").as("feature"), col("b3").as("v"), col("y")))
+      val cells = u.groupBy(col("feature"), col("v"), col("y"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val nv = cells.groupBy(col("feature"), col("v")).agg(sum(col("c")).as("nv"))
+      val nn = cells.filter(col("feature") === "f1_hod_bucket")
+        .agg(sum(col("c")).as("n"))
+      val hy = cells.filter(col("feature") === "f1_hod_bucket")
+        .groupBy(col("y")).agg(sum(col("c")).as("cy"))
+        .crossJoin(broadcast(nn))
+        .agg(round(-sum(round((col("cy").cast("double") / col("n"))
+            * log10(col("cy").cast("double") / col("n")) / log10(lit(2.0)), 12)
+          .cast(dec)).cast("double"), 6).as("h_y"))
+      cells.join(nv, Seq("feature", "v")).crossJoin(broadcast(nn))
+        .groupBy(col("feature"))
+        .agg(round(-sum(round((col("c").cast("double") / col("n"))
+            * log10(col("c").cast("double") / col("nv")) / log10(lit(2.0)), 12)
+          .cast(dec)).cast("double"), 6).as("h_cond"))
+        .crossJoin(broadcast(hy))
+        .select(col("feature"), col("h_y"), col("h_cond"),
+          round(col("h_y") - col("h_cond"), 6).as("info_gain"))
+        .orderBy(col("feature"))
+    }),
+
     // Exact per-type value percentiles (p50/p95/p99) — the ops-dashboard
     // distribution summary. Spark's exact interpolated `percentile` matches
     // DuckDB's percentile_cont (both return the same convex combination of
@@ -1646,6 +1719,43 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q311_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               CAST(floor(epoch(ts)/604800) AS BIGINT) AS week FROM events),
+        |co AS (SELECT user_id, min(week) AS cw FROM act GROUP BY 1),
+        |m AS (SELECT cw, week - cw AS k, count(*) AS n_active
+        |      FROM act JOIN co USING (user_id) GROUP BY 1, 2),
+        |b AS (SELECT cw, n_active AS n_cohort FROM m WHERE k = 0)
+        |SELECT m.cw AS cohort_week, m.k AS weeks_since, m.n_active, b.n_cohort,
+        |       round(CAST(m.n_active AS DOUBLE) / b.n_cohort, 6) AS retention
+        |FROM m JOIN b USING (cw) ORDER BY cohort_week, weeks_since""".stripMargin,
+    "q312_info_gain" ->
+      """WITH base AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS b3
+        |      FROM events),
+        |f AS (SELECT y, ((t // 3600) % 24) // 6 AS b1,
+        |        CASE WHEN ((t // 86400 + 4) % 7) IN (0, 6) THEN 1 ELSE 0 END AS b2, b3
+        |      FROM base),
+        |u AS (SELECT 'f1_hod_bucket' AS feature, b1 AS v, y FROM f
+        |      UNION ALL SELECT 'f2_weekend', b2, y FROM f
+        |      UNION ALL SELECT 'f3_props_k', b3, y FROM f),
+        |cells AS (SELECT feature, v, y, count(*) AS c FROM u GROUP BY 1, 2, 3),
+        |nv AS (SELECT feature, v, CAST(sum(c) AS BIGINT) AS nv FROM cells GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells WHERE feature = 'f1_hod_bucket'),
+        |hy AS (SELECT round(-CAST(sum(CAST(round(
+        |           (CAST(cy AS DOUBLE) / nn.n) * log10(CAST(cy AS DOUBLE) / nn.n) / log10(2.0),
+        |           12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_y
+        |       FROM (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells
+        |             WHERE feature = 'f1_hod_bucket' GROUP BY 1)
+        |         CROSS JOIN nn),
+        |hc AS (SELECT feature,
+        |         round(-CAST(sum(CAST(round(
+        |             (CAST(c AS DOUBLE) / nn.n) * log10(CAST(c AS DOUBLE) / nv.nv) / log10(2.0),
+        |             12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_cond
+        |       FROM cells JOIN nv USING (feature, v) CROSS JOIN nn GROUP BY 1)
+        |SELECT feature, h_y, h_cond, round(h_y - h_cond, 6) AS info_gain
+        |FROM hc CROSS JOIN hy ORDER BY feature""".stripMargin,
     "q302_logrank" ->
       """WITH fv AS (SELECT user_id,
         |              CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,

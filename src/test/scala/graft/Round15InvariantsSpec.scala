@@ -308,6 +308,32 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     row.getAs[Double]("perplexity") should be >= 1.0 - 1e-6
   }
 
+  test("q311: the retention triangle starts at 1.0 and rates are probabilities") {
+    val r = rows("q311_cohort_retention")
+    r should not be empty
+    r.filter(_.getAs[Long]("weeks_since") == 0L)
+      .foreach(_.getAs[Double]("retention") shouldBe 1.0)
+    r.foreach { row =>
+      row.getAs[Long]("n_active") should be <= row.getAs[Long]("n_cohort")
+      row.getAs[Double]("retention") should (be > 0.0 and be <= 1.0)
+      row.getAs[Long]("weeks_since") should be >= 0L
+    }
+  }
+
+  test("q312: info gain is bounded by H(y) and the planted uniform feature is null") {
+    val r = rows("q312_info_gain")
+    r.map(_.getAs[String]("feature")).sorted shouldBe
+      Seq("f1_hod_bucket", "f2_weekend", "f3_props_k")
+    r.foreach { row =>
+      val ig = row.getAs[Double]("info_gain")
+      ig should be >= -1e-6
+      ig should be <= row.getAs[Double]("h_y") + 1e-6
+    }
+    // props k is uniform and independent of purchase-ness (q142): near-zero gain
+    r.find(_.getAs[String]("feature") == "f3_props_k").get
+      .getAs[Double]("info_gain") should be < 0.01
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
