@@ -613,6 +613,44 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("feature"))
     }),
 
+    // Difference-in-differences readout (q313): the quasi-experimental
+    // estimator for when randomization ISN'T available — arm A's pre→post
+    // daily-revenue change minus arm B's, with "post" cut at the calendar
+    // midpoint. Here both arm and cut are the q224 hash / a neutral date,
+    // so this is the A/A placebo run of the estimator (did ≈ 0 is the
+    // calibration every real DiD should be preceded by); the parallel-
+    // trends input q281's sequential monitor watches is exactly this
+    // frame. One grouped pass to the (arm, day) rollup; the four cell
+    // means and the contrast run on a calendar-bounded frame in exact
+    // decimal space.
+    "q313_diff_in_diff" -> ((s, dir) => {
+      val arm = expr(
+        "cast(conv(substring(md5(concat(cast(user_id as string), ':ab')), 1, 4), 16, 10) as bigint) % 2")
+      val daily = ev(s, dir)
+        .select(arm.as("arm"),
+          floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("arm"), col("day")).agg(exactSum(col("value"), 2).as("rev"))
+        .localCheckpoint()
+      val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val cells = daily.crossJoin(broadcast(bounds))
+        .select(col("arm"),
+          when(col("day") >= expr("(lo + hi + 1) div 2"), lit(1L))
+            .otherwise(lit(0L)).as("post"),
+          col("rev"))
+        .groupBy(col("arm"), col("post"))
+        .agg(round(sum(col("rev").cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1)), 9).as("m"))
+        .localCheckpoint()
+      def cell(a: Int, p: Int, nm: String): DataFrame =
+        cells.filter(col("arm") === a && col("post") === p).select(col("m").as(nm))
+      cell(0, 0, "m_a_pre").crossJoin(cell(0, 1, "m_a_post"))
+        .crossJoin(cell(1, 0, "m_b_pre")).crossJoin(cell(1, 1, "m_b_post"))
+        .select(col("m_a_pre"), col("m_a_post"), col("m_b_pre"), col("m_b_post"),
+          round((col("m_a_post") - col("m_a_pre"))
+            - (col("m_b_post") - col("m_b_pre")), 6).as("did"))
+    }),
+
     // Exact per-type value percentiles (p50/p95/p99) — the ops-dashboard
     // distribution summary. Spark's exact interpolated `percentile` matches
     // DuckDB's percentile_cont (both return the same convex combination of
@@ -1719,6 +1757,23 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q313_diff_in_diff" ->
+      """WITH d AS (SELECT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,
+        |             CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, value
+        |           FROM events),
+        |daily AS (SELECT arm, day, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |          FROM d GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |cells AS (SELECT arm,
+        |            CASE WHEN day >= (lo + hi + 1) // 2 THEN 1 ELSE 0 END AS post,
+        |            round(CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / count(*), 9) AS m
+        |          FROM daily CROSS JOIN bounds GROUP BY 1, 2)
+        |SELECT a0.m AS m_a_pre, a1.m AS m_a_post, b0.m AS m_b_pre, b1.m AS m_b_post,
+        |       round((a1.m - a0.m) - (b1.m - b0.m), 6) AS did
+        |FROM (SELECT m FROM cells WHERE arm = 0 AND post = 0) a0
+        |  CROSS JOIN (SELECT m FROM cells WHERE arm = 0 AND post = 1) a1
+        |  CROSS JOIN (SELECT m FROM cells WHERE arm = 1 AND post = 0) b0
+        |  CROSS JOIN (SELECT m FROM cells WHERE arm = 1 AND post = 1) b1""".stripMargin,
     "q311_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |               CAST(floor(epoch(ts)/604800) AS BIGINT) AS week FROM events),

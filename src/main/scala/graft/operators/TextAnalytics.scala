@@ -329,6 +329,38 @@ object TextAnalytics extends QueryModule {
             * col("ssd")), 9).as("se_jack"))
     }),
 
+    // Readability profile per source (q314): Flesch reading ease with a
+    // deterministic vowel-run syllable proxy — the document-complexity
+    // dimension the q31 quality heuristic (length/stopword/punct) doesn't
+    // measure: two sources can share quality scores while one is simple
+    // prose and the other jargon, and readability is the standard knob a
+    // curriculum/mixture designer adds for it. Sentences = [.!?]+ runs,
+    // syllables ≈ [aeiouy]+ runs (both floor-1 guarded, pure regexp
+    // counts, SQL-replayable); per-doc ratios 9-dp pre-rounded then
+    // decimal-summed per source. One corpus pass, row-local extraction.
+    "q314_readability" -> ((s, dir) => {
+      val dec9 = DecimalType(38, 9)
+      val w = nTokens(col("text"))
+      val sent = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast(LongType))
+      val syl = greatest(lit(1L),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast(LongType))
+      val per = docs(s, dir).select(col("source"),
+          round(w.cast("double") / sent, 9).as("wps"),
+          round(syl.cast("double") / w, 9).as("spw"))
+        .select(col("source"), col("wps"), col("spw"),
+          round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 6)
+            .as("flesch"))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("wps").cast(dec9)).cast("double") / count(lit(1)), 6)
+            .as("mean_wps"),
+          round(sum(col("spw").cast(dec9)).cast("double") / count(lit(1)), 6)
+            .as("mean_spw"),
+          round(sum(col("flesch").cast(dec9)).cast("double") / count(lit(1)), 6)
+            .as("mean_flesch"))
+        .orderBy(col("source"))
+    }),
+
     // McNemar paired-rater test (q304): q274's kappa says how much the two
     // lang-id raters AGREE; McNemar says which one is BETTER, and whether
     // the difference is significant — it conditions on the discordant docs
@@ -1158,6 +1190,21 @@ object TextAnalytics extends QueryModule {
           |                       / (heur_only + nb_only), 6)
           |            ELSE 0.0 END AS chi2
           |FROM m""".stripMargin),
+    "q314_readability" ->
+      """WITH per AS (SELECT source,
+        |               round(CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+        |                     / greatest(1, len(regexp_extract_all(text, '[.!?]+'))), 9) AS wps,
+        |               round(CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS DOUBLE)
+        |                     / len(string_split(trim(text), ' ')), 9) AS spw
+        |             FROM documents),
+        |f AS (SELECT source, wps, spw,
+        |        round(206.835 - 1.015 * wps - 84.6 * spw, 6) AS flesch
+        |      FROM per)
+        |SELECT source, count(*) AS n_docs,
+        |       round(CAST(sum(CAST(wps AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS mean_wps,
+        |       round(CAST(sum(CAST(spw AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS mean_spw,
+        |       round(CAST(sum(CAST(flesch AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS mean_flesch
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q303_eb_shrinkage" ->
       """WITH qd AS (SELECT source,
         |              CASE WHEN round(0.5 * least(1.0, length(text) / 500.0)

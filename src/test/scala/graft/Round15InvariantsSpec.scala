@@ -334,6 +334,27 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
       .getAs[Double]("info_gain") should be < 0.01
   }
 
+  test("q313: the DiD contrast reconciles with its four cell means") {
+    val r = rows("q313_diff_in_diff")
+    r should have size 1
+    val row = r.head
+    val did = (row.getAs[Double]("m_a_post") - row.getAs[Double]("m_a_pre")) -
+      (row.getAs[Double]("m_b_post") - row.getAs[Double]("m_b_pre"))
+    row.getAs[Double]("did") shouldBe
+      BigDecimal(did).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("q314: readability ratios are positive and words-per-sentence >= 1 token") {
+    val r = rows("q314_readability")
+    r should not be empty
+    r.foreach { row =>
+      row.getAs[Double]("mean_wps") should be > 0.0
+      row.getAs[Double]("mean_spw") should be > 0.0
+      // Flesch is bounded above by its constant when both ratios are positive
+      row.getAs[Double]("mean_flesch") should be < 206.835
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
