@@ -84,5 +84,7 @@ object ExplainAudit {
       "batch partitions — partition-parallel"),
     "q238_unimax_alloc" -> ("bounded: water-filling windows over the per-source token " +
       "rollup (|sources| rows); the corpus itself only passes one map-side-combined " +
-      "grouped sum"))
+      "grouped sum"),
+    "q317_runs_test" -> ("bounded: two lag windows over the per-day rollup (#days " +
+      "rows, calendar-bounded); the event log only passes one grouped sum"))
 }

@@ -651,6 +651,81 @@ object EventAnalytics extends QueryModule {
             - (col("m_b_post") - col("m_b_pre")), 6).as("did"))
     }),
 
+    // Mann-Kendall trend test on daily revenue (q316): is there a monotone
+    // trend, with significance — the nonparametric test behind q176's
+    // Theil-Sen slope (Theil-Sen says HOW steep; MK says WHETHER to believe
+    // a trend at all): S = Σ sign(rev_j − rev_i) over ordered day pairs,
+    // tie-corrected variance, continuity-corrected z. Pure integers until
+    // the final two divisions; the pair stage is the calendar²-bounded
+    // q296 layout, the event log passes one grouped sum.
+    "q316_mann_kendall" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day")).agg(exactSum(col("value"), 2).as("rev"))
+        .localCheckpoint()
+      val a = daily.select(col("day").as("d1"), col("rev").as("r1"))
+      val b = daily.select(col("day").as("d2"), col("rev").as("r2"))
+      val sgn = a.join(b, col("d1") < col("d2"))
+        .agg(sum(when(col("r2") > col("r1"), lit(1L))
+          .when(col("r2") < col("r1"), lit(-1L)).otherwise(lit(0L))).as("s_mk"))
+      val n = daily.agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(coalesce(sum(col("t") * (col("t") - lit(1L))
+          * (lit(2L) * col("t") + lit(5L))), lit(0L)).as("tie_term"))
+      n.crossJoin(broadcast(sgn)).crossJoin(broadcast(ties))
+        .select(col("n").as("n_days"), col("s_mk"),
+          (col("n") * (col("n") - lit(1L)) * (lit(2L) * col("n") + lit(5L))).as("num"),
+          col("tie_term"))
+        .select(col("n_days"), col("s_mk"),
+          round((col("num") - col("tie_term")).cast("double") / 18, 9).as("var_s"))
+        .select(col("n_days"), col("s_mk"), col("var_s"),
+          when(col("s_mk") > 0,
+            round((col("s_mk") - lit(1L)).cast("double") / sqrt(col("var_s")), 6))
+            .when(col("s_mk") < 0,
+              round((col("s_mk") + lit(1L)).cast("double") / sqrt(col("var_s")), 6))
+            .otherwise(lit(0.0)).as("z_mk"))
+    }),
+
+    // Wald–Wolfowitz runs test on daily revenue moves (q317): are the
+    // up/down moves RANDOM, or do they streak (momentum) or alternate
+    // (mean-reversion/oscillation)? The serial-dependence readout q275's
+    // linear ACF can't give — runs count sign structure, not magnitude
+    // correlation. Ties drop per the standard construction; R = 1 +
+    // sign-changes, E[R] and Var[R] in closed form from the up/down census.
+    // Both lag windows run over the per-day rollup (#days rows, audit-
+    // classified); the event log passes one grouped sum.
+    "q317_runs_test" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day")).agg(exactSum(col("value"), 2).as("rev"))
+      val wD = Window.orderBy(col("day"))
+      val mv = daily.withColumn("prev", lag(col("rev"), 1).over(wD))
+        .filter(col("prev").isNotNull && col("rev") =!= col("prev"))
+        .select(col("day"),
+          when(col("rev") > col("prev"), lit(1L)).otherwise(lit(-1L)).as("mv"))
+        .localCheckpoint()
+      mv.withColumn("pm", lag(col("mv"), 1).over(wD))
+        .agg(sum(when(col("mv") === 1, lit(1L)).otherwise(lit(0L))).as("n_up"),
+          sum(when(col("mv") === -1, lit(1L)).otherwise(lit(0L))).as("n_down"),
+          (lit(1L) + sum(when(col("pm").isNotNull && col("mv") =!= col("pm"), lit(1L))
+            .otherwise(lit(0L)))).as("n_runs"))
+        .select(col("n_up"), col("n_down"), col("n_runs"),
+          round(lit(1.0) + lit(2.0) * col("n_up") * col("n_down")
+            / (col("n_up") + col("n_down")), 9).as("e_runs"),
+          round(lit(2.0) * col("n_up") * col("n_down")
+            * (lit(2.0) * col("n_up") * col("n_down") - col("n_up") - col("n_down"))
+            / ((col("n_up") + col("n_down")).cast("double")
+              * (col("n_up") + col("n_down"))
+              * (col("n_up") + col("n_down") - lit(1L))), 9).as("var_runs"))
+        .select(col("n_up"), col("n_down"), col("n_runs"), col("e_runs"),
+          col("var_runs"),
+          round((col("n_runs") - col("e_runs")) / sqrt(col("var_runs")), 6)
+            .as("z_runs"))
+    }),
+
     // Exact per-type value percentiles (p50/p95/p99) — the ops-dashboard
     // distribution summary. Spark's exact interpolated `percentile` matches
     // DuckDB's percentile_cont (both return the same convex combination of
@@ -1757,6 +1832,48 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q316_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |               FROM events GROUP BY 1),
+        |sgn AS (SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+        |                             WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_mk
+        |        FROM daily a JOIN daily b ON a.day < b.day),
+        |n AS (SELECT count(*) AS n FROM daily),
+        |ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+        |         FROM (SELECT rev, count(*) AS t FROM daily GROUP BY 1) WHERE t > 1),
+        |x AS (SELECT n.n AS n_days, s_mk,
+        |        n.n * (n.n - 1) * (2 * n.n + 5) AS num, tie_term
+        |      FROM n CROSS JOIN sgn CROSS JOIN ties),
+        |v AS (SELECT n_days, s_mk,
+        |        round(CAST(num - tie_term AS DOUBLE) / 18, 9) AS var_s FROM x)
+        |SELECT n_days, s_mk, var_s,
+        |       CASE WHEN s_mk > 0 THEN round(CAST(s_mk - 1 AS DOUBLE) / sqrt(var_s), 6)
+        |            WHEN s_mk < 0 THEN round(CAST(s_mk + 1 AS DOUBLE) / sqrt(var_s), 6)
+        |            ELSE 0.0 END AS z_mk
+        |FROM v""".stripMargin,
+    "q317_runs_test" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |               FROM events GROUP BY 1),
+        |mv0 AS (SELECT day, rev, lag(rev) OVER (ORDER BY day) AS prev FROM daily),
+        |mv AS (SELECT day, CASE WHEN rev > prev THEN 1 ELSE -1 END AS mv
+        |       FROM mv0 WHERE prev IS NOT NULL AND rev != prev),
+        |mp AS (SELECT mv, lag(mv) OVER (ORDER BY day) AS pm FROM mv),
+        |r AS (SELECT CAST(sum(CASE WHEN mv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |        CAST(sum(CASE WHEN mv = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+        |        1 + CAST(sum(CASE WHEN pm IS NOT NULL AND mv != pm THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |      FROM mp),
+        |e AS (SELECT n_up, n_down, n_runs,
+        |        round(1.0 + 2.0 * n_up * n_down / (n_up + n_down), 9) AS e_runs,
+        |        round(2.0 * n_up * n_down
+        |              * (2.0 * n_up * n_down - n_up - n_down)
+        |              / (CAST(n_up + n_down AS DOUBLE) * (n_up + n_down)
+        |                 * (n_up + n_down - 1)), 9) AS var_runs
+        |      FROM r)
+        |SELECT n_up, n_down, n_runs, e_runs, var_runs,
+        |       round((n_runs - e_runs) / sqrt(var_runs), 6) AS z_runs
+        |FROM e""".stripMargin,
     "q313_diff_in_diff" ->
       """WITH d AS (SELECT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)) AS BIGINT) % 2 AS arm,
         |             CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, value

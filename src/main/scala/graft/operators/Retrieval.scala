@@ -355,6 +355,61 @@ object Retrieval extends QueryModule {
     // rollup rides the shared inverted index and is localCheckpointed
     // once (it feeds the scores plus both margins — the q144 lesson);
     // prior α=0.5/term. Top-5 per source, support floor 5.
+    // Burrows' Delta stylometric distance (q315): the authorship-attribution
+    // metric (Burrows 2002) between SOURCES — z-score each source's relative
+    // frequency of the top-50 corpus terms across the source population,
+    // then Delta(a,b) = mean |z_a − z_b|. Function-word profiles separate
+    // STYLE (who wrote it / what template generated it) where q221's JS
+    // divergence sees topic; two crawls of the same generator cluster here
+    // even when their topics differ. The grid is |sources|×50 (zero-filled
+    // so absent terms count), every moment/z/pair stage runs on that
+    // bounded frame; the corpus contributes one shared-index pass.
+    "q315_burrows_delta" -> ((s, dir) => {
+      val st = sharedTermFreqs(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"), col("term")).agg(sum(col("tf")).as("c"))
+        .localCheckpoint()
+      val stot = st.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val top = st.groupBy(col("term")).agg(sum(col("c")).as("tc"))
+        .orderBy(col("tc").desc, col("term")).limit(50).select(col("term"))
+      val rel = stot.crossJoin(broadcast(top))
+        .join(st, Seq("source", "term"), "left")
+        .select(col("source"), col("term"),
+          round(coalesce(col("c"), lit(0L)).cast("double") / col("n"), 9).as("f"))
+        .localCheckpoint()
+      // mu/s2 are 9-dp means over |sources| (~20) values — a small EVEN
+      // denominator, so the exact quotient can land on a TRUE 9-dp tie
+      // (it did: term "value" at sf0.01) and the engines tie-break
+      // differently. Integer-space half-up (the q93 pattern) on both.
+      val ms = rel.groupBy(col("term"))
+        .agg(count(lit(1)).as("ns"),
+          (expr("(2 * cast(sum(cast(f as decimal(38,9))) * 1000000000 as decimal(38,0))" +
+            " + count(1)) div (2 * count(1))").cast("double") / 1e9).as("mu"),
+          (expr("(2 * cast(sum(cast(round(f * f, 12) as decimal(38,12))) * 1000000000000 as decimal(38,0))" +
+            " + 1000 * count(1)) div (2000 * count(1))").cast("double") / 1e9).as("s2"))
+        .select(col("term"), col("mu"),
+          round(sqrt(round((col("s2") - col("mu") * col("mu"))
+            * (col("ns").cast("double") / (col("ns") - lit(1L))), 12)), 9).as("sd"))
+      val z = rel.join(ms, "term").filter(col("sd") > 0)
+        .select(col("source"), col("term"),
+          round((col("f") - col("mu")) / col("sd"), 9).as("z"))
+      z.select(col("source").as("src_a"), col("term"), col("z").as("za"))
+        .join(z.select(col("source").as("src_b"), col("term"), col("z").as("zb")),
+          "term")
+        .filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(abs(col("za") - col("zb")), 9).as("ad"))
+        .groupBy(col("src_a"), col("src_b"))
+        // 6-dp half-up mean ENTIRELY in integer space (the q93 boundary fix):
+        // with S = Σ ad at scale 9, delta·10⁶ = (2·S·10⁹ + 1000n) div (2000n)
+        // — round(S/n, 6) on a double struck the half-way class here
+        .agg(count(lit(1)).as("n_terms"),
+          (expr("(2 * cast(sum(cast(ad as decimal(38,9))) * 1000000000 as decimal(38,0))" +
+            " + 1000 * count(1)) div (2000 * count(1))").cast("double") / 1e6)
+            .as("delta"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     "q273_source_log_odds" -> ((s, dir) => {
       val tf = sharedTermFreqs(s, dir)
       val src = docs(s, dir).select(col("doc_id"), col("source"))
@@ -793,6 +848,34 @@ object Retrieval extends QueryModule {
         |SELECT round(0.1 * CAST(sum(t) AS DOUBLE), 6) AS rbo, j.n_common,
         |       round(CAST(j.n_common AS DOUBLE) / (100.0 - j.n_common), 6) AS top50_jaccard
         |FROM terms CROSS JOIN j GROUP BY j.n_common""".stripMargin,
+    "q315_burrows_delta" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |st AS (SELECT d.source, tf.term, CAST(sum(tf.tf) AS BIGINT) AS c
+        |       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
+        |top AS (SELECT term FROM (SELECT term, sum(c) AS tc FROM st GROUP BY 1
+        |                          ORDER BY tc DESC, term LIMIT 50)),
+        |rel AS (SELECT stot.source, top.term,
+        |          round(CAST(coalesce(st.c, 0) AS DOUBLE) / stot.n, 9) AS f
+        |        FROM stot CROSS JOIN top
+        |          LEFT JOIN st ON st.source = stot.source AND st.term = top.term),
+        |ms AS (SELECT term, count(*) AS ns,
+        |         CAST((2 * CAST(CAST(sum(CAST(f AS DECIMAL(38,9))) * 1000000000 AS DECIMAL(38,0)) AS HUGEINT)
+        |               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e9 AS mu,
+        |         CAST((2 * CAST(CAST(sum(CAST(round(f * f, 12) AS DECIMAL(38,12))) * 1000000000000 AS DECIMAL(38,0)) AS HUGEINT)
+        |               + 1000 * count(*)) // (2000 * count(*)) AS DOUBLE) / 1e9 AS s2
+        |       FROM rel GROUP BY 1),
+        |sdt AS (SELECT term, mu,
+        |          round(sqrt(round((s2 - mu * mu) * (CAST(ns AS DOUBLE) / (ns - 1)), 12)), 9) AS sd
+        |        FROM ms),
+        |z AS (SELECT rel.source, rel.term, round((rel.f - sdt.mu) / sdt.sd, 9) AS z
+        |      FROM rel JOIN sdt USING (term) WHERE sdt.sd > 0)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_terms,
+        |       CAST((2 * CAST(CAST(sum(CAST(round(abs(a.z - b.z), 9) AS DECIMAL(38,9))) * 1000000000 AS DECIMAL(38,0)) AS HUGEINT)
+        |             + 1000 * count(*)) // (2000 * count(*)) AS DOUBLE) / 1e6 AS delta
+        |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q273_source_log_odds" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -355,6 +355,40 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q315: Delta is a nonnegative symmetric-form distance over the full grid") {
+    val r = rows("q315_burrows_delta")
+    r should not be empty
+    r.foreach { row =>
+      row.getAs[Double]("delta") should be >= 0.0
+      row.getAs[String]("src_a") should be < row.getAs[String]("src_b")
+      row.getAs[Long]("n_terms") should be <= 50L
+    }
+  }
+
+  test("q316: S is bounded by the pair count and z is finite") {
+    val r = rows("q316_mann_kendall")
+    r should have size 1
+    val row = r.head
+    val n = row.getAs[Long]("n_days")
+    math.abs(row.getAs[Long]("s_mk")) should be <= n * (n - 1) / 2
+    row.getAs[Double]("var_s") should be > 0.0
+    row.getAs[Double]("z_mk").isNaN shouldBe false
+  }
+
+  test("q317: the runs census is internally consistent") {
+    val r = rows("q317_runs_test")
+    r should have size 1
+    val row = r.head
+    val (up, down, runs) = (row.getAs[Long]("n_up"), row.getAs[Long]("n_down"),
+      row.getAs[Long]("n_runs"))
+    runs should be >= 1L
+    runs should be <= up + down
+    // runs of two symbols can't exceed 2*min+1
+    runs should be <= 2 * math.min(up, down) + 1
+    row.getAs[Double]("e_runs") should be > 0.0
+    row.getAs[Double]("var_runs") should be > 0.0
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
