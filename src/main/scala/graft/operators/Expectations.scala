@@ -502,8 +502,85 @@ object Expectations extends QueryModule {
       .orderBy(col("pair"))
   }
 
+  /** One-way ANOVA F over a `(g, x)` frame whose x values are exact 6-dp
+    * doubles: per-group and grand means in integer-space half-up (the q93
+    * discipline — group counts are arbitrary, so a decimal-sum divided by
+    * an even n can land on a TRUE tie), between/within sums of squares as
+    * 9-dp pre-rounded decimal sums, one F and effect-size row out. Shared
+    * by q318 (means) and q319 (Brown–Forsythe on |x − median|). */
+  private def anovaFrom(per: DataFrame): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    // x is exact at 6 dp, so x² is exact at 12 dp and the 9-dp group means
+    // sit on the 1e-9 grid — every sum of squares below lives EXACTLY on
+    // the 1e-18 grid and never touches a float until the final F: the
+    // first draft rounded per-group w in double and struck a true 9-dp
+    // tie at sf0.1 (ssw 23.743576 vs ...575). SSB/SSW report as 6-dp
+    // integer-space half-up (nonnegative numerators, so Spark's
+    // truncating div and DuckDB's flooring // agree).
+    val g = per.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 6))).as("sx"),
+        expr("(2 * cast(sum(cast(x as decimal(38,6))) * 1000000000 as decimal(38,0))" +
+          " + count(1)) div (2 * count(1))").as("mg9"),
+        sum(round(col("x") * col("x"), 12).cast(dec12)).as("s2"))
+      .localCheckpoint()
+    val st = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      expr("(2 * cast(sum(sx) * 1000000000 as decimal(38,0)) + sum(n))" +
+        " div (2 * sum(n))").as("m9"))
+    val ss = g.crossJoin(broadcast(st))
+      .select(
+        expr("cast(n as decimal(38,0)) * cast((mg9 - m9) * (mg9 - m9) as decimal(38,0))")
+          .as("b18"),
+        expr("cast(s2 * 1000000000000 as decimal(38,0)) * 1000000" +
+          " - cast(n as decimal(38,0)) * cast(mg9 * mg9 as decimal(38,0))").as("w18"))
+      .agg((expr("(2 * sum(b18) + 1000000000000) div 2000000000000")
+          .cast("double") / 1e6).as("ssb"),
+        (expr("(2 * sum(w18) + 1000000000000) div 2000000000000")
+          .cast("double") / 1e6).as("ssw"))
+    ss.crossJoin(broadcast(st))
+      .select(col("k").as("n_groups"), col("nn").as("n_rows"), col("ssb"), col("ssw"),
+        round((col("ssb") / (col("k") - lit(1L)))
+          / (col("ssw") / (col("nn") - col("k"))), 6).as("f_stat"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_snapshot_diff" -> snapshotDiff,
+
+    // One-way ANOVA across sources (q318): does mean quality differ by
+    // source AT ALL, as one F test — the k-group gate run before burning
+    // review budget on q283's per-source ablations or q264's pairwise
+    // drifts (k(k−1)/2 pairwise tests without this omnibus is the classic
+    // multiple-comparison trap). eta² = SSB/SST is the effect size. One
+    // corpus pass to the per-source moment frame; everything after runs
+    // on |sources| rows.
+    "q318_anova_quality" -> ((s, dir) =>
+      anovaFrom(Tables.read(s, dir, "documents")
+        .select(col("source").as("g"), TextAnalytics.qualityScore.as("x")))),
+
+    // Brown–Forsythe variance homogeneity (q319): the same ANOVA machinery
+    // pointed at |x − median_g| — do sources differ in quality SPREAD, the
+    // robust Levene variant (median-centered, so heavy tails don't fake a
+    // result). Read WITH q318: equal means + unequal spreads is a mixture
+    // of clean and noisy crawls that a mean-only audit calls homogeneous;
+    // BF significance is also the formal caveat on q318's equal-variance
+    // assumption. Medians via exact interpolated percentile (the q94
+    // cross-engine-identical convention), broadcast back in one join.
+    "q319_brown_forsythe" -> ((s, dir) => {
+      val base = Tables.read(s, dir, "documents")
+        .select(col("source"), TextAnalytics.qualityScore.as("q"))
+      // median in INTEGER space: an even group's midpoint of two 6-dp
+      // values is a true 7th-digit tie (struck at sf0.1) — percentile
+      // over q·10⁶ yields an exact k or k.5 double, and floor(+0.5) is
+      // the tie-unambiguous half-up both engines share
+      val med = base
+        .select(col("source"), round(col("q") * 1e6, 0).cast("long").as("q6"))
+        .groupBy(col("source"))
+        .agg(floor(expr("percentile(q6, 0.5D)") + lit(0.5)).cast("long").as("med6"))
+      anovaFrom(base.join(broadcast(med), "source")
+        .select(col("source").as("g"),
+          round(abs(col("q") - col("med6").cast("double") / 1e6), 6).as("x")))
+    }),
     "q205_conformal_gate" -> ((s, dir) => conformalGate(s, dir)),
     "q206_mi_association" -> miAssociation,
 
@@ -570,7 +647,51 @@ object Expectations extends QueryModule {
       |tau AS (SELECT q AS tau FROM r CROSS JOIN n
       |        WHERE rn = greatest(CAST(floor(0.1 * (n_cal + 1)) AS BIGINT), 1))""".stripMargin
 
+  /** SQL mirror of [[anovaFrom]]; `perCte` must end in `per(g, x)`. */
+  private def anovaSql(perCte: String): String =
+    perCte + """,
+      |g AS (SELECT g, count(*) AS n,
+      |        sum(CAST(x AS DECIMAL(38,6))) AS sx,
+      |        (2 * CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) * 1000000000 AS DECIMAL(38,0)) AS HUGEINT)
+      |         + count(*)) // (2 * count(*)) AS mg9,
+      |        sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS s2
+      |      FROM per GROUP BY 1),
+      |st AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+      |         (2 * CAST(CAST(sum(sx) * 1000000000 AS DECIMAL(38,0)) AS HUGEINT)
+      |          + sum(n)) // (2 * sum(n)) AS m9
+      |       FROM g),
+      |parts AS (SELECT CAST(n AS HUGEINT) * CAST((mg9 - m9) * (mg9 - m9) AS HUGEINT) AS b18,
+      |            CAST(s2 * 1000000000000 AS HUGEINT) * 1000000
+      |            - CAST(n AS HUGEINT) * CAST(mg9 * mg9 AS HUGEINT) AS w18
+      |          FROM g CROSS JOIN st),
+      |ss AS (SELECT CAST((2 * sum(b18) + 1000000000000) // 2000000000000 AS DOUBLE) / 1e6 AS ssb,
+      |         CAST((2 * sum(w18) + 1000000000000) // 2000000000000 AS DOUBLE) / 1e6 AS ssw
+      |       FROM parts)
+      |SELECT st.k AS n_groups, st.nn AS n_rows, ssb, ssw,
+      |       round((ssb / (st.k - 1)) / (ssw / (st.nn - st.k)), 6) AS f_stat,
+      |       round(ssb / (ssb + ssw), 6) AS eta_sq
+      |FROM ss CROSS JOIN st""".stripMargin
+
+  private val qualityExprSql: String =
+    """round(0.5 * least(1.0, length(text) / 500.0)
+      |    + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) /
+      |             len(string_split(trim(text), ' ')))
+      |    + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+      |             length(text)), 6)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q318_anova_quality" ->
+      anovaSql(s"""WITH per AS (SELECT source AS g, $qualityExprSql AS x FROM documents)"""),
+    "q319_brown_forsythe" ->
+      anovaSql(
+        s"""WITH base AS (SELECT source, $qualityExprSql AS q FROM documents),
+           |medt AS (SELECT source,
+           |           CAST(floor(percentile_cont(0.5) WITHIN GROUP (
+           |                  ORDER BY CAST(round(q * 1000000, 0) AS BIGINT)) + 0.5) AS BIGINT) AS med6
+           |         FROM base GROUP BY 1),
+           |per AS (SELECT source AS g,
+           |          round(abs(q - CAST(med6 AS DOUBLE) / 1e6), 6) AS x
+           |        FROM base JOIN medt USING (source))""".stripMargin),
     "q230_tau_stability" ->
       (conformalTauSql +
         """,

@@ -389,6 +389,19 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     row.getAs[Double]("var_runs") should be > 0.0
   }
 
+  test("q318/q319: sums of squares are nonnegative and eta-squared is a fraction") {
+    Seq("q318_anova_quality", "q319_brown_forsythe").foreach { q =>
+      val r = rows(q)
+      r should have size 1
+      val row = r.head
+      row.getAs[Double]("ssb") should be >= 0.0
+      row.getAs[Double]("ssw") should be >= 0.0
+      row.getAs[Double]("eta_sq") should (be >= 0.0 and be <= 1.0)
+      row.getAs[Double]("f_stat") should be >= 0.0
+      row.getAs[Long]("n_groups") should be >= 2L
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
