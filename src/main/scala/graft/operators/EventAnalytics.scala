@@ -726,6 +726,59 @@ object EventAnalytics extends QueryModule {
             .as("z_runs"))
     }),
 
+    // Circular peak-time statistics per event type (q320): WHEN in the day
+    // does each event type concentrate, treated correctly as a CIRCLE —
+    // a linear "mean hour" puts the peak of a type active around midnight
+    // at noon; the circular mean resultant (Fisher, Statistical Analysis of
+    // Circular Data) doesn't. R̄ near 1 = sharply peaked schedule (bot
+    // cron signature), near 0 = uniform. Trig is evaluated on the bounded
+    // 1440-minute histogram, NEVER per event (both the 100 TB plan and the
+    // cross-engine-libm exposure cap: ~1440 cos/sin calls per type);
+    // cnt·cos products are exact doubles decimal-summed; the mean
+    // components divide integer-space (sign-split — C̄/S̄ can be negative,
+    // and Spark's div truncates where DuckDB's // floors).
+    "q320_circular_peak" -> ((s, dir) => {
+      val dec12 = DecimalType(38, 12)
+      val hist = ev(s, dir)
+        .select(col("event_type"), expr("(cast(ts as long) % 86400) div 60").as("m"))
+        .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val ang = lit(6.283185307179586) * (col("m").cast("double") / 1440.0)
+      def halfUp9(sumCol: String): String =
+        s"case when $sumCol >= 0 then " +
+          s"(2 * cast($sumCol * 1000000000000 as decimal(38,0)) + 1000 * n_events)" +
+          s" div (2000 * n_events) else " +
+          s"-((2 * cast((- $sumCol) * 1000000000000 as decimal(38,0)) + 1000 * n_events)" +
+          s" div (2000 * n_events)) end"
+      hist.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n_events"),
+          sum((col("cnt") * round(cos(ang), 12)).cast(dec12)).as("cs"),
+          sum((col("cnt") * round(sin(ang), 12)).cast(dec12)).as("ss"))
+        .select(col("event_type"), col("n_events"),
+          (expr(halfUp9("cs")).cast("double") / 1e9).as("cb"),
+          (expr(halfUp9("ss")).cast("double") / 1e9).as("sb"))
+        .select(col("event_type"), col("n_events"),
+          round(sqrt(col("cb") * col("cb") + col("sb") * col("sb")), 6).as("r_bar"),
+          round(pmod(atan2(col("sb"), col("cb")) + lit(6.283185307179586),
+            lit(6.283185307179586)) / 6.283185307179586 * 24, 4).as("peak_hour"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Weekly seasonality strength (q321): how much of daily-revenue
+    // variance the day-of-week explains — exactly q318's ANOVA machinery
+    // pointed at the (weekday, daily revenue) frame, whose eta² IS the
+    // seasonal-strength statistic (Hyndman's STL-strength analogue on a
+    // weekly period). F says whether the weekly pattern is real; eta² says
+    // whether it's worth modeling before q275's ACF chases residual
+    // structure. The rollup is calendar-bounded; revenue (2 dp) rides the
+    // decimal-exact ANOVA path unchanged.
+    "q321_weekly_seasonality" -> ((s, dir) =>
+      Expectations.anovaOn(ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day")).agg(exactSum(col("value"), 2).as("rev"))
+        .select(((col("day") + 4) % 7).as("g"), col("rev").as("x")))),
+
     // Exact per-type value percentiles (p50/p95/p99) — the ops-dashboard
     // distribution summary. Spark's exact interpolated `percentile` matches
     // DuckDB's percentile_cont (both return the same convex combination of
@@ -1832,6 +1885,38 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q321_weekly_seasonality" ->
+      Expectations.anovaSqlOn(
+        """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+          |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          |               FROM events GROUP BY 1),
+          |per AS (SELECT (day + 4) % 7 AS g, rev AS x FROM daily)""".stripMargin),
+    "q320_circular_peak" ->
+      """WITH hist AS (SELECT event_type,
+        |                (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 60 AS m,
+        |                count(*) AS cnt
+        |              FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |        sum(CAST(cnt * round(cos(6.283185307179586 * (CAST(m AS DOUBLE) / 1440.0)), 12) AS DECIMAL(38,12))) AS cs,
+        |        sum(CAST(cnt * round(sin(6.283185307179586 * (CAST(m AS DOUBLE) / 1440.0)), 12) AS DECIMAL(38,12))) AS ss
+        |      FROM hist GROUP BY 1),
+        |u AS (SELECT event_type, n_events,
+        |        CAST(CASE WHEN cs >= 0
+        |                  THEN (2 * CAST(cs * 1000000000000 AS HUGEINT) + 1000 * n_events)
+        |                       // (2000 * n_events)
+        |                  ELSE -((2 * CAST((- cs) * 1000000000000 AS HUGEINT) + 1000 * n_events)
+        |                         // (2000 * n_events)) END AS DOUBLE) / 1e9 AS cb,
+        |        CAST(CASE WHEN ss >= 0
+        |                  THEN (2 * CAST(ss * 1000000000000 AS HUGEINT) + 1000 * n_events)
+        |                       // (2000 * n_events)
+        |                  ELSE -((2 * CAST((- ss) * 1000000000000 AS HUGEINT) + 1000 * n_events)
+        |                         // (2000 * n_events)) END AS DOUBLE) / 1e9 AS sb
+        |      FROM t)
+        |SELECT event_type, n_events,
+        |       round(sqrt(cb * cb + sb * sb), 6) AS r_bar,
+        |       round(fmod(atan2(sb, cb) + 6.283185307179586, 6.283185307179586)
+        |             / 6.283185307179586 * 24, 4) AS peak_hour
+        |FROM u ORDER BY event_type""".stripMargin,
     "q316_mann_kendall" ->
       """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
         |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev

@@ -508,6 +508,9 @@ object Expectations extends QueryModule {
     * an even n can land on a TRUE tie), between/within sums of squares as
     * 9-dp pre-rounded decimal sums, one F and effect-size row out. Shared
     * by q318 (means) and q319 (Brown–Forsythe on |x − median|). */
+  /** Public alias of [[anovaFrom]] for cross-module reuse (q321). */
+  private[operators] def anovaOn(per: DataFrame): DataFrame = anovaFrom(per)
+
   private def anovaFrom(per: DataFrame): DataFrame = {
     val dec12 = DecimalType(38, 12)
     // x is exact at 6 dp, so x² is exact at 12 dp and the 9-dp group means
@@ -522,17 +525,23 @@ object Expectations extends QueryModule {
         sum(col("x").cast(DecimalType(38, 6))).as("sx"),
         expr("(2 * cast(sum(cast(x as decimal(38,6))) * 1000000000 as decimal(38,0))" +
           " + count(1)) div (2 * count(1))").as("mg9"),
-        sum(round(col("x") * col("x"), 12).cast(dec12)).as("s2"))
+        // x² in DECIMAL space ((18,6)² → exact (37,12)) — equals the 6-dp
+        // value's exact 12-dp square AND survives large-magnitude x (a
+        // double product at 1e11 can't carry 12 dp — the q232 lesson)
+        sum(expr("cast(x as decimal(18,6)) * cast(x as decimal(18,6))")).as("s2"))
       .localCheckpoint()
     val st = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
       expr("(2 * cast(sum(sx) * 1000000000 as decimal(38,0)) + sum(n))" +
         " div (2 * sum(n))").as("m9"))
     val ss = g.crossJoin(broadcast(st))
       .select(
-        expr("cast(n as decimal(38,0)) * cast((mg9 - m9) * (mg9 - m9) as decimal(38,0))")
-          .as("b18"),
+        // squares via decimal operands — a LONG mg9² overflows once the
+        // group means leave [0, ~9] (revenue-scaled inputs)
+        expr("cast(n as decimal(38,0)) * (cast(mg9 - m9 as decimal(19,0))" +
+          " * cast(mg9 - m9 as decimal(19,0)))").as("b18"),
         expr("cast(s2 * 1000000000000 as decimal(38,0)) * 1000000" +
-          " - cast(n as decimal(38,0)) * cast(mg9 * mg9 as decimal(38,0))").as("w18"))
+          " - cast(n as decimal(38,0)) * (cast(mg9 as decimal(19,0))" +
+          " * cast(mg9 as decimal(19,0)))").as("w18"))
       .agg((expr("(2 * sum(b18) + 1000000000000) div 2000000000000")
           .cast("double") / 1e6).as("ssb"),
         (expr("(2 * sum(w18) + 1000000000000) div 2000000000000")
@@ -647,22 +656,25 @@ object Expectations extends QueryModule {
       |tau AS (SELECT q AS tau FROM r CROSS JOIN n
       |        WHERE rn = greatest(CAST(floor(0.1 * (n_cal + 1)) AS BIGINT), 1))""".stripMargin
 
-  /** SQL mirror of [[anovaFrom]]; `perCte` must end in `per(g, x)`. */
+  /** SQL mirror of [[anovaFrom]]; `perCte` must end in `per(g, x)`.
+    * Exposed to sibling modules for queries built on the ANOVA layer. */
+  private[operators] def anovaSqlOn(perCte: String): String = anovaSql(perCte)
+
   private def anovaSql(perCte: String): String =
     perCte + """,
       |g AS (SELECT g, count(*) AS n,
       |        sum(CAST(x AS DECIMAL(38,6))) AS sx,
       |        (2 * CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) * 1000000000 AS DECIMAL(38,0)) AS HUGEINT)
       |         + count(*)) // (2 * count(*)) AS mg9,
-      |        sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS s2
+      |        sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS s2
       |      FROM per GROUP BY 1),
       |st AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
       |         (2 * CAST(CAST(sum(sx) * 1000000000 AS DECIMAL(38,0)) AS HUGEINT)
       |          + sum(n)) // (2 * sum(n)) AS m9
       |       FROM g),
-      |parts AS (SELECT CAST(n AS HUGEINT) * CAST((mg9 - m9) * (mg9 - m9) AS HUGEINT) AS b18,
+      |parts AS (SELECT CAST(n AS HUGEINT) * (CAST(mg9 - m9 AS HUGEINT) * CAST(mg9 - m9 AS HUGEINT)) AS b18,
       |            CAST(s2 * 1000000000000 AS HUGEINT) * 1000000
-      |            - CAST(n AS HUGEINT) * CAST(mg9 * mg9 AS HUGEINT) AS w18
+      |            - CAST(n AS HUGEINT) * (CAST(mg9 AS HUGEINT) * CAST(mg9 AS HUGEINT)) AS w18
       |          FROM g CROSS JOIN st),
       |ss AS (SELECT CAST((2 * sum(b18) + 1000000000000) // 2000000000000 AS DOUBLE) / 1e6 AS ssb,
       |         CAST((2 * sum(w18) + 1000000000000) // 2000000000000 AS DOUBLE) / 1e6 AS ssw

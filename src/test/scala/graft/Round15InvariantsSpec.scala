@@ -402,6 +402,24 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q320: resultant length is in [0,1] and the peak hour on the clock") {
+    val r = rows("q320_circular_peak")
+    r should not be empty
+    r.foreach { row =>
+      row.getAs[Double]("r_bar") should (be >= 0.0 and be <= 1.0 + 1e-9)
+      val ph = row.getAs[Double]("peak_hour")
+      ph should (be >= 0.0 and be < 24.0 + 1e-9)
+      row.getAs[Long]("n_events") should be > 0L
+    }
+  }
+
+  test("q321: the weekly ANOVA sees all seven weekdays") {
+    val r = rows("q321_weekly_seasonality")
+    r should have size 1
+    r.head.getAs[Long]("n_groups") shouldBe 7L
+    r.head.getAs[Double]("eta_sq") should (be >= 0.0 and be <= 1.0)
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
