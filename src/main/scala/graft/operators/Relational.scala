@@ -694,6 +694,43 @@ object Relational extends QueryModule {
         .orderBy(col("nation"))
     }),
 
+    // Grouped OLS: discount elasticity per brand (q324) — the GROUPED
+    // regression shape q277's single global fit doesn't cover: one
+    // closed-form slope/intercept of quantity on discount PER brand, the
+    // "which product lines actually move on promotion" readout. Everything
+    // up to the final two divisions is exact: the 2-dp inputs' sums and
+    // cross-products live on the 1e-4 integer grid (decimal-operand
+    // products — the q232 discipline), so n·Sxy − SxSy and n·Sxx − Sx²
+    // are exact decimals per group; degenerate groups (one distinct
+    // discount) emit a NULL slope rather than a division blow-up. One
+    // broadcast-dim join + ONE map-side-combined grouped pass over the
+    // fact table; |brands| rows after.
+    "q324_grouped_ols" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_discount").as("x"), col("l_quantity").as("y"))
+      li.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(cast(x as decimal(18,2))) * 100 as decimal(38,0))").as("sx2"),
+          expr("cast(sum(cast(y as decimal(18,2))) * 100 as decimal(38,0))").as("sy2"),
+          expr("cast(sum(cast(x as decimal(18,2)) * cast(x as decimal(18,2))) * 10000 as decimal(38,0))")
+            .as("sxx4"),
+          expr("cast(sum(cast(x as decimal(18,2)) * cast(y as decimal(18,2))) * 10000 as decimal(38,0))")
+            .as("sxy4"))
+        .select(col("p_brand"), col("n"), col("sx2"), col("sy2"),
+          expr("cast(n as decimal(38,0)) * sxy4 - sx2 * sy2").as("num"),
+          expr("cast(n as decimal(38,0)) * sxx4 - sx2 * sx2").as("den"))
+        .select(col("p_brand"), col("n").as("n_lines"), col("sx2"), col("sy2"),
+          when(col("den") =!= 0,
+            round(col("num").cast("double") / col("den").cast("double"), 6)).as("slope"))
+        .select(col("p_brand"), col("n_lines"), col("slope"),
+          round((col("sy2").cast("double") / 100
+            - col("slope") * (col("sx2").cast("double") / 100)) / col("n_lines"), 6)
+            .as("intercept"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -1471,6 +1508,23 @@ object Relational extends QueryModule {
         |  JOIN promo ON s_suppkey = l_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY suppkey""".stripMargin,
+    "q324_grouped_ols" ->
+      """WITH g AS (SELECT p_brand, count(*) AS n,
+        |             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 AS HUGEINT) AS sx2,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS HUGEINT) AS sy2,
+        |             CAST(sum(CAST(l_discount AS DECIMAL(19,2)) * CAST(l_discount AS DECIMAL(19,2))) * 10000 AS HUGEINT) AS sxx4,
+        |             CAST(sum(CAST(l_discount AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(19,2))) * 10000 AS HUGEINT) AS sxy4
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey
+        |           GROUP BY 1),
+        |x AS (SELECT p_brand, n AS n_lines, sx2, sy2,
+        |        CASE WHEN n * sxx4 - sx2 * sx2 != 0
+        |             THEN round(CAST(n * sxy4 - sx2 * sy2 AS DOUBLE)
+        |                        / CAST(n * sxx4 - sx2 * sx2 AS DOUBLE), 6) END AS slope
+        |      FROM g)
+        |SELECT p_brand, n_lines, slope,
+        |       round((CAST(sy2 AS DOUBLE) / 100
+        |              - slope * (CAST(sx2 AS DOUBLE) / 100)) / n_lines, 6) AS intercept
+        |FROM x ORDER BY p_brand""".stripMargin,
     "q297_supplier_hhi" ->
       """WITH r AS (SELECT s_nationkey, s_suppkey,
         |             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS rev

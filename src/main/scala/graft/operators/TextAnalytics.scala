@@ -361,6 +361,40 @@ object TextAnalytics extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Discretized two-sample KS drift (q322): the max ECDF gap D between
+    // the even- and odd-doc_id ingest halves' quality distributions on a
+    // fixed 1000-bucket grid — the supremum-gap drift statistic beside
+    // q173's PSI (PSI sums small log-ratio drifts; KS catches one sharp
+    // localized shift PSI averages away). The grid makes it 100 TB-clean:
+    // corpus → two 1000-row histograms in one grouped pass; the
+    // cumulative ECDFs come from a bounded bucket≤bucket inequality join
+    // (1000² rows, constant at any corpus size — no corpus window). D's
+    // argmax bucket is reported so the drift is locatable.
+    "q322_ks_drift" -> ((s, dir) => {
+      val b = docs(s, dir).select(
+        (col("doc_id") % 2).as("half"),
+        least(lit(999L), floor(qualityScore * 1000).cast(LongType)).as("bucket"))
+        .groupBy(col("half"), col("bucket")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val n = b.groupBy(col("half")).agg(sum(col("c")).as("n"))
+      val grid = b.select(col("bucket")).distinct()
+      val cum = grid.select(col("bucket").as("bk"))
+        .join(b, col("bucket") <= col("bk"))
+        .groupBy(col("bk"), col("half")).agg(sum(col("c")).as("cum"))
+      val a0 = cum.filter(col("half") === 0).select(col("bk"), col("cum").as("c0"))
+      val a1 = cum.filter(col("half") === 1).select(col("bk"), col("cum").as("c1"))
+      val n0 = n.filter(col("half") === 0).select(col("n").as("n0"))
+      val n1 = n.filter(col("half") === 1).select(col("n").as("n1"))
+      a0.join(a1, Seq("bk"), "full")
+        .crossJoin(broadcast(n0)).crossJoin(broadcast(n1))
+        .select(col("bk"), col("n0"), col("n1"),
+          round(abs(coalesce(col("c0"), lit(0L)).cast("double") / col("n0")
+            - coalesce(col("c1"), lit(0L)).cast("double") / col("n1")), 9).as("gap"))
+        .orderBy(col("gap").desc, col("bk").desc)
+        .limit(1)
+        .select(col("n0"), col("n1"), col("gap").as("ks_d"), col("bk").as("at_bucket"))
+    }),
+
     // McNemar paired-rater test (q304): q274's kappa says how much the two
     // lang-id raters AGREE; McNemar says which one is BETTER, and whether
     // the difference is significant — it conditions on the discordant docs
@@ -875,6 +909,11 @@ object TextAnalytics extends QueryModule {
       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
       |       FROM sc)""".stripMargin
 
+  /** The q31 quality score as a single inline SQL expression (for oracles
+    * that embed it inside a larger expression). */
+  private val qualityInlineSql: String =
+    """round(0.5 * least(1.0, length(text) / 500.0) + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE) / len(string_split(trim(text), ' '))) + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)), 6)"""
+
   val oracles: Map[String, String] = Map(
     "q104_token_entropy" ->
       """WITH wc AS (SELECT doc_id, w, count(*) AS c FROM
@@ -1190,6 +1229,25 @@ object TextAnalytics extends QueryModule {
           |                       / (heur_only + nb_only), 6)
           |            ELSE 0.0 END AS chi2
           |FROM m""".stripMargin),
+    "q322_ks_drift" ->
+      s"""WITH b AS (SELECT doc_id % 2 AS half,
+         |             least(999, CAST(floor($qualityInlineSql * 1000) AS BIGINT)) AS bucket,
+         |             count(*) AS c
+         |           FROM documents GROUP BY 1, 2),
+         |n AS (SELECT half, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1),
+         |grid AS (SELECT DISTINCT bucket AS bk FROM b),
+         |cum AS (SELECT grid.bk, b.half, CAST(sum(b.c) AS BIGINT) AS cum
+         |        FROM grid JOIN b ON b.bucket <= grid.bk GROUP BY 1, 2),
+         |a0 AS (SELECT bk, cum AS c0 FROM cum WHERE half = 0),
+         |a1 AS (SELECT bk, cum AS c1 FROM cum WHERE half = 1),
+         |n0 AS (SELECT n AS n0 FROM n WHERE half = 0),
+         |n1 AS (SELECT n AS n1 FROM n WHERE half = 1),
+         |g AS (SELECT coalesce(a0.bk, a1.bk) AS bk, n0, n1,
+         |        round(abs(CAST(coalesce(c0, 0) AS DOUBLE) / n0
+         |                  - CAST(coalesce(c1, 0) AS DOUBLE) / n1), 9) AS gap
+         |      FROM a0 FULL JOIN a1 ON a0.bk = a1.bk CROSS JOIN n0 CROSS JOIN n1)
+         |SELECT n0, n1, gap AS ks_d, bk AS at_bucket
+         |FROM g ORDER BY gap DESC, bk DESC LIMIT 1""".stripMargin,
     "q314_readability" ->
       """WITH per AS (SELECT source,
         |               round(CAST(len(string_split(trim(text), ' ')) AS DOUBLE)

@@ -140,6 +140,36 @@ object Tokenizer extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Held-out OOV audit (q323): tokenize the 80% train slice, then measure
+    // what fraction of the 20% held-out slice's tokens (and types) a
+    // vocabulary built on train would miss — the REALIZED counterpart of
+    // q305's Good-Turing missing-mass PREDICTION and the number that
+    // decides byte-fallback vs vocab growth in a tokenizer spec. Slices
+    // follow the q68 hash-membership discipline (doc_id % 10, append-
+    // stable); the train vocabulary participates only as a distinct-term
+    // frame in one left join; all counts are exact integers.
+    "q323_oov_audit" -> ((s, dir) => {
+      val tf = Retrieval.sharedTermFreqs(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      val trainVocab = tf.filter(col("doc_id") % 10 < 8)
+        .select(col("term")).distinct().withColumn("seen", lit(1))
+      tf.filter(col("doc_id") % 10 >= 8)
+        .join(trainVocab, Seq("term"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("tf")).as("n_eval_tokens"),
+          sum(when(col("seen").isNull, col("tf")).otherwise(lit(0L)))
+            .as("n_oov_tokens"),
+          countDistinct(col("term")).as("n_eval_types"),
+          countDistinct(when(col("seen").isNull, col("term"))).as("n_new_types"))
+        .select(col("source"), col("n_eval_tokens"), col("n_oov_tokens"),
+          col("n_eval_types"), col("n_new_types"),
+          round(col("n_oov_tokens").cast("double") / col("n_eval_tokens"), 6)
+            .as("oov_rate"),
+          round(col("n_new_types").cast("double") / col("n_eval_types"), 6)
+            .as("new_type_rate"))
+        .orderBy(col("source"))
+    }),
+
     // Chao1 vocabulary-richness estimate per source (q309): how many word
     // types does the source's full population hold, given what this sample
     // shows? Chao's bias-corrected lower bound S_obs + N1(N1−1)/(2(N2+1))
@@ -425,6 +455,25 @@ object Tokenizer extends QueryModule {
         |       CASE WHEN n_hapax > 0 THEN round(2.0 * n_dis / n_hapax, 6)
         |            ELSE NULL END AS r_star_1
         |FROM m ORDER BY source""".stripMargin,
+    "q323_oov_audit" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tj AS (SELECT tf.doc_id, tf.term, tf.tf, d.source
+        |       FROM tf JOIN documents d USING (doc_id)),
+        |vocab AS (SELECT DISTINCT term FROM tj WHERE doc_id % 10 < 8),
+        |ev AS (SELECT tj.source, tj.term, tj.tf,
+        |         CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END AS oov
+        |       FROM tj LEFT JOIN vocab USING (term)
+        |       WHERE tj.doc_id % 10 >= 8)
+        |SELECT source,
+        |       CAST(sum(tf) AS BIGINT) AS n_eval_tokens,
+        |       CAST(sum(CASE WHEN oov = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+        |       count(DISTINCT term) AS n_eval_types,
+        |       count(DISTINCT CASE WHEN oov = 1 THEN term END) AS n_new_types,
+        |       round(CAST(sum(CASE WHEN oov = 1 THEN tf ELSE 0 END) AS DOUBLE) / sum(tf), 6) AS oov_rate,
+        |       round(CAST(count(DISTINCT CASE WHEN oov = 1 THEN term END) AS DOUBLE)
+        |             / count(DISTINCT term), 6) AS new_type_rate
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "q309_chao1_richness" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -420,6 +420,39 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     r.head.getAs[Double]("eta_sq") should (be >= 0.0 and be <= 1.0)
   }
 
+  test("q322: KS gap is a probability-scale supremum over the grid") {
+    val r = rows("q322_ks_drift")
+    r should have size 1
+    val row = r.head
+    row.getAs[Double]("ks_d") should (be >= 0.0 and be <= 1.0)
+    row.getAs[Long]("at_bucket") should (be >= 0L and be <= 999L)
+    row.getAs[Long]("n0") + row.getAs[Long]("n1") should be > 0L
+  }
+
+  test("q323: OOV counts nest inside the eval census") {
+    val r = rows("q323_oov_audit")
+    r should not be empty
+    r.foreach { row =>
+      row.getAs[Long]("n_oov_tokens") should be <= row.getAs[Long]("n_eval_tokens")
+      row.getAs[Long]("n_new_types") should be <= row.getAs[Long]("n_eval_types")
+      row.getAs[Double]("oov_rate") should (be >= 0.0 and be <= 1.0)
+      row.getAs[Double]("new_type_rate") should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
+  test("q324: every brand fits and degenerate groups surface as NULL slopes") {
+    val r = rows("q324_grouped_ols")
+    r should not be empty
+    r.foreach { row =>
+      row.getAs[Long]("n_lines") should be > 0L
+      if (!row.isNullAt(row.fieldIndex("slope"))) {
+        // discounts and quantities are bounded, so the fitted line's value
+        // at x=0 must stay within the quantity range's convex hull slack
+        row.getAs[Double]("intercept") should (be > -1000.0 and be < 1000.0)
+      }
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
