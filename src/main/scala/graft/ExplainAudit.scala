@@ -86,5 +86,8 @@ object ExplainAudit {
       "rollup (|sources| rows); the corpus itself only passes one map-side-combined " +
       "grouped sum"),
     "q317_runs_test" -> ("bounded: two lag windows over the per-day rollup (#days " +
-      "rows, calendar-bounded); the event log only passes one grouped sum"))
+      "rows, calendar-bounded); the event log only passes one grouped sum"),
+    "q325_rmst" -> ("bounded: the q225 KM windows plus one lead over the per-day " +
+      "rollup (<= horizon-days rows); the event log passes the same two grouped " +
+      "scans as q225"))
 }

@@ -328,6 +328,62 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Restricted mean survival time (q325): the area under q225's KM curve
+    // up to the observation horizon — "average conversion-free days per
+    // user over the first τ days", the EFFECT-SIZE companion to q302's
+    // log-rank significance (clinically the standard pair: log-rank says
+    // whether curves differ, RMST says by how many days). The step-area
+    // sum is EXACT: 6-dp survival values × integer day gaps live on the
+    // 1e-6 grid, decimal-summed, so no float boundary exists. Windows run
+    // over the per-day KM rollup (q225-class, audit-classified); the event
+    // log passes the same two grouped scans as q225.
+    "q325_rmst" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts").cast(LongType)).as("fv"))
+      val fp = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast(LongType).as("pt"))
+        .join(fv, Seq("user_id")).filter(col("pt") >= col("fv"))
+        .groupBy(col("user_id")).agg(min(col("pt")).as("fp"))
+      val mx = e.agg(max(col("ts").cast(LongType)).as("mx"))
+      val obs = fv.join(fp, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(col("fp").isNotNull, expr("(fp - fv) div 86400"))
+            .otherwise(expr("(mx - fv) div 86400")).as("days"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("event"))
+        .localCheckpoint()
+      val conv = obs.filter(col("event") === 1)
+        .groupBy(col("days").as("day")).agg(count(lit(1)).as("d"))
+      val ending = obs.groupBy(col("days").as("day")).agg(count(lit(1)).as("cnt"))
+      val wDesc = Window.orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = ending.withColumn("n_risk", sum(col("cnt")).over(wDesc))
+        .select(col("day"), col("n_risk"))
+      val wAsc = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val km = conv.join(risk, Seq("day"))
+        .withColumn("lf",
+          when(col("d") >= col("n_risk"), lit(null).cast("double"))
+            .otherwise(round(log10(lit(1.0) - col("d").cast("double") / col("n_risk")), 12)))
+        .withColumn("dead", max(when(col("lf").isNull, 1L).otherwise(0L)).over(wAsc))
+        .withColumn("ls", sum(col("lf").cast(DecimalType(38, 12))).over(wAsc))
+        .select(col("day"),
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(round(pow(lit(10.0), col("ls").cast("double")), 6)).as("surv"))
+      val tau = obs.agg(max(col("days")).as("tau"))
+      val wLead = Window.orderBy(col("day"))
+      val areas = km.crossJoin(broadcast(tau))
+        .withColumn("nxt", coalesce(lead(col("day"), 1).over(wLead), col("tau")))
+        .select(col("day"),
+          (col("surv") * (col("nxt") - col("day")).cast("double")).as("a"))
+      val first = km.agg(min(col("day")).as("d1"))
+      areas.agg(sum(col("a").cast(DecimalType(38, 6))).as("tail_area"))
+        .crossJoin(broadcast(first)).crossJoin(broadcast(tau))
+        .select(col("tau").as("horizon_days"), col("d1").as("first_event_day"),
+          round((col("d1").cast("double") + col("tail_area").cast("double")), 6)
+            .as("rmst_days"))
+    }),
+
     // Per-arm Kaplan–Meier (q233): q225's censored time-to-conversion
     // estimator split by q224's hash-assigned arms — the readout an
     // experiment uses when the treatment should move WHEN users convert,
@@ -2089,6 +2145,45 @@ object EventAnalytics extends QueryModule {
         |       CASE WHEN dead = 1 THEN 0.0
         |            ELSE round(pow(10.0, CAST(ls AS DOUBLE)), 6) END AS survival
         |FROM c ORDER BY arm, day""".stripMargin,
+    "q325_rmst" ->
+      """WITH fv AS (SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS fv
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT e.user_id, CAST(min(floor(epoch(e.ts))) AS BIGINT) AS fp
+        |       FROM events e JOIN fv ON fv.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND floor(epoch(e.ts)) >= fv.fv
+        |       GROUP BY 1),
+        |mx AS (SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS mx FROM events),
+        |obs AS (SELECT CASE WHEN fp.fp IS NOT NULL THEN (fp.fp - fv.fv) // 86400
+        |                    ELSE (mx.mx - fv.fv) // 86400 END AS days,
+        |               CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END AS event
+        |        FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+        |conv AS (SELECT days AS day, count(*) AS d FROM obs WHERE event = 1 GROUP BY 1),
+        |ending AS (SELECT days AS day, count(*) AS cnt FROM obs GROUP BY 1),
+        |risk AS (SELECT day, CAST(sum(cnt) OVER (ORDER BY day DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |         FROM ending),
+        |f AS (SELECT conv.day, risk.n_risk, conv.d,
+        |        CASE WHEN conv.d >= risk.n_risk THEN NULL
+        |             ELSE round(log10(1.0 - CAST(conv.d AS DOUBLE) / risk.n_risk), 12) END AS lf
+        |      FROM conv JOIN risk USING (day)),
+        |c AS (SELECT day,
+        |        max(CASE WHEN lf IS NULL THEN 1 ELSE 0 END)
+        |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+        |        sum(CAST(lf AS DECIMAL(38,12)))
+        |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+        |      FROM f),
+        |km AS (SELECT day, CASE WHEN dead = 1 THEN 0.0
+        |                        ELSE round(pow(10.0, CAST(ls AS DOUBLE)), 6) END AS surv
+        |       FROM c),
+        |tau AS (SELECT max(days) AS tau FROM obs),
+        |areas AS (SELECT day,
+        |            surv * CAST(coalesce(lead(day) OVER (ORDER BY day), tau) - day AS DOUBLE) AS a
+        |          FROM km CROSS JOIN tau),
+        |ta AS (SELECT sum(CAST(a AS DECIMAL(38,6))) AS tail_area FROM areas),
+        |fst AS (SELECT min(day) AS d1 FROM km)
+        |SELECT tau.tau AS horizon_days, fst.d1 AS first_event_day,
+        |       round(CAST(fst.d1 AS DOUBLE) + CAST(ta.tail_area AS DOUBLE), 6) AS rmst_days
+        |FROM fst CROSS JOIN tau CROSS JOIN ta""".stripMargin,
     "q225_km_survival" ->
       """WITH fv AS (SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS fv
         |            FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -731,6 +731,41 @@ object Relational extends QueryModule {
         .orderBy(col("p_brand"))
     }),
 
+    // Winsorized order-value mean (q326): the robust mean after clamping
+    // the bottom and top 5% of order values to the boundary order
+    // statistics — what a revenue KPI should quote when a few mega-orders
+    // (q105's outliers) would otherwise own the average; reported beside
+    // the raw mean so the gap itself is the tail-influence readout. Cut
+    // ranks are PURE INTEGERS (k_lo = N div 20 + 1, k_hi = N − N div 20 —
+    // no float percentile boundary), global ranks come from GlobalOrder's
+    // two-pass ranged construction (no single-partition sort — the q143
+    // machinery), the boundary values are two 1-row broadcast fetches, and
+    // both means are integer-space half-up over exact 2-dp decimal sums.
+    "q326_winsorized_mean" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_totalprice").as("x"), col("o_orderkey"))
+      val ranked = graft.functions.GlobalOrder
+        .withRowNumber(base, "rn", col("x"), col("o_orderkey"))
+        .localCheckpoint()
+      val n = ranked.agg(count(lit(1)).as("n"))
+      val lo = ranked.crossJoin(broadcast(n))
+        .filter(col("rn") === expr("n div 20 + 1")).select(col("x").as("lo"))
+      val hi = ranked.crossJoin(broadcast(n))
+        .filter(col("rn") === expr("n - n div 20")).select(col("x").as("hi"))
+      def hu6(sumExpr: String): String =
+        s"(2 * cast($sumExpr * 1000000 as decimal(38,0)) + n) div (2 * n)"
+      ranked.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("x"), least(greatest(col("x"), col("lo")), col("hi")).as("xw"),
+          col("lo"), col("hi"))
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(18, 2))).as("sr"),
+          sum(col("xw").cast(DecimalType(18, 2))).as("sw"))
+        .select(col("n").as("n_orders"), col("lo").as("p05_value"),
+          col("hi").as("p95_value"),
+          (expr(hu6("sr")).cast("double") / 1e6).as("raw_mean"),
+          (expr(hu6("sw")).cast("double") / 1e6).as("winsorized_mean"))
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -1508,6 +1543,25 @@ object Relational extends QueryModule {
         |  JOIN promo ON s_suppkey = l_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY suppkey""".stripMargin,
+    "q326_winsorized_mean" ->
+      """WITH ranked AS (SELECT o_totalprice AS x,
+        |                  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+        |                FROM orders),
+        |n AS (SELECT count(*) AS n FROM ranked),
+        |lo AS (SELECT x AS lo FROM ranked CROSS JOIN n WHERE rn = n // 20 + 1),
+        |hi AS (SELECT x AS hi FROM ranked CROSS JOIN n WHERE rn = n - n // 20),
+        |w AS (SELECT x, least(greatest(x, lo), hi) AS xw, lo, hi
+        |      FROM ranked CROSS JOIN lo CROSS JOIN hi),
+        |agg AS (SELECT lo, hi, count(*) AS n,
+        |          sum(CAST(x AS DECIMAL(18,2))) AS sr,
+        |          sum(CAST(xw AS DECIMAL(18,2))) AS sw
+        |        FROM w GROUP BY 1, 2)
+        |SELECT n AS n_orders, lo AS p05_value, hi AS p95_value,
+        |       CAST((2 * CAST(CAST(sr * 1000000 AS DECIMAL(38,0)) AS HUGEINT) + n)
+        |            // (2 * n) AS DOUBLE) / 1e6 AS raw_mean,
+        |       CAST((2 * CAST(CAST(sw * 1000000 AS DECIMAL(38,0)) AS HUGEINT) + n)
+        |            // (2 * n) AS DOUBLE) / 1e6 AS winsorized_mean
+        |FROM agg""".stripMargin,
     "q324_grouped_ols" ->
       """WITH g AS (SELECT p_brand, count(*) AS n,
         |             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 AS HUGEINT) AS sx2,

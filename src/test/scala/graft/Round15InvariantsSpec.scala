@@ -453,6 +453,28 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q325: RMST is positive and bounded by the horizon") {
+    val r = rows("q325_rmst")
+    r should have size 1
+    val row = r.head
+    val (tau, rmst) = (row.getAs[Long]("horizon_days"), row.getAs[Double]("rmst_days"))
+    rmst should be > 0.0
+    rmst should be <= tau.toDouble + 1e-6
+    row.getAs[Long]("first_event_day") should be <= tau
+  }
+
+  test("q326: the winsorized mean sits inside the clamp and below the raw tail pull") {
+    val r = rows("q326_winsorized_mean")
+    r should have size 1
+    val row = r.head
+    val (lo, hi) = (row.getAs[Double]("p05_value"), row.getAs[Double]("p95_value"))
+    lo should be <= hi
+    val wm = row.getAs[Double]("winsorized_mean")
+    wm should (be >= lo and be <= hi)
+    // order values are right-skewed: clamping the top tail pulls the mean DOWN
+    wm should be <= row.getAs[Double]("raw_mean") + 1e-6
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
