@@ -707,6 +707,42 @@ object EventAnalytics extends QueryModule {
             - (col("m_b_post") - col("m_b_pre")), 6).as("did"))
     }),
 
+    // Session-depth geometric fit (q328): the distribution of events per
+    // session (10-minute gaps, q26's cut) against the geometric law a
+    // memoryless leave-after-every-event process implies — observed vs
+    // fitted counts per depth bin (tail-collapsed at 10+). Humans leave
+    // sessions non-memorylessly; bots often don't — the shape of the
+    // obs/expected gap is the behavioral-authenticity readout behind
+    // q148's entropy flags. Sessionization is one user-partitioned
+    // lag+cumsum pass (partition-parallel); the fit algebra runs on ≤10
+    // histogram rows, with p̂ = sessions/events a single exact-operand
+    // division and the pow() calls confined to those rows.
+    "q328_depth_geometric" -> ((s, dir) => {
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val sess = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts").cast(LongType).as("t"))
+        .withColumn("gap", col("t") - lag(col("t"), 1).over(wU))
+        .withColumn("snew",
+          when(col("gap").isNull || col("gap") > 600, lit(1L)).otherwise(lit(0L)))
+        .withColumn("sid", sum(col("snew"))
+          .over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val depth = sess.groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("k")).localCheckpoint()
+      val hist = depth.groupBy(least(col("k"), lit(10L)).as("kbin"))
+        .agg(count(lit(1)).as("obs"))
+      val stats = depth.agg(count(lit(1)).as("ns"), sum(col("k")).as("tk"))
+      hist.crossJoin(broadcast(stats))
+        .select(col("kbin"), col("obs"), col("ns"),
+          round(col("ns").cast("double") / col("tk"), 9).as("phat"))
+        .select(col("kbin"), col("obs"), col("phat"),
+          when(col("kbin") < 10,
+            round(col("ns") * col("phat")
+              * pow(lit(1.0) - col("phat"), (col("kbin") - lit(1L)).cast("double")), 6))
+            .otherwise(round(col("ns")
+              * pow(lit(1.0) - col("phat"), lit(9.0)), 6)).as("expected"))
+        .orderBy(col("kbin"))
+    }),
+
     // Mann-Kendall trend test on daily revenue (q316): is there a monotone
     // trend, with significance — the nonparametric test behind q176's
     // Theil-Sen slope (Theil-Sen says HOW steep; MK says WHETHER to believe
@@ -1973,6 +2009,27 @@ object EventAnalytics extends QueryModule {
         |       round(fmod(atan2(sb, cb) + 6.283185307179586, 6.283185307179586)
         |             / 6.283185307179586 * 24, 4) AS peak_hour
         |FROM u ORDER BY event_type""".stripMargin,
+    "q328_depth_geometric" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |g AS (SELECT user_id, t, event_id,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |                  OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 600
+        |             THEN 1 ELSE 0 END AS snew
+        |      FROM e),
+        |s AS (SELECT user_id,
+        |        sum(snew) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM g),
+        |d AS (SELECT user_id, sid, count(*) AS k FROM s GROUP BY 1, 2),
+        |h AS (SELECT least(k, 10) AS kbin, count(*) AS obs FROM d GROUP BY 1),
+        |st AS (SELECT count(*) AS ns, CAST(sum(k) AS BIGINT) AS tk FROM d),
+        |x AS (SELECT kbin, obs, ns, round(CAST(ns AS DOUBLE) / tk, 9) AS phat
+        |      FROM h CROSS JOIN st)
+        |SELECT kbin, obs, phat,
+        |       CASE WHEN kbin < 10
+        |            THEN round(ns * phat * pow(1.0 - phat, CAST(kbin - 1 AS DOUBLE)), 6)
+        |            ELSE round(ns * pow(1.0 - phat, 9.0), 6) END AS expected
+        |FROM x ORDER BY kbin""".stripMargin,
     "q316_mann_kendall" ->
       """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
         |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev

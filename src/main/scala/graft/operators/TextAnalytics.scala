@@ -361,6 +361,40 @@ object TextAnalytics extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Cumulative gains curve (q327): rank documents by the en-marker
+    // density and read, decile by decile, what fraction of all true-English
+    // docs the top k/10 of the ranking has captured — the "how deep must
+    // review go" curve behind every classifier-thresholding decision, and
+    // the ranking-quality view that q298's calibration deciles (binned by
+    // SCORE, not rank) don't give; lift = gain/share is the per-decile
+    // advantage over random. Deciles come from GlobalOrder's distributed
+    // exact ntile (SQL-identical bucket membership, no single-partition
+    // sort); cumulative sums ride a bounded 10² inequality join.
+    "q327_gains_curve" -> ((s, dir) => {
+      val sEn = langScore(col("text"), enPat)
+      val nTok = nTokens(col("text"))
+      val base = docs(s, dir).select(col("doc_id"),
+        round(least(lit(1.0), sEn.cast("double") / nTok.cast("double")), 9).as("p"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+      val tiled = graft.functions.GlobalOrder
+        .withNtile(base, 10, "decile", col("p").desc, col("doc_id"))
+      val per = tiled.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        .localCheckpoint()
+      val tot = per.agg(sum(col("n")).as("nn"), sum(col("pos")).as("npos"))
+      val cum = per.select(col("decile").as("dd"))
+        .join(per, col("decile") <= col("dd"))
+        .groupBy(col("dd"))
+        .agg(sum(col("n")).as("cum_n"), sum(col("pos")).as("cum_pos"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("dd").as("decile"), col("cum_n"), col("cum_pos"),
+          round(col("cum_n").cast("double") / col("nn"), 6).as("share"),
+          round(col("cum_pos").cast("double") / col("npos"), 6).as("gain"))
+        .select(col("decile"), col("cum_n"), col("cum_pos"), col("share"),
+          col("gain"), round(col("gain") / col("share"), 6).as("lift"))
+        .orderBy(col("decile"))
+    }),
+
     // Discretized two-sample KS drift (q322): the max ECDF gap D between
     // the even- and odd-doc_id ingest halves' quality distributions on a
     // fixed 1000-bucket grid — the supremum-gap drift statistic beside
@@ -1229,6 +1263,27 @@ object TextAnalytics extends QueryModule {
           |                       / (heur_only + nb_only), 6)
           |            ELSE 0.0 END AS chi2
           |FROM m""".stripMargin),
+    "q327_gains_curve" ->
+      """WITH base AS (SELECT doc_id,
+        |                round(least(1.0, CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS DOUBLE)
+        |                                 / len(string_split(trim(text), ' '))), 9) AS p,
+        |                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |              FROM documents),
+        |tiled AS (SELECT y, ntile(10) OVER (ORDER BY p DESC, doc_id) AS decile FROM base),
+        |per AS (SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |        FROM tiled GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS npos FROM per),
+        |cum AS (SELECT d2.decile AS dd, CAST(sum(per.n) AS BIGINT) AS cum_n,
+        |          CAST(sum(per.pos) AS BIGINT) AS cum_pos
+        |        FROM (SELECT decile FROM per) d2 JOIN per ON per.decile <= d2.decile
+        |        GROUP BY 1),
+        |x AS (SELECT dd AS decile, cum_n, cum_pos,
+        |        round(CAST(cum_n AS DOUBLE) / nn, 6) AS share,
+        |        round(CAST(cum_pos AS DOUBLE) / npos, 6) AS gain
+        |      FROM cum CROSS JOIN tot)
+        |SELECT decile, cum_n, cum_pos, share, gain,
+        |       round(gain / share, 6) AS lift
+        |FROM x ORDER BY decile""".stripMargin,
     "q322_ks_drift" ->
       s"""WITH b AS (SELECT doc_id % 2 AS half,
          |             least(999, CAST(floor($qualityInlineSql * 1000) AS BIGINT)) AS bucket,

@@ -475,6 +475,31 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     wm should be <= row.getAs[Double]("raw_mean") + 1e-6
   }
 
+  test("q327: gains accumulate monotonically to 1.0 and dominate share") {
+    val r = rows("q327_gains_curve").sortBy(_.getAs[Long]("decile"))
+    r.map(_.getAs[Long]("decile")) shouldBe (1L to r.size)
+    val gains = r.map(_.getAs[Double]("gain"))
+    gains.sliding(2).foreach { case Seq(a, b) => b should be >= a; case _ => }
+    gains.last shouldBe 1.0
+    r.last.getAs[Double]("share") shouldBe 1.0
+    // gain can never exceed every-positive-captured
+    gains.foreach(_ should be <= 1.0 + 1e-9)
+  }
+
+  test("q328: the depth histogram and its geometric fit both total the sessions") {
+    val r = rows("q328_depth_geometric")
+    r should not be empty
+    val obs = r.map(_.getAs[Long]("obs"))
+    obs.foreach(_ should be > 0L)
+    r.foreach { row =>
+      row.getAs[Double]("phat") should (be > 0.0 and be <= 1.0)
+      row.getAs[Double]("expected") should be >= 0.0
+    }
+    // the fitted masses over the binned support can never exceed n_sessions
+    val exp = r.map(_.getAs[Double]("expected")).sum
+    exp should be <= obs.sum.toDouble + 1e-3
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
