@@ -743,6 +743,38 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("kbin"))
     }),
 
+    // Daily-count overdispersion (q330): index of dispersion Var/Mean of
+    // per-day event counts plus the implied negative-binomial size r̂ =
+    // m²/(v−m) — a Poisson arrival process has ID ≈ 1; the corpus's ID
+    // says how much burstier than Poisson real traffic runs, and r̂ is
+    // the parameter a capacity model or anomaly threshold actually needs
+    // (q159-class alerts assuming Poisson underflag at ID >> 1). Counts
+    // are integers, so the mean is integer-space half-up and the variance
+    // numerator lives exactly on the 1e-18 grid (the q318 discipline);
+    // mean_daily reports UNROUNDED (m9/1e9 — no tie exists to strike).
+    "q330_overdispersion" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      daily.agg(count(lit(1)).as("n"),
+          expr("(2 * cast(sum(c) as decimal(38,0)) * 1000000000 + count(1))" +
+            " div (2 * count(1))").as("m9"),
+          sum(expr("cast(c as decimal(19,0)) * cast(c as decimal(19,0))")).as("sc2"))
+        .select(col("n"),
+          (col("m9").cast("double") / 1e9).as("mean_daily"),
+          expr("cast(sc2 * 1000000000000000000 as decimal(38,0))" +
+            " - cast(n as decimal(38,0)) * (cast(m9 as decimal(19,0))" +
+            " * cast(m9 as decimal(19,0)))").as("v18"))
+        .select(col("n").as("n_days"), col("mean_daily"),
+          round(col("v18").cast("double") / (col("n") - lit(1L)) / 1e18, 6)
+            .as("var_daily"))
+        .select(col("n_days"), col("mean_daily"), col("var_daily"),
+          round(col("var_daily") / col("mean_daily"), 6).as("dispersion_index"),
+          when(col("var_daily") > col("mean_daily"),
+            round(col("mean_daily") * col("mean_daily")
+              / (col("var_daily") - col("mean_daily")), 6)).as("nb_size"))
+    }),
+
     // Mann-Kendall trend test on daily revenue (q316): is there a monotone
     // trend, with significance — the nonparametric test behind q176's
     // Theil-Sen slope (Theil-Sen says HOW steep; MK says WHETHER to believe
@@ -2009,6 +2041,27 @@ object EventAnalytics extends QueryModule {
         |       round(fmod(atan2(sb, cb) + 6.283185307179586, 6.283185307179586)
         |             / 6.283185307179586 * 24, 4) AS peak_hour
         |FROM u ORDER BY event_type""".stripMargin,
+    "q330_overdispersion" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, count(*) AS c
+        |               FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS n,
+        |        (2 * CAST(CAST(sum(c) AS HUGEINT) AS HUGEINT) * 1000000000 + count(*))
+        |          // (2 * count(*)) AS m9,
+        |        sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS sc2
+        |      FROM daily),
+        |b AS (SELECT n, CAST(m9 AS DOUBLE) / 1e9 AS mean_daily,
+        |        CAST(sc2 * 1000000000000000000 AS HUGEINT)
+        |        - CAST(n AS HUGEINT) * (CAST(m9 AS HUGEINT) * CAST(m9 AS HUGEINT)) AS v18
+        |      FROM a),
+        |v AS (SELECT n AS n_days, mean_daily,
+        |        round(CAST(v18 AS DOUBLE) / (n - 1) / 1e18, 6) AS var_daily
+        |      FROM b)
+        |SELECT n_days, mean_daily, var_daily,
+        |       round(var_daily / mean_daily, 6) AS dispersion_index,
+        |       CASE WHEN var_daily > mean_daily
+        |            THEN round(mean_daily * mean_daily / (var_daily - mean_daily), 6)
+        |       END AS nb_size
+        |FROM v""".stripMargin,
     "q328_depth_geometric" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
         |g AS (SELECT user_id, t, event_id,

@@ -556,6 +556,31 @@ object Expectations extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_snapshot_diff" -> snapshotDiff,
 
+    // Contingency drill-down (q329): the (source × lang) table with
+    // independence-expected counts and Pearson standardized residuals —
+    // q206's MI says THAT source and language associate; the residual
+    // cells say WHERE (which source over/under-produces which language,
+    // in sigma units — |r| > 2-3 flags the driving cells). Expected
+    // counts are integer-space half-up (nr·nc/N is a small-denominator
+    // rational — the true-tie class); the whole table is |sources|×|langs|
+    // rows off one grouped count.
+    "q329_residual_cells" -> ((s, dir) => {
+      val ct = Tables.read(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("obs"))
+        .localCheckpoint()
+      val rs = ct.groupBy(col("source")).agg(sum(col("obs")).as("nr"))
+      val cs = ct.groupBy(col("lang")).agg(sum(col("obs")).as("nc"))
+      val nn = ct.agg(sum(col("obs")).as("n"))
+      ct.join(rs, "source").join(cs, "lang").crossJoin(broadcast(nn))
+        .select(col("source"), col("lang"), col("obs"),
+          (expr("(2 * cast(nr as decimal(38,0)) * nc * 1000000 + n) div (2 * n)")
+            .cast("double") / 1e6).as("expected"))
+        .select(col("source"), col("lang"), col("obs"), col("expected"),
+          round((col("obs") - col("expected")) / sqrt(col("expected")), 6)
+            .as("std_residual"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // One-way ANOVA across sources (q318): does mean quality differ by
     // source AT ALL, as one F test — the k-group gate run before burning
     // review budget on q283's per-source ablations or q264's pairwise
@@ -692,6 +717,17 @@ object Expectations extends QueryModule {
       |             length(text)), 6)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q329_residual_cells" ->
+      """WITH ct AS (SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2),
+        |rs AS (SELECT source, CAST(sum(obs) AS BIGINT) AS nr FROM ct GROUP BY 1),
+        |cs AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS nc FROM ct GROUP BY 1),
+        |nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM ct),
+        |x AS (SELECT ct.source, ct.lang, ct.obs,
+        |        CAST((2 * CAST(nr AS HUGEINT) * nc * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6 AS expected
+        |      FROM ct JOIN rs USING (source) JOIN cs USING (lang) CROSS JOIN nn)
+        |SELECT source, lang, obs, expected,
+        |       round((obs - expected) / sqrt(expected), 6) AS std_residual
+        |FROM x ORDER BY source, lang""".stripMargin,
     "q318_anova_quality" ->
       anovaSql(s"""WITH per AS (SELECT source AS g, $qualityExprSql AS x FROM documents)"""),
     "q319_brown_forsythe" ->

@@ -500,6 +500,30 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     exp should be <= obs.sum.toDouble + 1e-3
   }
 
+  test("q329: expected counts reconcile with observed margins") {
+    val r = rows("q329_residual_cells")
+    r should not be empty
+    val obsSum = r.map(_.getAs[Long]("obs")).sum
+    val expSum = r.map(_.getAs[Double]("expected")).sum
+    // over the OBSERVED cells only, Σ expected can't exceed Σ observed = N
+    // (the full-grid identity Σ nr·nc/N = N includes the zero cells)
+    expSum should be <= obsSum.toDouble + 0.01 * r.size
+    expSum should be > 0.0
+    r.foreach(_.getAs[Double]("expected") should be > 0.0)
+  }
+
+  test("q330: the dispersion pieces are internally consistent") {
+    val r = rows("q330_overdispersion")
+    r should have size 1
+    val row = r.head
+    row.getAs[Double]("mean_daily") should be > 0.0
+    row.getAs[Double]("var_daily") should be >= 0.0
+    val id = row.getAs[Double]("dispersion_index")
+    id should be >= 0.0
+    if (!row.isNullAt(row.fieldIndex("nb_size")))
+      row.getAs[Double]("nb_size") should be > 0.0
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
