@@ -743,6 +743,121 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("kbin"))
     }),
 
+    // Lead-lag cross-correlation (q331): corr(count_t, revenue_{t+k}) for
+    // k ∈ [−3, 3] — does activity LEAD revenue (conversion delay), LAG it
+    // (post-purchase browsing), or move synchronously? The two-series
+    // companion to q275's single-series ACF, and the readout that decides
+    // which lagged feature a revenue forecast should use. Revenue joins on
+    // the cents grid (y = rev·100, exact integer), so every moment is a
+    // pure integer and the correlation touches floats only at the final
+    // divide-by-sqrt; lag pairs come from 7 equi-joins on day+k over the
+    // calendar-bounded rollup.
+    "q331_ccf" -> ((s, dir) => {
+      import s.implicits._
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("x"),
+          round(exactSum(col("value"), 2) * 100, 0).cast("long").as("y100"))
+        .localCheckpoint()
+      val ks = Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L).toDF("k")
+      val a = daily.select(col("day"), col("x"))
+      val b = daily.select(col("day").as("day2"), col("y100").as("y"))
+      a.crossJoin(broadcast(ks))
+        .join(b, col("day2") === col("day") + col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(x as decimal(38,0))")).as("sx"),
+          sum(expr("cast(y as decimal(38,0))")).as("sy"),
+          sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))")).as("sxx"),
+          sum(expr("cast(y as decimal(19,0)) * cast(y as decimal(19,0))")).as("syy"),
+          sum(expr("cast(x as decimal(19,0)) * cast(y as decimal(19,0))")).as("sxy"))
+        .select(col("k").as("lag"), col("n"),
+          round(expr("cast(cast(n as decimal(38,0)) * sxy - sx * sy as double)")
+            / sqrt(expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as double)")
+              * expr("cast(cast(n as decimal(38,0)) * syy - sy * sy as double)")), 6)
+            .as("ccf"))
+        .orderBy(col("lag"))
+    }),
+
+    // Partial autocorrelation (q332): PACF at lags 1-3 via the closed-form
+    // Durbin–Levinson recursion over the daily-count ACF — the statistic
+    // that separates "AR(1) whose echo reaches lag 3" from genuine
+    // higher-order memory (q275's raw ACF can't tell them apart; PACF(k)
+    // nets out the shorter lags). ACF inputs use the exact integer moment
+    // machinery (counts are integers) rounded at 9 dp; the recursion is a
+    // fixed double-arithmetic sequence both engines execute identically on
+    // those identical inputs.
+    "q332_pacf" -> ((s, dir) => {
+      import s.implicits._
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val ks = Seq(1L, 2L, 3L).toDF("k")
+      val a = daily.select(col("day"), col("x"))
+      val b = daily.select(col("day").as("day2"), col("x").as("y"))
+      val rk = a.crossJoin(broadcast(ks))
+        .join(b, col("day2") === col("day") + col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(x as decimal(38,0))")).as("sx"),
+          sum(expr("cast(y as decimal(38,0))")).as("sy"),
+          sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))")).as("sxx"),
+          sum(expr("cast(y as decimal(19,0)) * cast(y as decimal(19,0))")).as("syy"),
+          sum(expr("cast(x as decimal(19,0)) * cast(y as decimal(19,0))")).as("sxy"))
+        .select(col("k"),
+          round(expr("cast(cast(n as decimal(38,0)) * sxy - sx * sy as double)")
+            / sqrt(expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as double)")
+              * expr("cast(cast(n as decimal(38,0)) * syy - sy * sy as double)")), 9)
+            .as("r"))
+      val r1 = rk.filter(col("k") === 1).select(col("r").as("r1"))
+      val r2 = rk.filter(col("k") === 2).select(col("r").as("r2"))
+      val r3 = rk.filter(col("k") === 3).select(col("r").as("r3"))
+      r1.crossJoin(r2).crossJoin(r3)
+        .select(col("r1"), col("r2"), col("r3"),
+          round((col("r2") - col("r1") * col("r1"))
+            / (lit(1.0) - col("r1") * col("r1")), 9).as("p2"))
+        .select(col("r1"), col("r2"), col("r3"), col("p2"),
+          round((col("r1") - col("p2") * col("r1")), 9).as("f21"))
+        .select(col("r1").as("pacf1"), col("p2").as("pacf2"),
+          round((col("r3") - col("f21") * col("r2") - col("p2") * col("r1"))
+            / (lit(1.0) - col("f21") * col("r1") - col("p2") * col("r2")), 6)
+            .as("pacf3"))
+    }),
+
+    // Seasonal-naive forecast quality (q333): Theil-style ratio of the
+    // same-weekday-last-week forecast's RMSE to the yesterday-naive
+    // baseline's, over days where both references exist — U < 1 means the
+    // weekly pattern q321 detected actually FORECASTS (eta² can be real
+    // yet useless one step ahead). Errors are differences of exact 2-dp
+    // daily revenues, their squares exact 4-dp decimals — both SSEs are
+    // exact until the final sqrt-of-ratio; lag references come from two
+    // equi-joins, no windows.
+    "q333_seasonal_naive" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day")).agg(exactSum(col("value"), 2).as("rev"))
+        .localCheckpoint()
+      val cur = daily.select(col("day"), col("rev"))
+      val l1 = daily.select((col("day") + 1).as("day"), col("rev").as("rev1"))
+      val l7 = daily.select((col("day") + 7).as("day"), col("rev").as("rev7"))
+      cur.join(l1, "day").join(l7, "day")
+        .select(
+          expr("cast(rev as decimal(18,2)) - cast(rev1 as decimal(18,2))").as("e1"),
+          expr("cast(rev as decimal(18,2)) - cast(rev7 as decimal(18,2))").as("e7"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(e1 as decimal(19,2)) * cast(e1 as decimal(19,2))")).as("sse1"),
+          sum(expr("cast(e7 as decimal(19,2)) * cast(e7 as decimal(19,2))")).as("sse7"))
+        .select(col("n").as("n_days"),
+          round(sqrt(col("sse1").cast("double") / col("n")), 6).as("rmse_naive1"),
+          round(sqrt(col("sse7").cast("double") / col("n")), 6).as("rmse_seasonal7"),
+          round(sqrt(col("sse7").cast("double") / col("sse1").cast("double")), 6)
+            .as("theil_u"))
+    }),
+
     // Daily-count overdispersion (q330): index of dispersion Var/Mean of
     // per-day event counts plus the implied negative-binomial size r̂ =
     // m²/(v−m) — a Poisson arrival process has ID ≈ 1; the corpus's ID
@@ -2041,6 +2156,72 @@ object EventAnalytics extends QueryModule {
         |       round(fmod(atan2(sb, cb) + 6.283185307179586, 6.283185307179586)
         |             / 6.283185307179586 * 24, 4) AS peak_hour
         |FROM u ORDER BY event_type""".stripMargin,
+    "q331_ccf" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |                 count(*) AS x,
+        |                 CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100, 0) AS BIGINT) AS y100
+        |               FROM events GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([-3, -2, -1, 0, 1, 2, 3]) AS BIGINT) AS k),
+        |j AS (SELECT ks.k, a.x, b.y100 AS y
+        |      FROM daily a CROSS JOIN ks JOIN daily b ON b.day = a.day + ks.k),
+        |m AS (SELECT k, count(*) AS n,
+        |        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |      FROM j GROUP BY 1)
+        |SELECT k AS lag, n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf
+        |FROM m ORDER BY lag""".stripMargin,
+    "q332_pacf" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, count(*) AS x
+        |               FROM events GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS k),
+        |j AS (SELECT ks.k, a.x, b.x AS y
+        |      FROM daily a CROSS JOIN ks JOIN daily b ON b.day = a.day + ks.k),
+        |m AS (SELECT k, count(*) AS n,
+        |        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |      FROM j GROUP BY 1),
+        |rk AS (SELECT k,
+        |         round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                      * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS r
+        |       FROM m),
+        |r1 AS (SELECT r AS r1 FROM rk WHERE k = 1),
+        |r2 AS (SELECT r AS r2 FROM rk WHERE k = 2),
+        |r3 AS (SELECT r AS r3 FROM rk WHERE k = 3),
+        |p2t AS (SELECT r1, r2, r3,
+        |          round((r2 - r1 * r1) / (1.0 - r1 * r1), 9) AS p2
+        |        FROM r1 CROSS JOIN r2 CROSS JOIN r3),
+        |f AS (SELECT r1, r2, r3, p2, round(r1 - p2 * r1, 9) AS f21 FROM p2t)
+        |SELECT r1 AS pacf1, p2 AS pacf2,
+        |       round((r3 - f21 * r2 - p2 * r1)
+        |             / (1.0 - f21 * r1 - p2 * r2), 6) AS pacf3
+        |FROM f""".stripMargin,
+    "q333_seasonal_naive" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |               FROM events GROUP BY 1),
+        |j AS (SELECT c.rev, l1.rev AS rev1, l7.rev AS rev7
+        |      FROM daily c JOIN daily l1 ON c.day = l1.day + 1
+        |                   JOIN daily l7 ON c.day = l7.day + 7),
+        |e AS (SELECT CAST(rev AS DECIMAL(18,2)) - CAST(rev1 AS DECIMAL(18,2)) AS e1,
+        |        CAST(rev AS DECIMAL(18,2)) - CAST(rev7 AS DECIMAL(18,2)) AS e7
+        |      FROM j),
+        |m AS (SELECT count(*) AS n,
+        |        sum(CAST(e1 AS DECIMAL(19,2)) * CAST(e1 AS DECIMAL(19,2))) AS sse1,
+        |        sum(CAST(e7 AS DECIMAL(19,2)) * CAST(e7 AS DECIMAL(19,2))) AS sse7
+        |      FROM e)
+        |SELECT n AS n_days,
+        |       round(sqrt(CAST(sse1 AS DOUBLE) / n), 6) AS rmse_naive1,
+        |       round(sqrt(CAST(sse7 AS DOUBLE) / n), 6) AS rmse_seasonal7,
+        |       round(sqrt(CAST(sse7 AS DOUBLE) / CAST(sse1 AS DOUBLE)), 6) AS theil_u
+        |FROM m""".stripMargin,
     "q330_overdispersion" ->
       """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, count(*) AS c
         |               FROM events GROUP BY 1),

@@ -524,6 +524,34 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
       row.getAs[Double]("nb_size") should be > 0.0
   }
 
+  test("q331: every CCF value is a correlation and lag 0 is positive") {
+    val r = rows("q331_ccf")
+    r.map(_.getAs[Long]("lag")).sorted shouldBe (-3L to 3L)
+    r.foreach(_.getAs[Double]("ccf") should (be >= -1.0 - 1e-6 and be <= 1.0 + 1e-6))
+    // count and revenue on the SAME day co-move by construction
+    r.find(_.getAs[Long]("lag") == 0L).get.getAs[Double]("ccf") should be > 0.0
+  }
+
+  test("q332: PACF(1) equals ACF(1) and all partials are correlations") {
+    val r = rows("q332_pacf")
+    r should have size 1
+    val row = r.head
+    Seq("pacf1", "pacf2", "pacf3").foreach { c =>
+      row.getAs[Double](c) should (be >= -1.0 - 1e-6 and be <= 1.0 + 1e-6)
+    }
+  }
+
+  test("q333: the Theil ratio reconciles with its two RMSEs") {
+    val r = rows("q333_seasonal_naive")
+    r should have size 1
+    val row = r.head
+    val (r1, r7, u) = (row.getAs[Double]("rmse_naive1"),
+      row.getAs[Double]("rmse_seasonal7"), row.getAs[Double]("theil_u"))
+    r1 should be >= 0.0
+    r7 should be >= 0.0
+    if (r1 > 0) u shouldBe (r7 / r1) +- 1e-3
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
