@@ -766,6 +766,63 @@ object Relational extends QueryModule {
           (expr(hu6("sw")).cast("double") / 1e6).as("winsorized_mean"))
     }),
 
+    // Grouped higher moments (q335): skewness and excess kurtosis of
+    // supplier balances per nation — the distribution-SHAPE tier above the
+    // mean/variance queries (two nations can share both and still differ:
+    // one a few deep-debt outliers, one a symmetric spread; skew/kurtosis
+    // is what the risk review reads). Three bounded passes: sign-split
+    // integer-space means (balances are ±), standardized residuals z =
+    // (x−μ)/σ, then z³/z⁴ means back in sign-split integer space — every
+    // /n division is tie-proof, and (x−μ)² on the 1e-9 grid provably
+    // cannot tie at 12 dp (k² ≡ 5·10⁵ mod 10⁶ has no solution).
+    "q335_grouped_moments" -> ((s, dir) => {
+      val dec12 = DecimalType(38, 12)
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("s_acctbal").as("xb"))
+        .localCheckpoint()
+      val mu = sup.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"),
+          expr("case when sum(cast(xb as decimal(18,2))) >= 0 then " +
+            "(2 * cast(sum(cast(xb as decimal(18,2))) * 1000000000 as decimal(38,0))" +
+            " + count(1)) div (2 * count(1)) else " +
+            "-((2 * cast((- sum(cast(xb as decimal(18,2)))) * 1000000000 as decimal(38,0))" +
+            " + count(1)) div (2 * count(1))) end").as("m9"))
+        // shape statistics need a sample: singleton nations (tiny SFs)
+        // would divide by n−1 = 0 and a 2-supplier skew is noise anyway
+        .filter(col("n") >= 5)
+      val d = sup.join(mu, "nation")
+        .select(col("nation"), col("n"), col("m9"),
+          (col("xb") - col("m9").cast("double") / 1e9).as("dx"))
+        .localCheckpoint()
+      val sd = d.groupBy(col("nation"), col("n"))
+        .agg(sum(round(col("dx") * col("dx"), 12).cast(dec12)).as("ss2"))
+        .select(col("nation"),
+          round(sqrt(expr("(2 * cast(ss2 * 1000000000000 as decimal(38,0))" +
+            " + 1000 * (n - 1)) div (2000 * (n - 1))").cast("double") / 1e9), 9)
+            .as("sd"))
+      d.join(sd, "nation")
+        .select(col("nation"), col("n"), col("m9"), col("sd"),
+          round(col("dx") / col("sd"), 9).as("z"))
+        .select(col("nation"), col("n"), col("m9"), col("sd"),
+          round(col("z") * col("z") * col("z"), 12).as("z3"),
+          round(col("z") * col("z") * col("z") * col("z"), 12).as("z4"))
+        .groupBy(col("nation"), col("n"), col("m9"), col("sd"))
+        .agg(expr("case when sum(cast(z3 as decimal(38,12))) >= 0 then " +
+          "(2 * cast(sum(cast(z3 as decimal(38,12))) * 1000000000000 as decimal(38,0))" +
+          " + 1000000 * count(1)) div (2000000 * count(1)) else " +
+          "-((2 * cast((- sum(cast(z3 as decimal(38,12)))) * 1000000000000 as decimal(38,0))" +
+          " + 1000000 * count(1)) div (2000000 * count(1))) end").as("sk6"),
+          expr("(2 * cast(sum(cast(z4 as decimal(38,12))) * 1000000000000 as decimal(38,0))" +
+            " + 1000000 * count(1)) div (2000000 * count(1))").as("k6"))
+        .select(col("nation"), col("n").as("n_suppliers"),
+          (col("m9").cast("double") / 1e9).as("mean_bal"), col("sd").as("sd_bal"),
+          (col("sk6").cast("double") / 1e6).as("skewness"),
+          (col("k6").cast("double") / 1e6 - lit(3.0)).as("kurtosis_excess"))
+        .orderBy(col("nation"))
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -1543,6 +1600,43 @@ object Relational extends QueryModule {
         |  JOIN promo ON s_suppkey = l_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY suppkey""".stripMargin,
+    "q335_grouped_moments" ->
+      """WITH sup AS (SELECT n_name AS nation, s_acctbal AS xb
+        |             FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |mu AS (SELECT nation, count(*) AS n,
+        |         CASE WHEN sum(CAST(xb AS DECIMAL(18,2))) >= 0
+        |              THEN (2 * CAST(sum(CAST(xb AS DECIMAL(18,2))) * 1000000000 AS HUGEINT)
+        |                    + count(*)) // (2 * count(*))
+        |              ELSE -((2 * CAST((- sum(CAST(xb AS DECIMAL(18,2)))) * 1000000000 AS HUGEINT)
+        |                      + count(*)) // (2 * count(*))) END AS m9
+        |       FROM sup GROUP BY 1
+        |       HAVING count(*) >= 5),
+        |d AS (SELECT sup.nation, mu.n, mu.m9,
+        |        xb - CAST(m9 AS DOUBLE) / 1e9 AS dx
+        |      FROM sup JOIN mu USING (nation)),
+        |sdt AS (SELECT nation,
+        |          round(sqrt(CAST((2 * CAST(sum(CAST(round(dx * dx, 12) AS DECIMAL(38,12))) * 1000000000000 AS HUGEINT)
+        |                           + 1000 * (n - 1)) // (2000 * (n - 1)) AS DOUBLE) / 1e9), 9) AS sd
+        |        FROM d GROUP BY nation, n),
+        |z AS (SELECT d.nation, d.n, d.m9, sdt.sd, round(dx / sd, 9) AS z
+        |      FROM d JOIN sdt USING (nation)),
+        |zp AS (SELECT nation, n, m9, sd,
+        |         round(z * z * z, 12) AS z3, round(z * z * z * z, 12) AS z4
+        |       FROM z),
+        |agg AS (SELECT nation, n, m9, sd,
+        |          CASE WHEN sum(CAST(z3 AS DECIMAL(38,12))) >= 0
+        |               THEN (2 * CAST(sum(CAST(z3 AS DECIMAL(38,12))) * 1000000000000 AS HUGEINT)
+        |                     + 1000000 * count(*)) // (2000000 * count(*))
+        |               ELSE -((2 * CAST((- sum(CAST(z3 AS DECIMAL(38,12)))) * 1000000000000 AS HUGEINT)
+        |                       + 1000000 * count(*)) // (2000000 * count(*))) END AS sk6,
+        |          (2 * CAST(sum(CAST(z4 AS DECIMAL(38,12))) * 1000000000000 AS HUGEINT)
+        |           + 1000000 * count(*)) // (2000000 * count(*)) AS k6
+        |        FROM zp GROUP BY 1, 2, 3, 4)
+        |SELECT nation, n AS n_suppliers,
+        |       CAST(m9 AS DOUBLE) / 1e9 AS mean_bal, sd AS sd_bal,
+        |       CAST(sk6 AS DOUBLE) / 1e6 AS skewness,
+        |       CAST(k6 AS DOUBLE) / 1e6 - 3.0 AS kurtosis_excess
+        |FROM agg ORDER BY nation""".stripMargin,
     "q326_winsorized_mean" ->
       """WITH ranked AS (SELECT o_totalprice AS x,
         |                  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn

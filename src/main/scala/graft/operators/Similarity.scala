@@ -1279,6 +1279,45 @@ object Similarity extends QueryModule {
         .orderBy(col("cell"))
     }),
 
+    // Embedding anisotropy audit (q334): ‖mean vector‖² / mean‖v‖² — the
+    // fraction of embedding energy living in ONE common direction
+    // (Ethayarajh 2019's anisotropy problem: contextual embeddings cluster
+    // in a narrow cone, which inflates every cosine and flattens q38/q47's
+    // similarity contrast; ≈0 is isotropic, →1 is a degenerate cone worth
+    // mean-centering before any cosine tier runs). Per-position means are
+    // sign-split integer-space half-up (components are ± and the /n mean
+    // is the true-tie class); ‖μ‖² stays exact on the 1e-18 grid; per-
+    // vector norms decimal-sum 12-dp-rounded squares (the q220
+    // convention). One posexplode pass, everything after is bounded by
+    // the dimension.
+    "q334_anisotropy" -> ((s, dir) => {
+      val dec12 = DecimalType(38, 12)
+      val e = emb(s, dir)
+      val comps = e.select(col("vec_id"), posexplode(col("v")))
+        .select(col("vec_id"), col("pos"), round(col("col"), 12).as("x"))
+        .localCheckpoint()
+      val mu = comps.groupBy(col("pos"))
+        .agg(expr("case when sum(cast(x as decimal(38,12))) >= 0 then " +
+          "(2 * cast(sum(cast(x as decimal(38,12))) * 1000000000000 as decimal(38,0))" +
+          " + 1000 * count(1)) div (2000 * count(1)) else " +
+          "-((2 * cast((- sum(cast(x as decimal(38,12)))) * 1000000000000 as decimal(38,0))" +
+          " + 1000 * count(1)) div (2000 * count(1))) end").as("m9"))
+      val muNorm = mu.agg((expr(
+        "cast(sum(cast(m9 as decimal(19,0)) * cast(m9 as decimal(19,0))) as decimal(38,0))")
+        .cast("double") / 1e18).as("mu_norm2"))
+      val vn = comps
+        .select(col("vec_id"), round(col("x") * col("x"), 12).cast(dec12).as("x2"))
+        .groupBy(col("vec_id")).agg(sum(col("x2")).as("n2"))
+      val en2 = vn.agg((expr(
+        "(2 * cast(sum(n2) * 1000000000000 as decimal(38,0)) + 1000 * count(1))" +
+        " div (2000 * count(1))").cast("double") / 1e9).as("mean_norm2"),
+        count(lit(1)).as("n_vectors"))
+      en2.crossJoin(broadcast(muNorm))
+        .select(col("n_vectors"), col("mu_norm2"), col("mean_norm2"),
+          round(col("mu_norm2") / col("mean_norm2"), 6).as("anisotropy"),
+          round(sqrt(col("mean_norm2")), 6).as("rms_norm"))
+    }),
+
     // JL-sketch norm-distortion audit (see [[jlDistortion]]).
     "q219_jl_distortion" -> ((s, dir) =>
       jlDistortion(s, dir).orderBy(col("vec_id"))),
@@ -1671,6 +1710,29 @@ object Similarity extends QueryModule {
         |SELECT q_id AS vec_id, true_label AS label, n_label AS pred, n_votes FROM
         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr FROM votes)
         |WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "q334_anisotropy" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |comps AS (SELECT vec_id, unnest(range(len(v))) AS pos,
+        |            round(unnest(v), 12) AS x FROM e),
+        |mu AS (SELECT pos,
+        |         CASE WHEN sum(CAST(x AS DECIMAL(38,12))) >= 0
+        |              THEN (2 * CAST(sum(CAST(x AS DECIMAL(38,12))) * 1000000000000 AS HUGEINT)
+        |                    + 1000 * count(*)) // (2000 * count(*))
+        |              ELSE -((2 * CAST((- sum(CAST(x AS DECIMAL(38,12)))) * 1000000000000 AS HUGEINT)
+        |                      + 1000 * count(*)) // (2000 * count(*))) END AS m9
+        |       FROM comps GROUP BY 1),
+        |mn AS (SELECT CAST(sum(CAST(m9 AS HUGEINT) * CAST(m9 AS HUGEINT)) AS DOUBLE) / 1e18 AS mu_norm2
+        |       FROM mu),
+        |vn AS (SELECT vec_id, sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS n2
+        |       FROM comps GROUP BY 1),
+        |en AS (SELECT count(*) AS n_vectors,
+        |         CAST((2 * CAST(sum(n2) * 1000000000000 AS HUGEINT) + 1000 * count(*))
+        |              // (2000 * count(*)) AS DOUBLE) / 1e9 AS mean_norm2
+        |       FROM vn)
+        |SELECT n_vectors, mu_norm2, mean_norm2,
+        |       round(mu_norm2 / mean_norm2, 6) AS anisotropy,
+        |       round(sqrt(mean_norm2), 6) AS rms_norm
+        |FROM en CROSS JOIN mn""".stripMargin,
     "q301_cell_silhouette" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -552,6 +552,30 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     if (r1 > 0) u shouldBe (r7 / r1) +- 1e-3
   }
 
+  test("q334: anisotropy is a fraction of total embedding energy") {
+    val r = rows("q334_anisotropy")
+    r should have size 1
+    val row = r.head
+    // ||mean||^2 <= mean ||v||^2 (Jensen), so the ratio is in [0, 1]
+    row.getAs[Double]("anisotropy") should (be >= 0.0 and be <= 1.0 + 1e-6)
+    row.getAs[Double]("mean_norm2") should be > 0.0
+    row.getAs[Double]("rms_norm") should be > 0.0
+  }
+
+  test("q335: z-based moments behave (kurtosis >= skewness^2 - 2)") {
+    // sf0.001 has <5 suppliers per nation, so the n>=5 floor may empty the
+    // frame — the oracle agrees; assert shape properties on whatever rows exist
+    val r = rows("q335_grouped_moments")
+    r.foreach { row =>
+      row.getAs[Long]("n_suppliers") should be >= 5L
+      row.getAs[Double]("sd_bal") should be > 0.0
+      val sk = row.getAs[Double]("skewness")
+      val ku = row.getAs[Double]("kurtosis_excess")
+      // Pearson's inequality: kurtosis >= skewness² + 1, i.e. excess >= sk² - 2
+      ku should be >= sk * sk - 2.0 - 0.01
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
