@@ -1318,6 +1318,56 @@ object Similarity extends QueryModule {
           round(sqrt(col("mean_norm2")), 6).as("rms_norm"))
     }),
 
+    // Top-eigenvalue share via power iteration (q336): the spectral
+    // companion to q334 — what fraction of total embedding energy (the
+    // Gram trace) the TOP principal direction owns. λ₁/tr near 1/dim is
+    // healthy spread; a dominant λ₁ means the space is effectively
+    // low-rank and every distance/ANN structure is cheaper AND blunter
+    // than its dimension suggests. The corpus is touched ONCE to build
+    // the dim×dim second-moment matrix (12-dp pre-rounded products,
+    // exact decimal sums — at 100 TB this is the classic one-pass Gram
+    // accumulation); FIVE fixed power-iteration rounds then run entirely
+    // on the 64²-row matrix frame (bounded joins, 9-dp renormalization
+    // each round — fixed count, not convergence, so the oracle unrolls
+    // the identical recursion, the q107 PageRank discipline).
+    "q336_top_eigen" -> ((s, dir) => {
+      val dec12 = DecimalType(38, 12); val dec9 = DecimalType(38, 9)
+      val comps = emb(s, dir).select(col("vec_id"), posexplode(col("v")))
+        .select(col("vec_id"), col("pos"), round(col("col"), 12).as("x"))
+      val mat = comps.select(col("vec_id"), col("pos").as("i"), col("x").as("xi"))
+        .join(comps.select(col("vec_id"), col("pos").as("j"), col("x").as("xj")),
+          "vec_id")
+        .groupBy(col("i"), col("j"))
+        .agg(sum(round(col("xi") * col("xj"), 12).cast(dec12)).as("md"))
+        .select(col("i"), col("j"), col("md"), col("md").cast("double").as("mij"))
+        .localCheckpoint()
+      var w = mat.select(col("j")).distinct()
+        .select(col("j"), lit(1.0).as("w")).localCheckpoint()
+      for (_ <- 1 to 5) {
+        val u = mat.join(w, "j").groupBy(col("i"))
+          .agg(sum(round(col("mij") * col("w"), 9).cast(dec9)).cast("double").as("u"))
+        val nm = u.agg(round(sqrt(
+          sum(round(col("u") * col("u"), 9).cast(dec9)).cast("double")), 9).as("nm"))
+        w = u.crossJoin(broadcast(nm))
+          .select(col("i").as("j"), round(col("u") / col("nm"), 9).as("w"))
+          .localCheckpoint()
+      }
+      val lam = mat
+        .join(w.select(col("j"), col("w").as("wj")), "j")
+        .join(w.select(col("j").as("i"), col("w").as("wi")), "i")
+        .agg(sum(round(col("wi") * col("mij") * col("wj"), 9).cast(dec9))
+          .cast("double").as("quad"))
+      val wtw = w.agg(sum(round(col("w") * col("w"), 9).cast(dec9))
+        .cast("double").as("wtw"))
+      val tr = mat.filter(col("i") === col("j"))
+        .agg(sum(col("md")).cast("double").as("trace"))
+      lam.crossJoin(broadcast(wtw)).crossJoin(broadcast(tr))
+        .select(col("trace"),
+          round(col("quad") / col("wtw"), 6).as("lambda1"))
+        .select(col("trace"), col("lambda1"),
+          round(col("lambda1") / col("trace"), 6).as("explained_share"))
+    }),
+
     // JL-sketch norm-distortion audit (see [[jlDistortion]]).
     "q219_jl_distortion" -> ((s, dir) =>
       jlDistortion(s, dir).orderBy(col("vec_id"))),
@@ -1710,6 +1760,31 @@ object Similarity extends QueryModule {
         |SELECT q_id AS vec_id, true_label AS label, n_label AS pred, n_votes FROM
         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr FROM votes)
         |WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "q336_top_eigen" -> {
+      val iters = (1 to 5).map { k =>
+        val prev = if (k == 1) "w0" else s"w${k - 1}"
+        s"""u$k AS MATERIALIZED (
+           |  SELECT i, CAST(sum(CAST(round(mij * w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS u
+           |  FROM m2 JOIN $prev USING (j) GROUP BY 1),
+           |n$k AS (SELECT round(sqrt(CAST(sum(CAST(round(u * u, 9) AS DECIMAL(38,9))) AS DOUBLE)), 9) AS nm FROM u$k),
+           |w$k AS MATERIALIZED (SELECT i AS j, round(u / nm, 9) AS w FROM u$k CROSS JOIN n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |comps AS (SELECT vec_id, unnest(range(len(v))) AS pos, round(unnest(v), 12) AS x FROM e),
+         |mat AS MATERIALIZED (
+         |  SELECT a.pos AS i, b.pos AS j,
+         |         sum(CAST(round(a.x * b.x, 12) AS DECIMAL(38,12))) AS md
+         |  FROM comps a JOIN comps b USING (vec_id) GROUP BY 1, 2),
+         |m2 AS MATERIALIZED (SELECT i, j, md, CAST(md AS DOUBLE) AS mij FROM mat),
+         |w0 AS (SELECT DISTINCT j, 1.0 AS w FROM m2),
+         |$iters,
+         |lam AS (SELECT CAST(sum(CAST(round(wi.w * mij * wj.w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS quad
+         |        FROM m2 JOIN w5 wj ON wj.j = m2.j JOIN w5 wi ON wi.j = m2.i),
+         |wtw AS (SELECT CAST(sum(CAST(round(w * w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS wtw FROM w5),
+         |tr AS (SELECT CAST(sum(md) AS DOUBLE) AS trace FROM m2 WHERE i = j),
+         |x AS (SELECT trace, round(quad / wtw, 6) AS lambda1 FROM lam CROSS JOIN wtw CROSS JOIN tr)
+         |SELECT trace, lambda1, round(lambda1 / trace, 6) AS explained_share FROM x""".stripMargin
+    },
     "q334_anisotropy" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |comps AS (SELECT vec_id, unnest(range(len(v))) AS pos,

@@ -576,6 +576,18 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q336: the Rayleigh quotient is positive and bounded by the trace") {
+    val r = rows("q336_top_eigen")
+    r should have size 1
+    val row = r.head
+    val (tr, l1) = (row.getAs[Double]("trace"), row.getAs[Double]("lambda1"))
+    tr should be > 0.0
+    l1 should be > 0.0
+    // any Rayleigh quotient of a PSD Gram matrix is <= lambda_max <= trace
+    l1 should be <= tr + 1e-6
+    row.getAs[Double]("explained_share") should (be > 0.0 and be <= 1.0)
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
