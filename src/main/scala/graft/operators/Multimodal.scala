@@ -118,6 +118,60 @@ object Multimodal extends QueryModule {
         .orderBy(col("frame_id"))
     }),
 
+    // Binary-payload exact dedup by orientation class (q337): the media
+    // analog of q34's text dedup, run THROUGH the BinaryType column — md5
+    // the payload bytes, count distinct payloads per metadata orientation
+    // (landscape/portrait/square from the width×height struct), and price
+    // the duplicated storage. This is the first pass every media corpus
+    // runs (identical bytes re-crawled under different ids dominate image
+    // sets); only 16-byte fingerprints and the metadata class reach the
+    // shuffle, never the payloads.
+    "q337_payload_dedup" -> ((s, dir) => {
+      val recs = withPayload(Tables.read(s, dir, "documents"))
+      recs.select(
+          when(col("width") > col("height"), lit("landscape"))
+            .when(col("width") < col("height"), lit("portrait"))
+            .otherwise(lit("square")).as("orientation"),
+          md5(col("payload")).as("fp"),
+          length(col("payload")).cast(LongType).as("b"))
+        .groupBy(col("orientation"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("fp")).as("n_distinct"),
+          sum(col("b")).as("total_bytes"))
+        .select(col("orientation"), col("n_items"), col("n_distinct"),
+          (col("n_items") - col("n_distinct")).as("n_dup_items"),
+          col("total_bytes"),
+          round((col("n_items") - col("n_distinct")).cast("double")
+            / col("n_items"), 6).as("dup_rate"))
+        .orderBy(col("orientation"))
+    }),
+
+    // Frame-sampling accounting (q338): per document, what the 256-byte /
+    // keep-every-4th sampling policy (q194's pipeline) actually RETAINS —
+    // frame count, bytes kept, and the keep ratio against the original
+    // payload. The engine aggregates the REAL mapPartitions flatMap
+    // output; the oracle derives the same numbers from the closed-form
+    // chunk arithmetic — so the Dataset pipeline's batch contract itself
+    // is hash-gated, not just eyeballed (the plumbing the brief says must
+    // be real even while the codec is stubbed).
+    "q338_frame_accounting" -> ((s, dir) => {
+      import s.implicits._
+      val recs = withPayload(Tables.read(s, dir, "documents")).as[MediaRecord]
+      val frames = sampleFrames(recs, frameBytes = 256, everyN = 4).toDF()
+        .select(expr("doc_id div 1048576").as("doc_id"),
+          length(col("payload")).cast(LongType).as("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("b")).as("bytes_kept"))
+      val orig = withPayload(Tables.read(s, dir, "documents"))
+        .select(col("doc_id"), length(col("payload")).cast(LongType).as("orig_bytes"))
+        .filter(col("orig_bytes") > 0)
+      frames.join(orig, "doc_id")
+        .select(col("doc_id"), col("n_frames"), col("bytes_kept"), col("orig_bytes"),
+          round(col("bytes_kept").cast("double") / col("orig_bytes"), 6)
+            .as("keep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Resize audit (q195): the deterministic byte-budget resample — target
     // 64x64x3/256 = 48 bytes, truncate-or-cycle-pad — then the stub decode
     // over the resized payload. byte_len pins the budget contract,
@@ -135,6 +189,33 @@ object Multimodal extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q337_payload_dedup" ->
+      """WITH r AS (SELECT doc_id, md5(text) AS fp,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS b,
+        |             ((doc_id % 64) + 1) * 16 AS w, ((doc_id % 48) + 1) * 16 AS h
+        |           FROM documents),
+        |c AS (SELECT CASE WHEN w > h THEN 'landscape'
+        |                  WHEN w < h THEN 'portrait'
+        |                  ELSE 'square' END AS orientation, fp, b FROM r)
+        |SELECT orientation, count(*) AS n_items,
+        |       count(DISTINCT fp) AS n_distinct,
+        |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_items,
+        |       CAST(sum(b) AS BIGINT) AS total_bytes,
+        |       round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q338_frame_accounting" ->
+      """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |c AS (SELECT doc_id, n, (n + 255) // 256 AS chunks FROM d),
+        |k AS (SELECT doc_id, n, chunks,
+        |        (chunks + 3) // 4 AS n_frames,
+        |        CASE WHEN (chunks - 1) % 4 = 0
+        |             THEN (((chunks + 3) // 4) - 1) * 256 + (n - 256 * (chunks - 1))
+        |             ELSE ((chunks + 3) // 4) * 256 END AS bytes_kept
+        |      FROM c)
+        |SELECT doc_id, n_frames, bytes_kept, n AS orig_bytes,
+        |       round(CAST(bytes_kept AS DOUBLE) / n, 6) AS keep_ratio
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q41_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

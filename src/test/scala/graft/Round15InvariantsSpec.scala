@@ -588,6 +588,29 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     row.getAs[Double]("explained_share") should (be > 0.0 and be <= 1.0)
   }
 
+  test("q337: payload-dedup counts nest and rates are fractions") {
+    val r = rows("q337_payload_dedup")
+    r should not be empty
+    r.foreach { row =>
+      row.getAs[Long]("n_distinct") should be <= row.getAs[Long]("n_items")
+      row.getAs[Long]("n_dup_items") shouldBe
+        row.getAs[Long]("n_items") - row.getAs[Long]("n_distinct")
+      row.getAs[Double]("dup_rate") should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
+  test("q338: the real flatMap pipeline keeps the every-4th frame budget") {
+    val r = rows("q338_frame_accounting")
+    r should not be empty
+    r.foreach { row =>
+      val (kept, orig) = (row.getAs[Long]("bytes_kept"), row.getAs[Long]("orig_bytes"))
+      kept should be <= orig
+      kept should be <= row.getAs[Long]("n_frames") * 256
+      // keeping every 4th 256-byte frame retains at least floor share
+      row.getAs[Double]("keep_ratio") should (be > 0.0 and be <= 1.0)
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
