@@ -858,6 +858,37 @@ object EventAnalytics extends QueryModule {
             .as("theil_u"))
     }),
 
+    // Churn hazard by tenure (q339): for each tenure length t (weeks from
+    // first to last activity), the conditional probability that a user's
+    // engagement ENDS at t given it reached t — the discrete hazard curve
+    // retention teams actually read ("week 3 is where we lose people"),
+    // which neither q56's day pairs nor q311's cohort triangle isolates.
+    // Users still active in the corpus's final week are censored (they
+    // count at risk, never as churned — the q225 censoring discipline).
+    // One grouped pass to per-user (first, last) weeks; at-risk counts via
+    // a tenure²-bounded inequality join, never a corpus window.
+    "q339_churn_hazard" -> ((s, dir) => {
+      val wk = floor(col("ts").cast(LongType) / 604800L).cast(LongType)
+      val u = ev(s, dir).select(col("user_id"), wk.as("w"))
+        .groupBy(col("user_id")).agg(min(col("w")).as("fw"), max(col("w")).as("lw"))
+      val mx = u.agg(max(col("lw")).as("mw"))
+      val ten = u.crossJoin(broadcast(mx))
+        .select((col("lw") - col("fw")).as("tenure"),
+          when(col("lw") < col("mw"), lit(1L)).otherwise(lit(0L)).as("churned"))
+        .groupBy(col("tenure"))
+        .agg(count(lit(1)).as("cnt"), sum(col("churned")).as("n_churned"))
+        .localCheckpoint()
+      val risk = ten.select(col("tenure").as("tt"))
+        .join(ten, col("tenure") >= col("tt"))
+        .groupBy(col("tt"))
+        .agg(sum(col("cnt")).as("n_at_risk"),
+          sum(when(col("tenure") === col("tt"), col("n_churned"))
+            .otherwise(lit(0L))).as("n_churned"))
+      risk.select(col("tt").as("tenure_weeks"), col("n_at_risk"), col("n_churned"),
+          round(col("n_churned").cast("double") / col("n_at_risk"), 6).as("hazard"))
+        .orderBy(col("tenure_weeks"))
+    }),
+
     // Daily-count overdispersion (q330): index of dispersion Var/Mean of
     // per-day event counts plus the implied negative-binomial size r̂ =
     // m²/(v−m) — a Poisson arrival process has ID ≈ 1; the corpus's ID
@@ -2156,6 +2187,23 @@ object EventAnalytics extends QueryModule {
         |       round(fmod(atan2(sb, cb) + 6.283185307179586, 6.283185307179586)
         |             / 6.283185307179586 * 24, 4) AS peak_hour
         |FROM u ORDER BY event_type""".stripMargin,
+    "q339_churn_hazard" ->
+      """WITH u AS (SELECT user_id,
+        |             CAST(min(floor(epoch(ts)/604800)) AS BIGINT) AS fw,
+        |             CAST(max(floor(epoch(ts)/604800)) AS BIGINT) AS lw
+        |           FROM events GROUP BY 1),
+        |mx AS (SELECT max(lw) AS mw FROM u),
+        |ten AS (SELECT lw - fw AS tenure,
+        |          count(*) AS cnt,
+        |          CAST(sum(CASE WHEN lw < mw THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |        FROM u CROSS JOIN mx GROUP BY 1),
+        |risk AS (SELECT g.tt, CAST(sum(ten.cnt) AS BIGINT) AS n_at_risk,
+        |           CAST(sum(CASE WHEN ten.tenure = g.tt THEN ten.n_churned ELSE 0 END) AS BIGINT) AS n_churned
+        |         FROM (SELECT tenure AS tt FROM ten) g JOIN ten ON ten.tenure >= g.tt
+        |         GROUP BY 1)
+        |SELECT tt AS tenure_weeks, n_at_risk, n_churned,
+        |       round(CAST(n_churned AS DOUBLE) / n_at_risk, 6) AS hazard
+        |FROM risk ORDER BY tenure_weeks""".stripMargin,
     "q331_ccf" ->
       """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
         |                 count(*) AS x,

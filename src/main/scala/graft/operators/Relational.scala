@@ -823,6 +823,34 @@ object Relational extends QueryModule {
         .orderBy(col("nation"))
     }),
 
+    // Customer-revenue Lorenz deciles (q340): the concentration CURVE
+    // behind q177's Gini scalar — cumulative revenue share by customer
+    // decile (poorest first), i.e. "the top 10% of customers carry X% of
+    // revenue", the form a commercial review actually quotes. Deciles via
+    // GlobalOrder's distributed exact ntile on the per-customer revenue
+    // (decimal sort key, total-order tiebreak); cumulative shares ride a
+    // bounded 10² inequality join over exact decimal sums.
+    "q340_lorenz_deciles" -> ((s, dir) => {
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("r"))
+      val tiled = graft.functions.GlobalOrder
+        .withNtile(rev, 10, "decile", col("r"), col("o_custkey"))
+      val per = tiled.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("r")).as("rv"))
+        .localCheckpoint()
+      val tot = per.agg(sum(col("rv")).as("tr"), sum(col("n_cust")).as("nn"))
+      per.select(col("decile").as("dd"))
+        .join(per, col("decile") <= col("dd"))
+        .groupBy(col("dd"))
+        .agg(sum(col("rv")).as("cumr"), sum(col("n_cust")).as("cumn"))
+        .crossJoin(broadcast(tot))
+        .select(col("dd").as("decile"), col("cumn").as("cum_customers"),
+          round(col("cumn").cast("double") / col("nn"), 6).as("cum_pop_share"),
+          round(col("cumr").cast("double") / col("tr").cast("double"), 6)
+            .as("cum_revenue_share"))
+        .orderBy(col("decile"))
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -1600,6 +1628,19 @@ object Relational extends QueryModule {
         |  JOIN promo ON s_suppkey = l_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY suppkey""".stripMargin,
+    "q340_lorenz_deciles" ->
+      """WITH rev AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+        |             FROM orders GROUP BY 1),
+        |tiled AS (SELECT r, ntile(10) OVER (ORDER BY r, o_custkey) AS decile FROM rev),
+        |per AS (SELECT decile, count(*) AS n_cust, sum(r) AS rv FROM tiled GROUP BY 1),
+        |tot AS (SELECT sum(rv) AS tr, CAST(sum(n_cust) AS BIGINT) AS nn FROM per),
+        |cum AS (SELECT g.dd, CAST(sum(per.n_cust) AS BIGINT) AS cumn, sum(per.rv) AS cumr
+        |        FROM (SELECT decile AS dd FROM per) g JOIN per ON per.decile <= g.dd
+        |        GROUP BY 1)
+        |SELECT dd AS decile, cumn AS cum_customers,
+        |       round(CAST(cumn AS DOUBLE) / nn, 6) AS cum_pop_share,
+        |       round(CAST(cumr AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS cum_revenue_share
+        |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
     "q335_grouped_moments" ->
       """WITH sup AS (SELECT n_name AS nation, s_acctbal AS xb
         |             FROM supplier JOIN nation ON s_nationkey = n_nationkey),

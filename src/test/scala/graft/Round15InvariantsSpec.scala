@@ -611,6 +611,30 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q339: at-risk counts shrink with tenure and hazards are probabilities") {
+    val r = rows("q339_churn_hazard").sortBy(_.getAs[Long]("tenure_weeks"))
+    r should not be empty
+    val risks = r.map(_.getAs[Long]("n_at_risk"))
+    risks.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => }
+    r.foreach { row =>
+      row.getAs[Long]("n_churned") should be <= row.getAs[Long]("n_at_risk")
+      row.getAs[Double]("hazard") should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
+  test("q340: the Lorenz curve is convex-ordered and ends at 1.0") {
+    val r = rows("q340_lorenz_deciles").sortBy(_.getAs[Long]("decile"))
+    r should not be empty
+    val shares = r.map(_.getAs[Double]("cum_revenue_share"))
+    shares.sliding(2).foreach { case Seq(a, b) => b should be >= a; case _ => }
+    shares.last shouldBe 1.0
+    // sorting poorest-first keeps the curve under the diagonal
+    r.foreach { row =>
+      row.getAs[Double]("cum_revenue_share") should be <=
+        row.getAs[Double]("cum_pop_share") + 1e-6
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
