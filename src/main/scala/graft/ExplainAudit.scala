@@ -89,5 +89,8 @@ object ExplainAudit {
       "rows, calendar-bounded); the event log only passes one grouped sum"),
     "q325_rmst" -> ("bounded: the q225 KM windows plus one lead over the per-day " +
       "rollup (<= horizon-days rows); the event log passes the same two grouped " +
-      "scans as q225"))
+      "scans as q225"),
+    "q342_signed_rank" -> ("bounded: one cumulative window over the unit-bucketed " +
+      "diff grid — rows bounded by the VALUE range (corpus-size-independent), " +
+      "never the user population"))
 }

@@ -858,6 +858,54 @@ object EventAnalytics extends QueryModule {
             .as("theil_u"))
     }),
 
+    // Wilcoxon signed-rank pre/post test (q342): each user's second-half
+    // revenue against their own first half — the PAIRED nonparametric
+    // test (q264's Mann-Whitney compares independent groups; pairing
+    // within users removes between-user variance, which is most of it).
+    // On the calendar-midpoint A/A cut z should sit near 0. Diffs bucket
+    // to whole units (integer-space half-up — the grid is bounded by the
+    // VALUE range, not the corpus), tied ranks use the exact average-rank
+    // identity in 2·rank integers, and the tie-corrected variance is pure
+    // integer until the final z.
+    "q342_signed_rank" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      val daily = ev(s, dir)
+        .select(col("user_id"),
+          floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+      val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val dd = daily.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < expr("(lo + hi + 1) div 2"),
+            col("value").cast(dec2)).otherwise(lit(0).cast(dec2))).as("pre"),
+          sum(when(col("day") >= expr("(lo + hi + 1) div 2"),
+            col("value").cast(dec2)).otherwise(lit(0).cast(dec2))).as("post"))
+        .select((col("post") - col("pre")).as("d"))
+        .filter(col("d") =!= 0)
+        .select(when(col("d") > 0, lit(1L)).otherwise(lit(-1L)).as("sgn"),
+          expr("(cast(abs(cast(d as double)) * 100 as bigint) + 50) div 100").as("b"))
+        .localCheckpoint()
+      val grid = dd.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val wB = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = grid
+        .withColumn("cum_below", coalesce(sum(col("c")).over(wB), lit(0L)))
+        .select(col("b"), (lit(2L) * col("cum_below") + col("c") + lit(1L)).as("ar2"))
+      val ties = grid.filter(col("c") > 1)
+        .agg(coalesce(sum(col("c") * col("c") * col("c") - col("c")), lit(0L))
+          .as("tie_term"))
+      dd.join(ranks, "b")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sgn") === 1, col("ar2")).otherwise(lit(0L))).as("w2"))
+        .crossJoin(broadcast(ties))
+        .select(col("n").as("n_pairs"),
+          (col("w2").cast("double") / 2).as("w_plus"),
+          round((col("w2").cast("double") / 2
+            - col("n").cast("double") * (col("n") + lit(1L)) / 4)
+            / sqrt(col("n").cast("double") * (col("n") + lit(1L))
+              * (lit(2L) * col("n") + lit(1L)) / 24
+              - col("tie_term").cast("double") / 48), 6).as("z_wilcoxon"))
+    }),
+
     // Churn hazard by tenure (q339): for each tenure length t (weeks from
     // first to last activity), the conditional probability that a user's
     // engagement ENDS at t given it reached t — the discrete hazard curve
@@ -2187,6 +2235,35 @@ object EventAnalytics extends QueryModule {
         |       round(fmod(atan2(sb, cb) + 6.283185307179586, 6.283185307179586)
         |             / 6.283185307179586 * 24, 4) AS peak_hour
         |FROM u ORDER BY event_type""".stripMargin,
+    "q342_signed_rank" ->
+      """WITH daily AS (SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, value
+        |               FROM events),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |dd0 AS (SELECT user_id,
+        |          sum(CASE WHEN day < (lo + hi + 1) // 2
+        |                   THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS pre,
+        |          sum(CASE WHEN day >= (lo + hi + 1) // 2
+        |                   THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS post
+        |        FROM daily CROSS JOIN bounds GROUP BY 1),
+        |dd AS (SELECT CASE WHEN post - pre > 0 THEN 1 ELSE -1 END AS sgn,
+        |         (CAST(abs(CAST(post - pre AS DOUBLE)) * 100 AS BIGINT) + 50) // 100 AS b
+        |       FROM dd0 WHERE post - pre != 0),
+        |grid AS (SELECT b, count(*) AS c FROM dd GROUP BY 1),
+        |ranks AS (SELECT b,
+        |            2 * coalesce(sum(c) OVER (ORDER BY b
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ar2
+        |          FROM grid),
+        |ties AS (SELECT CAST(coalesce(sum(c * c * c - c), 0) AS BIGINT) AS tie_term
+        |         FROM grid WHERE c > 1),
+        |agg AS (SELECT count(*) AS n,
+        |          CAST(sum(CASE WHEN sgn = 1 THEN ar2 ELSE 0 END) AS BIGINT) AS w2
+        |        FROM dd JOIN ranks USING (b))
+        |SELECT n AS n_pairs,
+        |       CAST(w2 AS DOUBLE) / 2 AS w_plus,
+        |       round((CAST(w2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)
+        |             / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+        |                    - CAST(tie_term AS DOUBLE) / 48), 6) AS z_wilcoxon
+        |FROM agg CROSS JOIN ties""".stripMargin,
     "q339_churn_hazard" ->
       """WITH u AS (SELECT user_id,
         |             CAST(min(floor(epoch(ts)/604800)) AS BIGINT) AS fw,

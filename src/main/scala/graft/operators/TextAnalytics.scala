@@ -395,6 +395,45 @@ object TextAnalytics extends QueryModule {
         .orderBy(col("decile"))
     }),
 
+    // Split-half reliability of the quality score (q341): score each
+    // document's FIRST half and SECOND half independently, correlate, and
+    // Spearman-Brown-correct to full length — the psychometric answer to
+    // "is q31's quality a stable property of the document or an artifact
+    // of whichever span you looked at?" (reliability < ~0.5 means the
+    // filter is effectively coin-flipping near its threshold; run BEFORE
+    // trusting any quality cutoff). Half scores land on the 1e-6 grid, so
+    // the Pearson runs on exact integer moments (q331 machinery) and
+    // floats appear only in the final two expressions.
+    "q341_split_half" -> ((s, dir) => {
+      def qOf(cExpr: String): String =
+        s"""round(0.5 * least(1.0, cast(length($cExpr) as double) / 500.0)
+           | + 0.3 * (cast(regexp_count(lower($cExpr), '\\\\b(the|a|of|and|in|to|is)\\\\b') as double)
+           |          / size(split(trim($cExpr), ' ')))
+           | + 0.2 * (1.0 - cast(regexp_count($cExpr, '[.,;:!?]') as double)
+           |          / length($cExpr)), 6)""".stripMargin.replace("\n", " ")
+      val halves = docs(s, dir)
+        .filter(length(col("text")) >= 10)
+        .select(
+          expr(qOf("substring(text, 1, length(text) div 2)")).as("q1"),
+          expr(qOf("substring(text, length(text) div 2 + 1)")).as("q2"))
+        .select(round(col("q1") * 1e6, 0).cast("long").as("x"),
+          round(col("q2") * 1e6, 0).cast("long").as("y"))
+      halves.agg(count(lit(1)).as("n"),
+          sum(expr("cast(x as decimal(38,0))")).as("sx"),
+          sum(expr("cast(y as decimal(38,0))")).as("sy"),
+          sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))")).as("sxx"),
+          sum(expr("cast(y as decimal(19,0)) * cast(y as decimal(19,0))")).as("syy"),
+          sum(expr("cast(x as decimal(19,0)) * cast(y as decimal(19,0))")).as("sxy"))
+        .select(col("n").as("n_docs"),
+          round(expr("cast(cast(n as decimal(38,0)) * sxy - sx * sy as double)")
+            / sqrt(expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as double)")
+              * expr("cast(cast(n as decimal(38,0)) * syy - sy * sy as double)")), 9)
+            .as("r_half"))
+        .select(col("n_docs"), col("r_half"),
+          round(lit(2.0) * col("r_half") / (lit(1.0) + col("r_half")), 6)
+            .as("spearman_brown"))
+    }),
+
     // Discretized two-sample KS drift (q322): the max ECDF gap D between
     // the even- and odd-doc_id ingest halves' quality distributions on a
     // fixed 1000-bucket grid — the supremum-gap drift statistic beside
@@ -1263,6 +1302,34 @@ object TextAnalytics extends QueryModule {
           |                       / (heur_only + nb_only), 6)
           |            ELSE 0.0 END AS chi2
           |FROM m""".stripMargin),
+    "q341_split_half" -> {
+      def qx(c: String): String =
+        s"""round(0.5 * least(1.0, CAST(length($c) AS DOUBLE) / 500.0)
+           | + 0.3 * (CAST(len(regexp_extract_all(lower($c), '\\b(the|a|of|and|in|to|is)\\b')) AS DOUBLE)
+           |          / len(string_split(trim($c), ' ')))
+           | + 0.2 * (1.0 - CAST(len(regexp_extract_all($c, '[.,;:!?]')) AS DOUBLE)
+           |          / length($c)), 6)""".stripMargin.replace("\n", " ")
+      s"""WITH h AS (SELECT substring(text, 1, length(text) // 2) AS t1,
+         |             substring(text, length(text) // 2 + 1) AS t2
+         |           FROM documents WHERE length(text) >= 10),
+         |q AS (SELECT ${qx("t1")} AS q1, ${qx("t2")} AS q2 FROM h),
+         |iv AS (SELECT CAST(round(q1 * 1e6, 0) AS BIGINT) AS x,
+         |         CAST(round(q2 * 1e6, 0) AS BIGINT) AS y FROM q),
+         |m AS (SELECT count(*) AS n,
+         |        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |      FROM iv),
+         |r AS (SELECT n AS n_docs,
+         |        round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |                     * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS r_half
+         |      FROM m)
+         |SELECT n_docs, r_half,
+         |       round(2.0 * r_half / (1.0 + r_half), 6) AS spearman_brown
+         |FROM r""".stripMargin
+    },
     "q327_gains_curve" ->
       """WITH base AS (SELECT doc_id,
         |                round(least(1.0, CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS DOUBLE)

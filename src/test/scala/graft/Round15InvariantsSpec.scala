@@ -635,6 +635,29 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q341: reliability is a correlation and Spearman-Brown amplifies it") {
+    val r = rows("q341_split_half")
+    r should have size 1
+    val row = r.head
+    val rh = row.getAs[Double]("r_half")
+    rh should (be >= -1.0 - 1e-6 and be <= 1.0 + 1e-6)
+    val sb = row.getAs[Double]("spearman_brown")
+    // for positive r, the full-length correction can only increase it
+    if (rh > 0) sb should be >= rh - 1e-6
+    sb should be <= 1.0 + 1e-6
+  }
+
+  test("q342: W+ is bounded by the total rank mass") {
+    val r = rows("q342_signed_rank")
+    r should have size 1
+    val row = r.head
+    val n = row.getAs[Long]("n_pairs")
+    val wp = row.getAs[Double]("w_plus")
+    wp should be >= 0.0
+    wp should be <= n.toDouble * (n + 1) / 2 + 1e-6
+    row.getAs[Double]("z_wilcoxon").isNaN shouldBe false
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
