@@ -581,6 +581,45 @@ object Expectations extends QueryModule {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // Pairwise effect sizes (q343): Cohen's d (pooled-SD standardized mean
+    // difference) with the Hedges small-sample correction for every source
+    // pair — the magnitude readout q318's omnibus F doesn't give (an F can
+    // be "significant" at corpus n while every pairwise difference is
+    // negligible; mixture decisions need the d's, not the p). Means are
+    // integer-space half-up; (n−1)·s² terms ride the exact 1e-18 grid
+    // (q318's w18), so pooling is exact until the final sqrt/divide. The
+    // pair stage is |sources|²-bounded.
+    "q343_effect_sizes" -> ((s, dir) => {
+      val g = Tables.read(s, dir, "documents")
+        .select(col("source").as("g"), TextAnalytics.qualityScore.as("x"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          expr("(2 * cast(sum(cast(x as decimal(38,6))) * 1000000000 as decimal(38,0))" +
+            " + count(1)) div (2 * count(1))").as("mg9"),
+          sum(expr("cast(x as decimal(18,6)) * cast(x as decimal(18,6))")).as("s2"))
+        .select(col("g"), col("n"), col("mg9"),
+          expr("cast(s2 * 1000000000000 as decimal(38,0)) * 1000000" +
+            " - cast(n as decimal(38,0)) * (cast(mg9 as decimal(19,0))" +
+            " * cast(mg9 as decimal(19,0)))").as("w18"))
+        .localCheckpoint()
+      val a = g.select(col("g").as("src_a"), col("n").as("na"),
+        col("mg9").as("ma9"), col("w18").as("wa"))
+      val b = g.select(col("g").as("src_b"), col("n").as("nb"),
+        col("mg9").as("mb9"), col("w18").as("wb"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          round(sqrt(expr("cast(wa + wb as double)") / 1e18
+            / (col("na") + col("nb") - lit(2L))), 9).as("sp"),
+          ((col("ma9") - col("mb9")).cast("double") / 1e9).as("md"))
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          round(col("md") / col("sp"), 6).as("cohen_d"))
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("cohen_d"),
+          round(col("cohen_d") * (lit(1.0)
+            - lit(3.0) / (lit(4.0) * (col("na") + col("nb")) - lit(9.0))), 6)
+            .as("hedges_g"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // One-way ANOVA across sources (q318): does mean quality differ by
     // source AT ALL, as one F test — the k-group gate run before burning
     // review budget on q283's per-source ablations or q264's pairwise
@@ -717,6 +756,25 @@ object Expectations extends QueryModule {
       |             length(text)), 6)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q343_effect_sizes" ->
+      s"""WITH per AS (SELECT source AS g, $qualityExprSql AS x FROM documents),
+         |gg AS (SELECT g, count(*) AS n,
+         |         (2 * CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) * 1000000000 AS DECIMAL(38,0)) AS HUGEINT)
+         |          + count(*)) // (2 * count(*)) AS mg9,
+         |         sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS s2
+         |       FROM per GROUP BY 1),
+         |gw AS (SELECT g, n, mg9,
+         |         CAST(s2 * 1000000000000 AS HUGEINT) * 1000000
+         |         - CAST(n AS HUGEINT) * (CAST(mg9 AS HUGEINT) * CAST(mg9 AS HUGEINT)) AS w18
+         |       FROM gg),
+         |p AS (SELECT a.g AS src_a, b.g AS src_b, a.n AS na, b.n AS nb,
+         |        round(sqrt(CAST(a.w18 + b.w18 AS DOUBLE) / 1e18 / (a.n + b.n - 2)), 9) AS sp,
+         |        CAST(a.mg9 - b.mg9 AS DOUBLE) / 1e9 AS md
+         |      FROM gw a JOIN gw b ON a.g < b.g),
+         |d AS (SELECT src_a, src_b, na, nb, round(md / sp, 6) AS cohen_d FROM p)
+         |SELECT src_a, src_b, na, nb, cohen_d,
+         |       round(cohen_d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 6) AS hedges_g
+         |FROM d ORDER BY src_a, src_b""".stripMargin,
     "q329_residual_cells" ->
       """WITH ct AS (SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2),
         |rs AS (SELECT source, CAST(sum(obs) AS BIGINT) AS nr FROM ct GROUP BY 1),

@@ -1401,6 +1401,38 @@ object Similarity extends QueryModule {
         lit(r(lambda1 / trace, 6)).as("explained_share"))
     }),
 
+    // IVF elbow curve (q344): total and mean within-cell cosine distance
+    // at kCells ∈ {2, 4, 8, 16} — the k-selection sweep that justifies
+    // the 8 cells every seeded-ANN query here hardcodes (q253 tunes
+    // nprobe GIVEN k; this is the knee that chooses k). One corpus ×
+    // 30-centroid broadcast pass covers all four k's (cells for k share
+    // the lowest-id centroid prefix, so the sweep is one argmax per
+    // (k, vector), not four re-scans); distances are exact 6-dp values
+    // decimal-summed, means integer-space.
+    "q344_ivf_elbow" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val ks = Seq(2L, 4L, 8L, 16L).toDF("kc")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .crossJoin(broadcast(ks)).filter(col("cid") < col("kc"))
+      e.crossJoin(broadcast(cents))
+        .select(col("kc"), col("vec_id"),
+          struct(round(cosineFast(s, col("v"), col("cv")), 6).as("cos"),
+            (-col("cid")).as("ncid")).as("sc"))
+        .groupBy(col("kc"), col("vec_id"))
+        .agg(max(col("sc")).as("m"))
+        .select(col("kc"), (lit(1.0) - col("m.cos")).as("dist"))
+        .groupBy(col("kc"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("dist").cast(DecimalType(18, 6))).as("td"))
+        .select(col("kc"), col("n_vectors"),
+          col("td").cast("double").as("total_dist"),
+          (expr("(2 * cast(td * 1000000 as decimal(38,0)) + n_vectors)" +
+            " div (2 * n_vectors)").cast("double") / 1e6).as("mean_dist"))
+        .orderBy(col("kc"))
+    }),
+
     // JL-sketch norm-distortion audit (see [[jlDistortion]]).
     "q219_jl_distortion" -> ((s, dir) =>
       jlDistortion(s, dir).orderBy(col("vec_id"))),
@@ -1819,6 +1851,26 @@ object Similarity extends QueryModule {
          |x AS (SELECT trace, round(quad / wtw, 6) AS lambda1 FROM lam CROSS JOIN wtw CROSS JOIN tr)
          |SELECT trace, lambda1, round(lambda1 / trace, 6) AS explained_share FROM x""".stripMargin
     },
+    "q344_ivf_elbow" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ks AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS kc),
+        |c AS (SELECT ks.kc, e.vec_id AS cid, e.v AS cv
+        |      FROM e CROSS JOIN ks WHERE e.vec_id < ks.kc),
+        |a AS (SELECT c.kc, e.vec_id, c.cid,
+        |        round(list_cosine_similarity(e.v, c.cv), 6) AS cos
+        |      FROM e CROSS JOIN c),
+        |asg AS (SELECT kc, vec_id, cos FROM
+        |          (SELECT kc, vec_id, cos,
+        |             row_number() OVER (PARTITION BY kc, vec_id
+        |                                ORDER BY cos DESC, cid) AS rn FROM a)
+        |        WHERE rn = 1),
+        |g AS (SELECT kc, count(*) AS n_vectors,
+        |        sum(CAST(1.0 - cos AS DECIMAL(18,6))) AS td
+        |      FROM asg GROUP BY 1)
+        |SELECT kc, n_vectors, CAST(td AS DOUBLE) AS total_dist,
+        |       CAST((2 * CAST(CAST(td * 1000000 AS DECIMAL(38,0)) AS HUGEINT) + n_vectors)
+        |            // (2 * n_vectors) AS DOUBLE) / 1e6 AS mean_dist
+        |FROM g ORDER BY kc""".stripMargin,
     "q334_anisotropy" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |comps AS (SELECT vec_id, unnest(range(len(v))) AS pos,

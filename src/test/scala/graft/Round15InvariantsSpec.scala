@@ -658,6 +658,28 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     row.getAs[Double]("z_wilcoxon").isNaN shouldBe false
   }
 
+  test("q343: Hedges' g shrinks Cohen's d and the pair grid is complete") {
+    val r = rows("q343_effect_sizes")
+    r should not be empty
+    r.foreach { row =>
+      val (d, gg) = (row.getAs[Double]("cohen_d"), row.getAs[Double]("hedges_g"))
+      math.abs(gg) should be <= math.abs(d) + 1e-6
+      row.getAs[String]("src_a") should be < row.getAs[String]("src_b")
+    }
+    val k = r.map(_.getAs[String]("src_a")).distinct.size + 1
+    r.size shouldBe k * (k - 1) / 2
+  }
+
+  test("q344: within-cell distance never grows with more cells") {
+    val r = rows("q344_ivf_elbow").sortBy(_.getAs[Long]("kc"))
+    r.map(_.getAs[Long]("kc")) shouldBe Seq(2L, 4L, 8L, 16L)
+    val means = r.map(_.getAs[Double]("mean_dist"))
+    // centroid sets are nested (lowest-id prefix), so the best-cosine
+    // assignment can only improve as k grows
+    means.sliding(2).foreach { case Seq(a, b) => b should be <= a + 1e-9; case _ => }
+    means.foreach(_ should be >= 0.0)
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
