@@ -92,5 +92,7 @@ object ExplainAudit {
       "scans as q225"),
     "q342_signed_rank" -> ("bounded: one cumulative window over the unit-bucketed " +
       "diff grid — rows bounded by the VALUE range (corpus-size-independent), " +
-      "never the user population"))
+      "never the user population"),
+    "q345_km_greenwood" -> ("bounded: the q225 KM windows plus the Greenwood " +
+      "variance cumsum over the same per-day rollup (<= horizon-days rows)"))
 }

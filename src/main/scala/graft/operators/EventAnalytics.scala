@@ -384,6 +384,65 @@ object EventAnalytics extends QueryModule {
             .as("rmst_days"))
     }),
 
+    // KM with Greenwood bands (q345): q225's survival curve plus the
+    // standard error and 95% CI every published survival plot carries —
+    // Greenwood's Var(S) = S²·Σ d/(n(n−d)), the delta-method variance that
+    // says WHICH part of the curve is estimate and which is noise (the
+    // right tail always looks dramatic and is usually just thin). The
+    // variance accumulator is a 12-dp-rounded decimal cumsum over the same
+    // bounded per-day rollup windows as q225 (audit-classified); bands
+    // clamp to [0,1].
+    "q345_km_greenwood" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts").cast(LongType)).as("fv"))
+      val fp = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast(LongType).as("pt"))
+        .join(fv, Seq("user_id")).filter(col("pt") >= col("fv"))
+        .groupBy(col("user_id")).agg(min(col("pt")).as("fp"))
+      val mx = e.agg(max(col("ts").cast(LongType)).as("mx"))
+      val obs = fv.join(fp, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(col("fp").isNotNull, expr("(fp - fv) div 86400"))
+            .otherwise(expr("(mx - fv) div 86400")).as("days"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("event"))
+      val conv = obs.filter(col("event") === 1)
+        .groupBy(col("days").as("day")).agg(count(lit(1)).as("d"))
+      val ending = obs.groupBy(col("days").as("day")).agg(count(lit(1)).as("cnt"))
+      val wDesc = Window.orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = ending.withColumn("n_risk", sum(col("cnt")).over(wDesc))
+        .select(col("day"), col("n_risk"))
+      val wAsc = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      conv.join(risk, Seq("day"))
+        .withColumn("lf",
+          when(col("d") >= col("n_risk"), lit(null).cast("double"))
+            .otherwise(round(log10(lit(1.0) - col("d").cast("double") / col("n_risk")), 12)))
+        .withColumn("gt",
+          when(col("d") >= col("n_risk"), lit(null).cast("double"))
+            .otherwise(round(col("d").cast("double")
+              / (col("n_risk") * (col("n_risk") - col("d"))), 12)))
+        .withColumn("dead", max(when(col("lf").isNull, 1L).otherwise(0L)).over(wAsc))
+        .withColumn("ls", sum(col("lf").cast(DecimalType(38, 12))).over(wAsc))
+        .withColumn("gs", sum(col("gt").cast(DecimalType(38, 12))).over(wAsc))
+        .select(col("day"), col("n_risk"), col("d").as("n_events"),
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(round(pow(lit(10.0), col("ls").cast("double")), 6)).as("survival"),
+          col("gs"), col("dead"))
+        .select(col("day"), col("n_risk"), col("n_events"), col("survival"),
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(round(col("survival")
+              * sqrt(col("gs").cast("double")), 6)).as("se_greenwood"))
+        .select(col("day"), col("n_risk"), col("n_events"), col("survival"),
+          col("se_greenwood"),
+          greatest(lit(0.0), round(col("survival")
+            - lit(1.96) * col("se_greenwood"), 6)).as("ci_lo"),
+          least(lit(1.0), round(col("survival")
+            + lit(1.96) * col("se_greenwood"), 6)).as("ci_hi"))
+        .orderBy(col("day"))
+    }),
+
     // Per-arm Kaplan–Meier (q233): q225's censored time-to-conversion
     // estimator split by q224's hash-assigned arms — the readout an
     // experiment uses when the treatment should move WHEN users convert,
@@ -2561,6 +2620,51 @@ object EventAnalytics extends QueryModule {
         |       CASE WHEN dead = 1 THEN 0.0
         |            ELSE round(pow(10.0, CAST(ls AS DOUBLE)), 6) END AS survival
         |FROM c ORDER BY arm, day""".stripMargin,
+    "q345_km_greenwood" ->
+      """WITH fv AS (SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS fv
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT e.user_id, CAST(min(floor(epoch(e.ts))) AS BIGINT) AS fp
+        |       FROM events e JOIN fv ON fv.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND floor(epoch(e.ts)) >= fv.fv
+        |       GROUP BY 1),
+        |mx AS (SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS mx FROM events),
+        |obs AS (SELECT CASE WHEN fp.fp IS NOT NULL THEN (fp.fp - fv.fv) // 86400
+        |                    ELSE (mx.mx - fv.fv) // 86400 END AS days,
+        |               CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END AS event
+        |        FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+        |conv AS (SELECT days AS day, count(*) AS d FROM obs WHERE event = 1 GROUP BY 1),
+        |ending AS (SELECT days AS day, count(*) AS cnt FROM obs GROUP BY 1),
+        |risk AS (SELECT day, CAST(sum(cnt) OVER (ORDER BY day DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |         FROM ending),
+        |f AS (SELECT conv.day, risk.n_risk, conv.d,
+        |        CASE WHEN conv.d >= risk.n_risk THEN NULL
+        |             ELSE round(log10(1.0 - CAST(conv.d AS DOUBLE) / risk.n_risk), 12) END AS lf,
+        |        CASE WHEN conv.d >= risk.n_risk THEN NULL
+        |             ELSE round(CAST(conv.d AS DOUBLE)
+        |                        / (risk.n_risk * (risk.n_risk - conv.d)), 12) END AS gt
+        |      FROM conv JOIN risk USING (day)),
+        |c AS (SELECT day, n_risk, d,
+        |        max(CASE WHEN lf IS NULL THEN 1 ELSE 0 END)
+        |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+        |        sum(CAST(lf AS DECIMAL(38,12)))
+        |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+        |        sum(CAST(gt AS DECIMAL(38,12)))
+        |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gs
+        |      FROM f),
+        |s1 AS (SELECT day, n_risk, d AS n_events,
+        |         CASE WHEN dead = 1 THEN 0.0
+        |              ELSE round(pow(10.0, CAST(ls AS DOUBLE)), 6) END AS survival,
+        |         gs, dead
+        |       FROM c),
+        |s2 AS (SELECT day, n_risk, n_events, survival,
+        |         CASE WHEN dead = 1 THEN 0.0
+        |              ELSE round(survival * sqrt(CAST(gs AS DOUBLE)), 6) END AS se_greenwood
+        |       FROM s1)
+        |SELECT day, n_risk, n_events, survival, se_greenwood,
+        |       greatest(0.0, round(survival - 1.96 * se_greenwood, 6)) AS ci_lo,
+        |       least(1.0, round(survival + 1.96 * se_greenwood, 6)) AS ci_hi
+        |FROM s2 ORDER BY day""".stripMargin,
     "q325_rmst" ->
       """WITH fv AS (SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS fv
         |            FROM events WHERE event_type = 'view' GROUP BY 1),

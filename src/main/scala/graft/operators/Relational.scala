@@ -851,6 +851,28 @@ object Relational extends QueryModule {
         .orderBy(col("decile"))
     }),
 
+    // Pareto tail index via Hill (q346): α̂ = k / Σ ln(x_i/x_(k+1)) over the
+    // top-k order values — HOW heavy the revenue tail is, as one number
+    // (α < 2: infinite-variance territory where mean-based KPIs and q105's
+    // z-scores quietly stop meaning anything; q326's winsorized gap says
+    // the tail matters, this says how much). The top-101 fetch is a
+    // bounded TakeOrderedAndProject; the estimator runs on ≤100 rows with
+    // 9-dp pre-rounded log-ratios decimal-summed.
+    "q346_hill_tail" -> ((s, dir) => {
+      val top = t(s, dir, "orders")
+        .select(col("o_totalprice").as("x"), col("o_orderkey"))
+        .orderBy(col("x").desc, col("o_orderkey")).limit(101)
+        .localCheckpoint()
+      val xmin = top.agg(min(col("x")).as("xm"))
+      top.crossJoin(broadcast(xmin)).filter(col("x") > col("xm"))
+        .select(round(log(col("x") / col("xm")), 9).as("l"))
+        .agg(count(lit(1)).as("k"), sum(col("l").cast(DecimalType(38, 9))).as("sl"))
+        .crossJoin(broadcast(xmin))
+        .select(col("k").as("n_tail"), col("xm").as("threshold"),
+          round(col("k").cast("double") / col("sl").cast("double"), 6)
+            .as("hill_alpha"))
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -1628,6 +1650,16 @@ object Relational extends QueryModule {
         |  JOIN promo ON s_suppkey = l_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY suppkey""".stripMargin,
+    "q346_hill_tail" ->
+      """WITH top AS (SELECT o_totalprice AS x FROM orders
+        |             ORDER BY o_totalprice DESC, o_orderkey LIMIT 101),
+        |xm AS (SELECT min(x) AS xm FROM top),
+        |l AS (SELECT round(ln(x / xm.xm), 9) AS l
+        |      FROM top CROSS JOIN xm WHERE x > xm.xm),
+        |a AS (SELECT count(*) AS k, sum(CAST(l AS DECIMAL(38,9))) AS sl FROM l)
+        |SELECT a.k AS n_tail, xm.xm AS threshold,
+        |       round(CAST(a.k AS DOUBLE) / CAST(sl AS DOUBLE), 6) AS hill_alpha
+        |FROM a CROSS JOIN xm""".stripMargin,
     "q340_lorenz_deciles" ->
       """WITH rev AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
         |             FROM orders GROUP BY 1),

@@ -680,6 +680,29 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     means.foreach(_ should be >= 0.0)
   }
 
+  test("q345: bands bracket the survival curve and widen only with information loss") {
+    val r = rows("q345_km_greenwood")
+    r should not be empty
+    r.foreach { row =>
+      val (s0, lo, hi) = (row.getAs[Double]("survival"),
+        row.getAs[Double]("ci_lo"), row.getAs[Double]("ci_hi"))
+      lo should be <= s0 + 1e-9
+      hi should be >= s0 - 1e-9
+      lo should be >= 0.0
+      hi should be <= 1.0
+      row.getAs[Double]("se_greenwood") should be >= 0.0
+    }
+  }
+
+  test("q346: the Hill estimate is positive over a bounded tail sample") {
+    val r = rows("q346_hill_tail")
+    r should have size 1
+    val row = r.head
+    row.getAs[Long]("n_tail") should be <= 100L
+    row.getAs[Double]("threshold") should be > 0.0
+    row.getAs[Double]("hill_alpha") should be > 0.0
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
