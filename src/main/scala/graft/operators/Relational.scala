@@ -873,6 +873,50 @@ object Relational extends QueryModule {
             .as("hill_alpha"))
     }),
 
+    // Inter-order cadence regularity (q347): per nation, the coefficient
+    // of variation of customers' gaps between consecutive orders — CoV ≈ 1
+    // is the memoryless Poisson cadence, well below 1 is scheduled
+    // replenishment, well above is bursty promotions-driven ordering; the
+    // demand-planning regularity readout the per-day volume series can't
+    // give (it mixes all customers). Gaps are exact integer days from a
+    // customer-partitioned lag (partition-parallel window); per-nation
+    // moments ride the integer grid (means int-space, squares exact), one
+    // broadcast dim join.
+    "q347_order_cadence" -> ((s, dir) => {
+      val wC = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_orderdate").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("gap", col("day") - lag(col("day"), 1).over(wC))
+        .filter(col("gap").isNotNull)
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("nation"), col("gap"))
+      gaps.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("(2 * cast(sum(gap) as decimal(38,0)) * 1000000000 + count(1))" +
+            " div (2 * count(1))").as("m9"),
+          sum(expr("cast(gap as decimal(19,0)) * cast(gap as decimal(19,0))"))
+            .as("sg2"))
+        .filter(col("n_gaps") >= 5)
+        .select(col("nation"), col("n_gaps"),
+          (col("m9").cast("double") / 1e9).as("mean_gap_days"),
+          expr("cast(sg2 * 1000000000000000000 as decimal(38,0))" +
+            " - cast(n_gaps as decimal(38,0)) * (cast(m9 as decimal(19,0))" +
+            " * cast(m9 as decimal(19,0)))").as("v18"))
+        .select(col("nation"), col("n_gaps"), col("mean_gap_days"),
+          round(sqrt(round(col("v18").cast("double")
+            / (col("n_gaps") - lit(1L)) / 1e18, 9)), 9).as("sd_gap"))
+        .select(col("nation"), col("n_gaps"), col("mean_gap_days"), col("sd_gap"),
+          round(col("sd_gap") / col("mean_gap_days"), 6).as("cov"))
+        .orderBy(col("nation"))
+    }),
+
     // Broadcast dimension join: nation ⋈ region. region is 5 rows — a shuffle
     // here would be absurd at any scale; broadcast keeps the plan exchange-free.
     "q09_join_broadcast" -> ((s, dir) =>
@@ -1650,6 +1694,33 @@ object Relational extends QueryModule {
         |  JOIN promo ON s_suppkey = l_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY suppkey""".stripMargin,
+    "q347_order_cadence" ->
+      """WITH o AS (SELECT o_custkey, CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
+        |             o_orderdate, o_orderkey
+        |           FROM orders),
+        |g0 AS (SELECT o_custkey,
+        |         day - lag(day) OVER (PARTITION BY o_custkey
+        |                              ORDER BY o_orderdate, o_orderkey) AS gap
+        |       FROM o),
+        |gaps AS (SELECT n_name AS nation, gap
+        |         FROM g0 JOIN customer ON o_custkey = c_custkey
+        |                 JOIN nation ON c_nationkey = n_nationkey
+        |         WHERE gap IS NOT NULL),
+        |m AS (SELECT nation, count(*) AS n_gaps,
+        |        (2 * CAST(sum(gap) AS HUGEINT) * 1000000000 + count(*))
+        |          // (2 * count(*)) AS m9,
+        |        sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS sg2
+        |      FROM gaps GROUP BY 1 HAVING count(*) >= 5),
+        |v AS (SELECT nation, n_gaps, CAST(m9 AS DOUBLE) / 1e9 AS mean_gap_days,
+        |        CAST(sg2 * 1000000000000000000 AS HUGEINT)
+        |        - CAST(n_gaps AS HUGEINT) * (CAST(m9 AS HUGEINT) * CAST(m9 AS HUGEINT)) AS v18
+        |      FROM m),
+        |sd AS (SELECT nation, n_gaps, mean_gap_days,
+        |         round(sqrt(round(CAST(v18 AS DOUBLE) / (n_gaps - 1) / 1e18, 9)), 9) AS sd_gap
+        |       FROM v)
+        |SELECT nation, n_gaps, mean_gap_days, sd_gap,
+        |       round(sd_gap / mean_gap_days, 6) AS cov
+        |FROM sd ORDER BY nation""".stripMargin,
     "q346_hill_tail" ->
       """WITH top AS (SELECT o_totalprice AS x FROM orders
         |             ORDER BY o_totalprice DESC, o_orderkey LIMIT 101),

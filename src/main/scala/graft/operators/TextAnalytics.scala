@@ -434,6 +434,32 @@ object TextAnalytics extends QueryModule {
             .as("spearman_brown"))
     }),
 
+    // Quality-threshold tuning sweep (q348): documents retained, keep
+    // rate, and mean kept quality at every candidate cutoff τ — the curve
+    // read BEFORE committing the quality filter's threshold (q285 is the
+    // same decision for dedup's Jaccard τ; the fixed-cutoff consumers
+    // q61/q246 inherit whatever this sweep justifies). One corpus pass
+    // fanned per-τ (|taus| narrow rows per doc); kept-quality means are
+    // integer-space half-up, absent-τ rows surface as zero-kept.
+    "q348_quality_threshold_curve" -> ((s, dir) => {
+      import s.implicits._
+      val taus = Seq(0.5, 0.6, 0.7, 0.75, 0.8, 0.9).toDF("tau")
+      val q = docs(s, dir).select(qualityScore.as("q")).localCheckpoint()
+      val tot = q.agg(count(lit(1)).as("nn"))
+      q.crossJoin(broadcast(taus)).filter(col("q") >= col("tau"))
+        .groupBy(col("tau"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("(2 * cast(sum(cast(q as decimal(38,6))) * 1000000000 as decimal(38,0))" +
+            " + count(1)) div (2 * count(1))").as("m9"))
+        .join(broadcast(taus), Seq("tau"), "right")
+        .crossJoin(broadcast(tot))
+        .select(col("tau"), coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("nn"),
+          round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("nn"), 6)
+            .as("keep_rate"),
+          (col("m9").cast("double") / 1e9).as("mean_kept_quality"))
+        .orderBy(col("tau"))
+    }),
+
     // Discretized two-sample KS drift (q322): the max ECDF gap D between
     // the even- and odd-doc_id ingest halves' quality distributions on a
     // fixed 1000-bucket grid — the supremum-gap drift statistic beside
@@ -1302,6 +1328,19 @@ object TextAnalytics extends QueryModule {
           |                       / (heur_only + nb_only), 6)
           |            ELSE 0.0 END AS chi2
           |FROM m""".stripMargin),
+    "q348_quality_threshold_curve" ->
+      s"""WITH q AS (SELECT $qualityInlineSql AS q FROM documents),
+         |taus AS (SELECT unnest([0.5, 0.6, 0.7, 0.75, 0.8, 0.9]) AS tau),
+         |tot AS (SELECT count(*) AS nn FROM q),
+         |kept AS (SELECT tau, count(*) AS n_kept,
+         |           (2 * CAST(CAST(sum(CAST(q AS DECIMAL(38,6))) * 1000000000 AS DECIMAL(38,0)) AS HUGEINT)
+         |            + count(*)) // (2 * count(*)) AS m9
+         |         FROM q CROSS JOIN taus WHERE q >= tau GROUP BY 1)
+         |SELECT taus.tau, coalesce(kept.n_kept, 0) AS n_kept, tot.nn,
+         |       round(CAST(coalesce(kept.n_kept, 0) AS DOUBLE) / tot.nn, 6) AS keep_rate,
+         |       CAST(m9 AS DOUBLE) / 1e9 AS mean_kept_quality
+         |FROM taus LEFT JOIN kept ON kept.tau = taus.tau CROSS JOIN tot
+         |ORDER BY taus.tau""".stripMargin,
     "q341_split_half" -> {
       def qx(c: String): String =
         s"""round(0.5 * least(1.0, CAST(length($c) AS DOUBLE) / 500.0)

@@ -703,6 +703,30 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     row.getAs[Double]("hill_alpha") should be > 0.0
   }
 
+  test("q347: cadence statistics are positive with enough gaps") {
+    val r = rows("q347_order_cadence")
+    r.foreach { row =>
+      row.getAs[Long]("n_gaps") should be >= 5L
+      row.getAs[Double]("mean_gap_days") should be > 0.0
+      row.getAs[Double]("sd_gap") should be >= 0.0
+      row.getAs[Double]("cov") should be >= 0.0
+    }
+  }
+
+  test("q348: raising the cutoff keeps fewer docs of higher mean quality") {
+    val r = rows("q348_quality_threshold_curve").sortBy(_.getAs[Double]("tau"))
+    r should have size 6
+    val kept = r.map(_.getAs[Long]("n_kept"))
+    kept.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => }
+    val means = r.filter(!_.isNullAt(4)).map(_.getAs[Double]("mean_kept_quality"))
+    means.sliding(2).foreach { case Seq(a, b) => b should be >= a - 1e-9; case _ => }
+    r.foreach { row =>
+      row.getAs[Double]("keep_rate") should (be >= 0.0 and be <= 1.0)
+      if (!row.isNullAt(row.fieldIndex("mean_kept_quality")))
+        row.getAs[Double]("mean_kept_quality") should be >= row.getAs[Double]("tau")
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
