@@ -94,5 +94,8 @@ object ExplainAudit {
       "diff grid — rows bounded by the VALUE range (corpus-size-independent), " +
       "never the user population"),
     "q345_km_greenwood" -> ("bounded: the q225 KM windows plus the Greenwood " +
-      "variance cumsum over the same per-day rollup (<= horizon-days rows)"))
+      "variance cumsum over the same per-day rollup (<= horizon-days rows)"),
+    "q349_rolling_channel" -> ("bounded: trailing 7-row min/max windows over the " +
+      "per-day rollup (#days rows, calendar-bounded); the event log passes one " +
+      "grouped sum"))
 }

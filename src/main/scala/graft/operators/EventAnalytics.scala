@@ -996,6 +996,67 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("tenure_weeks"))
     }),
 
+    // Rolling channel breakouts (q349): each day's revenue against the
+    // prior 7 days' min/max band (the Donchian channel) — the windowed
+    // outlier view that needs NO distributional assumption at all, and
+    // catches regime breaks q105's global z-scores average away (a level
+    // shift is a breakout streak here, one diluted z there). Exact 2-dp
+    // comparisons, one trailing window over the calendar-bounded rollup
+    // (audit-classified); only full 7-day channels emit.
+    "q349_rolling_channel" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day")).agg(exactSum(col("value"), 2).as("rev"))
+      val wPrior = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      daily
+        .withColumn("hi", max(col("rev")).over(wPrior))
+        .withColumn("lo", min(col("rev")).over(wPrior))
+        .withColumn("wn", count(lit(1)).over(wPrior))
+        .filter(col("wn") === 7)
+        .select(col("day"), col("rev"),
+          col("hi").as("channel_hi"), col("lo").as("channel_lo"),
+          when(col("rev") > col("hi"), lit(1L)).otherwise(lit(0L)).as("breakout_up"),
+          when(col("rev") < col("lo"), lit(1L)).otherwise(lit(0L)).as("breakout_down"))
+        .orderBy(col("day"))
+    }),
+
+    // Weekday-adjusted calendar anomalies (q350): the 10 days whose
+    // revenue deviates most from THEIR OWN weekday's mean, in that
+    // weekday's sigma units — the holiday/outage detector q321's
+    // seasonality ANOVA justifies (a huge Saturday is normal; a huge
+    // Tuesday is news). Per-weekday moments ride the exact integer-grid
+    // machinery (int-space means, 1e-18 variance numerators); the top-10
+    // is a bounded TakeOrderedAndProject on |z|.
+    "q350_calendar_anomalies" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day")).agg(exactSum(col("value"), 2).as("rev"))
+        .select(col("day"), ((col("day") + 4) % 7).as("dow"), col("rev"))
+        .localCheckpoint()
+      val m = daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n"),
+          expr("(2 * cast(sum(cast(rev as decimal(18,2))) * 1000000000 as decimal(38,0))" +
+            " + count(1)) div (2 * count(1))").as("m9"),
+          sum(expr("cast(rev as decimal(19,2)) * cast(rev as decimal(19,2))")).as("s2"))
+        .filter(col("n") >= 2)
+        .select(col("dow"), col("n"),
+          (col("m9").cast("double") / 1e9).as("mu"),
+          expr("cast(s2 * 1000000000000000000 as decimal(38,0))" +
+            " - cast(n as decimal(38,0)) * (cast(m9 as decimal(19,0))" +
+            " * cast(m9 as decimal(19,0)))").as("v18"))
+        .select(col("dow"), col("mu"),
+          round(sqrt(round(col("v18").cast("double")
+            / (col("n") - lit(1L)) / 1e18, 9)), 9).as("sd"))
+      daily.join(broadcast(m), "dow")
+        .filter(col("sd") > 0)
+        .select(col("day"), col("dow"), col("rev"),
+          round((col("rev") - col("mu")) / col("sd"), 6).as("z"))
+        .orderBy(abs(col("z")).desc, col("day"))
+        .limit(10)
+    }),
+
     // Daily-count overdispersion (q330): index of dispersion Var/Mean of
     // per-day event counts plus the implied negative-binomial size r̂ =
     // m²/(v−m) — a Poisson arrival process has ID ≈ 1; the corpus's ID
@@ -2323,6 +2384,40 @@ object EventAnalytics extends QueryModule {
         |             / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
         |                    - CAST(tie_term AS DOUBLE) / 48), 6) AS z_wilcoxon
         |FROM agg CROSS JOIN ties""".stripMargin,
+    "q349_rolling_channel" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |               FROM events GROUP BY 1),
+        |w AS (SELECT day, rev,
+        |        max(rev) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS hi,
+        |        min(rev) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS lo,
+        |        count(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS wn
+        |      FROM daily)
+        |SELECT day, rev, hi AS channel_hi, lo AS channel_lo,
+        |       CAST(CASE WHEN rev > hi THEN 1 ELSE 0 END AS BIGINT) AS breakout_up,
+        |       CAST(CASE WHEN rev < lo THEN 1 ELSE 0 END AS BIGINT) AS breakout_down
+        |FROM w WHERE wn = 7 ORDER BY day""".stripMargin,
+    "q350_calendar_anomalies" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |               FROM events GROUP BY 1),
+        |dd AS (SELECT day, (day + 4) % 7 AS dow, rev FROM daily),
+        |m AS (SELECT dow, count(*) AS n,
+        |        (2 * CAST(CAST(sum(CAST(rev AS DECIMAL(18,2))) * 1000000000 AS DECIMAL(38,0)) AS HUGEINT)
+        |         + count(*)) // (2 * count(*)) AS m9,
+        |        sum(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2))) AS s2
+        |      FROM dd GROUP BY 1 HAVING count(*) >= 2),
+        |v AS (SELECT dow, n, CAST(m9 AS DOUBLE) / 1e9 AS mu,
+        |        CAST(s2 * 1000000000000000000 AS HUGEINT)
+        |        - CAST(n AS HUGEINT) * (CAST(m9 AS HUGEINT) * CAST(m9 AS HUGEINT)) AS v18
+        |      FROM m),
+        |sdt AS (SELECT dow, mu,
+        |          round(sqrt(round(CAST(v18 AS DOUBLE) / (n - 1) / 1e18, 9)), 9) AS sd
+        |        FROM v)
+        |SELECT day, dd.dow, rev, round((rev - mu) / sd, 6) AS z
+        |FROM dd JOIN sdt ON sdt.dow = dd.dow
+        |WHERE sd > 0
+        |ORDER BY abs(round((rev - mu) / sd, 6)) DESC, day LIMIT 10""".stripMargin,
     "q339_churn_hazard" ->
       """WITH u AS (SELECT user_id,
         |             CAST(min(floor(epoch(ts)/604800)) AS BIGINT) AS fw,

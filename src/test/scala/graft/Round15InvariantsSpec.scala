@@ -727,6 +727,25 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q349: the channel brackets and breakouts are mutually exclusive") {
+    val r = rows("q349_rolling_channel")
+    r should not be empty
+    r.foreach { row =>
+      row.getAs[Double]("channel_lo") should be <= row.getAs[Double]("channel_hi")
+      (row.getAs[Long]("breakout_up") + row.getAs[Long]("breakout_down")) should be <= 1L
+      if (row.getAs[Long]("breakout_up") == 1L)
+        row.getAs[Double]("rev") should be > row.getAs[Double]("channel_hi")
+    }
+  }
+
+  test("q350: anomalies rank by |z| and respect the weekday conditioning") {
+    val r = rows("q350_calendar_anomalies")
+    r.size should be <= 10
+    val zs = r.map(row => math.abs(row.getAs[Double]("z")))
+    zs.sliding(2).foreach { case Seq(a, b) => b should be <= a + 1e-9; case _ => }
+    r.foreach(_.getAs[Long]("dow") should (be >= 0L and be <= 6L))
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
