@@ -97,5 +97,8 @@ object ExplainAudit {
       "variance cumsum over the same per-day rollup (<= horizon-days rows)"),
     "q349_rolling_channel" -> ("bounded: trailing 7-row min/max windows over the " +
       "per-day rollup (#days rows, calendar-bounded); the event log passes one " +
-      "grouped sum"))
+      "grouped sum"),
+    "q351_ljung_box" -> ("bounded: cumulative-Q window over the 7-lag rollup " +
+      "(7 rows); the event log passes one grouped count and each lag leg " +
+      "equi-joins the per-day rollup"))
 }

@@ -2319,8 +2319,119 @@ object EventAnalytics extends QueryModule {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Ljung-Box portmanteau test (q351): pools the lag-1..7 daily-count
+    // autocorrelations q275 reports individually into the single white-noise
+    // statistic Q_m = n(n+2)·Σ r_k²/(n−k) — the test that says whether the
+    // series has ANY linear memory before anyone fits q333's seasonal model
+    // or reads q332's PACF. r_k deviations are exact integers (n·x_t − S on
+    // the count grid; products decimal-cast so 100 TB daily counts cannot
+    // overflow), each lag leg is an equi-join on day+lag over the per-day
+    // rollup (the q275 layout — no corpus window), and the cumulative Q runs
+    // over the 7-lag rollup only. Terms pre-round at 12 dp onto the decimal
+    // grid so the cross-engine cumulative sum is order-exact.
+    "q351_ljung_box" -> ((s, dir) => {
+      val dec = DecimalType(18, 0)
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val ns = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      val dev = daily.crossJoin(broadcast(ns))
+        .select(col("day"), col("n"),
+          (col("c").cast(dec) * col("n").cast(dec) - col("s").cast(dec))
+            .cast(DecimalType(19, 0)).as("d"))
+        .localCheckpoint()
+      val den = dev.agg(sum(col("d") * col("d")).as("den"), max(col("n")).as("n"))
+      val a = dev.select(col("day"), col("d"),
+        explode(array((1 to 7).map(l => lit(l.toLong)): _*)).as("lag"))
+      val b = dev.select(col("day").as("dayb"), col("d").as("db"))
+      val num = a.join(b, col("dayb") === col("day") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("d") * col("db")).as("num"))
+      val wCum = Window.orderBy(col("lag")).rowsBetween(Window.unboundedPreceding, 0)
+      num.crossJoin(broadcast(den))
+        .select(col("lag"), col("n_pairs"),
+          when(col("den") > 0,
+            col("num").cast("double") / col("den").cast("double")).as("rk"),
+          col("n"))
+        .select(col("lag"), col("n_pairs"), round(col("rk"), 6).as("acf"),
+          round(col("n").cast("double") * (col("n") + lit(2L)).cast("double")
+            * col("rk") * col("rk") / (col("n") - col("lag")).cast("double"), 12)
+            .cast(DecimalType(38, 12)).as("term"))
+        .withColumn("lb_q", round(sum(col("term")).over(wCum).cast("double"), 6))
+        .select(col("lag"), col("n_pairs"), col("acf"), col("lb_q"))
+        .orderBy(col("lag"))
+    }),
+
+    // Hurst exponent via rescaled-range (q352): long-memory vs mean-reversion
+    // in the daily event-count series — H ≈ 0.5 is a random walk, H > 0.5
+    // trending persistence, H < 0.5 anti-persistence; the one-number answer
+    // to "does load cluster across days?" that no fixed-lag ACF gives. Days
+    // split into calendar blocks of m ∈ {5,10,15} (block id = offset div m —
+    // no global row-number); per block the cumulative-deviation range R and
+    // population σ come out of m-bounded partitioned windows in pure integer
+    // space (Z'_j = m·cum_j − (j+1)·S_b), log(R/S) pre-rounds at 12 dp onto
+    // the decimal grid, and H is the 3-point log-log OLS slope computed from
+    // exact per-m sums — textually identical arithmetic both engines.
+    "q352_hurst_rs" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val lo = daily.agg(min(col("day")).as("lo"))
+      val idx = daily.crossJoin(broadcast(lo))
+        .select((col("day") - col("lo")).as("t"), col("c"))
+        .select(col("t"), col("c"),
+          explode(array(Seq(5L, 10L, 15L).map(lit(_)): _*)).as("m"))
+        .select(col("m"), expr("t div m").as("blk"), (col("t") % col("m")).as("j"),
+          col("c"))
+      val wBlk = Window.partitionBy(col("m"), col("blk")).orderBy(col("j"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(col("m"), col("blk"))
+      val blocks = idx
+        .withColumn("cum", sum(col("c")).over(wBlk))
+        .withColumn("tot", sum(col("c")).over(wAll))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .filter(col("cnt") === col("m"))
+        .select(col("m"), col("blk"),
+          (col("cum") * col("m") - (col("j") + 1) * col("tot")).as("zp"),
+          (col("c") * col("m") - col("tot")).as("dv"))
+        .groupBy(col("m"), col("blk"))
+        .agg((max(col("zp")) - min(col("zp"))).as("rng"),
+          sum(expr("cast(dv as decimal(19,0)) * cast(dv as decimal(19,0))")).as("ssqp"))
+        .filter(col("ssqp") > 0 && col("rng") > 0)
+        .select(col("m"),
+          round(log(col("rng").cast("double") * sqrt(col("m").cast("double"))
+            / sqrt(col("ssqp").cast("double"))), 12)
+            .cast(DecimalType(38, 12)).as("lrs"))
+      val y = blocks.groupBy(col("m"))
+        .agg(count(lit(1)).as("k"), sum(col("lrs")).as("s12"))
+        .select(col("m"), col("k"), (col("s12").cast("double") / col("k")).as("y"))
+      y.agg(
+          max(when(col("m") === 5, col("k"))).as("n_blocks_5"),
+          max(when(col("m") === 10, col("k"))).as("n_blocks_10"),
+          max(when(col("m") === 15, col("k"))).as("n_blocks_15"),
+          max(when(col("m") === 5, col("y"))).as("mean_log_rs_5"),
+          max(when(col("m") === 10, col("y"))).as("mean_log_rs_10"),
+          max(when(col("m") === 15, col("y"))).as("mean_log_rs_15"))
+        .select(col("n_blocks_5"), col("n_blocks_10"), col("n_blocks_15"),
+          col("mean_log_rs_5"), col("mean_log_rs_10"), col("mean_log_rs_15"),
+          expr(HurstSlopeSql).as("hurst_h"))
+    })
   )
+
+  /** 3-point log-log OLS slope for q352, over x = {ln 5, ln 10, ln 15} as
+    * exact double literals — ONE shared SQL string evaluated verbatim by both
+    * Spark (`expr`) and DuckDB, so the double arithmetic is bit-identical. */
+  private[operators] val HurstSlopeSql: String = {
+    val (x1, x2, x3) = ("1.6094379124341003", "2.302585092994046", "2.70805020110221")
+    s"""round((($x1 * mean_log_rs_5 + $x2 * mean_log_rs_10 + $x3 * mean_log_rs_15)
+       |        - ($x1 + $x2 + $x3)
+       |          * (mean_log_rs_5 + mean_log_rs_10 + mean_log_rs_15) / 3)
+       |      / (($x1 * $x1 + $x2 * $x2 + $x3 * $x3)
+       |        - ($x1 + $x2 + $x3) * ($x1 + $x2 + $x3) / 3), 6)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q321_weekly_seasonality" ->
@@ -3604,6 +3715,69 @@ object EventAnalytics extends QueryModule {
         |       min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS min_k,
         |       max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k,
         |       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q351_ljung_box" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, count(*) AS c
+        |               FROM events GROUP BY 1),
+        |ns AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s FROM daily),
+        |dev AS (SELECT day, n,
+        |          CAST(CAST(c AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
+        |               - CAST(s AS DECIMAL(18,0)) AS DECIMAL(19,0)) AS d
+        |        FROM daily CROSS JOIN ns),
+        |den AS (SELECT sum(d * d) AS den, max(n) AS n FROM dev),
+        |a AS (SELECT day, d, lag FROM dev
+        |      CROSS JOIN (SELECT unnest(range(1, 8)) AS lag)),
+        |num AS (SELECT a.lag AS lag, count(*) AS n_pairs, sum(a.d * b.d) AS num
+        |        FROM a JOIN dev b ON b.day = a.day + a.lag GROUP BY 1),
+        |r AS (SELECT lag, n_pairs,
+        |        CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS rk,
+        |        n
+        |      FROM num CROSS JOIN den),
+        |t AS (SELECT lag, n_pairs, round(rk, 6) AS acf,
+        |        CAST(round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * rk * rk
+        |             / CAST(n - lag AS DOUBLE), 12) AS DECIMAL(38,12)) AS term
+        |      FROM r)
+        |SELECT lag, n_pairs, acf,
+        |       round(CAST(sum(term) OVER (ORDER BY lag
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+        |         AS lb_q
+        |FROM t ORDER BY lag""".stripMargin,
+    "q352_hurst_rs" -> {
+      s"""WITH daily AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, count(*) AS c
+        |               FROM events GROUP BY 1),
+        |lo AS (SELECT min(day) AS lo FROM daily),
+        |idx AS (SELECT m, (day - lo) // m AS blk, (day - lo) % m AS j, c
+        |        FROM daily CROSS JOIN lo
+        |        CROSS JOIN (SELECT CAST(unnest([5,10,15]) AS BIGINT) AS m)),
+        |z AS (SELECT m, blk, j, c,
+        |        CAST(sum(c) OVER (PARTITION BY m, blk ORDER BY j
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(c) OVER (PARTITION BY m, blk) AS BIGINT) AS tot,
+        |        count(*) OVER (PARTITION BY m, blk) AS cnt
+        |      FROM idx),
+        |zz AS (SELECT m, blk, cum * m - (j + 1) * tot AS zp, c * m - tot AS dv
+        |       FROM z WHERE cnt = m),
+        |blocks AS (SELECT m, blk, max(zp) - min(zp) AS rng,
+        |             sum(CAST(dv AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0))) AS ssqp
+        |           FROM zz GROUP BY 1, 2),
+        |lrs AS (SELECT m,
+        |          CAST(round(ln(CAST(rng AS DOUBLE) * sqrt(CAST(m AS DOUBLE))
+        |               / sqrt(CAST(ssqp AS DOUBLE))), 12) AS DECIMAL(38,12)) AS lrs
+        |        FROM blocks WHERE ssqp > 0 AND rng > 0),
+        |ag AS (SELECT m, count(*) AS k, sum(lrs) AS s12 FROM lrs GROUP BY 1),
+        |y AS (SELECT m, k, CAST(s12 AS DOUBLE) / k AS y FROM ag),
+        |piv AS (SELECT
+        |          max(CASE WHEN m = 5 THEN k END) AS n_blocks_5,
+        |          max(CASE WHEN m = 10 THEN k END) AS n_blocks_10,
+        |          max(CASE WHEN m = 15 THEN k END) AS n_blocks_15,
+        |          max(CASE WHEN m = 5 THEN y END) AS mean_log_rs_5,
+        |          max(CASE WHEN m = 10 THEN y END) AS mean_log_rs_10,
+        |          max(CASE WHEN m = 15 THEN y END) AS mean_log_rs_15
+        |        FROM y)
+        |SELECT n_blocks_5, n_blocks_10, n_blocks_15,
+        |       mean_log_rs_5, mean_log_rs_10, mean_log_rs_15,
+        |       $HurstSlopeSql AS hurst_h
+        |FROM piv""".stripMargin
+    }
   )
 }

@@ -657,6 +657,51 @@ object Expectations extends QueryModule {
     "q205_conformal_gate" -> ((s, dir) => conformalGate(s, dir)),
     "q206_mi_association" -> miAssociation,
 
+    // Kruskal–Wallis rank test (q353): does quality differ by source WITHOUT
+    // q318's normality/equal-variance assumptions — the k-group extension of
+    // q264's pairwise Mann-Whitney, run as the robustness check beside the
+    // parametric ANOVA (q318 significant + q353 not = the F is a tail
+    // artifact). Global average ranks come off the exact 6-dp quality GRID
+    // via the q342 2·rank integer identity (grid cardinality is bounded by
+    // the score range, corpus-size-independent); per-source rank sums, the
+    // tie term and N stay pure integers, and H touches doubles only in the
+    // final two divisions (textually identical both engines). H' = H/C
+    // applies the tie correction — on a 6-dp grid ties are plentiful.
+    "q353_kruskal_wallis" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.LongType
+      val dd = Tables.read(s, dir, "documents")
+        .select(col("source").as("g"),
+          round(TextAnalytics.qualityScore * 1e6, 0).cast(LongType).as("b"))
+        .localCheckpoint()
+      val grid = dd.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val wB = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = grid
+        .withColumn("cum_below", coalesce(sum(col("c")).over(wB), lit(0L)))
+        .select(col("b"), (lit(2L) * col("cum_below") + col("c") + lit(1L)).as("ar2"))
+      val ties = grid.agg(
+        coalesce(sum(when(col("c") > 1,
+          expr("cast(c as decimal(38,0)) * c * c - c"))), lit(0L).cast(DecimalType(38, 0)))
+          .as("tie_t"),
+        sum(col("c")).as("nn"))
+      val srr = dd.join(ranks, "b")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_g"), sum(col("ar2")).as("w2"))
+        .select(expr("cast(round(cast(cast(w2 as decimal(19,0)) * cast(w2 as decimal(19,0))" +
+          " as double) / 4.0 / cast(n_g as double), 12) as decimal(38,12))").as("t12"))
+        .agg(count(lit(1)).as("k_groups"), sum(col("t12")).as("srr"))
+      srr.crossJoin(broadcast(ties))
+        .select(col("nn").as("n_total"), col("k_groups"),
+          expr("12.0 * cast(srr as double) / (cast(nn as double) * cast(nn + 1 as double))" +
+            " - 3.0 * cast(nn + 1 as double)").as("h_raw"),
+          expr("1.0 - cast(tie_t as double) / (cast(nn as double) * cast(nn as double)" +
+            " * cast(nn as double) - cast(nn as double))").as("c_raw"))
+        .select(col("n_total"), col("k_groups"),
+          round(col("h_raw"), 6).as("h_stat"),
+          round(col("c_raw"), 6).as("tie_c"),
+          when(col("c_raw") > 0, round(col("h_raw") / col("c_raw"), 6)).as("h_adj"))
+    }),
+
     // Conformal-threshold stability (q230): tau re-fit per ingest batch
     // (doc_id % 10 — each batch's own calibration order statistic at the
     // same alpha = 0.1) with the drift against the standing q205 tau. A

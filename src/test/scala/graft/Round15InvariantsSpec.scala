@@ -746,6 +746,36 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     r.foreach(_.getAs[Long]("dow") should (be >= 0L and be <= 6L))
   }
 
+  test("q351: Ljung-Box Q accumulates monotonically over lags 1..7") {
+    val r = rows("q351_ljung_box")
+    r.map(_.getAs[Long]("lag")) shouldBe (1L to 7L)
+    r.foreach { row =>
+      if (!row.isNullAt(row.fieldIndex("acf")))
+        row.getAs[Double]("acf") should (be >= -1.0 and be <= 1.0)
+    }
+    val qs = r.filter(!_.isNullAt(3)).map(_.getAs[Double]("lb_q"))
+    qs.foreach(_ should be >= 0.0)
+    qs.sliding(2).foreach { case Seq(a, b) => b should be >= a - 1e-9; case _ => }
+    // each lag leg pairs strictly fewer days than the one before (contiguous calendar)
+    val np = r.map(_.getAs[Long]("n_pairs"))
+    np.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => }
+  }
+
+  test("q352: block counts shrink with block size and H is a finite estimate") {
+    val r = rows("q352_hurst_rs")
+    r should have size 1
+    val row = r.head
+    val (k5, k10, k15) = (row.getAs[Long]("n_blocks_5"),
+      row.getAs[Long]("n_blocks_10"), row.getAs[Long]("n_blocks_15"))
+    k5 should be >= k10
+    k10 should be >= k15
+    k15 should be >= 1L
+    val h = row.getAs[Double]("hurst_h")
+    h.isNaN shouldBe false
+    // an R/S estimate from 3 block sizes is noisy but must stay in a sane band
+    h should (be > -1.0 and be < 2.0)
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
