@@ -100,5 +100,11 @@ object ExplainAudit {
       "grouped sum"),
     "q351_ljung_box" -> ("bounded: cumulative-Q window over the 7-lag rollup " +
       "(7 rows); the event log passes one grouped count and each lag leg " +
-      "equi-joins the per-day rollup"))
+      "equi-joins the per-day rollup"),
+    "q353_kruskal_wallis" -> ("bounded: one cumulative window over the 6-dp " +
+      "quality GRID (rows bounded by the score range, corpus-size-" +
+      "independent — the q342 rank-grid discipline)"),
+    "q355_nelson_aalen" -> ("bounded: two cumulative-hazard windows over the " +
+      "hour-gap grid (<= observation-horizon hours); gap extraction is a " +
+      "user-partitioned lead"))
 }

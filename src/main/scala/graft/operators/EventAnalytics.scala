@@ -2418,6 +2418,99 @@ object EventAnalytics extends QueryModule {
         .select(col("n_blocks_5"), col("n_blocks_10"), col("n_blocks_15"),
           col("mean_log_rs_5"), col("mean_log_rs_10"), col("mean_log_rs_15"),
           expr(HurstSlopeSql).as("hurst_h"))
+    }),
+
+    // Jarque-Bera normality test (q354): per event type, skewness, excess
+    // kurtosis and JB = n/6·(S² + K²/4) on the order-value distribution —
+    // the formal "is a z-score even meaningful here" gate for every
+    // normal-assuming monitor downstream (q90's anomaly sigmas, q105's
+    // outlier z's). Values live on the exact 2-dp grid; deviations are taken
+    // about the INTEGER half-up mean mu0 so Σe²/Σe³/Σe⁴ stay exact integers
+    // (e is value-range-bounded — e⁴ fits decimal(38) even at 10¹² rows),
+    // and the mu0→true-mean shift is applied by the exact central-moment
+    // identities in textually identical double arithmetic both engines.
+    "q354_jarque_bera" -> ((s, dir) => {
+      val dd = ev(s, dir)
+        .select(col("event_type").as("g"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("v"))
+        .localCheckpoint()
+      val m0 = dd.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .select(col("g"), col("n"), col("sv"), expr("(2 * sv + n) div (2 * n)").as("mu0"))
+      dd.join(broadcast(m0), "g")
+        .select(col("g"), col("n"), col("sv"), col("mu0"), (col("v") - col("mu0")).as("e"))
+        .groupBy(col("g"))
+        .agg(max(col("n")).as("n"), max(col("sv")).as("sv"), max(col("mu0")).as("mu0"),
+          sum(expr("cast(e as decimal(19,0)) * e")).as("a2"),
+          sum(expr("cast(e as decimal(19,0)) * e * e")).as("a3"),
+          sum(expr("cast(cast(e as decimal(19,0)) * e as decimal(19,0))" +
+            " * (cast(e as decimal(19,0)) * e)")).as("a4"))
+        .select(col("g"), col("n"),
+          expr("cast(sv - n * mu0 as double) / cast(n as double)").as("d"),
+          expr("cast(a2 as double) / cast(n as double)").as("r2"),
+          expr("cast(a3 as double) / cast(n as double)").as("r3"),
+          expr("cast(a4 as double) / cast(n as double)").as("r4"))
+        .select(col("g"), col("n"),
+          expr("r2 - d * d").as("m2"),
+          expr("r3 - 3.0 * d * r2 + 2.0 * d * d * d").as("m3"),
+          expr("r4 - 4.0 * d * r3 + 6.0 * d * d * r2 - 3.0 * d * d * d * d").as("m4"))
+        .filter(col("m2") > 0)
+        .select(col("g").as("event_type"), col("n").as("n_events"),
+          expr("m3 / (sqrt(m2) * m2)").as("sk"),
+          expr("m4 / (m2 * m2) - 3.0").as("kx"))
+        .select(col("event_type"), col("n_events"),
+          round(col("sk"), 6).as("skewness"),
+          round(col("kx"), 6).as("kurtosis_excess"),
+          expr("round(cast(n_events as double) / 6.0 * (sk * sk + kx * kx / 4.0), 6)")
+            .as("jb_stat"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Nelson-Aalen cumulative hazard of event RECURRENCE (q355): Ĥ(t) =
+    // Σ d_s/n_s with its Poisson-variance SE over inter-event gap durations
+    // in hours — "given a user has been silent h hours, how much comeback
+    // hazard have they accumulated" — the right-censored upgrade of q347's
+    // cadence moments (each user's OPEN last gap, cut off by the corpus
+    // edge, counts at risk but never as an arrival — dropping it, as a
+    // naive gap histogram does, biases recurrence fast). Gap extraction is
+    // one user-partitioned lead(); the hazard grid is hour-bounded
+    // (corpus-size-independent), the at-risk counts a grid²-bounded
+    // inequality join, terms pre-round at 12 dp so the cumulative sums are
+    // cross-engine order-exact.
+    "q355_nelson_aalen" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val base = ev(s, dir)
+        .select(col("user_id"), col("ts").cast(LongType).as("t"), col("event_id"))
+      val mx = base.agg(max(col("t")).as("tend"))
+      val grid = base
+        .withColumn("nt", lead(col("t"), 1).over(byUser))
+        .crossJoin(broadcast(mx))
+        .select(
+          when(col("nt").isNotNull, expr("(nt - t) div 3600"))
+            .otherwise(expr("(tend - t) div 3600")).as("h"),
+          when(col("nt").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs"))
+        .groupBy(col("h"))
+        .agg(sum(col("obs")).as("d"), count(lit(1)).as("c"))
+        .localCheckpoint()
+      val risk = grid.select(col("h").as("hh"))
+        .join(grid, col("h") >= col("hh"))
+        .groupBy(col("hh"))
+        .agg(sum(col("c")).as("n_at_risk"),
+          sum(when(col("h") === col("hh"), col("d")).otherwise(lit(0L))).as("d"))
+        .filter(col("d") > 0)
+      val wCum = Window.orderBy(col("hh")).rowsBetween(Window.unboundedPreceding, 0)
+      risk
+        .select(col("hh"), col("n_at_risk"), col("d"),
+          expr("cast(round(cast(d as double) / cast(n_at_risk as double), 12)" +
+            " as decimal(38,12))").as("t1"),
+          expr("cast(round(cast(d as double) / (cast(n_at_risk as double)" +
+            " * cast(n_at_risk as double)), 12) as decimal(38,12))").as("t2"))
+        .withColumn("ch", sum(col("t1")).over(wCum))
+        .withColumn("vh", sum(col("t2")).over(wCum))
+        .select(col("hh").as("gap_hours"), col("n_at_risk"), col("d").as("n_events"),
+          round(col("ch").cast("double"), 6).as("na_cumhaz"),
+          expr("round(sqrt(cast(vh as double)), 6)").as("na_se"))
+        .orderBy(col("gap_hours"))
     })
   )
 
@@ -3778,6 +3871,67 @@ object EventAnalytics extends QueryModule {
         |       mean_log_rs_5, mean_log_rs_10, mean_log_rs_15,
         |       $HurstSlopeSql AS hurst_h
         |FROM piv""".stripMargin
-    }
+    },
+    "q354_jarque_bera" ->
+      """WITH dd AS (SELECT event_type AS g,
+        |              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |            FROM events),
+        |m0 AS (SELECT g, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+        |         (2 * CAST(sum(v) AS BIGINT) + count(*)) // (2 * count(*)) AS mu0
+        |       FROM dd GROUP BY 1),
+        |e AS (SELECT dd.g AS g, n, sv, mu0, v - mu0 AS e FROM dd JOIN m0 USING (g)),
+        |a AS (SELECT g, max(n) AS n, max(sv) AS sv, max(mu0) AS mu0,
+        |        CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS a2,
+        |        CAST(sum(CAST(e AS HUGEINT) * e * e) AS HUGEINT) AS a3,
+        |        CAST(sum((CAST(e AS HUGEINT) * e) * (CAST(e AS HUGEINT) * e)) AS HUGEINT) AS a4
+        |      FROM e GROUP BY 1),
+        |r AS (SELECT g, n,
+        |        CAST(sv - n * mu0 AS DOUBLE) / CAST(n AS DOUBLE) AS d,
+        |        CAST(a2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |        CAST(a3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |        CAST(a4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |      FROM a),
+        |m AS (SELECT g, n, r2 - d * d AS m2,
+        |        r3 - 3.0 * d * r2 + 2.0 * d * d * d AS m3,
+        |        r4 - 4.0 * d * r3 + 6.0 * d * d * r2 - 3.0 * d * d * d * d AS m4
+        |      FROM r),
+        |sk AS (SELECT g AS event_type, n AS n_events,
+        |         m3 / (sqrt(m2) * m2) AS sk, m4 / (m2 * m2) - 3.0 AS kx
+        |       FROM m WHERE m2 > 0)
+        |SELECT event_type, n_events, round(sk, 6) AS skewness,
+        |       round(kx, 6) AS kurtosis_excess,
+        |       round(CAST(n_events AS DOUBLE) / 6.0 * (sk * sk + kx * kx / 4.0), 6) AS jb_stat
+        |FROM sk ORDER BY event_type""".stripMargin,
+    "q355_nelson_aalen" ->
+      """WITH base AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+        |              FROM events),
+        |mx AS (SELECT max(t) AS tend FROM base),
+        |g AS (SELECT user_id, t,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt
+        |      FROM base),
+        |grid AS (SELECT CASE WHEN nt IS NOT NULL THEN (nt - t) // 3600
+        |                     ELSE (tend - t) // 3600 END AS h,
+        |           CAST(sum(CASE WHEN nt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |           count(*) AS c
+        |         FROM g CROSS JOIN mx GROUP BY 1),
+        |risk AS (SELECT a.h AS hh,
+        |           CAST(sum(b.c) AS BIGINT) AS n_at_risk,
+        |           CAST(sum(CASE WHEN b.h = a.h THEN b.d ELSE 0 END) AS BIGINT) AS d
+        |         FROM (SELECT h FROM grid) a JOIN grid b ON b.h >= a.h
+        |         GROUP BY 1),
+        |t AS (SELECT hh, n_at_risk, d,
+        |        CAST(round(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 12)
+        |          AS DECIMAL(38,12)) AS t1,
+        |        CAST(round(CAST(d AS DOUBLE) / (CAST(n_at_risk AS DOUBLE)
+        |          * CAST(n_at_risk AS DOUBLE)), 12) AS DECIMAL(38,12)) AS t2
+        |      FROM risk WHERE d > 0),
+        |c AS (SELECT hh, n_at_risk, d,
+        |        sum(t1) OVER (ORDER BY hh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+        |        sum(t2) OVER (ORDER BY hh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vh
+        |      FROM t)
+        |SELECT hh AS gap_hours, n_at_risk, d AS n_events,
+        |       round(CAST(ch AS DOUBLE), 6) AS na_cumhaz,
+        |       round(sqrt(CAST(vh AS DOUBLE)), 6) AS na_se
+        |FROM c ORDER BY gap_hours""".stripMargin
   )
 }

@@ -833,6 +833,33 @@ object Expectations extends QueryModule {
         |FROM x ORDER BY source, lang""".stripMargin,
     "q318_anova_quality" ->
       anovaSql(s"""WITH per AS (SELECT source AS g, $qualityExprSql AS x FROM documents)"""),
+    "q353_kruskal_wallis" ->
+      s"""WITH dd AS (SELECT source AS g, CAST(round(q * 1000000, 0) AS BIGINT) AS b
+         |            FROM (SELECT source, $qualityExprSql AS q FROM documents)),
+         |grid AS (SELECT b, count(*) AS c FROM dd GROUP BY 1),
+         |ranks AS (SELECT b,
+         |            2 * coalesce(sum(c) OVER (ORDER BY b
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ar2
+         |          FROM grid),
+         |ties AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1
+         |                  THEN CAST(c AS HUGEINT) * c * c - c END), 0) AS HUGEINT) AS tie_t,
+         |           CAST(sum(c) AS BIGINT) AS nn
+         |         FROM grid),
+         |gr AS (SELECT g, count(*) AS n_g, CAST(sum(ar2) AS BIGINT) AS w2
+         |       FROM dd JOIN ranks USING (b) GROUP BY 1),
+         |srr AS (SELECT count(*) AS k_groups,
+         |          sum(CAST(round(CAST(CAST(w2 AS DECIMAL(19,0)) * CAST(w2 AS DECIMAL(19,0))
+         |                AS DOUBLE) / 4.0 / CAST(n_g AS DOUBLE), 12) AS DECIMAL(38,12))) AS srr
+         |        FROM gr),
+         |fin AS (SELECT nn, k_groups,
+         |          12.0 * CAST(srr AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+         |            - 3.0 * CAST(nn + 1 AS DOUBLE) AS h_raw,
+         |          1.0 - CAST(tie_t AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+         |            * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)) AS c_raw
+         |        FROM srr CROSS JOIN ties)
+         |SELECT nn AS n_total, k_groups, round(h_raw, 6) AS h_stat, round(c_raw, 6) AS tie_c,
+         |       CASE WHEN c_raw > 0 THEN round(h_raw / c_raw, 6) END AS h_adj
+         |FROM fin""".stripMargin,
     "q319_brown_forsythe" ->
       anovaSql(
         s"""WITH base AS (SELECT source, $qualityExprSql AS q FROM documents),

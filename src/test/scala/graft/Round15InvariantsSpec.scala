@@ -776,6 +776,50 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     h should (be > -1.0 and be < 2.0)
   }
 
+  test("q353: H is nonnegative, ties only shrink it back up, C in (0,1]") {
+    val r = rows("q353_kruskal_wallis")
+    r should have size 1
+    val row = r.head
+    row.getAs[Long]("k_groups") should be >= 2L
+    val (h, c, hAdj) = (row.getAs[Double]("h_stat"), row.getAs[Double]("tie_c"),
+      row.getAs[Double]("h_adj"))
+    h should be >= 0.0
+    c should (be > 0.0 and be <= 1.0)
+    // tie correction divides by C <= 1, so H' >= H
+    hAdj should be >= h - 1e-9
+  }
+
+  test("q354: JB is consistent with its own skewness/kurtosis components") {
+    val r = rows("q354_jarque_bera")
+    r should not be empty
+    r.foreach { row =>
+      val (n, sk, kx, jb) = (row.getAs[Long]("n_events"),
+        row.getAs[Double]("skewness"), row.getAs[Double]("kurtosis_excess"),
+        row.getAs[Double]("jb_stat"))
+      jb should be >= 0.0
+      // recompose from the ROUNDED components — must land within the
+      // rounding envelope of the registered statistic
+      val approx = n / 6.0 * (sk * sk + kx * kx / 4.0)
+      math.abs(jb - approx) should be < n * 1e-5
+      // excess kurtosis is bounded below by -2 for any distribution
+      kx should be >= -2.0
+    }
+  }
+
+  test("q355: the cumulative hazard is nondecreasing and risk sets shrink") {
+    val r = rows("q355_nelson_aalen")
+    r.size should be >= 3
+    val hz = r.map(_.getAs[Double]("na_cumhaz"))
+    hz.sliding(2).foreach { case Seq(a, b) => b should be >= a - 1e-9; case _ => }
+    val risk = r.map(_.getAs[Long]("n_at_risk"))
+    risk.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => }
+    r.foreach { row =>
+      row.getAs[Long]("n_events") should be > 0L
+      row.getAs[Long]("n_events") should be <= row.getAs[Long]("n_at_risk")
+      row.getAs[Double]("na_se") should be >= 0.0
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
