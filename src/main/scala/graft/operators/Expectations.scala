@@ -702,6 +702,84 @@ object Expectations extends QueryModule {
           when(col("c_raw") > 0, round(col("h_raw") / col("c_raw"), 6)).as("h_adj"))
     }),
 
+    // Wasserstein-1 length drift (q356): per source, the earth-mover's
+    // distance between the source's n_chars distribution and the pooled
+    // corpus — the INTEGRATED transport companion to q184's KS sup-norm
+    // (KS fires on one bad quantile; W1 weighs how far ALL the mass moved,
+    // which is what a mixture-rebalance cost actually is) and q264's U
+    // (location only; W1 sees shape). W1 = Σ_grid |F_s−F_all|·Δb computed
+    // ENTIRELY in integer space: |cum_s·N − cum_all·n_s|·Δb decimal-summed
+    // over the bounded length grid (per-source windows over the replicated
+    // grid — cum_all rides the same partitioned window, no global window),
+    // one final half-up integer division. d_int ≤ n_s·N·range ~ 1e27 at
+    // 1e12 docs — decimal(38)-safe; zero doubles anywhere.
+    "q356_wasserstein_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.read(s, dir, "documents").select(col("source"), col("n_chars").as("b"))
+      val grid = d.groupBy(col("b")).agg(count(lit(1)).as("c_all")).localCheckpoint()
+      val tot = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val n = grid.agg(sum(col("c_all")).as("n_all"))
+      val sg = tot.crossJoin(broadcast(grid))
+        .join(d.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c_s")),
+          Seq("source", "b"), "left")
+      val wS = Window.partitionBy(col("source")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = sg
+        .withColumn("cum_s", sum(coalesce(col("c_s"), lit(0L))).over(wS))
+        .withColumn("cum_all", sum(col("c_all")).over(wS))
+        .withColumn("delta",
+          lead(col("b"), 1).over(Window.partitionBy(col("source")).orderBy(col("b")))
+            - col("b"))
+      cum.filter(col("delta").isNotNull)
+        .crossJoin(broadcast(n))
+        .groupBy(col("source"), col("n_s"), col("n_all"))
+        .agg(sum(expr("abs(cast(cum_s as decimal(38,0)) * n_all" +
+          " - cast(cum_all as decimal(38,0)) * n_s) * delta")).as("d_int"))
+        .select(col("source"), col("n_s").as("n_docs"),
+          (expr("(2 * d_int * 1000000 + cast(n_s as decimal(38,0)) * n_all)" +
+            " div (2 * cast(n_s as decimal(38,0)) * n_all)").cast("double") / 1e6)
+            .as("w1_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Cramér's V (q357): the normalized-chi-square association between
+    // source and lang — "how much does knowing the crawl source pin down
+    // the language", on a 0..1 scale comparable across table sizes, where
+    // q206's mutual information is in data-dependent nats. V ≈ 0 clears a
+    // stratified sampler to treat the axes independently; V near 1 means
+    // per-source language quotas are redundant. Observed/marginal counts
+    // are one grouped pass; everything after lives on the zero-filled
+    // |sources|×|langs| grid (bounded, corpus-independent). Deviations
+    // O·n − r·c stay exact decimal integers (≤ n² ~ 1e24, decimal-safe);
+    // each cell's chi² term is squared in double, 12-dp pre-rounded and
+    // decimal-summed so the fold is order-exact.
+    "q357_cramers_v" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val r = o.groupBy(col("source")).agg(sum(col("o")).as("r"))
+      val c = o.groupBy(col("lang")).agg(sum(col("o")).as("cc"))
+      val n = o.agg(sum(col("o")).as("n"),
+        countDistinct(col("source")).as("nr"), countDistinct(col("lang")).as("nc"))
+      val grid = r.crossJoin(c)
+        .join(o, Seq("source", "lang"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      grid.crossJoin(broadcast(n))
+        .select(col("nr"), col("nc"), col("n"),
+          expr("cast(round(cast(cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * cc" +
+            " as double) * cast(cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * cc" +
+            " as double) / (cast(n as double) * cast(r as double) * cast(cc as double)), 12)" +
+            " as decimal(38,12))").as("t12"))
+        .groupBy(col("nr"), col("nc"), col("n"))
+        .agg(sum(col("t12")).as("chi2d"))
+        .select(col("n").as("n_docs"), col("nr").as("n_sources"), col("nc").as("n_langs"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          round(col("chi2d").cast("double"), 6).as("chi2"),
+          round(sqrt(col("chi2d").cast("double") /
+            (col("n").cast("double") * least(col("nr") - 1, col("nc") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }),
+
     // Conformal-threshold stability (q230): tau re-fit per ingest batch
     // (doc_id % 10 — each batch's own calibration order statistic at the
     // same alpha = 0.1) with the drift against the standing q205 tau. A
@@ -860,6 +938,51 @@ object Expectations extends QueryModule {
          |SELECT nn AS n_total, k_groups, round(h_raw, 6) AS h_stat, round(c_raw, 6) AS tie_c,
          |       CASE WHEN c_raw > 0 THEN round(h_raw / c_raw, 6) END AS h_adj
          |FROM fin""".stripMargin,
+    "q356_wasserstein_drift" ->
+      """WITH d AS (SELECT source, n_chars AS b FROM documents),
+        |grid AS (SELECT b, count(*) AS c_all FROM d GROUP BY 1),
+        |tot AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM grid),
+        |sc AS (SELECT source, b, count(*) AS c_s FROM d GROUP BY 1, 2),
+        |sg AS (SELECT t.source, t.n_s, g.b, g.c_all, coalesce(sc.c_s, 0) AS c_s
+        |       FROM tot t CROSS JOIN grid g
+        |       LEFT JOIN sc ON sc.source = t.source AND sc.b = g.b),
+        |cum AS (SELECT source, n_s, b,
+        |          sum(c_s) OVER w AS cum_s, sum(c_all) OVER w AS cum_all,
+        |          lead(b) OVER (PARTITION BY source ORDER BY b) - b AS delta
+        |        FROM sg WINDOW w AS (PARTITION BY source ORDER BY b
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (SELECT source, n_s, n_all,
+        |          sum(abs(CAST(cum_s AS HUGEINT) * n_all
+        |                - CAST(cum_all AS HUGEINT) * n_s) * delta) AS d_int
+        |        FROM cum CROSS JOIN n WHERE delta IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT source, n_s AS n_docs,
+        |       CAST((2 * d_int * 1000000 + CAST(n_s AS HUGEINT) * n_all)
+        |            // (2 * CAST(n_s AS HUGEINT) * n_all) AS DOUBLE) / 1e6 AS w1_chars
+        |FROM agg ORDER BY source""".stripMargin,
+    "q357_cramers_v" ->
+      """WITH o AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+        |c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cc FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT source) AS nr,
+        |             count(DISTINCT lang) AS nc FROM o),
+        |grid AS (SELECT r.source, c.lang, r.r, c.cc, coalesce(o.o, 0) AS o
+        |         FROM r CROSS JOIN c
+        |         LEFT JOIN o ON o.source = r.source AND o.lang = c.lang),
+        |terms AS (SELECT nr, nc, n,
+        |            CAST(round(
+        |              CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * cc AS DOUBLE)
+        |              * CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * cc AS DOUBLE)
+        |              / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(cc AS DOUBLE)), 12)
+        |              AS DECIMAL(38,12)) AS t12
+        |          FROM grid CROSS JOIN n),
+        |agg AS (SELECT nr, nc, n, sum(t12) AS chi2d FROM terms GROUP BY 1, 2, 3)
+        |SELECT n AS n_docs, nr AS n_sources, nc AS n_langs,
+        |       (nr - 1) * (nc - 1) AS dof,
+        |       round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+        |       round(sqrt(CAST(chi2d AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) * least(nr - 1, nc - 1))), 6) AS cramers_v
+        |FROM agg""".stripMargin,
     "q319_brown_forsythe" ->
       anovaSql(
         s"""WITH base AS (SELECT source, $qualityExprSql AS q FROM documents),

@@ -820,6 +820,35 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q356: W1 drift is nonnegative and bounded by the length range") {
+    val r = rows("q356_wasserstein_drift")
+    r.size should be >= 2
+    r.foreach { row =>
+      val w = row.getAs[Double]("w1_chars")
+      w should be >= 0.0
+      // W1 against the pooled corpus can never exceed the support width
+      w should be <= 600.0
+      row.getAs[Long]("n_docs") should be > 0L
+    }
+    // at least one source must actually drift from the pooled mixture
+    r.map(_.getAs[Double]("w1_chars")).max should be > 0.0
+  }
+
+  test("q357: Cramér's V is in [0,1] and chi2 is consistent with it") {
+    val r = rows("q357_cramers_v")
+    r should have size 1
+    val row = r.head
+    val (n, nr, nc) = (row.getAs[Long]("n_docs"),
+      row.getAs[Long]("n_sources"), row.getAs[Long]("n_langs"))
+    val (chi2, v) = (row.getAs[Double]("chi2"), row.getAs[Double]("cramers_v"))
+    chi2 should be >= 0.0
+    v should (be >= 0.0 and be <= 1.0)
+    row.getAs[Long]("dof") shouldBe (nr - 1) * (nc - 1)
+    // recompose V from chi2 within the rounding envelope
+    val approx = math.sqrt(chi2 / (n.toDouble * math.min(nr - 1, nc - 1)))
+    math.abs(v - approx) should be < 1e-5
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
