@@ -106,5 +106,11 @@ object ExplainAudit {
       "independent — the q342 rank-grid discipline)"),
     "q355_nelson_aalen" -> ("bounded: two cumulative-hazard windows over the " +
       "hour-gap grid (<= observation-horizon hours); gap extraction is a " +
-      "user-partitioned lead"))
+      "user-partitioned lead"),
+    "q358_ewma_chart" -> ("bounded: one row_number over the per-day rollup " +
+      "(#days rows, calendar-bounded); the closed-form EWMA fan-out is a " +
+      "day-squared pair join, not a window"),
+    "q359_bh_fdr" -> ("bounded: the BH rank window runs over the " +
+      "|sources|^2/2 pair frame (corpus-size-independent); the corpus is " +
+      "touched only by q264's shared rank layer"))
 }

@@ -2511,6 +2511,54 @@ object EventAnalytics extends QueryModule {
           round(col("ch").cast("double"), 6).as("na_cumhaz"),
           expr("round(sqrt(cast(vh as double)), 6)").as("na_se"))
         .orderBy(col("gap_hours"))
+    }),
+
+    // EWMA control chart (q358): exponentially weighted moving average of
+    // the daily event count with 3-sigma time-varying control limits
+    // (Roberts 1959 / NIST §6.3.2.4) — the small-shift drift monitor
+    // between q276's CUSUM (cumulative, best post-hoc) and q350's per-day
+    // z (memoryless). The recursion Z_t = λx_t + (1−λ)Z_{t−1}, Z_0 = μ is
+    // unrolled to its closed form Z_t = (1−λ)^t·μ + λΣ(1−λ)^{t−i}x_i and
+    // evaluated as a day²-bounded pair join over the daily rollup (never a
+    // sequential driver scan): each term pre-rounds at 12 dp after the
+    // pow() (absorbing libm ulp skew) and decimal-sums, so the fold is
+    // order-exact and the reported EWMA needs NO final rounding — it is
+    // bit-identical across engines by construction. Limits widen by the
+    // standard (1−(1−λ)^{2t}) startup factor; σ comes from exact integer
+    // daily moments.
+    "q358_ewma_chart" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val idx = daily.withColumn("t",
+        row_number().over(Window.orderBy(col("day"))).cast(LongType))
+      val mom = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"),
+        sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))")).as("sxx"))
+        .select(col("nd"),
+          expr("cast(sx as double) / cast(nd as double)").as("mu"),
+          expr("sqrt(cast(cast(nd as decimal(38,0)) * sxx" +
+            " - cast(sx as decimal(38,0)) * sx as double)) / cast(nd as double)")
+            .as("sigma"))
+      val b = idx.select(col("t").as("i"), col("x").as("xi"))
+      val terms = idx.join(b, col("i") <= col("t"))
+        .select(col("t"), col("day"), col("x"),
+          expr("cast(round(0.2 * pow(0.8, cast(t - i as double))" +
+            " * cast(xi as double), 12) as decimal(38,12))").as("w"))
+        .groupBy(col("t"), col("day"), col("x"))
+        .agg(sum(col("w")).as("zsum"))
+      terms.crossJoin(broadcast(mom))
+        .withColumn("ewma", col("zsum").cast("double")
+          + expr("round(pow(0.8, cast(t as double)) * mu, 12)"))
+        .withColumn("ucl", expr("round(mu + 3.0 * sigma * sqrt(cast(0.2 as double) / cast(1.8 as double)" +
+          " * (1.0 - pow(0.8, cast(2 * t as double)))), 9)"))
+        .withColumn("lcl", expr("round(mu - 3.0 * sigma * sqrt(cast(0.2 as double) / cast(1.8 as double)" +
+          " * (1.0 - pow(0.8, cast(2 * t as double)))), 9)"))
+        .select(col("day"), col("x").as("n_events"), col("ewma"),
+          col("ucl"), col("lcl"),
+          when(col("ewma") < col("lcl") || col("ewma") > col("ucl"), lit(1L))
+            .otherwise(lit(0L)).as("ooc_flag"))
+        .orderBy(col("day"))
     })
   )
 
@@ -3932,6 +3980,37 @@ object EventAnalytics extends QueryModule {
         |SELECT hh AS gap_hours, n_at_risk, d AS n_events,
         |       round(CAST(ch AS DOUBLE), 6) AS na_cumhaz,
         |       round(sqrt(CAST(vh AS DOUBLE)), 6) AS na_se
-        |FROM c ORDER BY gap_hours""".stripMargin
+        |FROM c ORDER BY gap_hours""".stripMargin,
+    "q358_ewma_chart" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |                 count(*) AS x
+        |               FROM events GROUP BY 1),
+        |idx AS (SELECT day, x,
+        |          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |        FROM daily),
+        |mom AS (SELECT count(*) AS nd, CAST(sum(x) AS BIGINT) AS sx,
+        |          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |        FROM daily),
+        |mom2 AS (SELECT nd,
+        |           cast(sx as double) / cast(nd as double) AS mu,
+        |           sqrt(cast(cast(nd as HUGEINT) * sxx
+        |             - cast(sx as HUGEINT) * sx as double)) / cast(nd as double) AS sigma
+        |         FROM mom),
+        |terms AS (SELECT a.t, a.day, a.x,
+        |            cast(round(0.2 * pow(0.8, cast(a.t - b.t as double))
+        |              * cast(b.x as double), 12) as decimal(38,12)) AS w
+        |          FROM idx a JOIN idx b ON b.t <= a.t),
+        |z AS (SELECT t, day, x, sum(w) AS zsum FROM terms GROUP BY 1, 2, 3),
+        |fin AS (SELECT day, x, t,
+        |          cast(zsum as double) + round(pow(0.8, cast(t as double)) * mu, 12) AS ewma,
+        |          round(mu + 3.0 * sigma * sqrt(cast(0.2 as double) / cast(1.8 as double)
+        |            * (1.0 - pow(0.8, cast(2 * t as double)))), 9) AS ucl,
+        |          round(mu - 3.0 * sigma * sqrt(cast(0.2 as double) / cast(1.8 as double)
+        |            * (1.0 - pow(0.8, cast(2 * t as double)))), 9) AS lcl
+        |        FROM z CROSS JOIN mom2)
+        |SELECT day, x AS n_events, ewma, ucl, lcl,
+        |       CAST(CASE WHEN ewma < lcl OR ewma > ucl THEN 1 ELSE 0 END AS BIGINT)
+        |         AS ooc_flag
+        |FROM fin ORDER BY day""".stripMargin
   )
 }

@@ -780,6 +780,42 @@ object Expectations extends QueryModule {
             .as("cramers_v"))
     }),
 
+    // Benjamini–Hochberg FDR (q359): turn q264's pairwise Mann-Whitney z's
+    // into a DECISION set with controlled false-discovery rate — the
+    // missing multiple-testing layer over every pairwise drift monitor
+    // here (|sources|²/2 tests at α=.05 expect ~5% false alarms under the
+    // null; BH caps the expected false FRACTION of the rejected set
+    // instead, Bonferroni rides along as the conservative floor). Two-
+    // sided p's come from the Abramowitz–Stegun 7.1.26 erfc polynomial in
+    // ONE shared SQL string (textually identical double arithmetic both
+    // engines, 12-dp pre-round absorbing libm exp() ulp skew); the step-up
+    // rank scan is a window + max over the bounded pair frame — nothing
+    // here ever touches the corpus again.
+    "q359_bh_fdr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val z = mannWhitneyDrift(s, dir)
+        .select(col("src_a"), col("src_b"), col("z_stat"))
+        .withColumn("az", abs(col("z_stat")))
+        .withColumn("p_value", expr(NormTwoSidedPSql))
+      val ranked = z.withColumn("p_rank",
+        row_number().over(Window.orderBy(col("p_value"), col("src_a"), col("src_b")))
+          .cast("long"))
+      val m = ranked.agg(count(lit(1)).as("m"))
+      val flagged = ranked.crossJoin(broadcast(m))
+        .withColumn("passes",
+          when(col("p_value") * col("m").cast("double")
+            <= col("p_rank").cast("double") * lit(0.05), lit(1L)).otherwise(lit(0L)))
+      val kstar = flagged
+        .agg(coalesce(max(when(col("passes") === 1L, col("p_rank"))), lit(0L)).as("kstar"))
+      flagged.crossJoin(broadcast(kstar))
+        .select(col("src_a"), col("src_b"), col("z_stat"), col("p_value"),
+          col("p_rank"), col("m").as("n_tests"),
+          when(col("p_rank") <= col("kstar"), lit(1L)).otherwise(lit(0L)).as("bh_reject"),
+          when(col("p_value") * col("m").cast("double") <= lit(0.05), lit(1L))
+            .otherwise(lit(0L)).as("bonf_reject"))
+        .orderBy(col("p_rank"))
+    }),
+
     // Conformal-threshold stability (q230): tau re-fit per ingest batch
     // (doc_id % 10 — each batch's own calibration order statistic at the
     // same alpha = 0.1) with the drift against the standing q205 tau. A
@@ -877,6 +913,51 @@ object Expectations extends QueryModule {
       |             len(string_split(trim(text), ' ')))
       |    + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
       |             length(text)), 6)""".stripMargin
+
+  /** Two-sided normal p-value from `az` = |z| via the Abramowitz–Stegun
+    * 7.1.26 erfc polynomial (|err| < 1.5e-7) — ONE shared SQL string so both
+    * engines evaluate bit-identical double arithmetic; the 12-dp pre-round
+    * absorbs libm exp() ulp skew between JVM and DuckDB. */
+  private[operators] val NormTwoSidedPSql: String = {
+    val x = "(az / 1.4142135623730951)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"round(((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t" +
+      s" - 0.284496736) * $t + 0.254829592) * $t * exp(-$x * $x), 12)"
+  }
+
+  /** The q264 Mann-Whitney oracle CTE chain up through `z` (src_a, src_b,
+    * na, nb, u_stat, z_stat) — shared verbatim by the q264 oracle and the
+    * q359 BH-FDR oracle so their z's can never drift apart. */
+  private val mannWhitneyZCteSql: String =
+    """WITH srcs AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+      |          FROM srcs a JOIN srcs b ON a.source < b.source),
+      |xs AS (SELECT p.sa, p.sb, p.na, p.nb, d.source AS src, d.n_chars AS x
+      |       FROM pairs p JOIN documents d ON d.source IN (p.sa, p.sb)),
+      |g AS (SELECT sa, sb, na, nb, x,
+      |        sum(CASE WHEN src = sa THEN 1 ELSE 0 END) AS ca,
+      |        sum(CASE WHEN src = sb THEN 1 ELSE 0 END) AS cb,
+      |        count(*) AS t
+      |      FROM xs GROUP BY 1, 2, 3, 4, 5),
+      |r AS (SELECT *, sum(t) OVER (PARTITION BY sa, sb ORDER BY x
+      |                             ROWS UNBOUNDED PRECEDING) AS cc
+      |      FROM g),
+      |st AS (SELECT sa, sb, na, nb,
+      |         CAST(sum(CAST(ca AS DECIMAL(18,0))
+      |                  * CAST(2 * (cc - t) + t + 1 AS DECIMAL(18,0))) AS DOUBLE) AS r2a,
+      |         CAST(sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+      |                  * CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0))) AS DOUBLE) AS ties
+      |       FROM r GROUP BY 1, 2, 3, 4),
+      |u AS (SELECT sa, sb, na, nb, ties, na + nb AS nn,
+      |        (r2a - CAST(na * (na + 1) AS DOUBLE)) / 2.0 AS u_stat
+      |      FROM st),
+      |z AS (SELECT sa AS src_a, sb AS src_b, na, nb, u_stat,
+      |        round((u_stat - CAST(na * nb AS DOUBLE) / 2.0)
+      |              / sqrt(CAST(na * nb AS DOUBLE)
+      |                     * (CAST(nn + 1 AS DOUBLE)
+      |                        - ties / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))
+      |                     / 12.0), 6) AS z_stat
+      |      FROM u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q343_effect_sizes" ->
@@ -1105,38 +1186,26 @@ object Expectations extends QueryModule {
         |       round(max(abs(CAST(cca AS DOUBLE)/na - CAST(ccb AS DOUBLE)/nb)), 6) AS ks_stat
         |FROM c GROUP BY 1, 2, na, nb ORDER BY 1, 2""".stripMargin,
     "q264_mann_whitney" ->
-      """WITH srcs AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
-        |pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
-        |          FROM srcs a JOIN srcs b ON a.source < b.source),
-        |xs AS (SELECT p.sa, p.sb, p.na, p.nb, d.source AS src, d.n_chars AS x
-        |       FROM pairs p JOIN documents d ON d.source IN (p.sa, p.sb)),
-        |g AS (SELECT sa, sb, na, nb, x,
-        |        sum(CASE WHEN src = sa THEN 1 ELSE 0 END) AS ca,
-        |        sum(CASE WHEN src = sb THEN 1 ELSE 0 END) AS cb,
-        |        count(*) AS t
-        |      FROM xs GROUP BY 1, 2, 3, 4, 5),
-        |r AS (SELECT *, sum(t) OVER (PARTITION BY sa, sb ORDER BY x
-        |                             ROWS UNBOUNDED PRECEDING) AS cc
-        |      FROM g),
-        |st AS (SELECT sa, sb, na, nb,
-        |         CAST(sum(CAST(ca AS DECIMAL(18,0))
-        |                  * CAST(2 * (cc - t) + t + 1 AS DECIMAL(18,0))) AS DOUBLE) AS r2a,
-        |         CAST(sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
-        |                  * CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0))) AS DOUBLE) AS ties
-        |       FROM r GROUP BY 1, 2, 3, 4),
-        |u AS (SELECT sa, sb, na, nb, ties, na + nb AS nn,
-        |        (r2a - CAST(na * (na + 1) AS DOUBLE)) / 2.0 AS u_stat
-        |      FROM st),
-        |z AS (SELECT sa AS src_a, sb AS src_b, na, nb, u_stat,
-        |        round((u_stat - CAST(na * nb AS DOUBLE) / 2.0)
-        |              / sqrt(CAST(na * nb AS DOUBLE)
-        |                     * (CAST(nn + 1 AS DOUBLE)
-        |                        - ties / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))
-        |                     / 12.0), 6) AS z_stat
-        |      FROM u)
+      s"""$mannWhitneyZCteSql
         |SELECT src_a, src_b, na, nb, u_stat, z_stat,
         |       CAST(CASE WHEN abs(z_stat) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
         |FROM z ORDER BY 1, 2""".stripMargin,
+    "q359_bh_fdr" ->
+      s"""$mannWhitneyZCteSql,
+        |p AS (SELECT src_a, src_b, z_stat, abs(z_stat) AS az FROM z),
+        |pv AS (SELECT src_a, src_b, z_stat, $NormTwoSidedPSql AS p_value FROM p),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value, src_a, src_b)
+        |         AS BIGINT) AS p_rank FROM pv),
+        |m AS (SELECT count(*) AS m FROM rk),
+        |fl AS (SELECT rk.*, m.m,
+        |         CASE WHEN p_value * m <= p_rank * 0.05 THEN 1 ELSE 0 END AS passes
+        |       FROM rk CROSS JOIN m),
+        |ks AS (SELECT coalesce(max(CASE WHEN passes = 1 THEN p_rank END), 0) AS kstar
+        |       FROM fl)
+        |SELECT src_a, src_b, z_stat, p_value, p_rank, m AS n_tests,
+        |       CAST(CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END AS BIGINT) AS bh_reject,
+        |       CAST(CASE WHEN p_value * m <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS bonf_reject
+        |FROM fl CROSS JOIN ks ORDER BY p_rank""".stripMargin,
     "q185_fd_audit" ->
       """WITH fd1 AS (SELECT 'l_orderkey->o_custkey' AS fd,
         |               count(*) AS n_violating_keys FROM (

@@ -849,6 +849,36 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     math.abs(v - approx) should be < 1e-5
   }
 
+  test("q358: EWMA stays inside the data range and limits widen monotonically") {
+    val r = rows("q358_ewma_chart")
+    r.size should be >= 10
+    val xs = r.map(_.getAs[Long]("n_events").toDouble)
+    r.foreach { row =>
+      row.getAs[Double]("ewma") should (be >= xs.min - 1e-9 and be <= xs.max + 1e-9)
+      row.getAs[Double]("ucl") should be > row.getAs[Double]("lcl")
+    }
+    // the (1-(1-λ)^2t) startup factor makes the band nondecreasing in t
+    val widths = r.map(row => row.getAs[Double]("ucl") - row.getAs[Double]("lcl"))
+    widths.sliding(2).foreach { case Seq(a, b) => b should be >= a - 1e-9; case _ => }
+  }
+
+  test("q359: BH is a step-up rule — rejections are a prefix of the p-ranking") {
+    val r = rows("q359_bh_fdr")
+    r.size should be >= 100
+    val m = r.head.getAs[Long]("n_tests")
+    m shouldBe r.size.toLong
+    // p is nondecreasing in rank, rejects form a prefix, BH >= Bonferroni
+    r.map(_.getAs[Double]("p_value")).sliding(2).foreach {
+      case Seq(a, b) => b should be >= a; case _ => ()
+    }
+    val flags = r.map(_.getAs[Long]("bh_reject"))
+    flags.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => () }
+    r.foreach { row =>
+      row.getAs[Double]("p_value") should (be >= 0.0 and be <= 1.0 + 1e-9)
+      row.getAs[Long]("bonf_reject") should be <= row.getAs[Long]("bh_reject")
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
