@@ -112,5 +112,8 @@ object ExplainAudit {
       "day-squared pair join, not a window"),
     "q359_bh_fdr" -> ("bounded: the BH rank window runs over the " +
       "|sources|^2/2 pair frame (corpus-size-independent); the corpus is " +
-      "touched only by q264's shared rank layer"))
+      "touched only by q264's shared rank layer"),
+    "q360_isotonic_fit" -> ("bounded: row_number + prefix-sum windows over " +
+      "the per-day rollup (#days rows, calendar-bounded); the max-min " +
+      "fan-out is a day-squared pair join with per-j partitioned windows"))
 }

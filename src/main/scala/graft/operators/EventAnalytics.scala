@@ -2559,8 +2559,120 @@ object EventAnalytics extends QueryModule {
           when(col("ewma") < col("lcl") || col("ewma") > col("ucl"), lit(1L))
             .otherwise(lit(0L)).as("ooc_flag"))
         .orderBy(col("day"))
+    }),
+
+    // Isotonic regression (q360): the best NONDECREASING fit of daily
+    // revenue over time — the shape-constrained trend every "is revenue
+    // still growing" readout wants (q135's exponential and the OLS lines
+    // assume a functional form; isotonic assumes only monotonicity, and
+    // its flat pools ARE the stagnation periods). PAVA's sequential pool-
+    // adjacent-violators is replaced by the equivalent closed-form
+    // max-min identity ŷ_i = max_{j≤i} min_{k≥i} mean(y_j..y_k)
+    // (Robertson-Wright-Dykstra 1988), evaluated distributed: interval
+    // means off exact integer-cent prefix sums on the day²-bounded pair
+    // frame, a per-j suffix-min window, one grouped max. Every division is
+    // the same correctly-rounded IEEE op on exact integers both engines —
+    // the fit needs no rounding at all.
+    "q360_isotonic_fit" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day"))
+        .agg(expr("cast(sum(cast(value as decimal(18,2)) * 100) as decimal(38,0))")
+          .as("yc"))
+        .localCheckpoint()
+      val idx = daily.withColumn("t",
+        row_number().over(Window.orderBy(col("day"))).cast(LongType))
+      val pre = idx.withColumn("p", sum(col("yc")).over(
+        Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)))
+      val a = pre.select(col("t").as("k"), col("p").as("pk"), col("day"), col("yc"))
+      val b = pre.select(col("t").as("j"), (col("p") - col("yc")).as("pj1"))
+      val pair = a.join(b, col("j") <= col("k"))
+        .select(col("j"), col("k"), col("day"), col("yc"),
+          (expr("cast(pk - pj1 as double)")
+            / (col("k") - col("j") + 1).cast("double")).as("avg_jk"))
+      val suf = pair.withColumn("mji", min(col("avg_jk")).over(
+        Window.partitionBy(col("j")).orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      suf.groupBy(col("k"), col("day"), col("yc"))
+        .agg(max(col("mji")).as("iso"))
+        .select(col("day"), expr("cast(yc as double) / 100.0").as("revenue"),
+          (col("iso") / 100.0).as("iso_fit"))
+        .orderBy(col("day"))
+    }),
+
+    // Granger causality (q361): does yesterday's revenue help predict
+    // today's event count beyond the count's own lag (and vice versa)?
+    // F-test of the lag-1 restricted vs unrestricted OLS in BOTH
+    // directions — the directional upgrade of q331's symmetric lead-lag
+    // correlation (correlation can't say which side carries information).
+    // Consecutive-day lag pairs come from one self-join of the daily
+    // rollup; all ten regression moments are exact integers (19,0-operand
+    // decimal products, the q332 discipline; centered forms n·Σ−ΣΣ stay
+    // decimal(38)-exact at calendar-bounded day counts); Cramer's rule,
+    // both RSS's and F run in ONE shared SQL string of double arithmetic
+    // evaluated verbatim by both engines.
+    "q361_granger" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(floor(col("ts").cast(LongType) / 86400L).cast(LongType).as("day"),
+          col("value"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("cast(cast(sum(cast(value as decimal(18,2)) * 100) as decimal(38,0))" +
+            " as bigint)").as("rev"))
+        .localCheckpoint()
+      val cur = daily
+      val prev = daily.select((col("day") + 1).as("day"),
+        col("cnt").as("pcnt"), col("rev").as("prev_rev"))
+      val lagged = cur.join(prev, "day")
+      val both = lagged.select(lit("rev_to_cnt").as("direction"),
+          col("cnt").as("w"), col("pcnt").as("u"), col("prev_rev").as("v"))
+        .unionByName(lagged.select(lit("cnt_to_rev").as("direction"),
+          col("rev").as("w"), col("prev_rev").as("u"), col("pcnt").as("v")))
+      val mom = both.groupBy(col("direction"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(w as decimal(38,0))")).as("sw"),
+          sum(expr("cast(u as decimal(38,0))")).as("su"),
+          sum(expr("cast(v as decimal(38,0))")).as("sv"),
+          sum(expr("cast(w as decimal(19,0)) * cast(u as decimal(19,0))")).as("swu"),
+          sum(expr("cast(w as decimal(19,0)) * cast(v as decimal(19,0))")).as("swv"),
+          sum(expr("cast(u as decimal(19,0)) * cast(v as decimal(19,0))")).as("suv"),
+          sum(expr("cast(w as decimal(19,0)) * cast(w as decimal(19,0))")).as("sww"),
+          sum(expr("cast(u as decimal(19,0)) * cast(u as decimal(19,0))")).as("suu"),
+          sum(expr("cast(v as decimal(19,0)) * cast(v as decimal(19,0))")).as("svv"))
+      mom.select(col("direction"), col("n"),
+          expr("cast(cast(n as decimal(38,0)) * suu - su * su as double)").as("duu"),
+          expr("cast(cast(n as decimal(38,0)) * svv - sv * sv as double)").as("dvv"),
+          expr("cast(cast(n as decimal(38,0)) * suv - su * sv as double)").as("duv"),
+          expr("cast(cast(n as decimal(38,0)) * swu - sw * su as double)").as("duw"),
+          expr("cast(cast(n as decimal(38,0)) * swv - sw * sv as double)").as("dvw"),
+          expr("cast(cast(n as decimal(38,0)) * sww - sw * sw as double)").as("dww"))
+        .select(col("direction"), col("n"),
+          expr(GrangerBetaArSql).as("beta_ar"),
+          expr(GrangerBetaCrossSql).as("beta_cross"),
+          expr(GrangerFStatSql).as("f_stat"))
+        .withColumn("granger_flag",
+          when(col("f_stat") > 3.87, lit(1L)).otherwise(lit(0L)))
+        .orderBy(col("direction"))
     })
   )
+
+  /** Cramer's-rule lag-1 Granger statistics for q361, over the centered
+    * double moments duu/dvv/duv/duw/dvw/dww and n — shared SQL strings
+    * evaluated verbatim by both Spark (`expr`) and DuckDB so the double
+    * arithmetic is bit-identical. rss1 is written out in full in the F so
+    * each string stays self-contained. */
+  private[operators] val GrangerBetaArSql: String =
+    "round((duw * dvv - dvw * duv) / (duu * dvv - duv * duv), 9)"
+  private[operators] val GrangerBetaCrossSql: String =
+    "round((dvw * duu - duw * duv) / (duu * dvv - duv * duv), 9)"
+  private[operators] val GrangerFStatSql: String =
+    """round(((dww - duw * duw / duu)
+      |       - (dww - ((duw * dvv - dvw * duv) * duw + (dvw * duu - duw * duv) * dvw)
+      |                / (duu * dvv - duv * duv)))
+      |      * (cast(n as double) - 3.0)
+      |      / (dww - ((duw * dvv - dvw * duv) * duw + (dvw * duu - duw * duv) * dvw)
+      |               / (duu * dvv - duv * duv)), 6)""".stripMargin
 
   /** 3-point log-log OLS slope for q352, over x = {ln 5, ln 10, ln 15} as
     * exact double literals — ONE shared SQL string evaluated verbatim by both
@@ -4011,6 +4123,60 @@ object EventAnalytics extends QueryModule {
         |SELECT day, x AS n_events, ewma, ucl, lcl,
         |       CAST(CASE WHEN ewma < lcl OR ewma > ucl THEN 1 ELSE 0 END AS BIGINT)
         |         AS ooc_flag
-        |FROM fin ORDER BY day""".stripMargin
+        |FROM fin ORDER BY day""".stripMargin,
+    "q360_isotonic_fit" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |                 CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS HUGEINT) AS yc
+        |               FROM events GROUP BY 1),
+        |idx AS (SELECT day, yc,
+        |          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |        FROM daily),
+        |pre AS (SELECT day, yc, t,
+        |          sum(yc) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS p
+        |        FROM idx),
+        |pair AS (SELECT b.t AS j, a.t AS k, a.day, a.yc,
+        |           cast(a.p - (b.p - b.yc) as double)
+        |             / cast(a.t - b.t + 1 as double) AS avg_jk
+        |         FROM pre a JOIN pre b ON b.t <= a.t),
+        |suf AS (SELECT j, k, day, yc,
+        |          min(avg_jk) OVER (PARTITION BY j ORDER BY k DESC
+        |            ROWS UNBOUNDED PRECEDING) AS mji
+        |        FROM pair)
+        |SELECT day, cast(yc as double) / 100.0 AS revenue,
+        |       max(mji) / 100.0 AS iso_fit
+        |FROM suf GROUP BY k, day, yc ORDER BY day""".stripMargin,
+    "q361_granger" ->
+      s"""WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |                 count(*) AS cnt,
+        |                 CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev
+        |               FROM events GROUP BY 1),
+        |lagged AS (SELECT c.day, c.cnt, c.rev, p.cnt AS pcnt, p.rev AS prev_rev
+        |           FROM daily c JOIN daily p ON p.day = c.day - 1),
+        |pairs AS (SELECT 'rev_to_cnt' AS direction, cnt AS w, pcnt AS u, prev_rev AS v
+        |          FROM lagged
+        |          UNION ALL
+        |          SELECT 'cnt_to_rev', rev, prev_rev, pcnt FROM lagged),
+        |mom AS (SELECT direction, count(*) AS n,
+        |          sum(CAST(w AS HUGEINT)) AS sw, sum(CAST(u AS HUGEINT)) AS su,
+        |          sum(CAST(v AS HUGEINT)) AS sv,
+        |          sum(CAST(w AS HUGEINT) * u) AS swu, sum(CAST(w AS HUGEINT) * v) AS swv,
+        |          sum(CAST(u AS HUGEINT) * v) AS suv, sum(CAST(w AS HUGEINT) * w) AS sww,
+        |          sum(CAST(u AS HUGEINT) * u) AS suu, sum(CAST(v AS HUGEINT) * v) AS svv
+        |        FROM pairs GROUP BY 1),
+        |d AS (SELECT direction, n,
+        |        cast(CAST(n AS HUGEINT) * suu - su * su as double) AS duu,
+        |        cast(CAST(n AS HUGEINT) * svv - sv * sv as double) AS dvv,
+        |        cast(CAST(n AS HUGEINT) * suv - su * sv as double) AS duv,
+        |        cast(CAST(n AS HUGEINT) * swu - sw * su as double) AS duw,
+        |        cast(CAST(n AS HUGEINT) * swv - sw * sv as double) AS dvw,
+        |        cast(CAST(n AS HUGEINT) * sww - sw * sw as double) AS dww
+        |      FROM mom)
+        |SELECT direction, n,
+        |       $GrangerBetaArSql AS beta_ar,
+        |       $GrangerBetaCrossSql AS beta_cross,
+        |       $GrangerFStatSql AS f_stat,
+        |       CAST(CASE WHEN $GrangerFStatSql > 3.87 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS granger_flag
+        |FROM d ORDER BY direction""".stripMargin
   )
 }

@@ -851,6 +851,85 @@ object Relational extends QueryModule {
         .orderBy(col("decile"))
     }),
 
+    // Market-basket association rules (q362): support / confidence / lift
+    // over brand pairs co-occurring in an order — the frequent-itemset
+    // readout a retail planner actually acts on ("orders with Brand#13
+    // are 1.4× likelier to also carry Brand#34"), which no join/agg here
+    // exposes. Scale shape: the order×brand incidence is ONE distinct
+    // pass (brands-per-order is bounded by the basket size, so the
+    // within-order self-join fans out |basket|² per order, linear in
+    // orders); everything after lives on the ≤|brands|² pair grid.
+    // Every ratio (support, both confidences, lift) is an on-grid
+    // rational reported by integer half-up division — decimal(38)-safe at
+    // 10¹² orders and immune to the /n tie class.
+    "q362_basket_lift" -> ((s, dir) => {
+      val ob = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey"))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand"))),
+          "l_partkey")
+        .select(col("ok"), col("brand")).distinct()
+        .localCheckpoint()
+      val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
+      val bx = ob.groupBy(col("brand")).agg(count(lit(1)).as("nx"))
+      val pairs = ob.join(ob.select(col("ok"), col("brand").as("brand_b")), "ok")
+        .filter(col("brand") < col("brand_b"))
+        .groupBy(col("brand").as("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      pairs
+        .join(broadcast(bx.select(col("brand").as("brand_a"), col("nx").as("n_a"))), "brand_a")
+        .join(broadcast(bx.select(col("brand").as("brand_b"), col("nx").as("n_b"))), "brand_b")
+        .crossJoin(broadcast(n))
+        .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"), col("n_ab"),
+          (expr("(2 * cast(n_ab as decimal(38,0)) * 1000000 + n_orders)" +
+            " div (2 * cast(n_orders as decimal(38,0)))").cast("double") / 1e6)
+            .as("support"),
+          (expr("(2 * cast(n_ab as decimal(38,0)) * 1000000 + n_a)" +
+            " div (2 * cast(n_a as decimal(38,0)))").cast("double") / 1e6)
+            .as("conf_a_to_b"),
+          (expr("(2 * cast(n_ab as decimal(38,0)) * 1000000 + n_b)" +
+            " div (2 * cast(n_b as decimal(38,0)))").cast("double") / 1e6)
+            .as("conf_b_to_a"),
+          (expr("(2 * cast(n_ab as decimal(38,0)) * n_orders * 1000000" +
+            " + cast(n_a as decimal(38,0)) * n_b)" +
+            " div (2 * cast(n_a as decimal(38,0)) * n_b)").cast("double") / 1e6)
+            .as("lift"))
+        .orderBy(col("brand_a"), col("brand_b"))
+    }),
+
+    // RFM segmentation (q363): the classic recency / frequency / monetary
+    // customer cube — each customer lands in an exact quintile on all
+    // three axes (GlobalOrder's distributed exact ntile, customer-key
+    // tiebreak, never a single-partition sort), and the report is the
+    // occupied-cell rollup a CRM campaign planner reads ("R5F5M5 whales",
+    // "R1F5M5 at-risk big spenders"). Recency is integer epoch-day
+    // arithmetic; monetary sums stay decimal(18,2)-exact end to end.
+    "q363_rfm_segments" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_orderdate").cast(LongType).as("e"),
+          col("o_totalprice"))
+      val mx = o.agg(max(col("e")).as("emax"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("e")).as("elast"), count(lit(1)).as("f"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"), expr("(emax - elast) div 86400").as("rdays"),
+          col("f"), col("m"))
+      val r5 = graft.functions.GlobalOrder
+        .withNtile(per, 5, "r_q", col("rdays"), col("o_custkey"))
+      val f5 = graft.functions.GlobalOrder
+        .withNtile(r5, 5, "f_q", col("f"), col("o_custkey"))
+      val m5 = graft.functions.GlobalOrder
+        .withNtile(f5, 5, "m_q", col("m"), col("o_custkey"))
+      m5.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("f")).as("n_orders"),
+          sum(col("m")).as("mm"))
+        .select(col("r_q"), col("f_q"), col("m_q"), col("n_customers"),
+          col("n_orders"), col("mm").cast("double").as("monetary"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    }),
+
     // Pareto tail index via Hill (q346): α̂ = k / Σ ln(x_i/x_(k+1)) over the
     // top-k order values — HOW heavy the revenue tail is, as one number
     // (α < 2: infinite-variance territory where mean-based KPIs and q105's
@@ -1744,6 +1823,42 @@ object Relational extends QueryModule {
         |       round(CAST(cumn AS DOUBLE) / nn, 6) AS cum_pop_share,
         |       round(CAST(cumr AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS cum_revenue_share
         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
+    "q362_basket_lift" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+        |bx AS (SELECT brand, count(*) AS nx FROM ob GROUP BY 1),
+        |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+        |       FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT brand_a, brand_b, xa.nx AS n_a, xb.nx AS n_b, n_ab,
+        |  CAST((2 * CAST(n_ab AS HUGEINT) * 1000000 + n_orders)
+        |       // (2 * CAST(n_orders AS HUGEINT)) AS DOUBLE) / 1e6 AS support,
+        |  CAST((2 * CAST(n_ab AS HUGEINT) * 1000000 + xa.nx)
+        |       // (2 * CAST(xa.nx AS HUGEINT)) AS DOUBLE) / 1e6 AS conf_a_to_b,
+        |  CAST((2 * CAST(n_ab AS HUGEINT) * 1000000 + xb.nx)
+        |       // (2 * CAST(xb.nx AS HUGEINT)) AS DOUBLE) / 1e6 AS conf_b_to_a,
+        |  CAST((2 * CAST(n_ab AS HUGEINT) * n_orders * 1000000
+        |        + CAST(xa.nx AS HUGEINT) * xb.nx)
+        |       // (2 * CAST(xa.nx AS HUGEINT) * xb.nx) AS DOUBLE) / 1e6 AS lift
+        |FROM pr JOIN bx xa ON xa.brand = pr.brand_a
+        |JOIN bx xb ON xb.brand = pr.brand_b
+        |CROSS JOIN n ORDER BY brand_a, brand_b""".stripMargin,
+    "q363_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS e,
+        |             o_totalprice FROM orders),
+        |mx AS (SELECT max(e) AS emax FROM o),
+        |per AS (SELECT o_custkey, max(e) AS elast, count(*) AS f,
+        |          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |        FROM o GROUP BY 1),
+        |per2 AS (SELECT o_custkey, (emax - elast) // 86400 AS rdays, f, m
+        |         FROM per CROSS JOIN mx),
+        |t1 AS (SELECT *, ntile(5) OVER (ORDER BY rdays, o_custkey) AS r_q FROM per2),
+        |t2 AS (SELECT *, ntile(5) OVER (ORDER BY f, o_custkey) AS f_q FROM t1),
+        |t3 AS (SELECT *, ntile(5) OVER (ORDER BY m, o_custkey) AS m_q FROM t2)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+        |       CAST(sum(f) AS BIGINT) AS n_orders, CAST(sum(m) AS DOUBLE) AS monetary
+        |FROM t3 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q335_grouped_moments" ->
       """WITH sup AS (SELECT n_name AS nation, s_acctbal AS xb
         |             FROM supplier JOIN nation ON s_nationkey = n_nationkey),

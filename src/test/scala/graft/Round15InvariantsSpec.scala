@@ -879,6 +879,34 @@ class Round15InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q360: the isotonic fit is nondecreasing and mass-preserving") {
+    val r = rows("q360_isotonic_fit")
+    r.size should be >= 10
+    val fit = r.map(_.getAs[Double]("iso_fit"))
+    fit.sliding(2).foreach { case Seq(a, b) => b should be >= a - 1e-9; case _ => }
+    // PAVA pools preserve the total: sum(fit) == sum(y) up to fp noise
+    val sy = r.map(_.getAs[Double]("revenue")).sum
+    math.abs(fit.sum - sy) should be < math.abs(sy) * 1e-9
+    // the fit lives inside the data range
+    val ys = r.map(_.getAs[Double]("revenue"))
+    fit.head should be >= ys.min - 1e-6
+    fit.last should be <= ys.max + 1e-6
+  }
+
+  test("q361: Granger runs both directions with finite, consistent stats") {
+    val r = rows("q361_granger")
+    r.map(_.getAs[String]("direction")).sorted shouldBe Seq("cnt_to_rev", "rev_to_cnt")
+    r.foreach { row =>
+      row.getAs[Long]("n") should be >= 10L
+      val f = row.getAs[Double]("f_stat")
+      // adding a regressor can only reduce RSS, so F >= 0
+      f should be >= 0.0
+      row.getAs[Long]("granger_flag") shouldBe (if (f > 3.87) 1L else 0L)
+      row.getAs[Double]("beta_ar").isNaN shouldBe false
+      row.getAs[Double]("beta_cross").isNaN shouldBe false
+    }
+  }
+
   test("q276: the CUSUM scan reports the 10 largest |S| days in order") {
     val r = rows("q276_cusum_changepoint")
     r.size should be <= 10
