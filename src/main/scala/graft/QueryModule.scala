@@ -7,9 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Each query is a pure function `(SparkSession, dataDir) => DataFrame` (the
   * driver contract, see SparkEntry). Where the semantics are expressible in
   * ANSI SQL, the module also publishes an equivalent DuckDB oracle statement
-  * under the same name — which, after the seeded-quantizer re-registrations,
-  * is every query except q53 (Spark-internal sketch hashes; twinned by its
-  * exact q150 and the q196 error-bound gate). Approximate operators are
+  * under the same name — which, since the round-16 q53 error-band oracle,
+  * is EVERY query on the surface. Approximate operators are
   * ADDITIONALLY recall/error-gated in ScalaTest against their exact
   * counterparts (the oracle proves the pipeline; the spec proves the
   * approximation quality).

@@ -48,11 +48,11 @@ object SparkEntry {
     modules.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for q53 (sketches — the
-    * Spark-internal hash functions aren't SQL-expressible); it is
-    * error-bound-checked in ScalaTest AND hash-gated via oracled twins
-    * (q150 is its exact twin; q196 pins the sketch error bounds as
-    * verdict flags). Every ANN tier is oracled directly: q39's md5-plane
+    * the same parquet tables — since round 16 for EVERY key: q53, the last
+    * rows-only holdout, now emits pinned error-band verdict flags (the
+    * q196 pattern) instead of raw sketch registers, so the whole surface
+    * is hash-gated (q150 remains its exact twin; raw-sketch accuracy is
+    * additionally ScalaTest-pinned). Every ANN tier is oracled directly: q39's md5-plane
     * LSH replays in DuckDB verbatim, and q40/q108 register their SEEDED,
     * SQL-replayable quantizer variants as the primary oracled paths while
     * the Lloyd's-trained variants are served from the session model layer

@@ -45,6 +45,15 @@ object GlobalOrder {
       case (parted, _) => parted.withColumnRenamed(RN, rnCol)
     }
 
+  /** Same as [[withRowNumber]] but also returns the total row count, which
+    * the offsets pass computes anyway — callers that need N (percentile
+    * positions, tile sizing) get it without a second full scan. */
+  def withRowNumberAndCount(df: DataFrame, rnCol: String,
+      sortCols: Column*): (DataFrame, Long) =
+    ranked(df, sortCols) match {
+      case (parted, total) => (parted.withColumnRenamed(RN, rnCol), total)
+    }
+
   /** `df` + `tileCol` = the exact global `ntile(tiles)` under `sortCols`.
     * SQL ntile semantics reproduced in closed form from the global row
     * number: with N rows and k tiles, the first N mod k tiles take

@@ -529,12 +529,28 @@ object Dedup extends QueryModule {
     * production τ=0.5 sweep uses the cell-blocked tier (q99 SemDeDup)
     * instead — see BASELINE.md's round-15 scaling note. DedupSimilaritySpec
     * pins no-false-positives and a recall floor at a sub-threshold cut
-    * where misses do occur. */
+    * where misses do occur.
+    *
+    * Round 16: the REGISTERED q47 moved to (τ=0.9, 6 bands × 16 rows) —
+    * the real near-dup regime where banding prunes 2^16 per band — and the
+    * loose-τ=0.5 defaults here remain the spec-only recall-audited
+    * reference for the hostile regime. */
   def embeddingNeardupLsh(s: SparkSession, dir: String, threshold: Double = 0.5,
-                          rowsPerBand: Int = 5, nBands: Int = 12): DataFrame = {
+                          rowsPerBand: Int = 5, nBands: Int = 12): DataFrame =
+    embeddingNeardupLshFrom(
+      Tables.read(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v")),
+      threshold, rowsPerBand, nBands)
+
+  /** [[embeddingNeardupLsh]] over any `(vec_id, v)` frame (spec hook —
+    * planted high-cosine geometry pins exact recall/precision vs brute
+    * force in DedupSimilaritySpec). */
+  def embeddingNeardupLshFrom(vecs: DataFrame, threshold: Double,
+                              rowsPerBand: Int, nBands: Int): DataFrame = {
+    val s = vecs.sparkSession
     val planes = Similarity.hyperplanes(nBands * rowsPerBand, 64)
-    val e = Tables.read(s, dir, "embeddings")
-      .select(col("vec_id"), graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val e = vecs.select(col("vec_id"), col("v"))
     // Narrow candidate generation: only (vec_id, band_id, band_value) enters
     // the bucket shuffle — the 64-dim payload is fetched afterwards for the
     // surviving candidate pairs via keyed equi-joins.
@@ -740,12 +756,24 @@ object Dedup extends QueryModule {
         .orderBy(col("bit"))
     }),
 
-    // Embedding-cosine near-dup pairs >= 0.5 via banded hyperplane-LSH
-    // candidates + exact cosine verification (see embeddingNeardupLsh for
-    // the recall story). The oracle is the exact all-pairs SQL — green
-    // because every fixture pair above the threshold collides in a band.
+    // Embedding-cosine near-dup pairs at a REAL near-dup threshold
+    // (cosine >= 0.9) via banded hyperplane-LSH candidates + exact cosine
+    // verification. Registered at 6 bands × 16 sign bits: a random pair
+    // collides per band with p = 2^-16, so the candidate floor is ~1e-4 of
+    // all-pairs (the loose-τ=0.5 form kept in DedupSimilaritySpec had an
+    // intrinsic ~0.3·C(n,2) floor — sign-bit LSH cannot prune at θ≈60°, the
+    // round-15 scale finding). At near-dup geometry the banding is sharp:
+    // a cosine-0.98 pair (θ≈11.5°) survives a 16-bit band with p≈0.35 and
+    // is missed by all 6 with p≈0.08; at 0.999 (the scaled-corpus copy
+    // families) the miss probability is ~6e-5. The oracle is the exact
+    // all-pairs SQL at the same threshold; the base fixtures contain no
+    // pair above 0.9 (verified, max cosine 0.60 at sf0.1), so the gate row
+    // pins "no false positives" there and the scaled corpora (cross-copy
+    // cosines just under 1) exercise the dense-recall side in ScaleCheck.
+    // A planted high-cosine frame in DedupSimilaritySpec pins exact
+    // recall/precision against brute force.
     "q47_embedding_neardup" -> ((s, dir) =>
-      embeddingNeardupLsh(s, dir)
+      embeddingNeardupLsh(s, dir, threshold = 0.9, rowsPerBand = 16, nBands = 6)
         .orderBy(col("id_a"), col("id_b"))),
 
     // SimHash hamming-radius pairs (guaranteed recall via chunk pigeonhole).
@@ -1202,7 +1230,7 @@ object Dedup extends QueryModule {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     // The 64-bit oracle reads the md5 halves separately (DuckDB's BIGINT <<
     // raises on overflow and its hex cast tops out at 15 hex chars, so the

@@ -343,9 +343,22 @@ object Expectations extends QueryModule {
         .agg(lit(name).as("fd"), count(lit(1)).as("n_violating_keys"))
     val oc = Tables.read(s, dir, "orders")
       .join(Tables.read(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-    val lo = Tables.read(s, dir, "lineitem")
-      .join(Tables.read(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-    violations("l_orderkey->o_custkey", lo, "l_orderkey", "o_custkey")
+    // l_orderkey -> o_custkey over lineitem⋈orders can only be violated by an
+    // o_orderkey that is duplicated in ORDERS with differing custkeys, so the
+    // violating key set is computable from orders alone — no lineitem shuffle.
+    // The joined-view semantics (key must occur in lineitem) are preserved by
+    // a broadcast semi-join: violations are anomalies, so the violating-key
+    // side is ~empty and safe to broadcast at any corpus scale.
+    val violatingOrderKeys = Tables.read(s, dir, "orders")
+      .groupBy(col("o_orderkey")).agg(countDistinct(col("o_custkey")).as("nd"))
+      .filter(col("nd") > 1).select(col("o_orderkey"))
+    val fd1 = Tables.read(s, dir, "lineitem").select(col("l_orderkey"))
+      .join(broadcast(violatingOrderKeys),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .distinct()
+      .agg(lit("l_orderkey->o_custkey").as("fd"),
+        count(lit(1)).as("n_violating_keys"))
+    fd1
       .unionByName(violations("o_custkey->c_nationkey", oc, "o_custkey", "c_nationkey"))
       .unionByName(violations("p_name->p_brand (within part)",
         Tables.read(s, dir, "part"), "p_name", "p_brand"))

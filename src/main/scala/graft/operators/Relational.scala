@@ -1401,20 +1401,35 @@ object Relational extends QueryModule {
           col("n_orders"))
         .orderBy(col("orderstatus"), col("orderpriority"))),
 
-    // Sketch aggregates: HyperLogLog++ distinct counts + quantile sketches
-    // alongside their exact companions. Sketch internals are engine-specific
-    // so this query carries no DuckDB oracle (rows-only check); the accuracy
-    // bound vs the exact columns is pinned in ScalaTest. At 100 TB the
-    // sketch is the difference between one map-side-combining pass and an
-    // expand + dedup shuffle per distinct.
+    // Sketch aggregates: HyperLogLog++ distinct counts + KLL quantile
+    // sketches, driver-gated via an ERROR-BAND oracle (round 16 — this was
+    // the registry's one no_oracle row). Raw sketch registers are
+    // engine-specific so DuckDB cannot replay them, but it CAN pin the
+    // verdict flags: the engine computes |HLL − exact|/exact <= 15% and
+    // |approx p25/p75 − exact p25/p75| <= 5%·exact, and the oracle asserts
+    // all three flags are 1 — if a sketch ever drifts out of bound on a
+    // regenerated fixture the round hash-fails. Complements q196 (median,
+    // 10% HLL band) at different quantile points; q150 hash-checks the
+    // exact companions. At 100 TB the sketch is the difference between one
+    // map-side-combining pass and an expand + dedup shuffle per distinct.
     "q53_sketch_stats" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_median_price"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          expr("percentile_approx(l_extendedprice, 0.25, 10000)").as("a25"),
+          expr("percentile_approx(l_extendedprice, 0.75, 10000)").as("a75"),
+          expr("percentile(l_extendedprice, 0.25)").as("e25"),
+          expr("percentile(l_extendedprice, 0.75)").as("e75"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          when(abs(col("ap") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.15, 1L).otherwise(0L).as("hll_ok"),
+          when(abs(col("a25") - col("e25")) <= col("e25") * 0.05, 1L).otherwise(0L)
+            .as("p25_ok"),
+          when(abs(col("a75") - col("e75")) <= col("e75") * 0.05, 1L).otherwise(0L)
+            .as("p75_ok"))
         .orderBy(col("l_returnflag"))),
 
     // Sketch-accuracy audit (q196): upgrades q53's ScalaTest-only accuracy
@@ -1467,8 +1482,8 @@ object Relational extends QueryModule {
       import s.implicits._
       val li = t(s, dir, "lineitem")
         .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
-      val n = li.count()
-      val ranked = graft.functions.GlobalOrder.withRowNumber(li, "rn",
+      // N rides along from GlobalOrder's offsets pass — no standalone count scan.
+      val (ranked, n) = graft.functions.GlobalOrder.withRowNumberAndCount(li, "rn",
         col("v"), col("l_orderkey"), col("l_linenumber"))
       val pos = Seq(25L, 50L, 75L, 90L, 99L).map(p => (p, (p * n + 99L) / 100L))
         .toDF("pct", "pos")
@@ -2159,6 +2174,15 @@ object Relational extends QueryModule {
         |       count(*) AS n_rows,
         |       CAST(1 AS BIGINT) AS hll_ok,
         |       CAST(1 AS BIGINT) AS median_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q53: same pinned-flag contract as q196, at p25/p75 and a 15% HLL band.
+    "q53_sketch_stats" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       count(*) AS n_rows,
+        |       CAST(1 AS BIGINT) AS hll_ok,
+        |       CAST(1 AS BIGINT) AS p25_ok,
+        |       CAST(1 AS BIGINT) AS p75_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q150_distinct_exact" ->
       """SELECT l_returnflag,

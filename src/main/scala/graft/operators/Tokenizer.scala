@@ -28,6 +28,29 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer extends QueryModule {
 
+  /** Chao1 richness report from a `(source, term, n)` occurrence frame —
+    * the q309 estimator factored for planted-frame specs. The `undetected`
+    * numerator N1·(N1−1) stays in INTEGER space: 0·(−1) as a double is
+    * −0.0 in DuckDB (whose round() preserves the sign) but +0.0 after
+    * Spark's BigDecimal round — a cross-engine hash divergence whenever a
+    * source has no singleton terms (N1=0; 11 of sf0.01's 20 sources). Long
+    * 0·−1 = 0 carries no sign bit, so both engines agree — the
+    * "0 × negative double product" determinism class, Round16InvariantsSpec. */
+  def chao1From(st: DataFrame): DataFrame =
+    st.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("n") === 2, lit(1L)).otherwise(lit(0L))).as("n2"))
+      .select(col("source"), col("n_types"), col("n1"), col("n2"),
+        round((col("n1") * (col("n1") - lit(1L))).cast("double")
+          / (lit(2.0) * (col("n2") + lit(1L))), 6).as("undetected"))
+      .select(col("source"), col("n_types"), col("n1"), col("n2"),
+        col("undetected"),
+        round(col("n_types") + col("undetected"), 6).as("chao1"),
+        round(col("n_types").cast("double")
+          / (col("n_types") + col("undetected")), 6).as("completeness"))
+      .orderBy(col("source"))
+
   /** Adjacent token pairs of each document, exploded: (t1, t2) per
     * occurrence. The zip runs inside the row over the let-bound token
     * array; documents shorter than 2 tokens contribute nothing. */
@@ -184,19 +207,7 @@ object Tokenizer extends QueryModule {
         .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"), col("term"))
         .agg(sum(col("tf")).as("n"))
-      st.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_types"),
-          sum(when(col("n") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
-          sum(when(col("n") === 2, lit(1L)).otherwise(lit(0L))).as("n2"))
-        .select(col("source"), col("n_types"), col("n1"), col("n2"),
-          round(col("n1").cast("double") * (col("n1") - lit(1L))
-            / (lit(2.0) * (col("n2") + lit(1L))), 6).as("undetected"))
-        .select(col("source"), col("n_types"), col("n1"), col("n2"),
-          col("undetected"),
-          round(col("n_types") + col("undetected"), 6).as("chao1"),
-          round(col("n_types").cast("double")
-            / (col("n_types") + col("undetected")), 6).as("completeness"))
-        .orderBy(col("source"))
+      chao1From(st)
     }),
 
     // Corpus conditional bigram entropy (q310): H(w₂|w₁) = H(bigrams) −
@@ -484,7 +495,7 @@ object Tokenizer extends QueryModule {
         |        CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
         |      FROM st GROUP BY 1),
         |u AS (SELECT source, n_types, n1, n2,
-        |        round(CAST(n1 AS DOUBLE) * (n1 - 1) / (2.0 * (n2 + 1)), 6) AS undetected
+        |        round(CAST(n1 * (n1 - 1) AS DOUBLE) / (2.0 * (n2 + 1)), 6) AS undetected
         |      FROM m)
         |SELECT source, n_types, n1, n2, undetected,
         |       round(n_types + undetected, 6) AS chao1,

@@ -11,9 +11,10 @@ import org.scalatest.matchers.should.Matchers
   * surface regresses from "hash-gated" to "claimed". */
 class RegistrySpec extends AnyFunSuite with Matchers {
 
-  /** Queries that are deliberately rows-only (no DuckDB oracle), each with
-    * its compensating gate documented in SparkEntry.oracleSql's scaladoc. */
-  private val declaredRowsOnly = Set("q53_sketch_stats")
+  /** Queries that are deliberately rows-only (no DuckDB oracle). Empty
+    * since round 16: q53 — the last holdout — now carries a pinned-flag
+    * error-band oracle (q196-style), so the whole surface is hash-gated. */
+  private val declaredRowsOnly = Set.empty[String]
 
   test("every oracle belongs to a registered query") {
     (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) shouldBe empty
@@ -30,6 +31,25 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     qKeys.diff(qKeys.distinct) shouldBe empty
     val oKeys = SparkEntry.modules.flatMap(_.oracles.keys)
     oKeys.diff(oKeys.distinct) shouldBe empty
+  }
+
+  test("every registered query id appears in SURVEY.md §8 (doc drift is a build failure)") {
+    val survey = {
+      val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    // a qNN mention anywhere counts, with or without the _snake suffix;
+    // ranges like "q09–q23" / "q13-q15" expand to every number inside
+    val mentioned = scala.collection.mutable.Set.empty[Int]
+    "q([0-9]+)\\s*[–-]\\s*q([0-9]+)".r.findAllMatchIn(survey).foreach { m =>
+      (m.group(1).toInt to m.group(2).toInt).foreach(mentioned += _)
+    }
+    "(?<![0-9a-zA-Z_])q([0-9]+)".r.findAllMatchIn(survey)
+      .foreach(m => mentioned += m.group(1).toInt)
+    val missing = SparkEntry.queries.keySet.filter { k =>
+      !mentioned.contains(k.drop(1).takeWhile(_.isDigit).toInt)
+    }
+    withClue("SURVEY.md is missing rows for: ")(missing shouldBe empty)
   }
 
   test("keys follow the qNN_snake_case convention and numbers are unique") {

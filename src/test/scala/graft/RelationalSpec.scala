@@ -160,11 +160,22 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     val rows = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
     rows should not be empty
     rows.foreach { r =>
-      val exact = r.getLong(1).toDouble
-      val approx = r.getLong(2).toDouble
-      math.abs(approx - exact) / exact should be <= 0.05 // HLL++ default rsd 5%
-      val median = r.getDouble(3)
-      median should (be > 0.0 and be < 200000.0)
+      withClue(r) {
+        r.getAs[Long]("hll_ok") shouldBe 1L
+        r.getAs[Long]("p25_ok") shouldBe 1L
+        r.getAs[Long]("p75_ok") shouldBe 1L
+      }
+    }
+    // the tighter 5% HLL assertion on the raw sketch values (q53's emitted
+    // flags use the looser driver-gate band)
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
+    val li = graft.sources.Tables.read(spark, sf0001, "lineitem")
+    val a = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("e"),
+        approx_count_distinct(col("l_partkey")).as("a")).collect()
+    a.foreach { r =>
+      val (e, ap) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      math.abs(ap - e) / e should be <= 0.05 // HLL++ default rsd 5%
     }
   }
 

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-16 invariants: the negative-zero determinism class q309 exposed
+  * (any double product whose factors can be 0 × negative — Spark's
+  * BigDecimal round normalizes −0.0 to +0.0 while DuckDB's round preserves
+  * the sign bit, so the cross-engine hash diverges on exact zeros reached
+  * from the negative side), the q47 re-registration at real near-dup
+  * geometry, and the q185/q158 plan-shape fixes. */
+class Round16InvariantsSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  test("chao1: planted n1=0 source yields an unsigned +0.0, never -0.0") {
+    import spark.implicits._
+    // source "z" has every term at n=2 (no singletons): N1=0, so the
+    // undetected numerator is the 0 × (−1) shape that minted −0.0 pre-fix
+    val st = Seq(
+      ("z", "aa", 2L), ("z", "bb", 2L), ("z", "cc", 2L),
+      ("y", "aa", 1L), ("y", "bb", 2L), ("y", "cc", 3L))
+      .toDF("source", "term", "n")
+    val r = operators.Tokenizer.chao1From(st).collect()
+    val z = r.find(_.getString(0) == "z").get
+    val und = z.getAs[Double]("undetected")
+    und shouldBe 0.0
+    withClue("sign bit of undetected must be positive (raw bits 0):") {
+      java.lang.Double.doubleToRawLongBits(und) shouldBe 0L
+    }
+    z.getAs[Double]("chao1") shouldBe 3.0
+    z.getAs[Double]("completeness") shouldBe 1.0
+    // a source WITH singletons still gets the bias-corrected estimate
+    val y = r.find(_.getString(0) == "y").get
+    y.getAs[Double]("undetected") shouldBe 0.0 // 1·0/(2·2) = 0, unsigned
+    java.lang.Double.doubleToRawLongBits(y.getAs[Double]("undetected")) shouldBe 0L
+  }
+
+  test("chao1 on the fixture: no emitted double carries a negative-zero sign bit") {
+    val r = SparkEntry.queries("q309_chao1_richness")(spark, sf0001).collect()
+    r should not be empty
+    r.foreach { row =>
+      Seq("undetected", "chao1", "completeness").foreach { c =>
+        val v = row.getAs[Double](c)
+        if (v == 0.0)
+          withClue(s"$c is -0.0 for ${row.getString(0)}:") {
+            java.lang.Double.doubleToRawLongBits(v) shouldBe 0L
+          }
+      }
+    }
+  }
+
+  test("q47 @ tau=0.9, 6x16 bands: exact recall and precision on planted near-dup geometry") {
+    import spark.implicits._
+    // 30 deterministic 64-dim bases; bases 0..9 get a near-copy at
+    // cosine ~0.9995 (ids 100..109). True pairs >= 0.9 are exactly those
+    // ten (verified by the in-test brute force, which also guards against
+    // accidental cross-base collisions).
+    val rnd = new scala.util.Random(42)
+    val bases = Array.fill(30)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val copies = (0 until 10).map { i =>
+      (100L + i, bases(i).map(x => x + (rnd.nextDouble() - 0.5) * 0.02).toSeq)
+    }
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++ copies
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val truePairs = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      s = BigDecimal(cos(va, vb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if s >= 0.9
+    } yield (ia, ib)).toSet
+    truePairs should have size 10 // every planted copy, nothing else
+    val vecs = rows.toSeq.toDF("vec_id", "v")
+    val got = operators.Dedup
+      .embeddingNeardupLshFrom(vecs, threshold = 0.9, rowsPerBand = 16, nBands = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe truePairs
+  }
+
+  test("q185: the l_orderkey->o_custkey leg never exchanges lineitem") {
+    val plan = SparkEntry.queries("q185_fd_audit")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the leg reads lineitem only through a broadcast semi-join against the
+    // (tiny) violating-orders key set — an exchange keyed on l_orderkey may
+    // appear only ABOVE that join (the distinct over the ~empty survivor
+    // set), never below it, where it would be the 100 TB fact-fact shuffle
+    // this fix removed. executedPlan prints parents before children, so
+    // every l_orderkey exchange must precede the broadcast join line.
+    val joinAt = plan.indexOf("BroadcastHashJoin [l_orderkey")
+    joinAt should be >= 0
+    var idx = plan.indexOf("Exchange hashpartitioning(l_orderkey")
+    while (idx >= 0) {
+      withClue("l_orderkey exchange below the broadcast semi-join:") {
+        idx should be < joinAt
+      }
+      idx = plan.indexOf("Exchange hashpartitioning(l_orderkey", idx + 1)
+    }
+  }
+
+  test("q53: error-band flags are all green and the exact columns match q150") {
+    val r53 = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
+    r53.foreach { r =>
+      r.getAs[Long]("hll_ok") shouldBe 1L
+      r.getAs[Long]("p25_ok") shouldBe 1L
+      r.getAs[Long]("p75_ok") shouldBe 1L
+    }
+    val r150 = SparkEntry.queries("q150_distinct_exact")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("exact_parts")).toMap
+    r53.foreach(r => r.getAs[Long]("exact_parts") shouldBe r150(r.getString(0)))
+  }
+}
