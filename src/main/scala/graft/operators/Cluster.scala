@@ -168,6 +168,41 @@ object Cluster extends QueryModule {
     ranks
   }
 
+  /** Synchronous label propagation over an undirected `(a, b)` edge frame,
+    * restricted to `nodes0` (one `node` column). Each of the `rounds`
+    * rounds reads ONLY round-(t−1) labels: every node's new label is its
+    * neighbors' most frequent label, ties to the lowest label id; a node
+    * with no neighbors (or no update) keeps its label. Labels initialize
+    * to the node id. Deterministic by construction (integer counts +
+    * total-order tiebreak + fixed round count), so the DuckDB oracle
+    * replays it as unrolled CTE rounds. Returns `(node, lbl)`.
+    *
+    * Scale shape per round: one (BIGINT,BIGINT) equi-join of the
+    * symmetrized edges against the label frame, a map-side-combined
+    * (node,label) count, and an argmax via `max(struct)` — never a
+    * collected neighbor list; `localCheckpoint` truncates the iterative
+    * lineage exactly as in [[connectedComponentsWithRounds]]. */
+  def labelPropagationFrom(nodes0: DataFrame, edges0: DataFrame,
+                           rounds: Int = 4): DataFrame = {
+    val nodes = nodes0.select(col("node")).localCheckpoint()
+    val sym0 = canon(edges0.select(col("a"), col("b")))
+    val sym = sym0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(sym0.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var lab = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val best = sym.join(lab, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("newlbl"))
+      lab = lab.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   /** Triangle census over a canonical `(u, v)` edge frame: exact triangle
     * count, wedge (length-2 path) count, and the global clustering
     * coefficient 3·triangles/wedges — the graph-cohesion statistic that
@@ -390,6 +425,130 @@ object Cluster extends QueryModule {
         .select(col("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))),
 
+    // Community detection by synchronous label propagation (q364) — Raghavan,
+    // Albert, Kumara, "Near linear time algorithm to detect community
+    // structures in large-scale networks" (2007), determinized: 4 SYNCHRONOUS
+    // rounds (all updates read round t−1 labels), new label = the most
+    // frequent neighbor label with ties to the LOWEST label id, isolated /
+    // tied-out nodes keep their label. Where connected components (q76) give
+    // the coarsest partition (anything transitively linked merges), LPA
+    // splits a weakly-bridged component into its dense cores — the curation
+    // view that separates two template families daisy-chained by one
+    // accidental pair. Fixed round count + integer counts + deterministic
+    // tiebreak ⇒ fully replayable: the oracle unrolls the same 4 rounds as
+    // chained CTEs. Scale: a round is ONE narrow (BIGINT,BIGINT) equi-join +
+    // two map-side-combined aggregations (argmax via max(struct) — never a
+    // per-node neighbor list), per-round localCheckpoint truncates lineage;
+    // cost is O(rounds · |E|) shuffle rows, the LPA contract.
+    "q364_label_propagation" -> ((s, dir) => {
+      val edges = Dedup.sharedNgramJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val nodes = Tables.read(s, dir, "documents").select(col("doc_id").as("node"))
+      val lab = labelPropagationFrom(nodes, edges, rounds = 4).localCheckpoint()
+      val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+      lab.join(sizes, "lbl")
+        .select(col("node").as("doc_id"), col("lbl").as("community_id"),
+          col("community_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Partition-quality score (q365): Newman–Girvan modularity of the q76
+    // near-dup partition — per community, Q_c = e_c/m − (d_c/2m)², the
+    // intra-edge mass above the degree-preserving random-graph expectation.
+    // THE scalar that tells a curation run whether its duplicate clusters
+    // are genuinely dense groups (ΣQ_c → high) or threshold artifacts
+    // daisy-chained through sparse bridges (→ 0); read next to q114's
+    // clustering coefficient and q364's LPA split. Exact arithmetic end to
+    // end: e_c, d_c, m are counts, each contribution is the on-grid
+    // rational (4m·e_c − d_c²)/(4m²) emitted by sign-split integer half-up
+    // division at 6 dp — no double product ever (the q309 negative-zero
+    // class cannot strike). Scale: intra-edge counting is two narrow label
+    // joins on the edge frame; degree sums are map-side-combined; m rides
+    // as a broadcast one-row aggregate.
+    "q365_modularity" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val e = Dedup.sharedNgramJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+        .localCheckpoint() // already canonical (id_a < id_b), distinct pairs
+      val labels = connectedComponents(e.select(col("u").as("a"), col("v").as("b")))
+      val lu = labels.withColumnRenamed("node", "u").withColumnRenamed("cluster_id", "cu")
+      val lv = labels.withColumnRenamed("node", "v").withColumnRenamed("cluster_id", "cv")
+      val el = e.join(lu, Seq("u"), "left").join(lv, Seq("v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("cu"), col("u")).as("cu"), coalesce(col("cv"), col("v")).as("cv"))
+        .localCheckpoint()
+      val intra = el.filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("community_id")).agg(count(lit(1)).as("intra_edges"))
+      val deg = el.select(col("u").as("node"), col("cu").as("cid"))
+        .unionAll(el.select(col("v").as("node"), col("cv").as("cid")))
+      val ds = deg.groupBy(col("cid").as("community_id"))
+        .agg(count(lit(1)).as("degree_sum"), countDistinct(col("node")).as("n_members"))
+      val m = e.agg(count(lit(1)).as("m_edges"))
+      ds.join(intra, Seq("community_id"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("community_id"), col("n_members"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("degree_sum"), col("m_edges"),
+          // decimal space BEFORE any product: 4·m·e_c overflows BIGINT once
+          // m reaches ~10^9 edges (ANSI mode would fail loudly, but the
+          // query must simply work at that scale)
+          (lit(4L).cast(DecimalType(38, 0)) * col("m_edges").cast(DecimalType(38, 0))
+            * coalesce(col("intra_edges"), lit(0L)).cast(DecimalType(38, 0))
+            - col("degree_sum").cast(DecimalType(38, 0))
+              * col("degree_sum").cast(DecimalType(38, 0))).as("num"),
+          (lit(4L).cast(DecimalType(38, 0)) * col("m_edges").cast(DecimalType(38, 0))
+            * col("m_edges").cast(DecimalType(38, 0))).as("den"))
+        .select(col("community_id"), col("n_members"), col("intra_edges"),
+          col("degree_sum"), col("m_edges"),
+          (expr("case when num >= 0 then (2 * num * 1000000 + den) div (2 * den)" +
+            " else -((2 * (- num) * 1000000 + den) div (2 * den)) end")
+            .cast("double") / 1e6).as("contribution"))
+        .orderBy(col("community_id"))
+    }),
+
+    // HITS hubs & authorities (q367) — Kleinberg, "Authoritative sources in
+    // a hyperlinked environment" (JACM 1999) — on the customer→part bipartite
+    // purchase graph: authority(part) grows with hub-ness of its buyers,
+    // hub(customer) with authority of what they buy. TWO UNNORMALIZED
+    // mutual-reinforcement rounds: h1 = degree, a1 = Σ h1, h2 = Σ a1,
+    // a2 = Σ h2 — every score is an INTEGER path count (a2(p) = #4-step
+    // alternating paths ending at p), so the iteration is exact on both
+    // engines and the single end normalization a2/max(a2) is an on-grid
+    // rational emitted by integer half-up division. The ranking a plain
+    // sales count can't give: a part bought 50 times by single-item
+    // customers outranks by count, but the HITS authority favors parts
+    // bought by broad multi-category buyers — the "structurally popular"
+    // signal. Scale: each round is one narrow (key, decimal) equi-join +
+    // one map-side-combined sum keyed on c or p; the result is a bounded
+    // top-20 TakeOrderedAndProject.
+    "q367_hits" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ed = Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint()
+      val h1 = ed.groupBy(col("c"))
+        .agg(count(lit(1)).cast(DecimalType(38, 0)).as("h1"))
+      val a1 = ed.join(h1, "c").groupBy(col("p")).agg(sum(col("h1")).as("a1"))
+      val h2 = ed.join(a1, "p").groupBy(col("c")).agg(sum(col("a1")).as("h2"))
+      val a2 = ed.join(h2, "c").groupBy(col("p"))
+        .agg(sum(col("h2")).as("a2"), count(lit(1)).as("n_buyers"))
+      val mx = a2.agg(max(col("a2")).as("amax"))
+      a2.crossJoin(broadcast(mx))
+        .select(col("p").as("p_partkey"), col("n_buyers"),
+          col("a2").cast("long").as("authority_raw"),
+          (expr("(2 * a2 * 1000000 + amax) div (2 * amax)")
+            .cast("double") / 1e6).as("auth_score"))
+        .orderBy(col("authority_raw").desc, col("p_partkey"))
+        .limit(20)
+    }),
+
     // Cluster-safe holdout (q181): the FIX for the leakage q172 detects —
     // assign splits by hashing the near-dup CLUSTER id instead of the doc
     // id, so every member of a duplicate group lands in the same split and
@@ -536,7 +695,78 @@ object Cluster extends QueryModule {
          |ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q364 oracle: [[edgeCte]]'s near-dup edges, then the synchronous LPA
+    * recurrence unrolled as 4 chained CTE rounds — per round, the
+    * (node, neighbor-label) counts, the row_number argmax (count desc,
+    * label asc — the Spark max(struct) tiebreak verbatim), and the
+    * keep-if-no-update coalesce. */
+  private val lpaOracle: String = {
+    val roundCtes = (1 to 4).map { i =>
+      s"""n$i AS (SELECT s.dst AS node, p.lbl, count(*) AS c
+         |        FROM sym s JOIN l${i - 1} p ON p.node = s.src GROUP BY 1, 2),
+         |b$i AS (SELECT node, lbl FROM (
+         |          SELECT node, lbl,
+         |                 row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |          FROM n$i) WHERE rn = 1),
+         |l$i AS (SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+         |        FROM l${i - 1} p LEFT JOIN b$i b ON b.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    edgeCte +
+      s""",
+         |sym AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v AS src, u AS dst FROM edges),
+         |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+         |$roundCtes,
+         |g AS (SELECT lbl, count(*) AS n FROM l4 GROUP BY 1)
+         |SELECT l.node AS doc_id, CAST(l.lbl AS BIGINT) AS community_id,
+         |       CAST(g.n AS BIGINT) AS community_size
+         |FROM l4 l JOIN g ON g.lbl = l.lbl ORDER BY doc_id""".stripMargin
+  }
+
+  /** q365 oracle: [[clusterCte]]'s component labels + the exact modularity
+    * contributions — counts only, sign-split integer half-up at 6 dp (the
+    * Spark expression's operand sequence verbatim, `//` for `div`). */
+  private val modularityOracle: String = clusterCte +
+    """,
+      |m AS (SELECT count(*) AS m_edges FROM edges),
+      |endp AS (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges),
+      |cl AS (SELECT doc_id, cluster_id FROM clusters),
+      |ei AS (SELECT a.cluster_id AS community_id, count(*) AS intra_edges
+      |       FROM edges e JOIN cl a ON a.doc_id = e.u JOIN cl b ON b.doc_id = e.v
+      |       WHERE a.cluster_id = b.cluster_id GROUP BY 1),
+      |ds AS (SELECT cl.cluster_id AS community_id,
+      |         CAST(count(*) AS BIGINT) AS degree_sum,
+      |         CAST(count(DISTINCT endp.node) AS BIGINT) AS n_members
+      |       FROM endp JOIN cl ON cl.doc_id = endp.node GROUP BY 1),
+      |x AS (SELECT ds.community_id, ds.n_members,
+      |        CAST(coalesce(ei.intra_edges, 0) AS BIGINT) AS intra_edges,
+      |        ds.degree_sum, CAST(m.m_edges AS BIGINT) AS m_edges,
+      |        CAST(4 * m.m_edges * coalesce(ei.intra_edges, 0)
+      |             - ds.degree_sum * ds.degree_sum AS HUGEINT) AS num,
+      |        CAST(4 * m.m_edges * m.m_edges AS HUGEINT) AS den
+      |      FROM ds CROSS JOIN m LEFT JOIN ei ON ei.community_id = ds.community_id)
+      |SELECT community_id, n_members, intra_edges, degree_sum, m_edges,
+      |       CAST(CASE WHEN num >= 0 THEN (2 * num * 1000000 + den) // (2 * den)
+      |                 ELSE -((2 * (- num) * 1000000 + den) // (2 * den)) END AS DOUBLE)
+      |         / 1e6 AS contribution
+      |FROM x ORDER BY community_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q364_label_propagation" -> lpaOracle,
+    "q365_modularity" -> modularityOracle,
+    "q367_hits" ->
+      """WITH ed AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |h1 AS (SELECT c, CAST(count(*) AS HUGEINT) AS h1 FROM ed GROUP BY 1),
+        |a1 AS (SELECT p, sum(h1.h1) AS a1 FROM ed JOIN h1 USING (c) GROUP BY 1),
+        |h2 AS (SELECT c, sum(a1.a1) AS h2 FROM ed JOIN a1 USING (p) GROUP BY 1),
+        |a2 AS (SELECT p, sum(h2.h2) AS a2, count(*) AS n_buyers
+        |       FROM ed JOIN h2 USING (c) GROUP BY 1),
+        |mx AS (SELECT max(a2) AS amax FROM a2)
+        |SELECT p AS p_partkey, CAST(n_buyers AS BIGINT) AS n_buyers,
+        |       CAST(a2 AS BIGINT) AS authority_raw,
+        |       CAST((2 * a2 * 1000000 + amax) // (2 * amax) AS DOUBLE) / 1e6 AS auth_score
+        |FROM a2 CROSS JOIN mx
+        |ORDER BY authority_raw DESC, p_partkey LIMIT 20""".stripMargin,
     "q217_entity_clusters" ->
       """WITH RECURSIVE
         |p AS (SELECT p_partkey, p_name,

@@ -1050,7 +1050,69 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("rn"), col("n_id"), col("dist_sq"))
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (k output dims ×
+    * d input dims), derived like [[hyperplanes]] from md5("jl:i:j") parity —
+    * the Achlioptas (2003) database-friendly JL family: entries ±1 satisfy
+    * the JL lemma with the same distortion guarantees as Gaussian entries
+    * while projection stays pure integer-signed addition. Constants, so the
+    * DuckDB oracle inlines the literal signs. */
+  def jlSigns(k: Int, d: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, d) { (i, j) =>
+      val h = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+      val v = java.nio.ByteBuffer.wrap(h).getInt & 0x7fffffff
+      if ((v & 1) == 1) 1 else -1
+    }
+  }
+
+  /** Shared q366 expression text, generated once from the sign constants so
+    * Spark and DuckDB execute the IDENTICAL operand sequence (left-to-right
+    * IEEE double folds bit-match). `idx(j)` renders the engine's array
+    * indexing (Spark 0-based `v[j]`, DuckDB 1-based `v[j+1]`). */
+  private def jlExprs(signs: Array[Array[Int]], idx: Int => String): (String, String) = {
+    val d = signs.head.length
+    def diff(j: Int) = s"(va[${idx(j)}] - vb[${idx(j)}])"
+    val d2o = (0 until d).map(j => s"${diff(j)} * ${diff(j)}").mkString(" + ")
+    val d2p = signs.indices.map { k =>
+      val proj = (0 until d)
+        .map(j => s"${if (signs(k)(j) > 0) "+" else "-"} ${diff(j)}").mkString(" ")
+      s"($proj) * ($proj)"
+    }.mkString(" + ")
+    (d2o, d2p)
+  }
+  private val jlSigns16x64 = jlSigns(16, 64)
+  // Spark arrays index from 0; DuckDB lists from 1.
+  private val (jlD2oSpark, jlD2pSpark) = jlExprs(jlSigns16x64, j => j.toString)
+  private[operators] val (jlD2oDuck, jlD2pDuck) =
+    jlExprs(jlSigns16x64, j => (j + 1).toString)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Johnson–Lindenstrauss random-projection distortion audit (q366):
+    // project every 64-dim embedding to 16 dims with the deterministic ±1
+    // sign matrix and measure, on the adjacent-id pair sample, the ratio
+    // ||R(a−b)||² / (k·||a−b||²) — the JL lemma says this concentrates
+    // around 1, and THIS query is the audit a pipeline runs before trusting
+    // a projected index (ANN on 16 dims costs 4× less memory bandwidth than
+    // 64). Projection is row-local signed addition (no shuffle; at 100 TB
+    // you project once, persist, and the audit rides a linear pair sample —
+    // the adjacent-id join is one narrow equi-join). By linearity
+    // R(a)−R(b) = R(a−b), so the audit projects the difference directly;
+    // both engines run the same generated operand sequence, so the doubles
+    // match bitwise before the 6-dp round.
+    "q366_jl_projection" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("v"))
+      val pairs = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .join(e.select((col("vec_id") - 1L).as("id_a"), col("vec_id").as("id_b"),
+          col("v").as("vb")), "id_a")
+      pairs
+        .select(col("id_a"), col("id_b"),
+          expr(jlD2oSpark).as("o"), expr(jlD2pSpark).as("p"))
+        .select(col("id_a"), col("id_b"),
+          round(col("o"), 6).as("d2_orig"),
+          round(col("p"), 6).as("d2_proj"),
+          round(col("p") / (lit(16.0) * col("o")), 6).as("distortion"))
+        .orderBy(col("id_a"))
+    }),
 
     // Embedding hygiene gate (q186): the audit run BEFORE any cosine math —
     // a zero-norm vector makes cosine divide by zero, a denormal norm
@@ -1674,6 +1736,14 @@ object Similarity extends QueryModule {
       |       JOIN e ne ON ne.vec_id = s.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q366_jl_projection" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+         |       FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+         |x AS (SELECT id_a, id_b, ($jlD2oDuck) AS o, ($jlD2pDuck) AS pp FROM pr)
+         |SELECT id_a, id_b, round(o, 6) AS d2_orig, round(pp, 6) AS d2_proj,
+         |       round(pp / (16.0 * o), 6) AS distortion
+         |FROM x ORDER BY id_a""".stripMargin,
     // q39's PRIMARY oracle: the multi-probe LSH top-5 itself (the audit
     // q190 reuses the same CTEs and scores it against the exact top-k).
     "q39_ann_lsh" ->

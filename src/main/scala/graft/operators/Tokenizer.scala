@@ -101,7 +101,63 @@ object Tokenizer extends QueryModule {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
 
+  /** Shared q368 per-bigram term text — one string, executed verbatim by
+    * both engines so the 12-dp pre-rounded doubles agree bitwise (the q206/
+    * q310 log10-ratio convention): sc · log₂((bc+1)/(c1+V)), Laplace-
+    * smoothed over the corpus vocabulary. */
+  private val xentTerm =
+    "round(sc * (log10(bc + 1) - log10(c1 + vv)) / log10(2.0), 12)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-source cross-entropy under the CORPUS bigram LM (q368): score
+    // each source's text by how surprising it is to a Laplace-smoothed
+    // bigram model trained on the whole corpus — the CCNet-style
+    // perplexity-filter signal (Wenzek et al., "CCNet: Extracting High
+    // Quality Monolingual Datasets from Web Crawl Data", 2020 uses a
+    // KenLM; this is the in-engine bigram form): H(src) =
+    // −Σ_{(t1,t2)∈src} c_src(t1,t2)·log₂ P(t2|t1) / N_src with
+    // P(t2|t1) = (c(t1,t2)+1)/(c(t1·)+V). A high-perplexity source is
+    // word salad or far off-distribution; a very low one is boilerplate.
+    // Complements q310 (corpus-level conditional entropy — no per-source
+    // readout) and q104 (per-doc unigram entropy — no sequence model).
+    // One bigram pass keyed (source, t1, t2); the global model is the
+    // source-marginalized rollup of the SAME frame (no second
+    // tokenization); V rides as a one-row broadcast. The final /N_src is
+    // the q315 decimal-mean tie class, so it's emitted by sign-split
+    // integer half-up division, never a double divide.
+    "q368_source_crossentropy" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+      val sb = docs(s, dir)
+        .select(col("source"), explode(expr(
+          """flatten(transform(array(split(trim(text), ' ')),
+            |  w -> CASE WHEN size(w) >= 2
+            |       THEN transform(sequence(1, size(w) - 1),
+            |              i -> struct(w[i - 1] AS t1, w[i] AS t2))
+            |       ELSE transform(slice(w, 1, 0), x -> struct(x AS t1, x AS t2)) END))""".stripMargin)).as("pr"))
+        .select(col("source"), col("pr.t1").as("t1"), col("pr.t2").as("t2"))
+      val sc = sb.groupBy(col("source"), col("t1"), col("t2"))
+        .agg(count(lit(1)).as("sc")).localCheckpoint()
+      val bc = sc.groupBy(col("t1"), col("t2")).agg(sum(col("sc")).as("bc"))
+      val c1 = bc.groupBy(col("t1")).agg(sum(col("bc")).as("c1"))
+      val vdf = docs(s, dir)
+        .select(explode(split(trim(col("text")), " ")).as("t"))
+        .agg(countDistinct(col("t")).as("vv"))
+      sc.join(bc, Seq("t1", "t2")).join(c1, Seq("t1"))
+        .crossJoin(broadcast(vdf))
+        .groupBy(col("source"))
+        .agg(sum(col("sc")).as("n_bigrams"),
+          sum(expr(xentTerm).cast(dec)).as("ssum"))
+        .select(col("source"), col("n_bigrams"),
+          expr("cast((- ssum) * 1000000000000 as decimal(38,0))").as("num"),
+          expr("cast(n_bigrams as decimal(38,0)) * 1000000").as("den"))
+        .select(col("source"), col("n_bigrams"),
+          (expr("case when num >= 0 then (2 * num + den) div (2 * den)" +
+            " else -((2 * (- num) + den) div (2 * den)) end")
+            .cast("double") / 1e6).as("h_cross"))
+        .select(col("source"), col("n_bigrams"), col("h_cross"),
+          round(pow(lit(2.0), col("h_cross")), 6).as("perplexity"))
+        .orderBy(col("source"))
+    }),
 
     // The BPE argmax scan: most frequent adjacent token pairs.
     "q81_bigram_merges" -> ((s, dir) => bigramMergeCandidates(docs(s, dir))),
@@ -452,6 +508,31 @@ object Tokenizer extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q368_source_crossentropy" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w
+         |              FROM documents),
+         |big AS (SELECT source,
+         |          unnest(list_transform(range(len(w) - 1), i -> {'t1': w[i+1], 't2': w[i+2]})) AS p
+         |        FROM toks WHERE len(w) >= 2),
+         |sc AS (SELECT source, p.t1 AS t1, p.t2 AS t2, count(*) AS sc FROM big GROUP BY 1, 2, 3),
+         |bc AS (SELECT t1, t2, CAST(sum(sc) AS BIGINT) AS bc FROM sc GROUP BY 1, 2),
+         |c1 AS (SELECT t1, CAST(sum(bc) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT t) AS vv
+         |       FROM (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents)),
+         |ag AS (SELECT source, CAST(sum(sc) AS BIGINT) AS n_bigrams,
+         |         sum(CAST($xentTerm AS DECIMAL(38,12))) AS ssum
+         |       FROM sc JOIN bc USING (t1, t2) JOIN c1 USING (t1) CROSS JOIN vv
+         |       GROUP BY 1),
+         |hx AS (SELECT source, n_bigrams,
+         |         CAST((- ssum) * 1000000000000 AS HUGEINT) AS num,
+         |         CAST(n_bigrams AS HUGEINT) * 1000000 AS den
+         |       FROM ag)
+         |SELECT source, n_bigrams,
+         |       CAST(CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+         |                 ELSE -((2 * (- num) + den) // (2 * den)) END AS DOUBLE) / 1e6 AS h_cross,
+         |       round(pow(2.0, CAST(CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+         |                 ELSE -((2 * (- num) + den) // (2 * den)) END AS DOUBLE) / 1e6), 6) AS perplexity
+         |FROM hx ORDER BY source""".stripMargin,
     "q305_missing_mass" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

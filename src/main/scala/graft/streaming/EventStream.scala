@@ -189,6 +189,29 @@ object EventStream {
       }
   }
 
+  /** Run metrics of the most recent completed streaming run: memory-sink
+    * name, total input rows across micro-batches, and the MAX state-store
+    * rows any micro-batch held. This is the state-boundedness evidence the
+    * scaling harness reads (the 100 TB claim for every stateful stream here
+    * is "state ∝ watermark-live keys/windows, never ∝ history", and
+    * numRowsTotal across a scaled replay is the measurement of it).
+    * Streams in this engine run strictly one-at-a-time (Verify / Bench /
+    * specs are sequential), so a volatile slot is race-free. */
+  final case class StreamRunMetrics(sink: String, inputRows: Long,
+                                    maxStateRows: Long, numBatches: Int)
+  @volatile var lastRunMetrics: Option[StreamRunMetrics] = None
+
+  private def recordMetrics(q: org.apache.spark.sql.streaming.StreamingQuery,
+                            sink: String): Unit = {
+    val progs = q.recentProgress
+    lastRunMetrics = Some(StreamRunMetrics(
+      sink,
+      progs.map(_.numInputRows).sum,
+      progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max),
+      progs.length))
+  }
+
   /** Sink the aggregation to an in-memory table (tests / demos) and process
     * all data currently available, then stop. */
   def runOnceToMemory(agg: DataFrame, tableName: String,
@@ -206,6 +229,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      recordMetrics(q, tableName)
     } finally {
       if (statePartitions > 0) spark.conf.set(key, prev)
     }
@@ -243,6 +267,7 @@ object EventStream {
         w = w.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       val q = w.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordMetrics(q, tableName)
     } finally {
       if (statePartitions > 0) spark.conf.set(key, prev)
     }

@@ -99,6 +99,82 @@ class Round16InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming state holds only the watermark-live grid, never the history") {
+    // q197 (windowed agg): state rows = the (hour-window × type) grid —
+    // equal to the emitted grid and far below the event count. This is the
+    // measurable form of the 100 TB claim: arrivals scale the INPUT, the
+    // calendar scales the STATE. StreamScaleCheck replays the same
+    // measurement over the 2x/4x/8x fixed-calendar corpora.
+    val grid = SparkEntry.queries("q197_stream_batch_equiv")(spark, sf0001).count()
+    val m = streaming.EventStream.lastRunMetrics.get
+    val events = graft.sources.Tables.read(spark, sf0001, "events").count()
+    m.inputRows shouldBe events
+    m.maxStateRows should be <= grid
+    grid should be < events / 2 // the grid is genuinely smaller than history
+    // q199 (flatMapGroupsWithState sessionizer): at most one open session
+    // per live key — users + the sentinel — regardless of event volume.
+    SparkEntry.queries("q199_stream_session_equiv")(spark, sf0001).count()
+    val m199 = streaming.EventStream.lastRunMetrics.get
+    val users = graft.sources.Tables.read(spark, sf0001, "events")
+      .select(col("user_id")).distinct().count()
+    m199.maxStateRows should be <= users + 1
+  }
+
+  test("q364: LPA communities refine the q76 components and sizes account for every doc") {
+    val lpa = SparkEntry.queries("q364_label_propagation")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = SparkEntry.queries("q76_dedup_clusters")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lpa.keySet shouldBe cc.keySet // every document is labeled
+    // propagation can never cross a component boundary: two docs sharing an
+    // LPA community must share a q76 component
+    lpa.groupBy(_._2).values.foreach { members =>
+      members.keys.map(cc).toSet.size shouldBe 1
+    }
+  }
+
+  test("q365: every edge is intra under the CC partition and Q is a proper score") {
+    val r = SparkEntry.queries("q365_modularity")(spark, sf0001).collect()
+    r should not be empty
+    val m = r.head.getAs[Long]("m_edges")
+    r.map(_.getAs[Long]("intra_edges")).sum shouldBe m // CC labels: no cross edges
+    r.map(_.getAs[Long]("degree_sum")).sum shouldBe 2 * m
+    val q = r.map(_.getAs[Double]("contribution")).sum
+    q should (be > 0.0 and be <= 1.0 + 1e-6) // dense dup families, not daisy chains
+  }
+
+  test("q366: JL distortion concentrates around 1 on the fixture pairs") {
+    val r = SparkEntry.queries("q366_jl_projection")(spark, sf0001).collect()
+    r.length should be >= 100
+    val d = r.map(_.getAs[Double]("distortion"))
+    d.foreach(_ should (be > 0.0 and be < 8.0)) // k=16: loose per-pair bound
+    val mean = d.sum / d.length
+    mean should (be > 0.6 and be < 1.6) // E[ratio] = 1 under the JL family
+  }
+
+  test("q367: HITS authority scores are max-normalized and rank-ordered") {
+    val r = SparkEntry.queries("q367_hits")(spark, sf0001).collect()
+    r.length should be <= 20
+    r.head.getAs[Double]("auth_score") shouldBe 1.0 // the max normalizes to 1
+    r.map(_.getAs[Long]("authority_raw")).sliding(2).foreach {
+      case Array(a, b) => b should be <= a
+      case _           => ()
+    }
+    r.foreach(_.getAs[Double]("auth_score") should (be > 0.0 and be <= 1.0))
+  }
+
+  test("q368: cross-entropy is positive and perplexity is its exact exponential") {
+    val r = SparkEntry.queries("q368_source_crossentropy")(spark, sf0001).collect()
+    r should not be empty
+    r.foreach { row =>
+      val h = row.getAs[Double]("h_cross")
+      h should be > 0.0 // Laplace smoothing: every bigram has P < 1
+      row.getAs[Double]("perplexity") shouldBe
+        BigDecimal(math.pow(2.0, h)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      row.getAs[Long]("n_bigrams") should be > 0L
+    }
+  }
+
   test("q53: error-band flags are all green and the exact columns match q150") {
     val r53 = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
     r53.foreach { r =>
