@@ -1401,6 +1401,138 @@ object Relational extends QueryModule {
           col("n_orders"))
         .orderBy(col("orderstatus"), col("orderpriority"))),
 
+    // Count-Min frequency sketch, fully replayed (q369) — Cormode &
+    // Muthukrishnan, "An improved data stream summary: the count-min sketch
+    // and its applications" (J. Algorithms 2005). Unlike q53's engine-
+    // internal HLL registers, THIS sketch is built from md5-derived hashes
+    // both engines compute identically, so the DuckDB oracle rebuilds the
+    // identical 4×1024 counter table and the estimates hash-match exactly —
+    // sketch INTERNALS under the driver gate, not just error bands. Audit:
+    // the 20 heaviest part keys, estimate = min over the 4 rows (never
+    // under-counts; overcount column is the measured collision mass).
+    // Scale: the build is ONE pass emitting 4 (row, bucket) ints per record
+    // into a map-side-combined count — the 4096-cell table is the only
+    // thing that shuffles; probes join against it broadcast-style. This is
+    // the structure a 100 TB heavy-hitter monitor streams into.
+    "q369_countmin_audit" -> ((s, dir) => {
+      def h(i: Int, key: String) =
+        s"cast(conv(substring(md5(concat('cms$i:', cast($key as string))), 1, 8), 16, 10) as bigint) % 1024"
+      val li = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      val cms = li
+        .select(posexplode(array((0 until 4).map(i => expr(h(i, "k"))): _*)))
+        .groupBy(col("pos").as("r"), col("col").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val truec = li.groupBy(col("k")).agg(count(lit(1)).as("true_count"))
+      val probes = truec.orderBy(col("true_count").desc, col("k")).limit(20)
+      val ph = probes
+        .select(col("k"), col("true_count"),
+          posexplode(array((0 until 4).map(i => expr(h(i, "k"))): _*)))
+        .select(col("k"), col("true_count"), col("pos").as("r"), col("col").as("b"))
+      ph.join(cms, Seq("r", "b"))
+        .groupBy(col("k"), col("true_count"))
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("k").as("l_partkey"), col("true_count"), col("cms_est"),
+          (col("cms_est") - col("true_count")).as("overcount"))
+        .orderBy(col("true_count").desc, col("l_partkey"))
+    }),
+
+    // Bloom-filter membership audit, fully replayed (q370) — Bloom (CACM
+    // 1970). The filter a 100 TB join prunes with (Spark's own runtime
+    // bloom pushdown is this structure): k=3 md5-derived bit positions in
+    // an m=32768-bit space, built over the custkeys present in orders,
+    // probed by every customer plus a provably-absent shifted-key set
+    // (custkey + 1e9) so the nonmember side is populated at every SF.
+    // Exact audit columns: members can never be
+    // rejected (zero false negatives BY CONSTRUCTION — the invariant the
+    // spec also pins), and the false-positive count/rate is measured
+    // against the exact semi-join plus the theoretical (1−e^{−kn/m})^k.
+    // Build = one distinct-key pass exploding 3 ints, map-side combined;
+    // probe = one join keyed on the position int. The fp_rate division is
+    // integer half-up (on-grid rational — the q315 tie class).
+    "q370_bloom_audit" -> ((s, dir) => {
+      def h(i: Int, key: String) =
+        s"cast(conv(substring(md5(concat('bf$i:', cast($key as string))), 1, 8), 16, 10) as bigint) % 32768"
+      val members = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+      val bits = members
+        .select(explode(array((0 until 3).map(i => expr(h(i, "k"))): _*)).as("p"))
+        .distinct().withColumn("hit", lit(1L))
+      // probe every customer PLUS the shifted-key set (custkey + 1e9 —
+      // provably absent from orders), so the false-positive rate is
+      // measured on a real nonmember population at every SF (the small
+      // fixtures have no customer without orders)
+      val cust0 = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val cust = cust0.unionAll(cust0.select((col("k") + 1000000000L).as("k")))
+      val probed = cust
+        .select(col("k"), explode(array((0 until 3).map(i => expr(h(i, "k"))): _*)).as("p"))
+        .join(bits, Seq("p"), "left")
+        .groupBy(col("k"))
+        .agg(min(coalesce(col("hit"), lit(0L))).as("bloom_positive"))
+      val exact = probed.join(members.withColumn("is_member", lit(1L)), Seq("k"), "left")
+        .select(col("k"), col("bloom_positive"),
+          coalesce(col("is_member"), lit(0L)).as("is_member"))
+      val nb = bits.agg(count(lit(1)).as("bits_set"))
+      exact.agg(
+        count(lit(1)).as("n_probes"),
+        sum(col("is_member")).as("n_members"),
+        sum(col("bloom_positive")).as("n_bloom_positive"),
+        sum(when(col("bloom_positive") === 1 && col("is_member") === 0, 1L)
+          .otherwise(0L)).as("n_false_positives"),
+        sum(when(col("bloom_positive") === 0 && col("is_member") === 1, 1L)
+          .otherwise(0L)).as("n_false_negatives"))
+        .crossJoin(broadcast(nb))
+        .select(col("n_probes"), col("n_members"), col("n_bloom_positive"),
+          col("n_false_positives"), col("n_false_negatives"), col("bits_set"),
+          (expr("(2 * n_false_positives * 1000000 + (n_probes - n_members))" +
+            " div (2 * (n_probes - n_members))").cast("double") / 1e6).as("fp_rate"),
+          round(expr("pow(1.0 - exp(-3.0 * n_members / 32768.0), 3.0)"), 6)
+            .as("fp_theory"))
+    }),
+
+    // HyperLogLog distinct-count, sketch internals fully replayed (q371) —
+    // Flajolet, Fusy, Gandouet, Meunier (AofA 2007). The md5-derived
+    // 32-bit hash splits into a 64-way bucket and a 26-bit suffix whose
+    // leading-zero rank is the register value; both engines rebuild the
+    // IDENTICAL 64 registers, apply the same α·m²/Σ2^(−M_j) estimator with
+    // the small-range linear-counting branch, and the estimates hash-match
+    // exactly — the from-scratch counterpart of q53's engine-internal
+    // HLL++, under the driver gate with NO pinned flags. Register build is
+    // one map-side-combined max per (flag, bucket) — 64 rows per group —
+    // the shape that makes distinct-counting a 100 TB one-pass. The
+    // Σ2^(−M_j) fold is a 12-dp pre-rounded decimal sum (order-free);
+    // empty registers contribute exactly 1 in integer space.
+    "q371_hll_replay" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      // rho = 27 − bitlength(w) for the 26-bit suffix w (rho = 27 when w = 0)
+      val rhoCase = "case " + (25 to 0 by -1).map(b =>
+        s"when w >= ${1L << b} then ${26 - b}").mkString(" ") + " else 27 end"
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("cast(conv(substring(md5(concat('hll:', cast(l_partkey as string))), 1, 8), 16, 10) as bigint)").as("h"))
+        .select(col("l_returnflag"), (col("h") % 64).as("bucket"),
+          expr("h div 64").as("w"))
+        .select(col("l_returnflag"), col("bucket"), expr(rhoCase).as("rho"))
+      val regs = li.groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("rho")).as("m_j"))
+      val est = regs.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(round(pow(lit(2.0), -col("m_j")), 12).cast(dec)).as("s_present"))
+        .select(col("l_returnflag"),
+          (lit(64L) - col("n_present")).as("v"),
+          (col("s_present") + (lit(64L) - col("n_present")).cast(dec))
+            .cast("double").as("s"))
+        .select(col("l_returnflag"), col("v"),
+          expr("case when (0.709 * 4096.0 / s) <= 160.0 and v > 0" +
+            " then 64.0 * ln(64.0 / v) else 0.709 * 4096.0 / s end").as("e"))
+      val exact = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact.join(est, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"),
+          round(col("e"), 6).as("hll_est"),
+          round(abs(col("e") - col("exact_parts")) / col("exact_parts"), 6)
+            .as("rel_err"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Sketch aggregates: HyperLogLog++ distinct counts + KLL quantile
     // sketches, driver-gated via an ERROR-BAND oracle (round 16 — this was
     // the registry's one no_oracle row). Raw sketch registers are
@@ -2175,6 +2307,77 @@ object Relational extends QueryModule {
         |       CAST(1 AS BIGINT) AS hll_ok,
         |       CAST(1 AS BIGINT) AS median_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q369–q371: the replayable-sketch tier — md5-derived hashes both
+    // engines compute identically, so the oracle rebuilds the SKETCH ITSELF
+    // (no pinned flags; contrast q53/q196).
+    "q369_countmin_audit" ->
+      """WITH li AS (SELECT l_partkey AS k FROM lineitem),
+        |h AS (SELECT k, i,
+        |        (CAST(concat('0x', substring(md5('cms' || CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1024) AS b
+        |      FROM li CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        |cms AS (SELECT i, b, count(*) AS c FROM h GROUP BY 1, 2),
+        |tc AS (SELECT k, count(*) AS true_count FROM li GROUP BY 1),
+        |pr AS (SELECT k, true_count FROM tc ORDER BY true_count DESC, k LIMIT 20),
+        |ph AS (SELECT DISTINCT pr.k, pr.true_count, h.i, h.b
+        |       FROM pr JOIN h ON h.k = pr.k),
+        |est AS (SELECT k, true_count, min(c) AS cms_est
+        |        FROM ph JOIN cms USING (i, b) GROUP BY 1, 2)
+        |SELECT k AS l_partkey, true_count, cms_est,
+        |       cms_est - true_count AS overcount
+        |FROM est ORDER BY true_count DESC, l_partkey""".stripMargin,
+    "q370_bloom_audit" ->
+      """WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |mh AS (SELECT k, (CAST(concat('0x', substring(md5('bf' || CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 32768) AS p
+        |       FROM members CROSS JOIN (SELECT unnest(range(3)) AS i)),
+        |bits AS (SELECT DISTINCT p FROM mh),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits),
+        |pk AS (SELECT c_custkey AS k FROM customer
+        |       UNION ALL SELECT c_custkey + 1000000000 AS k FROM customer),
+        |ch AS (SELECT k,
+        |         (CAST(concat('0x', substring(md5('bf' || CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 32768) AS p
+        |       FROM pk CROSS JOIN (SELECT unnest(range(3)) AS i)),
+        |probed AS (SELECT ch.k,
+        |             min(CASE WHEN bits.p IS NULL THEN 0 ELSE 1 END) AS bloom_positive
+        |           FROM ch LEFT JOIN bits ON bits.p = ch.p GROUP BY 1),
+        |ex AS (SELECT probed.k, probed.bloom_positive,
+        |         CASE WHEN members.k IS NULL THEN 0 ELSE 1 END AS is_member
+        |       FROM probed LEFT JOIN members ON members.k = probed.k),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |         CAST(sum(is_member) AS BIGINT) AS n_members,
+        |         CAST(sum(bloom_positive) AS BIGINT) AS n_bloom_positive,
+        |         CAST(sum(CASE WHEN bloom_positive = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+        |         CAST(sum(CASE WHEN bloom_positive = 0 AND is_member = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives
+        |       FROM ex)
+        |SELECT n_probes, n_members, n_bloom_positive, n_false_positives,
+        |       n_false_negatives, bits_set,
+        |       CAST((2 * n_false_positives * 1000000 + (n_probes - n_members))
+        |            // (2 * (n_probes - n_members)) AS DOUBLE) / 1e6 AS fp_rate,
+        |       round(pow(1.0 - exp(-3.0 * n_members / 32768.0), 3.0), 6) AS fp_theory
+        |FROM ag CROSS JOIN nb""".stripMargin,
+    "q371_hll_replay" -> {
+      val rhoCase = "CASE " + (25 to 0 by -1).map(b =>
+        s"WHEN w >= ${1L << b} THEN ${26 - b}").mkString(" ") + " ELSE 27 END"
+      s"""WITH li AS (SELECT l_returnflag,
+         |        CAST(concat('0x', substring(md5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |      FROM lineitem),
+         |bw AS (SELECT l_returnflag, h % 64 AS bucket, h // 64 AS w FROM li),
+         |rh AS (SELECT l_returnflag, bucket, $rhoCase AS rho FROM bw),
+         |regs AS (SELECT l_returnflag, bucket, max(rho) AS m_j FROM rh GROUP BY 1, 2),
+         |est AS (SELECT l_returnflag,
+         |          CAST(64 - count(*) AS BIGINT) AS v,
+         |          CAST(sum(CAST(round(pow(2.0, - m_j), 12) AS DECIMAL(38,12)))
+         |               + CAST(64 - count(*) AS DECIMAL(38,12)) AS DOUBLE) AS s
+         |        FROM regs GROUP BY 1),
+         |ee AS (SELECT l_returnflag,
+         |         CASE WHEN (0.709 * 4096.0 / s) <= 160.0 AND v > 0
+         |              THEN 64.0 * ln(64.0 / v) ELSE 0.709 * 4096.0 / s END AS e
+         |       FROM est),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+         |       FROM lineitem GROUP BY 1)
+         |SELECT ex.l_returnflag, ex.exact_parts, round(e, 6) AS hll_est,
+         |       round(abs(e - exact_parts) / exact_parts, 6) AS rel_err
+         |FROM ex JOIN ee USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
+    },
     // q53: same pinned-flag contract as q196, at p25/p75 and a 15% HLL band.
     "q53_sketch_stats" ->
       """SELECT l_returnflag,

@@ -180,6 +180,34 @@ class Round16InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q369: the count-min estimate never undercounts") {
+    val r = SparkEntry.queries("q369_countmin_audit")(spark, sf0001).collect()
+    r should have size 20
+    r.foreach { row =>
+      row.getAs[Long]("overcount") should be >= 0L // CMS one-sided error
+      row.getAs[Long]("cms_est") should be >=
+        row.getAs[Long]("true_count")
+    }
+  }
+
+  test("q370: the bloom filter has zero false negatives and a sane bit budget") {
+    val r = SparkEntry.queries("q370_bloom_audit")(spark, sf0001).collect().head
+    r.getAs[Long]("n_false_negatives") shouldBe 0L // membership is never lost
+    r.getAs[Long]("n_bloom_positive") should be >= r.getAs[Long]("n_members")
+    val bits = r.getAs[Long]("bits_set")
+    bits should be <= math.min(3 * r.getAs[Long]("n_members"), 32768L)
+    r.getAs[Double]("fp_rate") should be >= 0.0
+  }
+
+  test("q371: the replayed HLL lands inside its m=64 error regime") {
+    val r = SparkEntry.queries("q371_hll_replay")(spark, sf0001).collect()
+    r should have size 3
+    r.foreach { row =>
+      row.getAs[Double]("hll_est") should be > 0.0
+      row.getAs[Double]("rel_err") should be < 0.25 // rsd(64) ≈ 13%
+    }
+  }
+
   test("q53: error-band flags are all green and the exact columns match q150") {
     val r53 = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
     r53.foreach { r =>
