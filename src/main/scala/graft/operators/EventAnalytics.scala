@@ -1289,6 +1289,38 @@ object EventAnalytics extends QueryModule {
     // percentiles, events per session. Windows partition on user_id; the
     // per-session rollup shuffles once on (user, session); the final
     // report is ONE row via exact percentile aggregates.
+    // Session journey trigrams (q372): the top-20 most frequent consecutive
+    // event-type TRIPLES inside user sessions (q178's 12-hour-gap islands)
+    // — the sequence-mining readout behind funnel design: q165's Markov
+    // matrix sees only pairwise transitions, so "view→click→purchase" vs
+    // "click→view→purchase" are invisible to it; the trigram table is the
+    // smallest order that exposes path shape. Entirely user-partitioned:
+    // the sessionizer and the two leads run in per-user windows (never a
+    // global sort), the count is map-side combined on the tiny type³ key
+    // space, and the result is a bounded TakeOrderedAndProject. Counts are
+    // integers; ordering is total (n desc, then the three types).
+    "q372_journey_trigrams" -> ((s, dir) => {
+      val byU = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val sess = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast(LongType).as("t"))
+        .withColumn("prev", lag(col("t"), 1).over(byU))
+        .withColumn("ns",
+          when(col("prev").isNull || col("t") - col("prev") > 43200L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("ns")).over(
+          byU.rowsBetween(Window.unboundedPreceding, 0)))
+      val bySess = Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("t"), col("event_id"))
+      sess
+        .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+        .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("event_type").as("t1"), col("e2").as("t2"), col("e3").as("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
     "q178_session_stats" -> ((s, dir) => {
       val byU = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
       ev(s, dir)
@@ -3351,6 +3383,21 @@ object EventAnalytics extends QueryModule {
         |         round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
         |       END AS spearman_rho
         |FROM m ORDER BY event_type""".stripMargin,
+    "q372_journey_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |g AS (SELECT *, CASE WHEN t - lag(t) OVER w > 43200
+        |                     OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |tri AS (SELECT event_type AS t1,
+        |          lead(event_type, 1) OVER w2 AS t2,
+        |          lead(event_type, 2) OVER w2 AS t3
+        |        FROM s WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY t, event_id))
+        |SELECT t1, t2, t3, count(*) AS n
+        |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
     "q178_session_stats" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
         |g AS (SELECT user_id, event_id, t,

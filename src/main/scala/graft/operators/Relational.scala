@@ -1428,7 +1428,9 @@ object Relational extends QueryModule {
         .select(col("k"), col("true_count"),
           posexplode(array((0 until 4).map(i => expr(h(i, "k"))): _*)))
         .select(col("k"), col("true_count"), col("pos").as("r"), col("col").as("b"))
-      ph.join(cms, Seq("r", "b"))
+      // the sketch table is ≤4096 rows BY CONSTRUCTION at any corpus size —
+      // broadcast it so the probe never shuffles
+      ph.join(broadcast(cms), Seq("r", "b"))
         .groupBy(col("k"), col("true_count"))
         .agg(min(col("c")).as("cms_est"))
         .select(col("k").as("l_partkey"), col("true_count"), col("cms_est"),
@@ -1464,7 +1466,10 @@ object Relational extends QueryModule {
       val cust = cust0.unionAll(cust0.select((col("k") + 1000000000L).as("k")))
       val probed = cust
         .select(col("k"), explode(array((0 until 3).map(i => expr(h(i, "k"))): _*)).as("p"))
-        .join(bits, Seq("p"), "left")
+        // the bit set is ≤32768 rows by construction — broadcast; the probe
+        // stream is never shuffled (exactly how a runtime bloom pushdown
+        // ships the filter to the scan side)
+        .join(broadcast(bits), Seq("p"), "left")
         .groupBy(col("k"))
         .agg(min(coalesce(col("hit"), lit(0L))).as("bloom_positive"))
       val exact = probed.join(members.withColumn("is_member", lit(1L)), Seq("k"), "left")
@@ -1531,6 +1536,71 @@ object Relational extends QueryModule {
           round(abs(col("e") - col("exact_parts")) / col("exact_parts"), 6)
             .as("rel_err"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Join-cardinality estimation from sketches (q373) — the Count-Min
+    // inner-product estimator (Cormode & Muthukrishnan 2005, §4.2):
+    // |A ⋈ B on k| = Σ_k f_A(k)·f_B(k) is estimated by min_r Σ_b
+    // cms_A[r][b]·cms_B[r][b] — one-sided (never underestimates, both
+    // vectors non-negative). THE planner question at 100 TB: size a join
+    // from two 4 KB sketches WITHOUT running it. Audited here on the
+    // date-alignment join orders.o_orderdate ⋈ lineitem.l_shipdate (both
+    // sides carry real multiplicities); keys hash as epoch-day integers so
+    // both engines render identical hash inputs. Everything is integer
+    // until the final half-up relative-overcount division.
+    "q373_join_cardinality_sketch" -> ((s, dir) => {
+      def h(i: Int, key: String) =
+        s"cast(conv(substring(md5(concat('cms$i:', cast($key as string))), 1, 8), 16, 10) as bigint) % 1024"
+      def sketch(df: DataFrame, out: String): DataFrame = df
+        .select(posexplode(array((0 until 4).map(i => expr(h(i, "k"))): _*)))
+        .groupBy(col("pos").as("r"), col("col").as("b"))
+        .agg(count(lit(1)).cast(DecimalType(38, 0)).as(out))
+      val od = t(s, dir, "orders")
+        .select(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("k"))
+      val ld = t(s, dir, "lineitem")
+        .select(datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("k"))
+      val est = sketch(od, "ca").join(sketch(ld, "cb"), Seq("r", "b"))
+        .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min(col("ip")).as("cms_est"))
+      val exact = od.groupBy(col("k")).agg(count(lit(1)).cast(DecimalType(38, 0)).as("fa"))
+        .join(ld.groupBy(col("k")).agg(count(lit(1)).cast(DecimalType(38, 0)).as("fb")), "k")
+        .agg(sum(col("fa") * col("fb")).as("exact_join_size"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_join_size").cast("long").as("exact_join_size"),
+          col("cms_est").cast("long").as("cms_est"),
+          (col("cms_est") - col("exact_join_size")).cast("long").as("overcount"),
+          (expr("(2 * (cms_est - exact_join_size) * 1000000 + exact_join_size)" +
+            " div (2 * exact_join_size)").cast("double") / 1e6).as("rel_overcount"))
+    }),
+
+    // Self-join size / second frequency moment via the AMS tug-of-war
+    // sketch (q374) — Alon, Matias, Szegedy, "The space complexity of
+    // approximating the frequency moments" (STOC 1996): eight independent
+    // ±1 sign streams give X_i = Σ_rows s_i(key); E[X_i²] = F2 = Σ f_k²
+    // exactly. F2 IS the self-join size — the skew statistic that predicts
+    // whether a key column can hash-join without salting. X_i stays an
+    // exact INTEGER on both engines (signs are md5-parity constants), so
+    // the mean of the eight squares is on the ⅛ grid and the relative
+    // error is a pure integer half-up division. One map-side-combined pass
+    // over the fact table; eight longs of state per task.
+    "q374_ams_f2" -> ((s, dir) => {
+      def sgn(i: Int) =
+        s"case when cast(conv(substring(md5(concat('ams$i:', cast(k as string))), 1, 8), 16, 10) as bigint) % 2 = 1 then 1 else -1 end"
+      val li = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      val xCols = (0 until 8).map(i =>
+        sum(expr(sgn(i))).cast(DecimalType(38, 0)).as(s"x$i"))
+      val xs = li.agg(xCols.head, xCols.tail: _*)
+      val f2 = li.groupBy(col("k")).agg(count(lit(1)).cast(DecimalType(38, 0)).as("f"))
+        .agg(sum(col("f") * col("f")).as("exact_f2"))
+      val sq = (0 until 8).map(i => s"x$i * x$i").mkString(" + ")
+      f2.crossJoin(broadcast(xs))
+        .select(col("exact_f2"), expr(s"$sq").as("sumsq"))
+        .select(col("exact_f2").cast("long").as("exact_f2"),
+          (col("sumsq").cast("double") / 8.0).as("ams_est"),
+          (expr("case when sumsq >= 8 * exact_f2" +
+            " then (2 * (sumsq - 8 * exact_f2) * 1000000 + 8 * exact_f2) div (16 * exact_f2)" +
+            " else (2 * (8 * exact_f2 - sumsq) * 1000000 + 8 * exact_f2) div (16 * exact_f2) end")
+            .cast("double") / 1e6).as("rel_err"))
     }),
 
     // Sketch aggregates: HyperLogLog++ distinct counts + KLL quantile
@@ -2354,6 +2424,47 @@ object Relational extends QueryModule {
         |            // (2 * (n_probes - n_members)) AS DOUBLE) / 1e6 AS fp_rate,
         |       round(pow(1.0 - exp(-3.0 * n_members / 32768.0), 3.0), 6) AS fp_theory
         |FROM ag CROSS JOIN nb""".stripMargin,
+    "q373_join_cardinality_sketch" ->
+      """WITH od AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS k FROM orders),
+        |ld AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS k FROM lineitem),
+        |ha AS (SELECT i, (CAST(concat('0x', substring(md5('cms' || CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1024) AS b
+        |       FROM od CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        |hb AS (SELECT i, (CAST(concat('0x', substring(md5('cms' || CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1024) AS b
+        |       FROM ld CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        |ca AS (SELECT i, b, CAST(count(*) AS HUGEINT) AS ca FROM ha GROUP BY 1, 2),
+        |cb AS (SELECT i, b, CAST(count(*) AS HUGEINT) AS cb FROM hb GROUP BY 1, 2),
+        |ip AS (SELECT ca.i, sum(ca.ca * cb.cb) AS ip
+        |       FROM ca JOIN cb ON cb.i = ca.i AND cb.b = ca.b GROUP BY 1),
+        |est AS (SELECT min(ip) AS cms_est FROM ip),
+        |ex AS (SELECT sum(fa * fb) AS exact_join_size FROM
+        |         (SELECT k, CAST(count(*) AS HUGEINT) AS fa FROM od GROUP BY 1) a
+        |         JOIN (SELECT k, CAST(count(*) AS HUGEINT) AS fb FROM ld GROUP BY 1) b
+        |         USING (k))
+        |SELECT CAST(exact_join_size AS BIGINT) AS exact_join_size,
+        |       CAST(cms_est AS BIGINT) AS cms_est,
+        |       CAST(cms_est - exact_join_size AS BIGINT) AS overcount,
+        |       CAST((2 * (cms_est - exact_join_size) * 1000000 + exact_join_size)
+        |            // (2 * exact_join_size) AS DOUBLE) / 1e6 AS rel_overcount
+        |FROM ex CROSS JOIN est""".stripMargin,
+    "q374_ams_f2" -> {
+      val xCtes = (0 until 8).map(i =>
+        s"""x$i AS (SELECT CAST(sum(CASE WHEN (CAST(concat('0x', substring(md5('ams$i:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 2) = 1
+           |          THEN 1 ELSE -1 END) AS HUGEINT) AS x FROM li)""".stripMargin).mkString(",\n")
+      val sq = (0 until 8).map(i => s"x$i.x * x$i.x").mkString(" + ")
+      val cross = (0 until 8).map(i => s"x$i").mkString(" CROSS JOIN ")
+      s"""WITH li AS (SELECT l_partkey AS k FROM lineitem),
+         |$xCtes,
+         |f2 AS (SELECT sum(f * f) AS exact_f2 FROM
+         |         (SELECT k, CAST(count(*) AS HUGEINT) AS f FROM li GROUP BY 1)),
+         |xx AS (SELECT ($sq) AS sumsq FROM $cross)
+         |SELECT CAST(exact_f2 AS BIGINT) AS exact_f2,
+         |       CAST(sumsq AS DOUBLE) / 8.0 AS ams_est,
+         |       CAST(CASE WHEN sumsq >= 8 * exact_f2
+         |                 THEN (2 * (sumsq - 8 * exact_f2) * 1000000 + 8 * exact_f2) // (16 * exact_f2)
+         |                 ELSE (2 * (8 * exact_f2 - sumsq) * 1000000 + 8 * exact_f2) // (16 * exact_f2) END
+         |            AS DOUBLE) / 1e6 AS rel_err
+         |FROM f2 CROSS JOIN xx""".stripMargin
+    },
     "q371_hll_replay" -> {
       val rhoCase = "CASE " + (25 to 0 by -1).map(b =>
         s"WHEN w >= ${1L << b} THEN ${26 - b}").mkString(" ") + " ELSE 27 END"

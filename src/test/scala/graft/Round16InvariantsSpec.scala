@@ -208,6 +208,35 @@ class Round16InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q372: trigram counts are bounded by the session pair/event counts") {
+    val r = SparkEntry.queries("q372_journey_trigrams")(spark, sf0001).collect()
+    r.length should be <= 20
+    r.map(_.getAs[Long]("n")).sliding(2).foreach {
+      case Array(a, b) => b should be <= a
+      case _           => ()
+    }
+    // total trigrams <= total events (each event starts at most one trigram)
+    val events = graft.sources.Tables.read(spark, sf0001, "events").count()
+    r.map(_.getAs[Long]("n")).sum should be <= events
+  }
+
+  test("q373: the CMS join-size estimate never undercounts and tracks its theory") {
+    val r = SparkEntry.queries("q373_join_cardinality_sketch")(spark, sf0001).collect().head
+    r.getAs[Long]("overcount") should be >= 0L // one-sided inner product
+    val (exact, est) = (r.getAs[Long]("exact_join_size"), r.getAs[Long]("cms_est"))
+    est should be >= exact
+    // expected overcount = (ΣfA·ΣfB − exact)/w; allow 5× slack for variance
+    val o = graft.sources.Tables.read(spark, sf0001, "orders").count()
+    val l = graft.sources.Tables.read(spark, sf0001, "lineitem").count()
+    (est - exact) should be <= 5 * (o * l / 1024)
+  }
+
+  test("q374: the AMS estimate is non-negative and within the 8-estimator regime") {
+    val r = SparkEntry.queries("q374_ams_f2")(spark, sf0001).collect().head
+    r.getAs[Double]("ams_est") should be >= 0.0 // a mean of squares
+    r.getAs[Double]("rel_err") should be < 1.0  // rsd ≈ sqrt(2/8) = 50%
+  }
+
   test("q53: error-band flags are all green and the exact columns match q150") {
     val r53 = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
     r53.foreach { r =>
