@@ -1603,6 +1603,114 @@ object Relational extends QueryModule {
             .cast("double") / 1e6).as("rel_err"))
     }),
 
+    // Z-order data-skipping audit (q376): THE layout lever at 100 TB —
+    // min/max zone maps prune files only where the layout clusters the
+    // probed dimension, and a Morton (Z-order) interleave of (orderdate,
+    // custkey) buys BALANCED locality across both (Morton 1966; the
+    // technique behind Delta/Iceberg OPTIMIZE ZORDER). This query MEASURES
+    // the trade on the fixture, per predicate family: rows are ntile'd
+    // into 32 "files" under each layout (GlobalOrder's distributed exact
+    // ntile — no single-partition sort), per-file min/max zone maps are
+    // built, and 20 deterministic probes of each family (date-only point,
+    // custkey-only point, conjunctive both) count the files the zone maps
+    // cannot exclude. The canonical readout: the date sort is perfect on
+    // date probes and prunes NOTHING on custkey probes (every file spans
+    // the full key range); Z-order pays a small factor on date probes to
+    // prune both families — the balanced-workload win. Integers only; both
+    // engines replay the bit-interleave and the ntile exactly.
+    "q376_zorder_skipping" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"),
+        col("o_custkey").cast("long").as("c"))
+      val rng = o.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"),
+        min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+      val zExpr = (0 until 16).map(b =>
+        s"shiftleft(shiftright(u, $b) & 1, ${2 * b}) + shiftleft(shiftright(v, $b) & 1, ${2 * b + 1})")
+        .mkString(" + ")
+      val z = o.crossJoin(broadcast(rng))
+        .select(col("o_orderkey"), col("d"), col("c"),
+          expr("((d - dmin) * 65535) div (dmax - dmin)").as("u"),
+          expr("((c - cmin) * 65535) div (cmax - cmin)").as("v"))
+        .withColumn("z", expr(zExpr))
+        .localCheckpoint() // both layouts rank the same pinned frame
+      val zb = graft.functions.GlobalOrder.withNtile(z, 32, "bucket",
+        col("z"), col("o_orderkey"))
+      val nb = graft.functions.GlobalOrder.withNtile(z, 32, "bucket",
+        col("d"), col("o_orderkey"))
+      def zoneMaps(df: DataFrame) = df.groupBy(col("bucket"))
+        .agg(min(col("d")).as("zdmin"), max(col("d")).as("zdmax"),
+          min(col("c")).as("zcmin"), max(col("c")).as("zcmax"))
+      val base20 = o.orderBy(col("o_orderkey")).limit(20)
+        .select(col("d").as("pd"), col("c").as("pc"))
+      val probes = base20.select(lit("date_point").as("kind"), col("pd"), col("pc"))
+        .unionByName(base20.select(lit("custkey_point").as("kind"), col("pd"), col("pc")))
+        .unionByName(base20.select(lit("both_point").as("kind"), col("pd"), col("pc")))
+      def scanned(st: DataFrame, layout: String) = st.crossJoin(broadcast(probes))
+        .select(col("kind"),
+          when(
+            (col("kind") =!= "custkey_point"
+              && !col("pd").between(col("zdmin"), col("zdmax")))
+            || (col("kind") =!= "date_point"
+              && !col("pc").between(col("zcmin"), col("zcmax"))), 0L)
+            .otherwise(1L).as("hit"))
+        .groupBy(col("kind")).agg(sum(col("hit")).as("files_scanned"))
+        .select(lit(layout).as("layout"), col("kind"), lit(20L).as("n_probes"),
+          lit(32L).as("n_files"), col("files_scanned"))
+      scanned(zoneMaps(nb), "natural")
+        .unionByName(scanned(zoneMaps(zb), "zorder"))
+        .orderBy(col("layout"), col("kind"))
+    }),
+
+    // HLL mergeability under the gate (q375): the property that makes
+    // distinct-count sketches a DISTRIBUTED primitive — registers built per
+    // shard (here l_linestatus within each returnflag) and merged by
+    // register-wise max yield the IDENTICAL estimate as registers built
+    // directly over the union (max is associative/commutative; this is why
+    // a 1000-executor cluster can sketch partials and union at the driver
+    // with zero accuracy loss, unlike any sample-based scheme). Both paths
+    // are computed end to end and emitted side by side with a pinned
+    // equality flag; same register/estimator machinery as q371.
+    "q375_hll_merge" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val rhoCase = "case " + (25 to 0 by -1).map(b =>
+        s"when w >= ${1L << b} then ${26 - b}").mkString(" ") + " else 27 end"
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("cast(conv(substring(md5(concat('hll:', cast(l_partkey as string))), 1, 8), 16, 10) as bigint)").as("h"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("h") % 64).as("bucket"), expr("h div 64").as("w"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("bucket"),
+          expr(rhoCase).as("rho"))
+      // shard registers: one register set per (flag, status)
+      val shard = base.groupBy(col("l_returnflag"), col("l_linestatus"), col("bucket"))
+        .agg(max(col("rho")).as("m_j"))
+      // merged = register-wise max across shards; direct = max over raw rows
+      val merged = shard.groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("m_j")).as("m_j"))
+      val direct = base.groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("rho")).as("m_j"))
+      def estimate(regs: DataFrame, out: String): DataFrame = regs
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(round(pow(lit(2.0), -col("m_j")), 12).cast(dec)).as("s_present"))
+        .select(col("l_returnflag"), (lit(64L) - col("n_present")).as("v"),
+          (col("s_present") + (lit(64L) - col("n_present")).cast(dec))
+            .cast("double").as("s"))
+        .select(col("l_returnflag"),
+          round(expr("case when (0.709 * 4096.0 / s) <= 160.0 and v > 0" +
+            " then 64.0 * ln(64.0 / v) else 0.709 * 4096.0 / s end"), 6).as(out))
+      val exact = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact
+        .join(estimate(direct, "est_direct"), "l_returnflag")
+        .join(estimate(merged, "est_merged"), "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"),
+          col("est_direct"), col("est_merged"),
+          when(col("est_direct") === col("est_merged"), 1L).otherwise(0L)
+            .as("merge_lossless"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Sketch aggregates: HyperLogLog++ distinct counts + KLL quantile
     // sketches, driver-gated via an ERROR-BAND oracle (round 16 — this was
     // the registry's one no_oracle row). Raw sketch registers are
@@ -2464,6 +2572,76 @@ object Relational extends QueryModule {
          |                 ELSE (2 * (8 * exact_f2 - sumsq) * 1000000 + 8 * exact_f2) // (16 * exact_f2) END
          |            AS DOUBLE) / 1e6 AS rel_err
          |FROM f2 CROSS JOIN xx""".stripMargin
+    },
+    "q376_zorder_skipping" -> {
+      val zExpr = (0 until 16).map(b =>
+        s"(((u >> $b) & 1) << ${2 * b}) + (((v >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH o AS (SELECT o_orderkey,
+         |        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         |        CAST(o_custkey AS BIGINT) AS c FROM orders),
+         |rng AS (SELECT min(d) AS dmin, max(d) AS dmax, min(c) AS cmin, max(c) AS cmax FROM o),
+         |nrm AS (SELECT o_orderkey, d, c,
+         |          ((d - dmin) * 65535) // (dmax - dmin) AS u,
+         |          ((c - cmin) * 65535) // (cmax - cmin) AS v
+         |        FROM o CROSS JOIN rng),
+         |z AS (SELECT o_orderkey, d, c, ($zExpr) AS z FROM nrm),
+         |zb AS (SELECT *, ntile(32) OVER (ORDER BY z, o_orderkey) AS bucket FROM z),
+         |nb AS (SELECT *, ntile(32) OVER (ORDER BY d, o_orderkey) AS bucket FROM z),
+         |zs AS (SELECT bucket, min(d) AS zdmin, max(d) AS zdmax, min(c) AS zcmin, max(c) AS zcmax
+         |       FROM zb GROUP BY 1),
+         |ns AS (SELECT bucket, min(d) AS zdmin, max(d) AS zdmax, min(c) AS zcmin, max(c) AS zcmax
+         |       FROM nb GROUP BY 1),
+         |p0 AS (SELECT d AS pd, c AS pc FROM o ORDER BY o_orderkey LIMIT 20),
+         |pr AS (SELECT 'date_point' AS kind, pd, pc FROM p0
+         |       UNION ALL SELECT 'custkey_point', pd, pc FROM p0
+         |       UNION ALL SELECT 'both_point', pd, pc FROM p0),
+         |sn AS (SELECT kind, CAST(sum(CASE WHEN (kind != 'custkey_point' AND pd NOT BETWEEN zdmin AND zdmax)
+         |                                    OR (kind != 'date_point' AND pc NOT BETWEEN zcmin AND zcmax)
+         |                                  THEN 0 ELSE 1 END) AS BIGINT) AS files_scanned
+         |       FROM ns CROSS JOIN pr GROUP BY 1),
+         |sz AS (SELECT kind, CAST(sum(CASE WHEN (kind != 'custkey_point' AND pd NOT BETWEEN zdmin AND zdmax)
+         |                                    OR (kind != 'date_point' AND pc NOT BETWEEN zcmin AND zcmax)
+         |                                  THEN 0 ELSE 1 END) AS BIGINT) AS files_scanned
+         |       FROM zs CROSS JOIN pr GROUP BY 1)
+         |SELECT 'natural' AS layout, kind, CAST(20 AS BIGINT) AS n_probes,
+         |       CAST(32 AS BIGINT) AS n_files, files_scanned FROM sn
+         |UNION ALL
+         |SELECT 'zorder' AS layout, kind, CAST(20 AS BIGINT) AS n_probes,
+         |       CAST(32 AS BIGINT) AS n_files, files_scanned FROM sz
+         |ORDER BY layout, kind""".stripMargin
+    },
+    "q375_hll_merge" -> {
+      val rhoCase = "CASE " + (25 to 0 by -1).map(b =>
+        s"WHEN w >= ${1L << b} THEN ${26 - b}").mkString(" ") + " ELSE 27 END"
+      val estCte = (regs: String, out: String) =>
+        s"""${out}_e AS (SELECT l_returnflag,
+           |          CAST(64 - count(*) AS BIGINT) AS v,
+           |          CAST(sum(CAST(round(pow(2.0, - m_j), 12) AS DECIMAL(38,12)))
+           |               + CAST(64 - count(*) AS DECIMAL(38,12)) AS DOUBLE) AS s
+           |        FROM $regs GROUP BY 1),
+           |$out AS (SELECT l_returnflag,
+           |          round(CASE WHEN (0.709 * 4096.0 / s) <= 160.0 AND v > 0
+           |                THEN 64.0 * ln(64.0 / v) ELSE 0.709 * 4096.0 / s END, 6) AS $out
+           |        FROM ${out}_e)""".stripMargin
+      s"""WITH li AS (SELECT l_returnflag, l_linestatus,
+         |        CAST(concat('0x', substring(md5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |      FROM lineitem),
+         |bw AS (SELECT l_returnflag, l_linestatus, h % 64 AS bucket, h // 64 AS w FROM li),
+         |rh AS (SELECT l_returnflag, l_linestatus, bucket, $rhoCase AS rho FROM bw),
+         |shard AS (SELECT l_returnflag, l_linestatus, bucket, max(rho) AS m_j
+         |          FROM rh GROUP BY 1, 2, 3),
+         |merged AS (SELECT l_returnflag, bucket, max(m_j) AS m_j FROM shard GROUP BY 1, 2),
+         |direct AS (SELECT l_returnflag, bucket, max(rho) AS m_j FROM rh GROUP BY 1, 2),
+         |${estCte("direct", "est_direct")},
+         |${estCte("merged", "est_merged")},
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+         |       FROM lineitem GROUP BY 1)
+         |SELECT ex.l_returnflag, ex.exact_parts, est_direct, est_merged,
+         |       CASE WHEN est_direct = est_merged THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS merge_lossless
+         |FROM ex JOIN est_direct USING (l_returnflag) JOIN est_merged USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
     },
     "q371_hll_replay" -> {
       val rhoCase = "CASE " + (25 to 0 by -1).map(b =>

@@ -237,6 +237,30 @@ class Round16InvariantsSpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("rel_err") should be < 1.0  // rsd ≈ sqrt(2/8) = 50%
   }
 
+  test("q375: shard-merged HLL registers estimate identically to direct registers") {
+    val r = SparkEntry.queries("q375_hll_merge")(spark, sf0001).collect()
+    r should have size 3
+    r.foreach { row =>
+      row.getAs[Long]("merge_lossless") shouldBe 1L
+      row.getAs[Double]("est_direct") shouldBe row.getAs[Double]("est_merged")
+    }
+  }
+
+  test("q376: zone-map counts are consistent and the layouts trade as theory says") {
+    val r = SparkEntry.queries("q376_zorder_skipping")(spark, sf0001).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("files_scanned")).toMap
+    r.values.foreach { v => v should (be >= 20L and be <= 640L) } // every probe reads >= 1 file
+    // the date sort leaves custkey probes essentially unprunable (each
+    // file's key range spans ~everything; tiny fixtures may exclude a few)
+    r(("natural", "custkey_point")) should be >= (640L * 9) / 10
+    // and is perfect for date probes; z-order must beat natural on custkey probes
+    r(("natural", "date_point")) shouldBe 20L
+    r(("zorder", "custkey_point")) should be < r(("natural", "custkey_point"))
+    // conjunctive probes scan no more than either single-dim family
+    r(("zorder", "both_point")) should be <= r(("zorder", "date_point"))
+    r(("zorder", "both_point")) should be <= r(("zorder", "custkey_point"))
+  }
+
   test("q53: error-band flags are all green and the exact columns match q150") {
     val r53 = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
     r53.foreach { r =>
