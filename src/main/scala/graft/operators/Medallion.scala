@@ -280,6 +280,39 @@ object Medallion extends QueryModule {
         .orderBy(col("l_orderkey"))),
 
     // A1 — group-by count (glue/etl_api.py:42-45)
+    // ACID-layer change-data-capture under the driver gate (q377): the
+    // VersionedLayer (the engine's dependency-free Delta-semantics layer —
+    // claim/commit CAS, snapshot isolation, time travel) was spec-only
+    // until round 16; this query drives its WHOLE lifecycle and hashes the
+    // result. v1 = write(orders keys %10<5); v2 = MERGE (update price+1
+    // for %10<2, insert %10∈{5,6}); v3 = blind overwrite dropping %10=4
+    // (the delete path a log-based CDC can't see); the registered result is
+    // diff(v1→v3) — Delta's table_changes() semantics: inserts carry the
+    // new row, updates the post-image, deletes the pre-image. The oracle
+    // recomputes the expected change set pure-SQL from the same fixture
+    // slices, so a green hash proves write, merge upsert, time travel and
+    // the full-outer snapshot diff end to end. Scale: the diff is ONE
+    // key-partitioned full-outer join of two snapshots (the tool that works
+    // across vacuum gaps and blind overwrites where a change log has no
+    // lineage); each run stages into a fresh temp root, exactly like a CI
+    // smoke of a production layer.
+    "q377_layer_cdc" -> ((s, dir) => {
+      import graft.sources.VersionedLayer
+      val root = java.nio.file.Files.createTempDirectory("graft_q377_layer").toString
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val orders = Tables.read(s, dir, "orders").select(cols.map(col): _*)
+      val base = orders.filter(col("o_orderkey") % 10 < 5)
+      val v1 = VersionedLayer.write(base, root)
+      val delta = base.filter(col("o_orderkey") % 10 < 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .unionByName(orders.filter((col("o_orderkey") % 10).isin(5, 6)))
+      VersionedLayer.merge(delta, root, Seq("o_orderkey"))
+      val v3 = VersionedLayer.write(
+        VersionedLayer.read(s, root).filter(col("o_orderkey") % 10 =!= 4), root)
+      VersionedLayer.diff(s, root, v1, v3, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q08_group_count" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -324,6 +357,20 @@ object Medallion extends QueryModule {
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM d WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q377_layer_cdc" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |              FROM orders WHERE o_orderkey % 10 < 5)
+        |SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice,
+        |         o_orderstatus, 'update' AS _change
+        |  FROM base WHERE o_orderkey % 10 < 2
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'insert'
+        |  FROM orders WHERE o_orderkey % 10 IN (5, 6)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'delete'
+        |  FROM base WHERE o_orderkey % 10 = 4)
+        |ORDER BY o_orderkey""".stripMargin,
     "q08_group_count" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

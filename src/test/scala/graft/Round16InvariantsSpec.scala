@@ -261,6 +261,17 @@ class Round16InvariantsSpec extends AnyFunSuite with Matchers {
     r(("zorder", "both_point")) should be <= r(("zorder", "custkey_point"))
   }
 
+  test("q377: the CDC change kinds partition exactly along the staged slices") {
+    val r = SparkEntry.queries("q377_layer_cdc")(spark, sf0001).collect()
+    val byKind = r.groupBy(_.getAs[String]("_change")).view.mapValues(_.length).toMap
+    val keys = graft.sources.Tables.read(spark, sf0001, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    byKind("update") shouldBe keys.count(_ % 10 < 2)
+    byKind("insert") shouldBe keys.count(k => k % 10 == 5 || k % 10 == 6)
+    byKind("delete") shouldBe keys.count(_ % 10 == 4)
+    byKind.keySet shouldBe Set("update", "insert", "delete") // no phantom rows
+  }
+
   test("q53: error-band flags are all green and the exact columns match q150") {
     val r53 = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
     r53.foreach { r =>
