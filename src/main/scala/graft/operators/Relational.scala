@@ -1617,7 +1617,11 @@ object Relational extends QueryModule {
     // date probes and prunes NOTHING on custkey probes (every file spans
     // the full key range); Z-order pays a small factor on date probes to
     // prune both families — the balanced-workload win. Integers only; both
-    // engines replay the bit-interleave and the ntile exactly.
+    // engines replay the bit-interleave and the ntile exactly. (The WRITE
+    // path applying this layout is `sources/Layout.zorderBy` — its
+    // codegen'd magic-number cascade isn't DuckDB-replayable, so the audit
+    // interleaves via the shared per-bit expression instead; same curve,
+    // LayoutSpec pins the write side.)
     "q376_zorder_skipping" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"),
         datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"),
