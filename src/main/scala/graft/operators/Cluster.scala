@@ -502,7 +502,10 @@ object Cluster extends QueryModule {
             * col("m_edges").cast(DecimalType(38, 0))).as("den"))
         .select(col("community_id"), col("n_members"), col("intra_edges"),
           col("degree_sum"), col("m_edges"),
-          (expr("case when num >= 0 then (2 * num * 1000000 + den) div (2 * den)" +
+          // den = 4m² is 0 only on an edgeless graph (no row reaches here
+          // then, but the guard keeps ANSI mode from ever seeing a /0)
+          (expr("case when den = 0 then null" +
+            " when num >= 0 then (2 * num * 1000000 + den) div (2 * den)" +
             " else -((2 * (- num) * 1000000 + den) div (2 * den)) end")
             .cast("double") / 1e6).as("contribution"))
         .orderBy(col("community_id"))

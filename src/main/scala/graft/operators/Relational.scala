@@ -1569,8 +1569,9 @@ object Relational extends QueryModule {
         .select(col("exact_join_size").cast("long").as("exact_join_size"),
           col("cms_est").cast("long").as("cms_est"),
           (col("cms_est") - col("exact_join_size")).cast("long").as("overcount"),
-          (expr("(2 * (cms_est - exact_join_size) * 1000000 + exact_join_size)" +
-            " div (2 * exact_join_size)").cast("double") / 1e6).as("rel_overcount"))
+          (expr("case when exact_join_size = 0 then null else" +
+            " (2 * (cms_est - exact_join_size) * 1000000 + exact_join_size)" +
+            " div (2 * exact_join_size) end").cast("double") / 1e6).as("rel_overcount"))
     }),
 
     // Self-join size / second frequency moment via the AMS tug-of-war
@@ -1597,7 +1598,7 @@ object Relational extends QueryModule {
         .select(col("exact_f2"), expr(s"$sq").as("sumsq"))
         .select(col("exact_f2").cast("long").as("exact_f2"),
           (col("sumsq").cast("double") / 8.0).as("ams_est"),
-          (expr("case when sumsq >= 8 * exact_f2" +
+          (expr("case when exact_f2 = 0 then null when sumsq >= 8 * exact_f2" +
             " then (2 * (sumsq - 8 * exact_f2) * 1000000 + 8 * exact_f2) div (16 * exact_f2)" +
             " else (2 * (8 * exact_f2 - sumsq) * 1000000 + 8 * exact_f2) div (16 * exact_f2) end")
             .cast("double") / 1e6).as("rel_err"))
@@ -1633,8 +1634,8 @@ object Relational extends QueryModule {
         .mkString(" + ")
       val z = o.crossJoin(broadcast(rng))
         .select(col("o_orderkey"), col("d"), col("c"),
-          expr("((d - dmin) * 65535) div (dmax - dmin)").as("u"),
-          expr("((c - cmin) * 65535) div (cmax - cmin)").as("v"))
+          expr("case when dmax = dmin then 0 else ((d - dmin) * 65535) div (dmax - dmin) end").as("u"),
+          expr("case when cmax = cmin then 0 else ((c - cmin) * 65535) div (cmax - cmin) end").as("v"))
         .withColumn("z", expr(zExpr))
         .localCheckpoint() // both layouts rank the same pinned frame
       val zb = graft.functions.GlobalOrder.withNtile(z, 32, "bucket",
@@ -2586,8 +2587,8 @@ object Relational extends QueryModule {
          |        CAST(o_custkey AS BIGINT) AS c FROM orders),
          |rng AS (SELECT min(d) AS dmin, max(d) AS dmax, min(c) AS cmin, max(c) AS cmax FROM o),
          |nrm AS (SELECT o_orderkey, d, c,
-         |          ((d - dmin) * 65535) // (dmax - dmin) AS u,
-         |          ((c - cmin) * 65535) // (cmax - cmin) AS v
+         |          CASE WHEN dmax = dmin THEN 0 ELSE ((d - dmin) * 65535) // (dmax - dmin) END AS u,
+         |          CASE WHEN cmax = cmin THEN 0 ELSE ((c - cmin) * 65535) // (cmax - cmin) END AS v
          |        FROM o CROSS JOIN rng),
          |z AS (SELECT o_orderkey, d, c, ($zExpr) AS z FROM nrm),
          |zb AS (SELECT *, ntile(32) OVER (ORDER BY z, o_orderkey) AS bucket FROM z),
