@@ -1050,6 +1050,30 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("rn"), col("n_id"), col("dist_sq"))
   }
 
+  /** The quarter-sample Gram matrix shared by the spectral diagnostics
+    * (q336 λ₁, q378 top-2 spectrum): upper-triangle products generated
+    * row-locally, map-side combined to ≤2080 rows per partition before the
+    * exchange, mirrored to full symmetry after the heavy stage. Returns the
+    * checkpointed `(i, j, md decimal, mij double)` frame. */
+  private def gramQuarter(s: SparkSession, dir: String): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val upper = emb(s, dir).filter(col("vec_id") % 4 === 0)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(v) - 1), i ->
+          |  transform(sequence(i, size(v) - 1), j ->
+          |    struct(i AS i, j AS j,
+          |      round(round(v[i], 12) * round(v[j], 12), 12) AS p))))""".stripMargin))
+        .as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast(dec12)).as("md"))
+    upper.unionByName(
+        upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("md")))
+      .select(col("i"), col("j"), col("md"), col("md").cast("double").as("mij"))
+      .localCheckpoint()
+  }
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (k output dims ×
     * d input dims), derived like [[hyperplanes]] from md5("jl:i:j") parity —
     * the Achlioptas (2003) database-friendly JL family: entries ±1 satisfy
@@ -1381,6 +1405,7 @@ object Similarity extends QueryModule {
     }),
 
     // Top-eigenvalue share via power iteration (q336): the spectral
+    // (gram construction shared with q378 — see [[gramQuarter]])
     // companion to q334 — what fraction of total embedding energy (the
     // Gram trace) the TOP principal direction owns. λ₁/tr near 1/dim is
     // healthy spread; a dominant λ₁ means the space is effectively
@@ -1406,21 +1431,7 @@ object Similarity extends QueryModule {
       // the groupBy's map-side combine collapses each partition to ≤2080
       // rows before any exchange, so at 100 TB the shuffle carries a few
       // KB per partition regardless of corpus size
-      val upper = emb(s, dir).filter(col("vec_id") % 4 === 0)
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(v) - 1), i ->
-            |  transform(sequence(i, size(v) - 1), j ->
-            |    struct(i AS i, j AS j,
-            |      round(round(v[i], 12) * round(v[j], 12), 12) AS p))))""".stripMargin))
-          .as("c"))
-        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("p").cast(dec12)).as("md"))
-      val mat = upper.unionByName(
-          upper.filter(col("i") =!= col("j"))
-            .select(col("j").as("i"), col("i").as("j"), col("md")))
-        .select(col("i"), col("j"), col("md"), col("md").cast("double").as("mij"))
-        .localCheckpoint()
+      val mat = gramQuarter(s, dir)
       // the dim×dim matrix is a BOUNDED MODEL FETCH (4096 cells — the same
       // class as this module's centroid/model collects); iterating driver-
       // side replaces ten 64-row Spark job rounds (~2.5 s of scheduling,
@@ -1461,6 +1472,77 @@ object Similarity extends QueryModule {
       val lambda1 = r(quadD.toDouble / wtwD.toDouble, 6)
       s.range(1).select(lit(trace).as("trace"), lit(lambda1).as("lambda1"),
         lit(r(lambda1 / trace, 6)).as("explained_share"))
+    }),
+
+    // Top-2 spectrum via deflated power iteration (q378): λ₂ alongside
+    // q336's λ₁ — the pair a corpus geometry audit actually wants: the
+    // spectral ratio λ₂/λ₁ says whether the anisotropy is ONE rogue
+    // direction (ratio → 0: subtract it, q334/q207 style, and cosines are
+    // healthy again) or a low-rank collapse (ratio → 1: the corpus lives in
+    // a plane and no single-direction fix helps); top-2 explained share and
+    // the effective rank tr/λ₁ quantify the same story. Hotelling deflation
+    // (1933): iterate u = Mw − λ₁v₁(v₁ᵀw) so the second iteration converges
+    // inside v₁'s orthogonal complement — every step mirrors the oracle's
+    // 9-dp rounded operand sequence exactly (λ₁ is the 6-dp value both
+    // engines already agree on). Same bounded Gram fetch as q336 (shared
+    // [[gramQuarter]] — the corpus pass is one map-side-combined scan; all
+    // iteration is on the 64×64 model).
+    "q378_top2_spectrum" -> ((s, dir) => {
+      import scala.math.BigDecimal.RoundingMode.HALF_UP
+      def r(x: Double, sc: Int): Double = BigDecimal(x).setScale(sc, HALF_UP).toDouble
+      val cells = gramQuarter(s, dir).collect()
+      val dim = cells.map(_.getAs[Int]("i")).max + 1
+      val m = Array.ofDim[Double](dim, dim)
+      var trD = java.math.BigDecimal.ZERO
+      cells.foreach { row =>
+        val (i, j) = (row.getAs[Int]("i"), row.getAs[Int]("j"))
+        m(i)(j) = row.getAs[Double]("mij")
+        if (i == j) trD = trD.add(row.getAs[java.math.BigDecimal]("md"))
+      }
+      def mv(w: Array[Double]): Array[Double] = Array.tabulate(dim) { i =>
+        var acc = BigDecimal(0); var j = 0
+        while (j < dim) { acc += BigDecimal(m(i)(j) * w(j)).setScale(9, HALF_UP); j += 1 }
+        acc.toDouble
+      }
+      def normalize(u: Array[Double]): Array[Double] = {
+        var nsq = BigDecimal(0)
+        u.foreach(x => nsq += BigDecimal(x * x).setScale(9, HALF_UP))
+        val nm = r(math.sqrt(nsq.toDouble), 9)
+        u.map(x => r(x / nm, 9))
+      }
+      def rayleigh(w: Array[Double]): Double = {
+        var quad = BigDecimal(0)
+        for (i <- 0 until dim; j <- 0 until dim)
+          quad += BigDecimal(w(i) * m(i)(j) * w(j)).setScale(9, HALF_UP)
+        var wtw = BigDecimal(0)
+        w.foreach(x => wtw += BigDecimal(x * x).setScale(9, HALF_UP))
+        r(quad.toDouble / wtw.toDouble, 6)
+      }
+      var v1 = Array.fill(dim)(1.0)
+      for (_ <- 1 to 5) v1 = normalize(mv(v1))
+      val lambda1 = rayleigh(v1)
+      var v2 = Array.fill(dim)(1.0)
+      for (_ <- 1 to 5) {
+        var ipD = BigDecimal(0); var j = 0
+        while (j < dim) { ipD += BigDecimal(v1(j) * v2(j)).setScale(9, HALF_UP); j += 1 }
+        val ip = ipD.toDouble
+        val base = mv(v2)
+        v2 = normalize(Array.tabulate(dim)(i => base(i) - r(lambda1 * v1(i) * ip, 9)))
+      }
+      val lambda2raw = rayleigh(v2)
+      // with a TIGHT spectrum (ratio near 1) five power rounds leave both
+      // Rayleigh quotients near the top pair but not order-guaranteed
+      // (convergence goes as (λ₂/λ₁)^k); the pair spans the top-2 subspace
+      // either way and every emitted diagnostic is order-symmetric, so the
+      // report sorts them — identically on both engines
+      val hi = math.max(lambda1, lambda2raw)
+      val lo = math.min(lambda1, lambda2raw)
+      val trace = trD.doubleValue
+      s.range(1).select(lit(trace).as("trace"),
+        lit(hi).as("lambda1"), lit(lo).as("lambda2"),
+        lit(r(lo / hi, 6)).as("spectral_ratio"),
+        lit(r((hi + lo) / trace, 6)).as("top2_share"),
+        lit(r(trace / hi, 6)).as("effective_rank"))
     }),
 
     // IVF elbow curve (q344): total and mean within-cell cosine distance
@@ -1920,6 +2002,60 @@ object Similarity extends QueryModule {
          |tr AS (SELECT CAST(sum(md) AS DOUBLE) AS trace FROM m2 WHERE i = j),
          |x AS (SELECT trace, round(quad / wtw, 6) AS lambda1 FROM lam CROSS JOIN wtw CROSS JOIN tr)
          |SELECT trace, lambda1, round(lambda1 / trace, 6) AS explained_share FROM x""".stripMargin
+    },
+    // q378: the q336 chain + 5 Hotelling-deflated rounds. Every deflated
+    // round is (inner product with v1) + (mat-vec) − (rounded λ₁v₁(v₁ᵀw))
+    // — the Spark driver-side loop runs the identical operand sequence.
+    "q378_top2_spectrum" -> {
+      val iters = (1 to 5).map { k =>
+        val prev = if (k == 1) "w0" else s"w${k - 1}"
+        s"""u$k AS MATERIALIZED (
+           |  SELECT i, CAST(sum(CAST(round(mij * w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS u
+           |  FROM m2 JOIN $prev USING (j) GROUP BY 1),
+           |n$k AS (SELECT round(sqrt(CAST(sum(CAST(round(u * u, 9) AS DECIMAL(38,9))) AS DOUBLE)), 9) AS nm FROM u$k),
+           |w$k AS MATERIALIZED (SELECT i AS j, round(u / nm, 9) AS w FROM u$k CROSS JOIN n$k)""".stripMargin
+      }.mkString(",\n")
+      val defl = (1 to 5).map { k =>
+        val prev = if (k == 1) "d0" else s"d${k - 1}"
+        s"""dip$k AS (SELECT CAST(sum(CAST(round(w5.w * p.w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS ip
+           |          FROM w5 JOIN $prev p USING (j)),
+           |dmv$k AS (SELECT i, CAST(sum(CAST(round(mij * p.w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS mv
+           |          FROM m2 JOIN $prev p USING (j) GROUP BY 1),
+           |du$k AS (SELECT dmv$k.i, mv - round(x.lambda1 * v1.w * dip$k.ip, 9) AS u
+           |         FROM dmv$k JOIN (SELECT j AS i, w FROM w5) v1 USING (i)
+           |         CROSS JOIN dip$k CROSS JOIN x),
+           |dn$k AS (SELECT round(sqrt(CAST(sum(CAST(round(u * u, 9) AS DECIMAL(38,9))) AS DOUBLE)), 9) AS nm FROM du$k),
+           |d$k AS MATERIALIZED (SELECT i AS j, round(u / nm, 9) AS w FROM du$k CROSS JOIN dn$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE vec_id % 4 = 0),
+         |comps AS (SELECT vec_id, unnest(range(len(v))) AS pos, round(unnest(v), 12) AS x FROM e),
+         |mat AS MATERIALIZED (
+         |  SELECT a.pos AS i, b.pos AS j,
+         |         sum(CAST(round(a.x * b.x, 12) AS DECIMAL(38,12))) AS md
+         |  FROM comps a JOIN comps b USING (vec_id) GROUP BY 1, 2),
+         |m2 AS MATERIALIZED (SELECT i, j, md, CAST(md AS DOUBLE) AS mij FROM mat),
+         |w0 AS (SELECT DISTINCT j, 1.0 AS w FROM m2),
+         |$iters,
+         |lam AS (SELECT CAST(sum(CAST(round(wi.w * mij * wj.w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS quad
+         |        FROM m2 JOIN w5 wj ON wj.j = m2.j JOIN w5 wi ON wi.j = m2.i),
+         |wtw AS (SELECT CAST(sum(CAST(round(w * w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS wtw FROM w5),
+         |tr AS (SELECT CAST(sum(md) AS DOUBLE) AS trace FROM m2 WHERE i = j),
+         |x AS (SELECT trace, round(quad / wtw, 6) AS lambda1 FROM lam CROSS JOIN wtw CROSS JOIN tr),
+         |d0 AS (SELECT DISTINCT j, 1.0 AS w FROM m2),
+         |$defl,
+         |lam2 AS (SELECT CAST(sum(CAST(round(wi.w * mij * wj.w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS quad
+         |         FROM m2 JOIN d5 wj ON wj.j = m2.j JOIN d5 wi ON wi.j = m2.i),
+         |wtw2 AS (SELECT CAST(sum(CAST(round(w * w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS wtw FROM d5),
+         |y AS (SELECT x.trace,
+         |        greatest(x.lambda1, round(lam2.quad / wtw2.wtw, 6)) AS hi,
+         |        least(x.lambda1, round(lam2.quad / wtw2.wtw, 6)) AS lo
+         |      FROM x CROSS JOIN lam2 CROSS JOIN wtw2)
+         |SELECT trace, hi AS lambda1, lo AS lambda2,
+         |       round(lo / hi, 6) AS spectral_ratio,
+         |       round((hi + lo) / trace, 6) AS top2_share,
+         |       round(trace / hi, 6) AS effective_rank
+         |FROM y""".stripMargin
     },
     "q344_ivf_elbow" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

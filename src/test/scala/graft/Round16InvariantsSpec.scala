@@ -272,6 +272,17 @@ class Round16InvariantsSpec extends AnyFunSuite with Matchers {
     byKind.keySet shouldBe Set("update", "insert", "delete") // no phantom rows
   }
 
+  test("q378: the deflated spectrum obeys PSD ordering and share bounds") {
+    val r = SparkEntry.queries("q378_top2_spectrum")(spark, sf0001).collect().head
+    val (tr, l1, l2) = (r.getAs[Double]("trace"),
+      r.getAs[Double]("lambda1"), r.getAs[Double]("lambda2"))
+    l1 should be > 0.0             // Gram matrices are PSD
+    l2 should (be >= 0.0 and be <= l1 + 1e-6) // deflation finds a smaller pair
+    (l1 + l2) should be <= tr + 1e-6          // two eigenvalues can't exceed the trace
+    r.getAs[Double]("spectral_ratio") should (be >= 0.0 and be <= 1.0 + 1e-6)
+    r.getAs[Double]("effective_rank") should (be >= 1.0 and be <= 64.0 + 1e-6)
+  }
+
   test("q53: error-band flags are all green and the exact columns match q150") {
     val r53 = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
     r53.foreach { r =>
