@@ -122,6 +122,25 @@ class EdgeCasesSpec extends AnyFunSuite with Matchers {
     tau shouldBe minQ
   }
 
+  test("label propagation on an edgeless graph is the identity labeling") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val lab = operators.Cluster.labelPropagationFrom(nodes, edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lab shouldBe Map(1L -> 1L, 2L -> 2L, 3L -> 3L)
+  }
+
+  test("label propagation on a 2-cycle-prone bipartite square is deterministic across runs") {
+    // synchronous LPA famously oscillates on bipartite structure; the fixed
+    // round count + min-label tiebreak must make the OUTPUT deterministic
+    // regardless — two runs, identical labels
+    val nodes = (1L to 4L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    def run() = operators.Cluster.labelPropagationFrom(nodes, edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run() shouldBe run()
+  }
+
   test("deadline funnel with zero qualifying users reports zeros, not an error") {
     import java.sql.Timestamp
     val events = Seq((1L, "click", new Timestamp(1000L)))
