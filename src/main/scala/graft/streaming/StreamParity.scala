@@ -288,6 +288,56 @@ object StreamParity extends QueryModule {
       s.table(sink).orderBy(col("doc_id"))
     }),
 
+    // Streaming distinct-count via HLL registers (q379): per-hour distinct
+    // users over the event STREAM with 64 registers of state per window —
+    // the "sketch IS the streaming state" pattern that replaces an
+    // unbounded distinct-set (state ∝ users) with 512 bytes/hour at any
+    // arrival rate, the only way windowed COUNT DISTINCT survives an
+    // unbounded 100 TB stream. The register update is an ordinary
+    // watermarked windowed MAX aggregation (mergeable ⇒ streamable — the
+    // q375 property doing real work); the estimate finalizes over the
+    // bounded (hour × 64) sink. Registers and estimator are the q371
+    // replayable construction ([[graft.functions.HllReplay]]), so the
+    // DuckDB oracle rebuilds the per-hour registers exactly and the
+    // relative error is audited against the exact per-hour distinct.
+    "q379_stream_hll" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 12)
+      val ev = readEventsStream(s, dir)
+        .select(col("ts"),
+          expr("cast(conv(substring(md5(concat('shll:', cast(user_id as string))), 1, 8), 16, 10) as bigint)").as("h"))
+        .select(col("ts"), (col("h") % 64).as("bucket"), expr("h div 64").as("w"))
+        .select(col("ts"), col("bucket"),
+          expr(graft.functions.HllReplay.rhoCase).as("rho"))
+      val agg = ev.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+        .agg(max(col("rho")).as("m_j"))
+        .select(col("window.start").cast(LongType).as("unix_hour"),
+          col("bucket"), col("m_j"))
+      val sink = s"q379_sink_${sinkSeq.incrementAndGet()}"
+      EventStream.runOnceToMemory(agg, sink)
+      val est = s.table(sink)
+        .groupBy(col("unix_hour"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(round(pow(lit(2.0), -col("m_j")), 12).cast(dec)).as("s_present"))
+        .select(col("unix_hour"), (lit(64L) - col("n_present")).as("v"),
+          (col("s_present") + (lit(64L) - col("n_present")).cast(dec))
+            .cast("double").as("s"))
+        .select(col("unix_hour"),
+          expr(graft.functions.HllReplay.estimateCase).as("e"))
+      val exact = Tables.read(s, dir, "events")
+        .select(expr("(cast(ts as long) div 3600) * 3600").as("unix_hour"),
+          col("user_id"))
+        .groupBy(col("unix_hour"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(est, "unix_hour")
+        .select(col("unix_hour"), col("exact_users"),
+          round(col("e"), 6).as("hll_est"),
+          round(abs(col("e") - col("exact_users")) / col("exact_users"), 6)
+            .as("rel_err"))
+        .orderBy(col("unix_hour"))
+    }),
+
     "q202_stream_join_equiv" -> ((s, dir) => {
       val ev = readEventsStream(s, dir)
       val impressions = ev.filter(col("event_type").isin("view", "click"))
@@ -300,6 +350,24 @@ object StreamParity extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q379_stream_hll" ->
+      s"""WITH li AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id FROM events),
+         |hh AS (SELECT (t // 3600) * 3600 AS unix_hour,
+         |         CAST(concat('0x', substring(md5('shll:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |       FROM li),
+         |bw AS (SELECT unix_hour, h % 64 AS bucket, h // 64 AS w FROM hh),
+         |rh AS (SELECT unix_hour, bucket, ${graft.functions.HllReplay.rhoCase} AS rho FROM bw),
+         |regs AS (SELECT unix_hour, bucket, max(rho) AS m_j FROM rh GROUP BY 1, 2),
+         |est AS (SELECT unix_hour, CAST(64 - count(*) AS BIGINT) AS v,
+         |          CAST(sum(CAST(round(pow(2.0, - m_j), 12) AS DECIMAL(38,12)))
+         |               + CAST(64 - count(*) AS DECIMAL(38,12)) AS DOUBLE) AS s
+         |        FROM regs GROUP BY 1),
+         |ee AS (SELECT unix_hour, ${graft.functions.HllReplay.estimateCase} AS e FROM est),
+         |ex AS (SELECT (t // 3600) * 3600 AS unix_hour,
+         |         count(DISTINCT user_id) AS exact_users FROM li GROUP BY 1)
+         |SELECT ex.unix_hour, ex.exact_users, round(e, 6) AS hll_est,
+         |       round(abs(e - exact_users) / exact_users, 6) AS rel_err
+         |FROM ex JOIN ee USING (unix_hour) ORDER BY unix_hour""".stripMargin,
     "q197_stream_batch_equiv" ->
       """SELECT event_type,
         |       CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS unix_hour,

@@ -283,6 +283,20 @@ class Round16InvariantsSpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("effective_rank") should (be >= 1.0 and be <= 64.0 + 1e-6)
   }
 
+  test("q379: the streaming HLL's state is registers-per-window, and errors sit in the m=64 regime") {
+    val r = SparkEntry.queries("q379_stream_hll")(spark, sf0001).collect()
+    r should not be empty
+    val m = streaming.EventStream.lastRunMetrics.get
+    // state = at most 64 registers per open hour window — never ∝ users
+    m.maxStateRows should be <= 64L * r.length
+    r.foreach { row =>
+      row.getAs[Double]("hll_est") should be > 0.0
+      // per-hour cardinalities are small at sf0.001 → linear-counting
+      // branch; keep a generous regime bound
+      row.getAs[Double]("rel_err") should be < 0.5
+    }
+  }
+
   test("q53: error-band flags are all green and the exact columns match q150") {
     val r53 = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
     r53.foreach { r =>
