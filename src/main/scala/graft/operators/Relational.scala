@@ -1807,6 +1807,51 @@ object Relational extends QueryModule {
         .orderBy(col("pct"))
     }),
 
+    // Sampled-quantile audit with the DKW guarantee (q380) — the QUANTILE
+    // member of the replayable-sketch tier (q369-q375 cover frequency /
+    // membership / cardinality / F2 / join size): estimate the five q158
+    // percentiles from a deterministic md5-threshold 1/16 sample and audit
+    // each estimate's ACHIEVED rank in the full data against the
+    // Dvoretzky–Kiefer–Wolfowitz bound ε = √(ln(2/δ)/2n), δ = 0.05
+    // (Massart's tight constant, 1990) — the distribution-free guarantee
+    // that makes quantile-by-sampling a principled 100 TB plan: ranking
+    // 1/16 of the data buys ~16× less exchange while ε stays certifiably
+    // small. Sample ranking reuses GlobalOrder's two-pass construction;
+    // achieved ranks come from ONE conditional-sum pass over the full
+    // table against the 5 broadcast estimates. The within_dkw flag is
+    // COMPUTED identically by both engines (not pinned).
+    "q380_sampled_quantile_audit" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+        .localCheckpoint()
+      val sample = li.filter(
+        expr("cast(conv(substring(md5(concat('qs:', cast(l_orderkey as string), ':', " +
+          "cast(l_linenumber as string))), 1, 8), 16, 10) as bigint) % 16") === 0)
+      val (ranked, n) = graft.functions.GlobalOrder.withRowNumberAndCount(
+        sample, "rn", col("v"), col("l_orderkey"), col("l_linenumber"))
+      val pos = Seq(25L, 50L, 75L, 90L, 99L).map(p => (p, (p * n + 99L) / 100L))
+        .toDF("pct", "pos")
+      val estimates = ranked.join(broadcast(pos), col("rn") === col("pos"))
+        .select(col("pct"), col("v").as("est"))
+      val nFull = li.agg(count(lit(1)).as("n_full"))
+      val achieved = li.crossJoin(broadcast(estimates))
+        .groupBy(col("pct"), col("est"))
+        .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rank_full"))
+        .crossJoin(broadcast(nFull))
+      achieved
+        .select(col("pct"), col("est").cast(DecimalType(18, 2)).cast("double").as("estimate"),
+          col("rank_full"), col("n_full"), lit(n).as("n_sample"),
+          (expr("(2 * rank_full * 1000000 + n_full) div (2 * n_full)")
+            .cast("double") / 1e6).as("achieved_pct"),
+          round(expr(s"sqrt(ln(2.0 / 0.05) / (2.0 * $n))"), 6).as("dkw_eps"))
+        .select(col("pct"), col("estimate"), col("rank_full"), col("n_full"),
+          col("n_sample"), col("achieved_pct"), col("dkw_eps"),
+          when(abs(col("achieved_pct") - col("pct").cast("double") / 100.0)
+            <= col("dkw_eps"), 1L).otherwise(0L).as("within_dkw"))
+        .orderBy(col("pct"))
+    }),
+
     // Cohort LTV curves (q167): customers cohorted by first-order month,
     // then cumulative revenue by cohort age — the lifetime-value grid
     // behind retention economics. Three natural-key shuffles (first-order
@@ -2493,6 +2538,29 @@ object Relational extends QueryModule {
     // q369–q371: the replayable-sketch tier — md5-derived hashes both
     // engines compute identically, so the oracle rebuilds the SKETCH ITSELF
     // (no pinned flags; contrast q53/q196).
+    "q380_sampled_quantile_audit" ->
+      """WITH li AS (SELECT l_extendedprice AS v, l_orderkey, l_linenumber FROM lineitem),
+        |smp AS (SELECT * FROM li
+        |        WHERE (CAST(concat('0x', substring(md5('qs:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 16) = 0),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM smp),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS rn FROM smp),
+        |ps AS (SELECT CAST(pct AS BIGINT) AS pct, (pct * ns.n + 99) // 100 AS pos
+        |       FROM (SELECT unnest([25, 50, 75, 90, 99]) AS pct) CROSS JOIN ns),
+        |est AS (SELECT ps.pct, rk.v AS est FROM ps JOIN rk ON rk.rn = ps.pos),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_full FROM li),
+        |ach AS (SELECT est.pct, est.est,
+        |          CAST(sum(CASE WHEN li.v <= est.est THEN 1 ELSE 0 END) AS BIGINT) AS rank_full
+        |        FROM li CROSS JOIN est GROUP BY 1, 2),
+        |fin AS (SELECT ach.pct,
+        |          CAST(CAST(est AS DECIMAL(18,2)) AS DOUBLE) AS estimate,
+        |          rank_full, nf.n_full, ns.n AS n_sample,
+        |          CAST((2 * rank_full * 1000000 + nf.n_full) // (2 * nf.n_full) AS DOUBLE) / 1e6 AS achieved_pct,
+        |          round(sqrt(ln(2.0 / 0.05) / (2.0 * ns.n)), 6) AS dkw_eps
+        |        FROM ach CROSS JOIN nf CROSS JOIN ns)
+        |SELECT pct, estimate, rank_full, n_full, n_sample, achieved_pct, dkw_eps,
+        |       CASE WHEN abs(achieved_pct - CAST(pct AS DOUBLE) / 100.0) <= dkw_eps
+        |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS within_dkw
+        |FROM fin ORDER BY pct""".stripMargin,
     "q369_countmin_audit" ->
       """WITH li AS (SELECT l_partkey AS k FROM lineitem),
         |h AS (SELECT k, i,

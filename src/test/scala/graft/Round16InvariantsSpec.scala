@@ -297,6 +297,24 @@ class Round16InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q380: sampled quantiles honor the DKW band and ranks are monotone") {
+    val r = SparkEntry.queries("q380_sampled_quantile_audit")(spark, sf0001).collect()
+    r should have size 5
+    r.foreach { row =>
+      row.getAs[Long]("within_dkw") shouldBe 1L
+      row.getAs[Double]("achieved_pct") should (be >= 0.0 and be <= 1.0)
+    }
+    // higher percentile ⇒ higher estimate and higher achieved rank
+    r.map(_.getAs[Double]("estimate")).sliding(2).foreach {
+      case Array(a, b) => b should be >= a
+      case _           => ()
+    }
+    r.map(_.getAs[Long]("rank_full")).sliding(2).foreach {
+      case Array(a, b) => b should be >= a
+      case _           => ()
+    }
+  }
+
   test("q53: error-band flags are all green and the exact columns match q150") {
     val r53 = SparkEntry.queries("q53_sketch_stats")(spark, sf0001).collect()
     r53.foreach { r =>
