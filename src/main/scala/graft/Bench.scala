@@ -72,10 +72,19 @@ object Bench {
     // total aggregates successful queries only — comparable run-to-run
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Mechanical host-noise triage (round-16 verdict item 6): a query whose
+    // max/min rep ratio exceeds 3x on the SAME input is showing scheduler /
+    // neighbor contention, not intrinsic cost (identical source has measured
+    // 2.7/5.8/12.4 s reps on the shared driver host). The marker lets a
+    // reader separate host spikes from real regressions without re-running.
+    val noisy = raw.collect {
+      case (k, vs) if vs.nonEmpty && vs.min > 0 && vs.max / vs.min > 3.0 => k
+    }.toSeq
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$topQs,"queries_note":"top-60 by time; full map in BENCH_SUMMARY.json","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$topQs,"queries_note":"top-60 by time; full map in BENCH_SUMMARY.json","failed":$failedJson,"noisy":$noisyJson,"reps":$reps,"sf":"$sfDir"}"""
     val fileJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"failed":$failedJson,"reps":$reps,"sf":"$sfDir","runs":$rawJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"failed":$failedJson,"noisy":$noisyJson,"reps":$reps,"sf":"$sfDir","runs":$rawJson}"""
     try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SUMMARY.json"))

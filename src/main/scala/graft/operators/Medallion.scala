@@ -295,22 +295,37 @@ object Medallion extends QueryModule {
     // key-partitioned full-outer join of two snapshots (the tool that works
     // across vacuum gaps and blind overwrites where a change log has no
     // lineage); each run stages into a fresh temp root, exactly like a CI
-    // smoke of a production layer.
+    // smoke of a production layer. The diff is MATERIALIZED (localCheckpoint)
+    // and the staged root deleted before returning, so repeated bench/verify
+    // invocations leave no /tmp residue and the registered query stays
+    // side-effect-free from the caller's point of view.
     "q377_layer_cdc" -> ((s, dir) => {
       import graft.sources.VersionedLayer
-      val root = java.nio.file.Files.createTempDirectory("graft_q377_layer").toString
-      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-      val orders = Tables.read(s, dir, "orders").select(cols.map(col): _*)
-      val base = orders.filter(col("o_orderkey") % 10 < 5)
-      val v1 = VersionedLayer.write(base, root)
-      val delta = base.filter(col("o_orderkey") % 10 < 2)
-        .withColumn("o_totalprice", col("o_totalprice") + 1)
-        .unionByName(orders.filter((col("o_orderkey") % 10).isin(5, 6)))
-      VersionedLayer.merge(delta, root, Seq("o_orderkey"))
-      val v3 = VersionedLayer.write(
-        VersionedLayer.read(s, root).filter(col("o_orderkey") % 10 =!= 4), root)
-      VersionedLayer.diff(s, root, v1, v3, Seq("o_orderkey"))
-        .orderBy(col("o_orderkey"))
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q377_layer")
+      val root = rootPath.toString
+      try {
+        val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        val orders = Tables.read(s, dir, "orders").select(cols.map(col): _*)
+        val base = orders.filter(col("o_orderkey") % 10 < 5)
+        val v1 = VersionedLayer.write(base, root)
+        val delta = base.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_totalprice", col("o_totalprice") + 1)
+          .unionByName(orders.filter((col("o_orderkey") % 10).isin(5, 6)))
+        VersionedLayer.merge(delta, root, Seq("o_orderkey"))
+        val v3 = VersionedLayer.write(
+          VersionedLayer.read(s, root).filter(col("o_orderkey") % 10 =!= 4), root)
+        VersionedLayer.diff(s, root, v1, v3, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+          .localCheckpoint() // detach from the staged files before deletion
+      } finally {
+        // recursive delete of the staged layer root (children first)
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
     }),
 
     "q08_group_count" -> ((s, dir) =>

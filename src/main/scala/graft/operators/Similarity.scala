@@ -60,6 +60,8 @@ object Similarity extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), DataFrame]()
   private val povDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), (Array[Double], Array[Double])]()
+  private val gramCellsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[org.apache.spark.sql.Row]]()
 
   private def modelCacheDisabled: Boolean =
     sys.props.get("graft.noEdgeCache").contains("1")
@@ -1074,6 +1076,18 @@ object Similarity extends QueryModule {
       .localCheckpoint()
   }
 
+  /** [[gramQuarter]] collected through the session model layer: the 64×64
+    * cell array (≤4096 rows — a bounded model fetch, same class as
+    * [[sharedCentroids]]) is cached per (app, dir) so the spectral
+    * diagnostics sharing one Gram model (q336 λ₁, q378 top-2) pay for ONE
+    * corpus scan per session, not one each. */
+  private def sharedGramCells(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] = {
+    if (modelCacheDisabled) return gramQuarter(s, dir).collect()
+    if (gramCellsCache.size > 8) gramCellsCache.clear()
+    gramCellsCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => gramQuarter(s, dir).collect())
+  }
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (k output dims ×
     * d input dims), derived like [[hyperplanes]] from md5("jl:i:j") parity —
     * the Achlioptas (2003) database-friendly JL family: entries ±1 satisfy
@@ -1431,7 +1445,6 @@ object Similarity extends QueryModule {
       // the groupBy's map-side combine collapses each partition to ≤2080
       // rows before any exchange, so at 100 TB the shuffle carries a few
       // KB per partition regardless of corpus size
-      val mat = gramQuarter(s, dir)
       // the dim×dim matrix is a BOUNDED MODEL FETCH (4096 cells — the same
       // class as this module's centroid/model collects); iterating driver-
       // side replaces ten 64-row Spark job rounds (~2.5 s of scheduling,
@@ -1441,7 +1454,7 @@ object Similarity extends QueryModule {
       // decimal sums are order-independent.
       import scala.math.BigDecimal.RoundingMode.HALF_UP
       def r(x: Double, sc: Int): Double = BigDecimal(x).setScale(sc, HALF_UP).toDouble
-      val cells = mat.collect()
+      val cells = sharedGramCells(s, dir)
       val dim = cells.map(_.getAs[Int]("i")).max + 1
       val m = Array.ofDim[Double](dim, dim)
       var trD = java.math.BigDecimal.ZERO
@@ -1490,7 +1503,7 @@ object Similarity extends QueryModule {
     "q378_top2_spectrum" -> ((s, dir) => {
       import scala.math.BigDecimal.RoundingMode.HALF_UP
       def r(x: Double, sc: Int): Double = BigDecimal(x).setScale(sc, HALF_UP).toDouble
-      val cells = gramQuarter(s, dir).collect()
+      val cells = sharedGramCells(s, dir)
       val dim = cells.map(_.getAs[Int]("i")).max + 1
       val m = Array.ofDim[Double](dim, dim)
       var trD = java.math.BigDecimal.ZERO

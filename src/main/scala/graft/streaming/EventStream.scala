@@ -201,15 +201,66 @@ object EventStream {
                                     maxStateRows: Long, numBatches: Int)
   @volatile var lastRunMetrics: Option[StreamRunMetrics] = None
 
+  /** Per-run metric accumulator fed by a StreamingQueryListener. The former
+    * implementation summed `q.recentProgress`, which is a RING BUFFER capped
+    * by spark.sql.streaming.numRecentProgressUpdates (default 100): any run
+    * with more micro-batches (exactly the maxFilesPerTrigger scaled replays
+    * StreamScaleCheck measures) silently undercounted inputRows/numBatches
+    * and could miss the true max state rows. The listener sees EVERY
+    * progress event regardless of batch count. */
+  private final class RunAcc {
+    var inputRows: Long = 0L
+    var maxStateRows: Long = 0L
+    var numBatches: Int = 0
+    @volatile var terminated: Boolean = false
+  }
+  private val runAccs =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, RunAcc]()
+  private object MetricsListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      runAccs.put(e.runId, new RunAcc)
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val a = runAccs.computeIfAbsent(p.runId, _ => new RunAcc)
+      a.synchronized {
+        a.inputRows += p.numInputRows
+        a.maxStateRows = math.max(a.maxStateRows,
+          p.stateOperators.map(_.numRowsTotal).foldLeft(0L)(math.max))
+        a.numBatches += 1
+      }
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      Option(runAccs.get(e.runId)).foreach(_.terminated = true)
+  }
+  // One listener per StreamingQueryManager (per session); idempotent.
+  private val listenerRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private def ensureMetricsListener(spark: SparkSession): Unit =
+    if (listenerRegistered.add(System.identityHashCode(spark.streams)))
+      spark.streams.addListener(MetricsListener)
+
   private def recordMetrics(q: org.apache.spark.sql.streaming.StreamingQuery,
                             sink: String): Unit = {
-    val progs = q.recentProgress
-    lastRunMetrics = Some(StreamRunMetrics(
-      sink,
-      progs.map(_.numInputRows).sum,
-      progs.flatMap(_.stateOperators.map(_.numRowsTotal))
-        .foldLeft(0L)(math.max),
-      progs.length))
+    // Listener events post asynchronously; the run has already terminated
+    // (awaitTermination returned), so wait briefly for the terminated event
+    // to confirm every progress event for this runId has been delivered.
+    val acc = Option(runAccs.get(q.runId))
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (acc.exists(a => !a.terminated) && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    lastRunMetrics = acc.map { a =>
+      runAccs.remove(q.runId)
+      a.synchronized(StreamRunMetrics(sink, a.inputRows, a.maxStateRows, a.numBatches))
+    }.orElse {
+      // Listener never saw the run (shouldn't happen) — degrade to the old
+      // capped recentProgress summary rather than reporting nothing.
+      val progs = q.recentProgress
+      Some(StreamRunMetrics(sink, progs.map(_.numInputRows).sum,
+        progs.flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max),
+        progs.length))
+    }
   }
 
   /** Sink the aggregation to an in-memory table (tests / demos) and process
@@ -221,6 +272,7 @@ object EventStream {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    ensureMetricsListener(spark)
     try {
       val q = agg.writeStream
         .format("memory")
@@ -258,6 +310,7 @@ object EventStream {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    ensureMetricsListener(spark)
     try {
       var w = df.writeStream
         .format("memory")

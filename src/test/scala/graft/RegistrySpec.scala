@@ -13,7 +13,10 @@ class RegistrySpec extends AnyFunSuite with Matchers {
 
   /** Queries that are deliberately rows-only (no DuckDB oracle). Empty
     * since round 16: q53 — the last holdout — now carries a pinned-flag
-    * error-band oracle (q196-style), so the whole surface is hash-gated. */
+    * error-band oracle (q196-style), so the whole surface is hash-gated.
+    * Honest footnote on "hash-gated": q53/q196 are ASSERTED-FLAG oracles —
+    * their sketch-verdict flag columns are asserted constants, not replays;
+    * their exact-value columns (counts, percentiles) are replayed. */
   private val declaredRowsOnly = Set.empty[String]
 
   test("every oracle belongs to a registered query") {
