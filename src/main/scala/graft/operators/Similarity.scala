@@ -982,6 +982,45 @@ object Similarity extends QueryModule {
         when(col("sim") >= threshold, 1L).otherwise(0L).as("contaminated"))
   }
 
+  /** Seeded PQ model — codebooks + the corpus codes frame — shared by every
+    * PQ consumer (q108 ADC, the q192 audit, q381 IVF-PQ): subspace
+    * codebooks are the subvectors of the `ks` lowest-vec_id vectors (a
+    * bounded driver fetch, the trainCentroids contract — k×dim cells, never
+    * the corpus); the CODES frame is the PQ silver artifact (8 B/vector —
+    * in production persisted next to the codebooks, never recomputed per
+    * query), materialized once per (session, dir, m, ks) through the model
+    * layer. The rounded-argmin tree (m × ks × subDim distance terms) is
+    * also the plan whose codegen dominates a cold run — one more reason to
+    * build it once. Returns (codebooks, subDim, codes frame). */
+  private def seededPqModel(s: SparkSession, dir: String, m: Int, ks: Int)
+      : (Array[Array[Array[Double]]], Int, DataFrame) = {
+    val e = emb(s, dir)
+    val seeds = e.orderBy(col("vec_id")).limit(ks).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ks, s"corpus has fewer than $ks vectors")
+    // dim derives from the data — a different embedding width must fail
+    // fast here, not let slice() silently misalign the subvectors
+    val dim = seeds.head.length
+    require(dim % m == 0, s"m=$m must divide the embedding dim=$dim")
+    require(seeds.forall(_.length == dim),
+      s"ragged embedding widths among the $ks seed vectors (expected $dim)")
+    val subDim = dim / m
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(b => seeds.map(v => v.slice(b * subDim, (b + 1) * subDim)))
+    def codesFrame: DataFrame =
+      e.select(col("vec_id"),
+        array((0 until m).map(b =>
+          cellOfRounded(s, slice(col("v"), b * subDim + 1, subDim), books(b))): _*).as("codes"))
+    val coded =
+      if (modelCacheDisabled) codesFrame
+      else {
+        if (seededCodesCache.size > 8) seededCodesCache.clear()
+        seededCodesCache.computeIfAbsent((s.sparkContext.applicationId, dir, m, ks),
+          _ => codesFrame.localCheckpoint())
+      }
+    (books, subDim, coded)
+  }
+
   /** PQ/ADC with SEEDED codebooks: subspace centroids are the subvectors of
     * the `ks` lowest-vec_id vectors (no Lloyd's iterations), code assignment
     * is the ROUNDED argmin ([[cellOfRounded]]), and the ADC shortlist
@@ -995,39 +1034,7 @@ object Similarity extends QueryModule {
                      rerank: Int = 64,
                      queryPred: Column = col("vec_id") < 3): DataFrame = {
     val e = emb(s, dir)
-    // bounded driver fetch: exactly ks seed vectors (the trainCentroids
-    // contract — k×dim cells, never the corpus)
-    val seeds = e.orderBy(col("vec_id")).limit(ks).select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(seeds.length == ks, s"corpus has fewer than $ks vectors")
-    // dim derives from the data — a different embedding width must fail
-    // fast here, not let slice() silently misalign the subvectors
-    val dim = seeds.head.length
-    require(dim % m == 0, s"m=$m must divide the embedding dim=$dim")
-    require(seeds.forall(_.length == dim),
-      s"ragged embedding widths among the $ks seed vectors (expected $dim)")
-    val subDim = dim / m
-    val books: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(b => seeds.map(v => v.slice(b * subDim, (b + 1) * subDim)))
-    // The CODES frame is the PQ silver artifact (8 B/vector — in production
-    // it's persisted next to the codebooks, never recomputed per query):
-    // materialize once per (session, dir, m, ks) and let q108 + the q192
-    // audit read the same rows. The rounded-argmin tree (m × ks × subDim
-    // distance terms) is also the plan whose codegen dominates a cold run.
-    val coded = {
-      if (modelCacheDisabled)
-        e.select(col("vec_id"),
-          array((0 until m).map(b =>
-            cellOfRounded(s, slice(col("v"), b * subDim + 1, subDim), books(b))): _*).as("codes"))
-      else {
-        if (seededCodesCache.size > 8) seededCodesCache.clear()
-        seededCodesCache.computeIfAbsent((s.sparkContext.applicationId, dir, m, ks),
-          _ => e.select(col("vec_id"),
-            array((0 until m).map(b =>
-              cellOfRounded(s, slice(col("v"), b * subDim + 1, subDim), books(b))): _*).as("codes"))
-            .localCheckpoint())
-      }
-    }
+    val (books, subDim, coded) = seededPqModel(s, dir, m, ks)
     val q = broadcast(e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv")))
     val adist = (0 until m).map { b =>
@@ -1037,6 +1044,57 @@ object Similarity extends QueryModule {
         .cast(DecimalType(38, 12))
     }.reduce(_ + _).cast("double")
     val shortlist = q.join(coded, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), adist.as("adist"))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    val survivors = shortlist.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= rerank)
+      .select(col("q_id"), col("qv"), col("n_id"))
+    val rescored = survivors
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(distSqFast(s, col("qv"), col("nv")), 6).as("dist_sq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist_sq"), col("n_id"))
+    rescored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("n_id"), col("dist_sq"))
+  }
+
+  /** Seeded IVF-PQ (q381) — the composed production billion-vector ANN
+    * architecture (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", PAMI 2011): a coarse inverted-file quantizer restricts the
+    * candidate set to the query's cell, an ADC scan over the 8-byte PQ
+    * codes of ONLY those candidates builds the shortlist, and a
+    * `rerank`-deep exact re-rank fixes quantization error. q40 proved the
+    * coarse half and q108 the fine half; this is the composition a real
+    * deployment serves, with both halves the hash-gated SEEDED variants
+    * (lowest-id centroids / codebooks, rounded argmax/argmin, deterministic
+    * tiebreaks) so the ENTIRE composed index replays in SQL.
+    *
+    * Scale shape: the cell frame (vec_id → cell, an int) and the codes
+    * frame (vec_id → m bytes) are both keyed silver artifacts — at 100 TB
+    * they are co-bucketed on vec_id so their join is a local zip, and the
+    * ADC scan touches cell-size × 8 B, not the corpus (at 1B vectors /
+    * 1024 cells ≈ 8 MB per probe). Queries broadcast; vectors are fetched
+    * full-width only for the ≤`rerank` re-rank rows per query. */
+  def annIvfPqSeeded(s: SparkSession, dir: String, k: Int, kCells: Int = 8,
+                     m: Int = 8, ks: Int = 32, rerank: Int = 32,
+                     queryPred: Column = col("vec_id") < 3): DataFrame = {
+    val e = emb(s, dir)
+    val (books, subDim, coded) = seededPqModel(s, dir, m, ks)
+    val cells = seededAssigned(s, dir, kCells).select(col("vec_id"), col("cell"))
+    // codes ⋈ cells on vec_id: two narrow keyed artifacts (co-bucketed in
+    // production — no corpus-width rows move)
+    val cand = coded.join(cells, Seq("vec_id"))
+    val q = broadcast(seededAssigned(s, dir, kCells).filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("q_cell")))
+    val adist = (0 until m).map { b =>
+      round(distSqFast(s, slice(col("qv"), b * subDim + 1, subDim),
+        element_at(typedlit(books(b).map(_.toSeq).toSeq),
+          (element_at(col("codes"), b + 1) + 1).cast("int"))), 6)
+        .cast(DecimalType(38, 12))
+    }.reduce(_ + _).cast("double")
+    val shortlist = q.join(cand,
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), adist.as("adist"))
     val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
     val survivors = shortlist.withColumn("arn", row_number().over(wa))
@@ -1279,6 +1337,22 @@ object Similarity extends QueryModule {
     // DedupSimilaritySpec. Probe machinery is identical in both.
     "q40_ann_ivf" -> ((s, dir) =>
       annIvfSeeded(s, dir, 5).orderBy(col("q_id"), col("rn"))),
+
+    // Composed seeded IVF-PQ (see [[annIvfPqSeeded]]) — q40's coarse cells
+    // restricting q108's ADC scan + exact re-rank: the production
+    // billion-vector architecture, fully hash-gated.
+    "q381_ivf_pq" -> ((s, dir) =>
+      annIvfPqSeeded(s, dir, 5).orderBy(col("q_id"), col("rn"))),
+
+    // Recall-vs-exact audit of the composed index (q382): the q192-level
+    // evidence — IVF-PQ top-5 scored against the global exact L2 top-5, so
+    // the measured recall prices BOTH the cell restriction and the PQ
+    // approximation at once.
+    "q382_ivf_pq_audit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      recallAuditFrom(annIvfPqSeeded(s, dir, 5),
+        l2TopK(e.filter(col("vec_id") < 3), e, 5))
+    }),
 
     // kNN label transfer through the seeded IVF index (see
     // [[knnClassifySeeded]]): held-out 20% classified by in-cell top-5
@@ -1793,6 +1867,50 @@ object Similarity extends QueryModule {
       |               i -> pow(q.qv[i+1] - ne.v[i+1], 2)), 'sum'), 6) AS dist_sq
       |       FROM sl JOIN q ON q.q_id = sl.q_id JOIN e ne ON ne.vec_id = sl.n_id)""".stripMargin
 
+  /** Seeded IVF-PQ re-ranked CTEs (through `rr`) — shared by the q381
+    * primary oracle and the q382 recall audit. Composition of
+    * [[ivfSeededScSql]]'s coarse-cell CTEs with [[pqSeededRrSql]]'s
+    * codebook/code CTEs: the ADC aggregation additionally joins the
+    * candidate's cell assignment against the query's cell (nprobe = 1),
+    * and the shortlist depth is 32 (the cell already pruned the corpus). */
+  private val ivfPqRrSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
+      |asg AS (SELECT vec_id, cid FROM
+      |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a)
+      |        WHERE rn = 1),
+      |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM
+      |        (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)),
+      |bs AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS b),
+      |cb AS (SELECT sd.code, bs.b, list_slice(sd.v, bs.b*8+1, bs.b*8+8) AS cv FROM sd CROSS JOIN bs),
+      |sv AS (SELECT e.vec_id, bs.b, list_slice(e.v, bs.b*8+1, bs.b*8+8) AS sv FROM e CROSS JOIN bs),
+      |d AS (SELECT sv.vec_id, sv.b, cb.code,
+      |        round(list_aggregate(list_transform(range(8),
+      |              i -> pow(sv.sv[i+1] - cb.cv[i+1], 2)), 'sum'), 6) AS d2
+      |      FROM sv JOIN cb USING (b)),
+      |codes AS (SELECT vec_id, b, code FROM
+      |           (SELECT *, row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, code) AS rn FROM d)
+      |          WHERE rn = 1),
+      |q AS (SELECT e.vec_id AS q_id, e.v AS qv, asg.cid AS q_cell
+      |      FROM e JOIN asg USING (vec_id) WHERE e.vec_id < 3),
+      |qs AS (SELECT q.q_id, q.q_cell, bs.b, list_slice(q.qv, bs.b*8+1, bs.b*8+8) AS sv
+      |       FROM q CROSS JOIN bs),
+      |ad AS (SELECT qs.q_id, cd.vec_id AS n_id,
+      |         CAST(sum(CAST(round(list_aggregate(list_transform(range(8),
+      |                i -> pow(qs.sv[i+1] - cb.cv[i+1], 2)), 'sum'), 6) AS DECIMAL(38,12))) AS DOUBLE) AS adist
+      |       FROM qs JOIN codes cd ON cd.b = qs.b AND cd.vec_id != qs.q_id
+      |       JOIN asg na ON na.vec_id = cd.vec_id AND na.cid = qs.q_cell
+      |       JOIN cb ON cb.b = cd.b AND cb.code = cd.code
+      |       GROUP BY 1, 2),
+      |sl AS (SELECT q_id, n_id FROM
+      |        (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rn FROM ad)
+      |       WHERE rn <= 32),
+      |rr AS (SELECT sl.q_id, sl.n_id,
+      |         round(list_aggregate(list_transform(range(64),
+      |               i -> pow(q.qv[i+1] - ne.v[i+1], 2)), 'sum'), 6) AS dist_sq
+      |       FROM sl JOIN q ON q.q_id = sl.q_id JOIN e ne ON ne.vec_id = sl.n_id)""".stripMargin
+
   /** Shared oracle tail for the three ANN audits: exact/ann/hit counts per
     * query id + recall, mirroring [[recallAuditFrom]]'s null-safe joins. */
   private val auditTailSql: String =
@@ -2235,6 +2353,29 @@ object Similarity extends QueryModule {
         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist_sq, n_id) AS rn
         |   FROM rr)
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
+    // q381's PRIMARY oracle: the composed IVF-PQ top-5 itself (the audit
+    // q382 reuses the same CTEs and scores it against the exact top-k).
+    "q381_ivf_pq" ->
+      (ivfPqRrSql +
+        """
+        |SELECT q_id, rn, n_id, dist_sq FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist_sq, n_id) AS rn
+        |   FROM rr)
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
+    "q382_ivf_pq_audit" ->
+      (ivfPqRrSql +
+        """,
+        |ann AS (SELECT q_id, n_id FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist_sq, n_id) AS rn FROM rr)
+        |        WHERE rn <= 5),
+        |exd AS (SELECT q.q_id, ne.vec_id AS n_id,
+        |          round(list_aggregate(list_transform(range(64),
+        |                i -> pow(q.qv[i+1] - ne.v[i+1], 2)), 'sum'), 6) AS dist_sq
+        |        FROM q JOIN e ne ON ne.vec_id != q.q_id),
+        |ex AS (SELECT q_id, n_id FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist_sq, n_id) AS rn FROM exd)
+        |       WHERE rn <= 5),
+        |""".stripMargin + auditTailSql),
     "q192_pq_adc_audit" ->
       (pqSeededRrSql +
         """,

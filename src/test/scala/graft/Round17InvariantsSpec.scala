@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-17 invariants: the composed seeded IVF-PQ index (q381/q382) —
+  * candidate containment inside the query's coarse cell, re-rank exactness,
+  * and recall parity with the PQ-only tier (the cell restriction must not
+  * cost recall the q192 audit didn't already price). */
+class Round17InvariantsSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  test("q381: every returned neighbor lives in its query's coarse cell (nprobe=1 containment)") {
+    // Recompute the seeded cell assignment exactly as the index does
+    // (lowest-8-id centroids, rounded-cosine argmax, -cid tiebreak) and
+    // check the composed result never leaks a candidate across cells.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cos = expr(
+      """aggregate(zip_with(v, cv, (a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)
+        | / (sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))
+        |  * sqrt(aggregate(transform(cv, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)))""".stripMargin)
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(round(cos, 6).as("c"), (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(col("vec_id")).agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"))
+    val cellOf = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = SparkEntry.queries("q381_ivf_pq")(spark, sf0001).collect()
+    res should not be empty
+    res.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val n = r.getAs[Long]("n_id")
+      withClue(s"neighbor $n of query $q crossed cells:") {
+        cellOf(n) shouldBe cellOf(q)
+      }
+    }
+  }
+
+  test("q381: emitted dist_sq is the exact rounded L2 (re-rank really re-scores full vectors)") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val res = SparkEntry.queries("q381_ivf_pq")(spark, sf0001).collect()
+    res.foreach { r =>
+      val qv = e(r.getAs[Long]("q_id")); val nv = e(r.getAs[Long]("n_id"))
+      val exact = qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum
+      val expected = BigDecimal(exact).setScale(6, HALF_UP).toDouble
+      r.getAs[Double]("dist_sq") shouldBe expected +- 1e-9
+    }
+  }
+
+  test("q382: composed-index recall matches the PQ-only audit level (cells cost nothing here)") {
+    val composed = SparkEntry.queries("q382_ivf_pq_audit")(spark, sf0001)
+      .select(col("q_id"), col("recall")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pqOnly = SparkEntry.queries("q192_pq_adc_audit")(spark, sf0001)
+      .select(col("q_id"), col("recall")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    composed.keySet shouldBe pqOnly.keySet
+    composed.foreach { case (q, r) =>
+      withClue(s"query $q: composed recall $r below PQ-only ${pqOnly(q)}:") {
+        r should be >= pqOnly(q) - 1e-9
+      }
+    }
+  }
+}
