@@ -138,6 +138,30 @@ object Curation extends QueryModule {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Per-fingerprint index state over `part`: (fp, first_doc_id, n_docs) —
+    * a commutative monoid under (min, +), which is exactly what makes the
+    * index incrementally maintainable: old state ⊕ batch partial = scratch
+    * rebuild, the q121 IVM identity applied to the dedup index. */
+  def dedupIndexOf(part: DataFrame): DataFrame =
+    part.select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_doc_id"), count(lit(1)).as("n_docs"))
+
+  /** The MERGE delta that advances a persisted dedup index by one ingest
+    * batch: the standing index's state for ONLY the batch's keys (left
+    * join — never a scan-join of the full index against itself) combined
+    * with the batch partials under the (min, +) monoid. Row count equals
+    * the batch's distinct-fingerprint count by construction — the "only
+    * delta partitions are touched" property Round17InvariantsSpec pins. */
+  def dedupIndexDelta(batchIndex: DataFrame, currentIndex: DataFrame): DataFrame =
+    batchIndex
+      .join(currentIndex.select(col("fp"), col("first_doc_id").as("old_first"),
+        col("n_docs").as("old_n")), Seq("fp"), "left")
+      .select(col("fp"),
+        least(col("first_doc_id"),
+          coalesce(col("old_first"), col("first_doc_id"))).as("first_doc_id"),
+        (col("n_docs") + coalesce(col("old_n"), lit(0L))).as("n_docs"))
+
   /** Content-defined chunking (q97): the LBFS boundary scheme (Muthitacharoen
     * et al., "A Low-Bandwidth Network File System", SOSP 2001) at token
     * granularity — a chunk boundary falls after token `i+4` whenever the
@@ -564,6 +588,44 @@ object Curation extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup-index maintenance under CDC (q383) — the operator
+    // a real 100 TB corpus runs nightly: the persisted fingerprint index
+    // (VersionedLayer, the engine's ACID layer) is advanced by one ingest
+    // batch via MERGE of a delta that touches ONLY the batch's keys, and
+    // the registered result is the maintained index itself — the oracle
+    // rebuilds the index FROM SCRATCH over all documents, so hash equality
+    // IS the IVM correctness proof (the q121 identity: (min, +) is a
+    // commutative monoid, hence old ⊕ delta = rebuild). Composes q87's
+    // batch split (doc_id % 10 = 0 is "today"), q121's mergeable-state
+    // discipline and q377's staged-layer lifecycle (localCheckpoint +
+    // temp-root cleanup — no side effects escape). Scale shape: the batch
+    // index broadcasts into the left join against the standing index (AQE
+    // decides), the merge's anti-join is the only pass over the big index,
+    // and nothing ever re-fingerprints the standing corpus.
+    "q383_dedup_index_cdc" -> ((s, dir) => {
+      import graft.sources.VersionedLayer
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q383_dedup_idx")
+      val root = rootPath.toString
+      try {
+        val d = docs(s, dir)
+        VersionedLayer.write(dedupIndexOf(d.filter(col("doc_id") % 10 =!= 0)), root)
+        val delta = dedupIndexDelta(
+          dedupIndexOf(d.filter(col("doc_id") % 10 === 0)),
+          VersionedLayer.read(s, root))
+        VersionedLayer.merge(delta, root, Seq("fp"))
+        VersionedLayer.read(s, root)
+          .orderBy(col("fp"))
+          .localCheckpoint() // detach from the staged files before deletion
+      } finally {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }),
+
     "q88_source_cap" -> ((s, dir) =>
       sourceCapFrom(docs(s, dir), n = 50)
         .orderBy(col("source"), col("rk"))),
@@ -821,6 +883,13 @@ object Curation extends QueryModule {
         |SELECT min(doc_id) AS doc_id, fp
         |FROM b WHERE fp NOT IN (SELECT fp FROM c)
         |GROUP BY fp ORDER BY doc_id""".stripMargin,
+    // q383: the oracle rebuilds the fingerprint index from scratch over the
+    // FULL corpus — equality with the incrementally-maintained layer is the
+    // IVM proof (same contract as q121).
+    "q383_dedup_index_cdc" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS first_doc_id,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q88_source_cap" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source

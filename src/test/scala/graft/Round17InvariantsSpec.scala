@@ -53,6 +53,47 @@ class Round17InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q383: the merge delta touches ONLY the batch's fingerprints, and maintained == rebuilt") {
+    import spark.implicits._
+    import operators.Curation.{dedupIndexOf, dedupIndexDelta}
+    // planted corpus: "dup" exists in the standing corpus AND today's batch
+    // (the state-combine path), "new" only in the batch (the insert path),
+    // "old" only in the corpus (must NOT be touched by the delta)
+    val docsDf = Seq(
+      (1L, "old text a"), (2L, "old text b"), (3L, "dup text"),
+      (10L, "dup text"), (20L, "new text"), (30L, "new text"))
+      .toDF("doc_id", "text")
+    val corpus = docsDf.filter(col("doc_id") < 10)
+    val batch = docsDf.filter(col("doc_id") >= 10)
+    val delta = dedupIndexDelta(dedupIndexOf(batch), dedupIndexOf(corpus))
+    val deltaRows = delta.collect()
+    // delta cardinality = batch's DISTINCT fingerprints (2: dup, new) —
+    // never the standing index size (3). This is the only-delta-partitions
+    // property: the nightly merge upserts O(batch), not O(corpus).
+    deltaRows.length shouldBe 2
+    val byFp = deltaRows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dupFp = org.apache.commons.codec.digest.DigestUtils.md5Hex("dup text")
+    val newFp = org.apache.commons.codec.digest.DigestUtils.md5Hex("new text")
+    byFp(dupFp) shouldBe ((3L, 2L))  // min(3, 10), 1 corpus + 1 batch
+    byFp(newFp) shouldBe ((20L, 2L)) // batch-only pair collapses to first id
+    // IVM identity: corpus-index upserted with the delta == scratch rebuild
+    val maintained = dedupIndexOf(corpus)
+      .join(delta.select(col("fp")), Seq("fp"), "left_anti")
+      .unionByName(delta)
+    val scratch = dedupIndexOf(docsDf)
+    maintained.exceptAll(scratch).count() shouldBe 0
+    scratch.exceptAll(maintained).count() shouldBe 0
+  }
+
+  test("q383 end-to-end leaves no staged layer roots behind") {
+    val before = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      .filter(p => p.getFileName.toString.startsWith("graft_q383")).count()
+    SparkEntry.queries("q383_dedup_index_cdc")(spark, sf0001).count() should be > 0L
+    val after = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      .filter(p => p.getFileName.toString.startsWith("graft_q383")).count()
+    after shouldBe before
+  }
+
   test("q382: composed-index recall matches the PQ-only audit level (cells cost nothing here)") {
     val composed = SparkEntry.queries("q382_ivf_pq_audit")(spark, sf0001)
       .select(col("q_id"), col("recall")).collect()
