@@ -32,7 +32,8 @@ object StreamScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     val queries = Seq("q197_stream_batch_equiv", "q198_stream_dedup_equiv",
       "q199_stream_session_equiv", "q202_stream_join_equiv",
-      "q201_stream_quarantine", "q212_stream_conformal", "q379_stream_hll")
+      "q201_stream_quarantine", "q212_stream_conformal", "q379_stream_hll",
+      "q384_stream_cms_topk")
     for (dir <- dirs; q <- queries) {
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

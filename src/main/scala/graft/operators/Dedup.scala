@@ -776,6 +776,34 @@ object Dedup extends QueryModule {
       embeddingNeardupLsh(s, dir, threshold = 0.9, rowsPerBand = 16, nBands = 6)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // q47's DENSE-RECALL gate companion (q385): the base fixtures contain
+    // no pair ≥ 0.9 (max cosine 0.60 at sf0.1), so q47's green row pins
+    // only the no-false-positive side. This row makes the hash gate
+    // witness RECALL at every SF: a quarter slice of the corpus is
+    // self-unioned with deterministically perturbed copies (component
+    // noise ≤ 1e-3 from integer modular arithmetic both engines replay
+    // bit-for-bit — cosine(original, copy) ≈ 0.999999), and the SAME
+    // 6×16-band LSH pipeline must retrieve every planted pair; the oracle
+    // is the exact all-pairs SQL over the identical union frame, so a
+    // recall miss (a copy pair the banding dropped) hash-fails the round,
+    // not just a spec. Tiny perturbations almost never flip a sign bit, so
+    // every copy collides with its original in all 6 bands (miss p ~ 6e-5
+    // at this geometry — the q47 doc's 0.999-cosine regime, now under the
+    // driver gate instead of only ScaleCheck).
+    "q385_embedding_neardup_recall" -> ((s, dir) => {
+      val base = Tables.read(s, dir, "embeddings")
+        .filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      val copies = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("""transform(v, (x, i) ->
+          | x + cast((vec_id * 31 + i * 17) % 2001 - 1000 as double) / 1000000.0)"""
+          .stripMargin).as("v"))
+      embeddingNeardupLshFrom(base.unionByName(copies),
+          threshold = 0.9, rowsPerBand = 16, nBands = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash hamming-radius pairs (guaranteed recall via chunk pigeonhole).
     "q58_simhash_hamming" -> ((s, dir) =>
       simhashHammingPairs(s, dir)
@@ -1227,6 +1255,23 @@ object Dedup extends QueryModule {
     },
     "q47_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q385: exact all-pairs over the SAME perturbed self-union frame — the
+    // noise replays as 0-based-index integer modular arithmetic, identical
+    // operand order so the doubles match bitwise; any pair the Spark-side
+    // LSH banding drops hash-fails here.
+    "q385_embedding_neardup_recall" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id % 4 = 0),
+        |cp AS (SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(range(len(v)), i ->
+        |           v[i+1] + CAST((vec_id * 31 + i * 17) % 2001 - 1000 AS DOUBLE) / 1000000.0) AS v
+        |       FROM e0),
+        |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM cp)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id

@@ -338,6 +338,59 @@ object StreamParity extends QueryModule {
         .orderBy(col("unix_hour"))
     }),
 
+    // Streaming heavy-hitters via Count-Min registers (q384) — q379's
+    // "sketch IS the streaming state" pattern with frequency instead of
+    // cardinality: per-hour top-5 users tracked through a 4×256 CMS whose
+    // cells are the ONLY streaming state — 1024 counters/hour at ANY
+    // arrival rate or key cardinality, where a per-(window, user) count
+    // would grow with the user population. The register update is an
+    // ordinary watermarked windowed COUNT over the 4 exploded (row,
+    // bucket) coordinates per event (mergeable ⇒ streamable, exactly like
+    // q379's MAX); finalization probes the bounded cell sink with the
+    // per-hour true top-5 (the audit's candidates — a production monitor
+    // probes its fixed watch-list of keys). Hashes are the q369 md5
+    // construction, so the DuckDB oracle rebuilds the per-hour sketch
+    // ITSELF and the estimates hash-match exactly; overcount is the
+    // measured collision mass (CMS never undercounts — spec-pinned).
+    // All-integer output: no float hazards anywhere.
+    "q384_stream_cms_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def h(i: Int) =
+        s"cast(conv(substring(md5(concat('scms$i:', cast(user_id as string))), 1, 8), 16, 10) as bigint) % 256"
+      val ev = readEventsStream(s, dir)
+        .select(col("ts"), posexplode(array((0 until 4).map(i => expr(h(i))): _*)))
+      val agg = ev.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("pos"), col("col"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("window.start").cast(LongType).as("unix_hour"),
+          col("pos").as("r"), col("col").as("b"), col("c"))
+      val sink = s"q384_sink_${sinkSeq.incrementAndGet()}"
+      EventStream.runOnceToMemory(agg, sink)
+      val cells = s.table(sink)
+      val li = Tables.read(s, dir, "events")
+        .select(expr("(cast(ts as long) div 3600) * 3600").as("unix_hour"),
+          col("user_id"))
+      val tc = li.groupBy(col("unix_hour"), col("user_id"))
+        .agg(count(lit(1)).as("true_count"))
+      val wtop = Window.partitionBy(col("unix_hour"))
+        .orderBy(col("true_count").desc, col("user_id"))
+      val probes = tc.withColumn("rk", row_number().over(wtop).cast(LongType))
+        .filter(col("rk") <= 5)
+      val ph = probes
+        .select(col("unix_hour"), col("rk"), col("user_id"), col("true_count"),
+          posexplode(array((0 until 4).map(i => expr(h(i))): _*)))
+        .select(col("unix_hour"), col("rk"), col("user_id"), col("true_count"),
+          col("pos").as("r"), col("col").as("b"))
+      // both sides key on (unix_hour, r, b) — co-partitioned equi-join;
+      // probe side is ≤20 rows/window by construction, AQE broadcasts it
+      ph.join(cells, Seq("unix_hour", "r", "b"))
+        .groupBy(col("unix_hour"), col("rk"), col("user_id"), col("true_count"))
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("unix_hour"), col("rk"), col("user_id"), col("true_count"),
+          col("cms_est"), (col("cms_est") - col("true_count")).as("overcount"))
+        .orderBy(col("unix_hour"), col("rk"))
+    }),
+
     "q202_stream_join_equiv" -> ((s, dir) => {
       val ev = readEventsStream(s, dir)
       val impressions = ev.filter(col("event_type").isin("view", "click"))
@@ -368,6 +421,26 @@ object StreamParity extends QueryModule {
          |SELECT ex.unix_hour, ex.exact_users, round(e, 6) AS hll_est,
          |       round(abs(e - exact_users) / exact_users, 6) AS rel_err
          |FROM ex JOIN ee USING (unix_hour) ORDER BY unix_hour""".stripMargin,
+    // q384: the oracle rebuilds the per-hour 4×256 CMS itself from the same
+    // md5 hashes (q369 machinery windowed by hour) and probes it with the
+    // identical top-5 candidates — sketch internals under the hash gate.
+    "q384_stream_cms_topk" ->
+      """WITH li AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS unix_hour, user_id FROM events),
+        |h AS (SELECT unix_hour, user_id, i,
+        |        (CAST(concat('0x', substring(md5('scms' || CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256) AS b
+        |      FROM li CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        |cms AS (SELECT unix_hour, i, b, count(*) AS c FROM h GROUP BY 1, 2, 3),
+        |tc AS (SELECT unix_hour, user_id, count(*) AS true_count FROM li GROUP BY 1, 2),
+        |pr AS (SELECT unix_hour, user_id, true_count, rk FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY unix_hour ORDER BY true_count DESC, user_id) AS rk FROM tc)
+        |       WHERE rk <= 5),
+        |ph AS (SELECT DISTINCT pr.unix_hour, pr.rk, pr.user_id, pr.true_count, h.i, h.b
+        |       FROM pr JOIN h ON h.unix_hour = pr.unix_hour AND h.user_id = pr.user_id),
+        |est AS (SELECT unix_hour, rk, user_id, true_count, min(c) AS cms_est
+        |        FROM ph JOIN cms USING (unix_hour, i, b) GROUP BY 1, 2, 3, 4)
+        |SELECT unix_hour, CAST(rk AS BIGINT) AS rk, user_id, true_count, cms_est,
+        |       cms_est - true_count AS overcount
+        |FROM est ORDER BY unix_hour, rk""".stripMargin,
     "q197_stream_batch_equiv" ->
       """SELECT event_type,
         |       CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS unix_hour,

@@ -94,6 +94,41 @@ class Round17InvariantsSpec extends AnyFunSuite with Matchers {
     after shouldBe before
   }
 
+  test("q384: streaming CMS state is cells-per-window and the sketch never undercounts") {
+    val r = SparkEntry.queries("q384_stream_cms_topk")(spark, sf0001).collect()
+    r should not be empty
+    val m = streaming.EventStream.lastRunMetrics.get
+    // state = at most 4×256 register cells per open hour window — never
+    // ∝ the user population (the q379 boundedness claim, for frequency)
+    val hours = r.map(_.getAs[Long]("unix_hour")).distinct.length
+    m.maxStateRows should be <= 1024L * hours
+    r.foreach { row =>
+      // the one-sided CMS guarantee: estimate >= true count, always
+      withClue(s"CMS undercounted at hour ${row.getAs[Long]("unix_hour")}:") {
+        row.getAs[Long]("overcount") should be >= 0L
+      }
+      row.getAs[Long]("rk") should (be >= 1L and be <= 5L)
+    }
+  }
+
+  test("q385: the recall gate retrieves EVERY planted copy pair (one per sliced original)") {
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") % 4 === 0).select(col("vec_id")).collect()
+      .map(_.getLong(0)).sorted
+    base.length should be > 0
+    val r = SparkEntry.queries("q385_embedding_neardup_recall")(spark, sf0001).collect()
+    // every sliced original must pair with its perturbed copy (id + 1e6);
+    // the base corpus has no pair >= 0.9, so these are ALL the true pairs
+    val pairs = r.map(row => (row.getAs[Long]("id_a"), row.getAs[Long]("id_b"))).toSet
+    base.foreach { id =>
+      withClue(s"planted pair ($id, ${id + 1000000L}) missed by the banding:") {
+        pairs should contain((id, id + 1000000L))
+      }
+    }
+    pairs.size shouldBe base.length // and nothing else crosses 0.9
+    r.foreach(_.getAs[Double]("sim") should be >= 0.99)
+  }
+
   test("q382: composed-index recall matches the PQ-only audit level (cells cost nothing here)") {
     val composed = SparkEntry.queries("q382_ivf_pq_audit")(spark, sf0001)
       .select(col("q_id"), col("recall")).collect()
