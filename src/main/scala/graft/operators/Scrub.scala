@@ -199,7 +199,13 @@ object Scrub extends QueryModule {
   def bigramLogprobFrom(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
     val uc = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
-    val tot = toks.agg(count(lit(1)).as("n"))
+    // Total token count folds out of the (vocabulary-sized) unigram table —
+    // summing `cu` equals counting `toks` rows, without a second corpus
+    // explode. Same trick below for c1: at 100 TB a corpus scan is the unit
+    // of cost and this function's only irreducible scans are the two
+    // explodes (unigram counts + the scoring pass over bigrams) plus the
+    // bigram-count pass — everything else is arithmetic on bounded tables.
+    val tot = uc.agg(sum(col("cu")).as("n"))
     // Bigram structs are built row-locally from a let-bound token array
     // (one split per document), then exploded once.
     val bigrams = element_at(transform(array(split(trim(col("text")), " ")), w =>
@@ -209,7 +215,9 @@ object Scrub extends QueryModule {
       .select(col("doc_id"), explode(bigrams).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // c1(w1) = Σ_w2 c12(w1,w2): roll the bigram-count table up instead of
+    // re-exploding the corpus a third time.
+    val c1 = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     bg.join(broadcast(bc), Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
       .join(broadcast(uc.withColumnRenamed("tok", "w2")), Seq("w2"))
