@@ -282,6 +282,10 @@ object EventStream {
         .start()
       q.awaitTermination()
       recordMetrics(q, tableName)
+      // Drop the manager's handle on the terminated run: it otherwise pins
+      // the MemorySink (and its rows) for the session lifetime even after
+      // the caller drops the temp view. Streams here run one-at-a-time.
+      spark.streams.resetTerminated()
     } finally {
       if (statePartitions > 0) spark.conf.set(key, prev)
     }
@@ -321,6 +325,7 @@ object EventStream {
       val q = w.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       recordMetrics(q, tableName)
+      spark.streams.resetTerminated() // same sink-release rationale as above
     } finally {
       if (statePartitions > 0) spark.conf.set(key, prev)
     }

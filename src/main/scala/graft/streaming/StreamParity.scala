@@ -330,12 +330,20 @@ object StreamParity extends QueryModule {
           col("user_id"))
         .groupBy(col("unix_hour"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
-      exact.join(est, "unix_hour")
+      val out = exact.join(est, "unix_hour")
         .select(col("unix_hour"), col("exact_users"),
           round(col("e"), 6).as("hll_est"),
           round(abs(col("e") - col("exact_users")) / col("exact_users"), 6)
             .as("rel_err"))
         .orderBy(col("unix_hour"))
+        // Materialize the 720-row rollup and release the ~46k-row register
+        // sink: memory-sink tables live for the whole session, so a
+        // min-of-5 bench otherwise pins 5 copies of the raw cell table and
+        // the GC pressure taxes every query that runs after this one (the
+        // round-17 q10 finding — 0.38 s → 2.19 s purely from session heap).
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
+      out
     }),
 
     // Streaming heavy-hitters via Count-Min registers (q384) — q379's
@@ -383,12 +391,19 @@ object StreamParity extends QueryModule {
           col("pos").as("r"), col("col").as("b"))
       // both sides key on (unix_hour, r, b) — co-partitioned equi-join;
       // probe side is ≤20 rows/window by construction, AQE broadcasts it
-      ph.join(cells, Seq("unix_hour", "r", "b"))
+      val out = ph.join(cells, Seq("unix_hour", "r", "b"))
         .groupBy(col("unix_hour"), col("rk"), col("user_id"), col("true_count"))
         .agg(min(col("c")).as("cms_est"))
         .select(col("unix_hour"), col("rk"), col("user_id"), col("true_count"),
           col("cms_est"), (col("cms_est") - col("true_count")).as("overcount"))
         .orderBy(col("unix_hour"), col("rk"))
+        // Materialize the 3,600-row probe result and release the ~300k-row
+        // CMS cell sink (83× the result) — see q379's note: session-lived
+        // memory sinks otherwise accumulate across bench reps and tax every
+        // later query's GC.
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
+      out
     }),
 
     "q202_stream_join_equiv" -> ((s, dir) => {
