@@ -168,7 +168,20 @@ object Retrieval extends QueryModule {
     * only terms with df <= cap generate candidate pairs. High-df terms are
     * the worst pair generators (Σ df² cost) and the weakest similarity
     * evidence (idf → 0 as df → N), which is exactly the prefix-filtering /
-    * rare-token blocking argument of the set-similarity-join literature. */
+    * rare-token blocking argument of the set-similarity-join literature.
+    *
+    * The cap is deliberately ABSOLUTE, not ∝ corpus size: it bounds the
+    * worst-case pairs a single posting list can emit (cap² = 65k) at any
+    * scale, which is what keeps this query shuffle-safe at 100 TB. The
+    * measured consequence (round-17 full-tier sweep): on a replica-scaled
+    * corpus where every term's df multiplies with the copy count, rare
+    * terms cross the cap and the candidate set empties (20 → 0 top pairs
+    * at 8×) — recall, not cost, is what the absolute cap spends as df
+    * distributions shift up. A real corpus's rare tail grows with new
+    * vocabulary rather than uniform df inflation, so the effect is milder
+    * there, and corpus-scale near-dup retrieval is the MinHash/SimHash/
+    * embedding-LSH tiers' job (q36/q58/q47), whose banding keeps recall
+    * at every scale; q91 is the exact small/medium-corpus tool. */
   val CosineDfCap: Int = 256
 
   /** Pairwise TF-IDF (bag-of-words) cosine similarity, top-`k` pairs:
