@@ -214,12 +214,17 @@ object Scrub extends QueryModule {
     val bg = d.filter(TextAnalytics.nTokens(col("text")) >= 2)
       .select(col("doc_id"), explode(bigrams).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // c1(w1) = Σ_w2 c12(w1,w2), computed as a WINDOW over the aggregated
+    // bigram-count table rather than a separate groupBy: a groupBy lineage
+    // keys on w1 where bc's exchange keys on (w1, w2), so Catalyst cannot
+    // reuse the exchange and re-explodes the corpus for it (measured: a
+    // 4th FileScan). The window runs on the bounded vocab-sized table and
+    // rides into the same broadcast — the plan holds exactly 3 corpus
+    // scans (spec-pinned in ScrubSpec).
+    val bcw = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    // c1(w1) = Σ_w2 c12(w1,w2): roll the bigram-count table up instead of
-    // re-exploding the corpus a third time.
-    val c1 = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      .withColumn("c1", sum(col("c12")).over(bcw))
     bg.join(broadcast(bc), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
       .join(broadcast(uc.withColumnRenamed("tok", "w2")), Seq("w2"))
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))

@@ -201,4 +201,20 @@ class ScrubSpec extends AnyFunSuite with Matchers {
     out(3L) should be > out(5L)
     out(5L) should be > out(4L)
   }
+
+  test("q98's final plan scans the corpus at most 3 times (the round-17 restructure)") {
+    // bigramLogprobFrom formerly exploded the corpus five times (uc, tot,
+    // bc, c1, scoring); tot now folds out of uc and c1 out of bc, so the
+    // executed plan must hold at most three corpus FileScans — the two
+    // irreducible explodes (unigram counts + scoring bigrams) and the
+    // bigram-count pass. AQE's ReusedExchange may dedupe further; the spec
+    // pins the ceiling so a regression back to per-leg re-explodes fails.
+    val df = SparkEntry.queries("q98_bigram_logprob")(spark, sf0001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    withClue("corpus FileScan count in the final plan:\n") {
+      "FileScan".r.findAllIn(finalPlan).size should be <= 3
+    }
+  }
 }
