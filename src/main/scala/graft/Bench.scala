@@ -33,7 +33,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    // Untimed per-query warm-up rep (round-17 verdict item 4): 17 of the
+    // driver run's 24 noisy markers were rep-1 JIT/codegen/cache warm-up
+    // eating one of its three timed samples, so min-of-3 measured mixed
+    // cold/steady state. Rep-0 runs the query once OFF the clock so every
+    // timed rep sees warmed code paths; opt out (e.g. to measure cold-start
+    // itself) with SPARK_GRAFT_BENCH_NOWARM=1.
+    val warm = !sys.env.get("SPARK_GRAFT_BENCH_NOWARM").contains("1")
     val results = selected.flatMap { case (name, fn) =>
+      if (warm) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

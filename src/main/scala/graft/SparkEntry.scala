@@ -52,8 +52,10 @@ object SparkEntry {
     * the claim: two queries (q53, q196) carry ASSERTED-FLAG oracles — the
     * sketch-verdict flag columns are literal 1s the oracle asserts rather
     * than replays (sketch registers are engine-internal), so those columns
-    * catch Spark-side drift only; every OTHER column in those rows (exact
-    * counts, exact percentiles) is independently replayed, and raw-sketch
+    * catch Spark-side drift only; since round 18 every value FEEDING the
+    * asserted comparisons (exact distinct counts, exact percentiles, exact
+    * median) rides along and is independently replayed, narrowing the
+    * asserted surface to just the sketch-internal registers, and raw-sketch
     * accuracy is additionally ScalaTest-pinned (q150 remains q53's fully
     * exact twin). Every remaining oracle on the surface replays the full
     * computation. Every ANN tier is oracled directly: q39's md5-plane

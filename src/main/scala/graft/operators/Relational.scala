@@ -1760,9 +1760,12 @@ object Relational extends QueryModule {
     // <= 5% of exact); the oracle recomputes the exact columns and PINS the
     // two verdict flags at 1 — DuckDB cannot replay sketch internals, but
     // it can hash-fail the round if the engine's sketches ever drift out of
-    // bound on a regenerated fixture. (The tighter 5%-HLL assertion stays
-    // in RelationalSpec; the gate uses 10% so one noisy register doesn't
-    // cost a round.)
+    // bound on a regenerated fixture. The exact median the flag is judged
+    // against rides along (q53's round-17 treatment), so the oracle
+    // independently REPLAYS every value feeding the asserted comparison —
+    // the asserted surface is now just the sketch-internal registers.
+    // (The tighter 5%-HLL assertion stays in RelationalSpec; the gate uses
+    // 10% so one noisy register doesn't cost a round.)
     "q196_sketch_audit" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1773,6 +1776,7 @@ object Relational extends QueryModule {
           expr("percentile(l_extendedprice, 0.5)").as("em"),
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          round(col("em"), 6).as("em"),
           when(abs(col("ap") - col("exact_parts")).cast("double")
             / col("exact_parts") <= 0.10, 1L).otherwise(0L).as("hll_ok"),
           when(abs(col("am") - col("em")) <= col("em") * 0.05, 1L).otherwise(0L)
@@ -2534,11 +2538,14 @@ object Relational extends QueryModule {
         |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
     // The two *_ok flags are PINNED at 1: DuckDB cannot replay the sketch
     // internals, so the oracle asserts the engine's sketches meet their
-    // bounds — a sketch drifting out of bound hash-fails this query.
+    // bounds — a sketch drifting out of bound hash-fails this query. Every
+    // value FEEDING the asserted comparisons (exact distincts, exact
+    // median) is independently replayed below, q53-style.
     "q196_sketch_audit" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_partkey) AS exact_parts,
         |       count(*) AS n_rows,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS em,
         |       CAST(1 AS BIGINT) AS hll_ok,
         |       CAST(1 AS BIGINT) AS median_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -651,6 +651,51 @@ object Retrieval extends QueryModule {
     "q91_tfidf_cosine" -> ((s, dir) =>
       tfidfCosinePairsTf(sharedTermFreqs(s, dir))),
 
+    // q91's df-cap spend made OBSERVABLE (q387) — the round-17 "no silent
+    // caps" item: [[CosineDfCap]] deliberately bounds q91's worst-case pair
+    // generation (cap² per posting list at any scale), and what that cost
+    // bound SPENDS is recall as df distributions shift up — measured in the
+    // round-17 sweeps as a 20 → 0 top-pair collapse by 8× replica scale,
+    // but visible only in BASELINE.md notes until now. This row prices the
+    // trade in-engine, per run: vocabulary size, the capped-term share, the
+    // posting mass the cap drops (rows the candidate stage never reads),
+    // the bounded pair budget Σ C(df,2) over surviving lists, and the
+    // distinct candidate pairs actually generated. Run over a replica-
+    // scaled corpus the same numbers reproduce the collapse curve
+    // (ScaleCheck's Retrieval.CosineDfCap sweep); at the driver's gate SF
+    // the row is hash-pinned. One pass over df + the same rare-list explode
+    // as q91 — narrow rows only, no new shuffle shape.
+    "q387_dfcap_coverage" -> ((s, dir) => {
+      val cap = CosineDfCap
+      val tf = sharedTermFreqs(s, dir)
+      val dfq = docFreqs(tf)
+      val termStats = dfq.agg(
+        count(lit(1)).as("n_terms"),
+        sum(when(col("df") > cap, 1L).otherwise(0L)).as("n_capped_terms"),
+        sum(col("df")).as("posting_mass"),
+        sum(when(col("df") > cap, col("df")).otherwise(0L)).as("posting_mass_dropped"),
+        sum(when(col("df") <= cap && col("df") >= 2,
+          expr("df * (df - 1) div 2")).otherwise(0L)).as("pair_budget"))
+      // the exact candidate stage q91 runs (same rare-list bounded explode)
+      val rare = tf.join(dfq, "term").filter(col("df") <= cap)
+        .groupBy(col("term")).agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      val nCand = rare
+        .select(col("ds"), explode(col("ds")).as("x"))
+        .select(col("x"), explode(expr("filter(ds, y -> y > x)")).as("y"))
+        .select(col("x").as("id_a"), col("y").as("id_b"))
+        .distinct()
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+      termStats.crossJoin(nCand)
+        .select(col("n_terms"), col("n_capped_terms"),
+          round(col("n_capped_terms").cast("double") / col("n_terms"), 6)
+            .as("capped_term_share"),
+          col("posting_mass"), col("posting_mass_dropped"),
+          round(col("posting_mass_dropped").cast("double") / col("posting_mass"), 6)
+            .as("dropped_mass_share"),
+          col("pair_budget"), col("n_candidate_pairs"))
+    }),
+
     // Hybrid sparse+dense retrieval fused by RRF (query vector: vec_id 0).
     "q92_hybrid_rrf" -> ((s, dir) => {
       val e = Tables.read(s, dir, "embeddings")
@@ -972,6 +1017,28 @@ object Retrieval extends QueryModule {
           |FROM dt JOIN nrm na ON na.doc_id = id_a
           |        JOIN nrm nb ON nb.doc_id = id_b
           |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin),
+    // q387: the df-cap spend ledger — every column recomputed from the
+    // same inverted index the q91 oracle replays (cap literal 256 =
+    // CosineDfCap; a drifted cap or tokenizer hash-fails here).
+    "q387_dfcap_coverage" ->
+      (invIndexCte +
+        """,
+          |ts AS (SELECT count(*) AS n_terms,
+          |         CAST(sum(CASE WHEN df > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_terms,
+          |         CAST(sum(df) AS BIGINT) AS posting_mass,
+          |         CAST(sum(CASE WHEN df > 256 THEN df ELSE 0 END) AS BIGINT) AS posting_mass_dropped,
+          |         CAST(sum(CASE WHEN df BETWEEN 2 AND 256 THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS pair_budget
+          |       FROM df),
+          |cd AS (SELECT count(*) AS n_candidate_pairs FROM
+          |        (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |         FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+          |         WHERE a.term IN (SELECT term FROM df WHERE df <= 256)))
+          |SELECT n_terms, n_capped_terms,
+          |       round(CAST(n_capped_terms AS DOUBLE) / n_terms, 6) AS capped_term_share,
+          |       posting_mass, posting_mass_dropped,
+          |       round(CAST(posting_mass_dropped AS DOUBLE) / posting_mass, 6) AS dropped_mass_share,
+          |       pair_budget, n_candidate_pairs
+          |FROM ts CROSS JOIN cd""".stripMargin),
     "q92_hybrid_rrf" ->
       (invIndexCte +
         """,

@@ -1110,6 +1110,29 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("rn"), col("n_id"), col("dist_sq"))
   }
 
+  /** The persisted rows of the composed IVF-PQ index for every vector
+    * matching `pred`: `(vec_id, cell, b, code)` — one narrow row per
+    * (vector, subspace), the silver artifact [[annIvfPqSeeded]] serves from.
+    * The quantizer MODEL (seeded coarse centroids + seeded PQ codebooks
+    * over the FULL corpus' lowest-id vectors) is shared by every slice —
+    * the production contract: the model is frozen and retrained on its own
+    * cadence, and GIVEN the frozen model a vector's cell and codes depend
+    * only on that vector's content. That content-locality is what makes the
+    * index CDC-maintainable: the delta for an ingest batch is just the
+    * batch's own rows, and old ∪ delta ≡ scratch rebuild (the q121/q383 IVM
+    * identity with set-union as the monoid — no cross-row combine at all). */
+  private[graft] def annIndexRows(s: SparkSession, dir: String, pred: Column,
+                                  kCells: Int = 8, m: Int = 8, ks: Int = 32): DataFrame = {
+    val (_, _, coded) = seededPqModel(s, dir, m, ks)
+    val cells = seededAssigned(s, dir, kCells).select(col("vec_id"), col("cell"))
+    // both frames are keyed on vec_id (co-bucketed in production — the join
+    // moves only (vec_id, cell) against (vec_id, m codes), never vectors)
+    cells.filter(pred).join(coded.filter(pred), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), posexplode(col("codes")))
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        col("pos").cast(LongType).as("b"), col("col").cast(LongType).as("code"))
+  }
+
   /** The quarter-sample Gram matrix shared by the spectral diagnostics
     * (q336 λ₁, q378 top-2 spectrum): upper-triangle products generated
     * row-locally, map-side combined to ≤2080 rows per partition before the
@@ -1352,6 +1375,52 @@ object Similarity extends QueryModule {
       val e = emb(s, dir)
       recallAuditFrom(annIvfPqSeeded(s, dir, 5),
         l2TopK(e.filter(col("vec_id") < 3), e, 5))
+    }),
+
+    // CDC-maintained ANN index (q386) — q383's nightly-maintenance pattern
+    // on the EMBEDDING side, the round-17 verdict's headline ask: the
+    // composed IVF-PQ artifacts (coarse-cell assignment + the m PQ codes
+    // per vector, [[annIndexRows]]) are persisted as a VersionedLayer table
+    // over the standing corpus (vec_id % 10 != 0 — q87's batch split), then
+    // ADVANCED by MERGE of the arriving batch's rows (vec_id % 10 == 0).
+    // Because cell and codes are content-local per vector under the frozen
+    // quantizer model, the batch delta needs no old-state combine at all —
+    // and the registered result is the maintained index itself, while the
+    // oracle REBUILDS the index from scratch over all vectors: hash
+    // equality IS the IVM proof (delta-advance ≡ scratch rebuild), exactly
+    // the q383 contract. This is the operator a billion-vector deployment
+    // runs nightly: nothing ever re-encodes the standing corpus — the merge
+    // anti-join over narrow (vec_id, b) keys is the only pass over the big
+    // index, and the batch side broadcasts (AQE decides). Lifecycle is
+    // q377/q383's staged-temp-root discipline: localCheckpoint the result,
+    // delete the root — no side effects escape the query function.
+    "q386_ann_index_cdc" -> ((s, dir) => {
+      import graft.sources.VersionedLayer
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q386_ann_idx")
+      val root = rootPath.toString
+      try {
+        // One encode pass serves both the initial standing-index build and
+        // the batch delta (assignments are per-vector, so the split-after-
+        // encode frame is row-identical to encoding each slice separately —
+        // a production nightly run encodes ONLY the arriving batch and
+        // never touches the standing rows; here the standing build is part
+        // of the measured run anyway, so sharing the pass just avoids a
+        // second corpus scan).
+        val idx = annIndexRows(s, dir, lit(true)).localCheckpoint()
+        VersionedLayer.write(idx.filter(col("vec_id") % 10 =!= 0), root)
+        VersionedLayer.merge(idx.filter(col("vec_id") % 10 === 0),
+          root, Seq("vec_id", "b"))
+        VersionedLayer.read(s, root)
+          .orderBy(col("vec_id"), col("b"))
+          .localCheckpoint() // detach from the staged files before deletion
+      } finally {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
     }),
 
     // kNN label transfer through the seeded IVF index (see
@@ -1867,13 +1936,14 @@ object Similarity extends QueryModule {
       |               i -> pow(q.qv[i+1] - ne.v[i+1], 2)), 'sum'), 6) AS dist_sq
       |       FROM sl JOIN q ON q.q_id = sl.q_id JOIN e ne ON ne.vec_id = sl.n_id)""".stripMargin
 
-  /** Seeded IVF-PQ re-ranked CTEs (through `rr`) — shared by the q381
-    * primary oracle and the q382 recall audit. Composition of
-    * [[ivfSeededScSql]]'s coarse-cell CTEs with [[pqSeededRrSql]]'s
-    * codebook/code CTEs: the ADC aggregation additionally joins the
-    * candidate's cell assignment against the query's cell (nprobe = 1),
-    * and the shortlist depth is 32 (the cell already pruned the corpus). */
-  private val ivfPqRrSql: String =
+  /** Scratch-rebuild CTEs of the composed IVF-PQ index — everything through
+    * per-vector coarse-cell assignment (`asg`) and PQ code assignment
+    * (`codes`): [[ivfSeededScSql]]'s coarse half composed with
+    * [[pqSeededRrSql]]'s codebook/code half over the full corpus. Shared as
+    * the prefix of [[ivfPqRrSql]] (the q381/q382 probe oracles) and as the
+    * body of the q386 index-maintenance oracle — one text, so the engine's
+    * persisted index and the probes that consume it can never drift. */
+  private val ivfPqIndexSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
       |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),
@@ -1891,7 +1961,15 @@ object Similarity extends QueryModule {
       |      FROM sv JOIN cb USING (b)),
       |codes AS (SELECT vec_id, b, code FROM
       |           (SELECT *, row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, code) AS rn FROM d)
-      |          WHERE rn = 1),
+      |          WHERE rn = 1)""".stripMargin
+
+  /** Seeded IVF-PQ re-ranked CTEs (through `rr`) — shared by the q381
+    * primary oracle and the q382 recall audit. [[ivfPqIndexSql]]'s index
+    * plus the probe: the ADC aggregation additionally joins the candidate's
+    * cell assignment against the query's cell (nprobe = 1), and the
+    * shortlist depth is 32 (the cell already pruned the corpus). */
+  private val ivfPqRrSql: String = ivfPqIndexSql +
+    """,
       |q AS (SELECT e.vec_id AS q_id, e.v AS qv, asg.cid AS q_cell
       |      FROM e JOIN asg USING (vec_id) WHERE e.vec_id < 3),
       |qs AS (SELECT q.q_id, q.q_cell, bs.b, list_slice(q.qv, bs.b*8+1, bs.b*8+8) AS sv
@@ -2353,6 +2431,18 @@ object Similarity extends QueryModule {
         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist_sq, n_id) AS rn
         |   FROM rr)
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
+    // q386: the oracle rebuilds the ENTIRE index from scratch over all
+    // vectors (cell + m codes per vector from the same frozen seeded
+    // model), so hash equality against the engine's MERGE-advanced
+    // VersionedLayer table is the IVM correctness proof — the q383
+    // contract on the embedding side.
+    "q386_ann_index_cdc" ->
+      (ivfPqIndexSql +
+        """
+          |SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cell,
+          |       CAST(codes.b AS BIGINT) AS b, CAST(codes.code AS BIGINT) AS code
+          |FROM asg JOIN codes USING (vec_id)
+          |ORDER BY vec_id, b""".stripMargin),
     // q381's PRIMARY oracle: the composed IVF-PQ top-5 itself (the audit
     // q382 reuses the same CTEs and scores it against the exact top-k).
     "q381_ivf_pq" ->

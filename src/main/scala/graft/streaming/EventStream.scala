@@ -263,6 +263,21 @@ object EventStream {
     }
   }
 
+  /** Guard for the session-wide `resetTerminated()` calls below: this
+    * engine's documented invariant is one stream at a time (Verify, Bench
+    * and the specs all drive streams sequentially), and clearing the
+    * manager's terminated set is only correct under it — a concurrent
+    * stream's caller could be relying on awaitAnyTermination() or on
+    * inspecting another query's terminated state. Fail loudly if the
+    * invariant is ever broken rather than corrupting a neighbor. */
+  private def assertNoActiveStreams(spark: SparkSession): Unit = {
+    val active = spark.streams.active
+    require(active.isEmpty,
+      s"resetTerminated() under the one-stream-at-a-time invariant, but " +
+        s"${active.length} stream(s) are still active: " +
+        active.map(_.name).mkString(", "))
+  }
+
   /** Sink the aggregation to an in-memory table (tests / demos) and process
     * all data currently available, then stop. */
   def runOnceToMemory(agg: DataFrame, tableName: String,
@@ -284,7 +299,11 @@ object EventStream {
       recordMetrics(q, tableName)
       // Drop the manager's handle on the terminated run: it otherwise pins
       // the MemorySink (and its rows) for the session lifetime even after
-      // the caller drops the temp view. Streams here run one-at-a-time.
+      // the caller drops the temp view. resetTerminated() clears ALL
+      // terminated handles session-wide, which is only safe because streams
+      // here run one-at-a-time — assert that invariant so a future
+      // concurrent caller fails loudly instead of silently losing handles.
+      assertNoActiveStreams(spark)
       spark.streams.resetTerminated()
     } finally {
       if (statePartitions > 0) spark.conf.set(key, prev)
@@ -325,7 +344,9 @@ object EventStream {
       val q = w.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       recordMetrics(q, tableName)
-      spark.streams.resetTerminated() // same sink-release rationale as above
+      // same sink-release rationale + one-at-a-time guard as above
+      assertNoActiveStreams(spark)
+      spark.streams.resetTerminated()
     } finally {
       if (statePartitions > 0) spark.conf.set(key, prev)
     }

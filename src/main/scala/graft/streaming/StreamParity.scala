@@ -406,6 +406,73 @@ object StreamParity extends QueryModule {
       out
     }),
 
+    // Streaming embedding admission (q388) — q201's stream-static quarantine
+    // pattern on the DENSE side, the round-17 verdict's item 6: arriving
+    // vectors are probed against the banded hyperplane-LSH index built in
+    // BATCH over the standing corpus (q47's 6 bands × 16 sign bits — the
+    // near-dup geometry where banding prunes 2^16 per band), and any arrival
+    // with verified cosine >= 0.9 against a standing vector is flagged
+    // before it can enter the corpus. The arrival fixture is q385's planted-
+    // pair machinery reused verbatim: deterministically perturbed copies of
+    // the standing quarter slice (cosine ≈ 0.999999, integer modular noise
+    // both engines replay bit-for-bit), staged as a JSON file stream — so
+    // recall is witnessed, not assumed: the oracle is the EXACT all-pairs
+    // cosine SQL between arrivals and the standing slice, and a planted
+    // pair the banding drops hash-fails the round. The stream side is
+    // STATELESS except the watermark-bounded per-pair dedup of multi-band
+    // matches (state ∝ arrivals per horizon, never corpus or history);
+    // the index is narrow (band, band_val, ref_id) rows — 6 per standing
+    // vector, the payload fetched by a second keyed join only for
+    // band-colliding candidates, exactly how a 100 TB deployment keeps the
+    // bucket join's shuffle narrow. JSON doubles round-trip exactly
+    // (shortest-round-trip serialization), so the streamed vectors are
+    // bit-identical to the oracle's recomputation.
+    "q388_stream_embedding_admission" -> ((s, dir) => {
+      import graft.operators.Similarity
+      import graft.functions.VectorFunctions
+      val base = Tables.read(s, dir, "embeddings")
+        .filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+      val copies = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("""transform(v, (x, i) ->
+          | x + cast((vec_id * 31 + i * 17) % 2001 - 1000 as double) / 1000000.0)"""
+          .stripMargin).as("v"))
+      val stage = java.nio.file.Files.createTempDirectory("graft_q388_arrivals")
+      copies
+        .select(col("vec_id"),
+          timestamp_seconds(lit(1704067200L) + col("vec_id")).as("ts"), col("v"))
+        .coalesce(1).write.mode("overwrite").json(stage.resolve("in").toString)
+      val planes = Similarity.hyperplanes(6 * 16, 64)
+      // batch-built probe index: narrow bucket rows + a keyed vector side
+      val index = base
+        .select(col("vec_id").as("ref_id"),
+          posexplode(Similarity.bandValuesFast(s, col("v"), planes, 16)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+      val refVecs = base.select(col("vec_id").as("ref_id"), col("v").as("ref_v"))
+      val arrivalSchema = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", LongType)
+        .add("ts", TimestampType)
+        .add("v", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+      val flagged = s.readStream.schema(arrivalSchema)
+        .json(stage.resolve("in").toString)
+        .withWatermark("ts", "10 minutes")
+        .select(col("vec_id"), col("ts"), col("v"),
+          posexplode(Similarity.bandValuesFast(s, col("v"), planes, 16)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+        .join(index, Seq("band", "band_val"))
+        .join(refVecs, Seq("ref_id"))
+        .select(col("vec_id"), col("ts"), col("ref_id"),
+          round(VectorFunctions.cosineFast(s, col("v"), col("ref_v")), 6).as("sim"))
+        .filter(col("sim") >= 0.9)
+        .dropDuplicatesWithinWatermark("vec_id", "ref_id")
+      val sink = s"q388_sink_${sinkSeq.incrementAndGet()}"
+      EventStream.runOnceAppendToMemory(flagged, sink)
+      s.table(sink)
+        .select(col("vec_id").as("arr_id"), col("ref_id"), col("sim"))
+        .orderBy(col("arr_id"), col("ref_id"))
+    }),
+
     "q202_stream_join_equiv" -> ((s, dir) => {
       val ev = readEventsStream(s, dir)
       val impressions = ev.filter(col("event_type").isin("view", "click"))
@@ -528,6 +595,22 @@ object StreamParity extends QueryModule {
         |          AND bit_count(xor(a.sh, b.sh)) <= 3)
         |SELECT doc_id, CAST(1704067200 + doc_id AS BIGINT) AS flag_ts
         |FROM flag ORDER BY doc_id""".stripMargin,
+
+    // q388: exact all-pairs cosine between the perturbed arrivals and the
+    // standing quarter slice (q385's planted-pair replay) — every planted
+    // pair the streaming LSH probe must flag, recomputed from scratch.
+    "q388_stream_embedding_admission" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id % 4 = 0),
+        |cp AS (SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(range(len(v)), i ->
+        |           v[i+1] + CAST((vec_id * 31 + i * 17) % 2001 - 1000 AS DOUBLE) / 1000000.0) AS v
+        |       FROM e0)
+        |SELECT cp.vec_id AS arr_id, e0.vec_id AS ref_id,
+        |       round(list_cosine_similarity(cp.v, e0.v), 6) AS sim
+        |FROM cp CROSS JOIN e0
+        |WHERE round(list_cosine_similarity(cp.v, e0.v), 6) >= 0.9
+        |ORDER BY arr_id, ref_id""".stripMargin,
 
     // the batch interval join the streaming join must reproduce exactly
     "q202_stream_join_equiv" ->

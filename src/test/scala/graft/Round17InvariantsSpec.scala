@@ -161,8 +161,23 @@ class Round17InvariantsSpec extends AnyFunSuite with Matchers {
         leftover shouldBe 0L
       }
       spark.streams.listListeners() // listener stays (metrics), handles must not
-      withClue(s"$q left terminated stream handles in the manager:") {
-        spark.streams.active.length shouldBe 0
+      // The round-17 form asserted `spark.streams.active.length == 0`, which
+      // is vacuous — active never contains terminated queries (round-17
+      // advice). What resetTerminated() actually clears in Spark 4.1 is the
+      // manager's ONLY piece of terminated-run state, the
+      // `lastTerminatedQueryException` var (verified via javap; there is no
+      // terminated-query map in this Spark). Its sentinel protocol makes a
+      // sharp pin: the manager sets it to Some/None when ANY query
+      // terminates, and exactly resetTerminated() puts it back to null — so
+      // null here proves the reset ran after the stream finished, while a
+      // removed reset leaves a non-null None behind. The heap cure itself
+      // is the dropped sink view asserted above plus the materialized
+      // result.
+      val f = spark.streams.getClass.getDeclaredField("lastTerminatedQueryException")
+      f.setAccessible(true)
+      withClue(s"$q left terminated-run state in the manager (resetTerminated not called?):") {
+        assert(f.get(spark.streams) == null,
+          s"lastTerminatedQueryException = ${f.get(spark.streams)}")
       }
     }
   }

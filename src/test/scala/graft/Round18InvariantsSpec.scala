@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-18 invariants: the CDC-maintained ANN index (q386 — the q383 IVM
+  * pattern on the embedding side), the df-cap spend ledger (q387), and
+  * streaming embedding admission (q388). */
+class Round18InvariantsSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  test("q386: the merge delta is exactly the batch's rows (m per vector), and maintained == rebuilt") {
+    // only-delta-partitions property: the nightly merge upserts O(batch) —
+    // m = 8 narrow rows per arriving vector — never O(standing index)
+    val nBatchVecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 0).count()
+    nBatchVecs should be > 0L
+    val delta = operators.Similarity.annIndexRows(spark, sf0001, col("vec_id") % 10 === 0)
+    delta.count() shouldBe nBatchVecs * 8
+    // IVM identity: the MERGE-advanced layer == scratch rebuild over all
+    // vectors. Content-locality means there is no cross-row combine to get
+    // wrong, so what this pin actually catches is a drifted MODEL slice —
+    // e.g. seeds/centroids accidentally taken from the filtered frame
+    // instead of the full corpus, which would re-encode the standing rows
+    // differently from the frozen-model contract.
+    val maintained = SparkEntry.queries("q386_ann_index_cdc")(spark, sf0001)
+    val scratch = operators.Similarity.annIndexRows(spark, sf0001, lit(true))
+    maintained.exceptAll(scratch).count() shouldBe 0L
+    scratch.exceptAll(maintained).count() shouldBe 0L
+  }
+
+  test("q386 end-to-end leaves no staged layer roots behind") {
+    val before = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      .filter(p => p.getFileName.toString.startsWith("graft_q386")).count()
+    SparkEntry.queries("q386_ann_index_cdc")(spark, sf0001).count() should be > 0L
+    val after = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      .filter(p => p.getFileName.toString.startsWith("graft_q386")).count()
+    after shouldBe before
+  }
+
+  test("q387: the ledger's own arithmetic bounds hold on the live corpus") {
+    val r = SparkEntry.queries("q387_dfcap_coverage")(spark, sf0001).collect()
+    r.length shouldBe 1
+    val row = r.head
+    val nTerms = row.getAs[Long]("n_terms")
+    val nCapped = row.getAs[Long]("n_capped_terms")
+    val mass = row.getAs[Long]("posting_mass")
+    val dropped = row.getAs[Long]("posting_mass_dropped")
+    val budget = row.getAs[Long]("pair_budget")
+    val cand = row.getAs[Long]("n_candidate_pairs")
+    nTerms should be > 0L
+    nCapped should be <= nTerms
+    dropped should be <= mass
+    // Σ C(df,2) over surviving lists is the worst case the candidate stage
+    // can generate; DISTINCT can only shrink it
+    cand should be <= budget
+    row.getAs[Double]("capped_term_share") should (be >= 0.0 and be <= 1.0)
+    row.getAs[Double]("dropped_mass_share") should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("q388: every arrival flags exactly its own original, and dedup state is bounded by flagged pairs") {
+    val r = SparkEntry.queries("q388_stream_embedding_admission")(spark, sf0001).collect()
+    r should not be empty
+    // the planted-pair geometry: each perturbed copy (id + 1e6) is a
+    // near-dup of its original and of NOTHING else above 0.9
+    r.foreach { row =>
+      withClue(s"arrival ${row.getAs[Long]("arr_id")} flagged a foreign reference:") {
+        row.getAs[Long]("arr_id") - 1000000L shouldBe row.getAs[Long]("ref_id")
+      }
+      row.getAs[Double]("sim") should be >= 0.99
+    }
+    val nBase = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") % 4 === 0).count()
+    r.length.toLong shouldBe nBase // full recall: one flag per planted copy
+    // bounded-state evidence: the ONLY streaming state is the watermark-live
+    // (arr_id, ref_id) dedup entries — one per flagged pair inside the
+    // horizon, never ∝ corpus size or stream history
+    val m = streaming.EventStream.lastRunMetrics.get
+    m.sink should startWith("q388_sink")
+    m.maxStateRows should be <= r.length.toLong
+  }
+}

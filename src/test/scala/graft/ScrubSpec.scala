@@ -213,8 +213,11 @@ class ScrubSpec extends AnyFunSuite with Matchers {
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    withClue("corpus FileScan count in the final plan:\n") {
-      "FileScan".r.findAllIn(finalPlan).size should be <= 3
+    // Count only scans OF THE CORPUS (documents) — a future legitimate
+    // small-table join must not trip the corpus-re-scan pin (round-17
+    // advice: a bare FileScan count overstated what is pinned).
+    withClue("documents-table FileScan count in the final plan:\n") {
+      "FileScan[^\\n]*documents".r.findAllIn(finalPlan).size should be <= 3
     }
   }
 }
