@@ -93,6 +93,40 @@ object StreamParity extends QueryModule {
     * query in one session; a reused name would collide). */
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The q379 streaming aggregation (per-hour HLL registers) — extracted so
+    * [[graft.StreamProfile]] can time/instrument the stream leg alone. */
+  private[graft] def hllHourlyRegisters(s: SparkSession, dir: String): DataFrame = {
+    // (Measured, not assumed: the single-file source scans as ONE partition,
+    // but fanning it out with a pre-hash repartition(32) made BOTH queries
+    // SLOWER — the extra exchange costs more than the single-core hash pass
+    // at this row count. Leave the source partitioning alone.)
+    val ev = readEventsStream(s, dir)
+      .select(col("ts"),
+        expr("cast(conv(substring(md5(concat('shll:', cast(user_id as string))), 1, 8), 16, 10) as bigint)").as("h"))
+      .select(col("ts"), (col("h") % 64).as("bucket"), expr("h div 64").as("w"))
+      .select(col("ts"), col("bucket"),
+        expr(graft.functions.HllReplay.rhoCase).as("rho"))
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+      .select(col("window.start").cast(LongType).as("unix_hour"),
+        col("bucket"), col("m_j"))
+  }
+
+  /** The q384 streaming aggregation (per-hour 4×256 CMS cells) — extracted
+    * for the same [[graft.StreamProfile]] instrumentation hook. */
+  private[graft] def cmsHourlyCells(s: SparkSession, dir: String): DataFrame = {
+    def h(i: Int) =
+      s"cast(conv(substring(md5(concat('scms$i:', cast(user_id as string))), 1, 8), 16, 10) as bigint) % 256"
+    val ev = readEventsStream(s, dir)
+      .select(col("ts"), posexplode(array((0 until 4).map(i => expr(h(i))): _*)))
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("pos"), col("col"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").cast(LongType).as("unix_hour"),
+        col("pos").as("r"), col("col").as("b"), col("c"))
+  }
+
   /** Write a single far-future sentinel event (user_id = -1) as a parquet
     * file named `name` inside `stage`, matching the fixture's PHYSICAL
     * timestamp unit — a mixed-unit stream directory would corrupt whichever
@@ -303,19 +337,9 @@ object StreamParity extends QueryModule {
     "q379_stream_hll" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val dec = DecimalType(38, 12)
-      val ev = readEventsStream(s, dir)
-        .select(col("ts"),
-          expr("cast(conv(substring(md5(concat('shll:', cast(user_id as string))), 1, 8), 16, 10) as bigint)").as("h"))
-        .select(col("ts"), (col("h") % 64).as("bucket"), expr("h div 64").as("w"))
-        .select(col("ts"), col("bucket"),
-          expr(graft.functions.HllReplay.rhoCase).as("rho"))
-      val agg = ev.withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("bucket"))
-        .agg(max(col("rho")).as("m_j"))
-        .select(col("window.start").cast(LongType).as("unix_hour"),
-          col("bucket"), col("m_j"))
+      val agg = hllHourlyRegisters(s, dir)
       val sink = s"q379_sink_${sinkSeq.incrementAndGet()}"
-      EventStream.runOnceToMemory(agg, sink)
+      EventStream.runOnceToMemory(agg, sink, statePartitions = 32)
       val est = s.table(sink)
         .groupBy(col("unix_hour"))
         .agg(count(lit(1)).as("n_present"),
@@ -330,7 +354,10 @@ object StreamParity extends QueryModule {
           col("user_id"))
         .groupBy(col("unix_hour"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
-      val out = exact.join(est, "unix_hour")
+      // est is the ≤720-row per-hour rollup of the register sink —
+      // broadcast it so the exact side's aggregation output joins in place
+      // (same memory-sink-stats rationale as q384's probe join)
+      val out = exact.join(broadcast(est), "unix_hour")
         .select(col("unix_hour"), col("exact_users"),
           round(col("e"), 6).as("hll_est"),
           round(abs(col("e") - col("exact_users")) / col("exact_users"), 6)
@@ -365,15 +392,9 @@ object StreamParity extends QueryModule {
       import org.apache.spark.sql.expressions.Window
       def h(i: Int) =
         s"cast(conv(substring(md5(concat('scms$i:', cast(user_id as string))), 1, 8), 16, 10) as bigint) % 256"
-      val ev = readEventsStream(s, dir)
-        .select(col("ts"), posexplode(array((0 until 4).map(i => expr(h(i))): _*)))
-      val agg = ev.withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("pos"), col("col"))
-        .agg(count(lit(1)).as("c"))
-        .select(col("window.start").cast(LongType).as("unix_hour"),
-          col("pos").as("r"), col("col").as("b"), col("c"))
+      val agg = cmsHourlyCells(s, dir)
       val sink = s"q384_sink_${sinkSeq.incrementAndGet()}"
-      EventStream.runOnceToMemory(agg, sink)
+      EventStream.runOnceToMemory(agg, sink, statePartitions = 32)
       val cells = s.table(sink)
       val li = Tables.read(s, dir, "events")
         .select(expr("(cast(ts as long) div 3600) * 3600").as("unix_hour"),
@@ -389,9 +410,14 @@ object StreamParity extends QueryModule {
           posexplode(array((0 until 4).map(i => expr(h(i))): _*)))
         .select(col("unix_hour"), col("rk"), col("user_id"), col("true_count"),
           col("pos").as("r"), col("col").as("b"))
-      // both sides key on (unix_hour, r, b) — co-partitioned equi-join;
-      // probe side is ≤20 rows/window by construction, AQE broadcasts it
-      val out = ph.join(cells, Seq("unix_hour", "r", "b"))
+      // probe side is ≤20 rows/window by construction — broadcast it
+      // EXPLICITLY: the cells side is a driver-local memory-sink table
+      // whose stats AQE can't size ahead of the join, and letting it fall
+      // into a shuffled join moves all ~300k cell rows through an exchange
+      // for a ≤3,600-row result (measured: the probe leg, not the stream,
+      // was the bigger half of q384's close cost). With the broadcast the
+      // cell table is scanned once in place and never shuffled.
+      val out = cells.join(broadcast(ph), Seq("unix_hour", "r", "b"))
         .groupBy(col("unix_hour"), col("rk"), col("user_id"), col("true_count"))
         .agg(min(col("c")).as("cms_est"))
         .select(col("unix_hour"), col("rk"), col("user_id"), col("true_count"),
