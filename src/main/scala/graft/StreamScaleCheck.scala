@@ -33,7 +33,12 @@ object StreamScaleCheck {
     val queries = Seq("q197_stream_batch_equiv", "q198_stream_dedup_equiv",
       "q199_stream_session_equiv", "q202_stream_join_equiv",
       "q201_stream_quarantine", "q212_stream_conformal", "q379_stream_hll",
-      "q384_stream_cms_topk")
+      "q384_stream_cms_topk",
+      // round-18: embedding admission — state is the watermark-live
+      // (arrival, ref) dedup entries, bound = flagged pairs in the horizon
+      // (arrivals and their planted matches both grow with the replica
+      // factor; state must track that bound, not history)
+      "q388_stream_embedding_admission")
     for (dir <- dirs; q <- queries) {
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
