@@ -302,6 +302,32 @@ object Dedup extends QueryModule {
         posexplode(expr("transform(sequence(0, 7), b -> slice(sig, b * 4 + 1, 4))")))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_sig")
 
+  /** The LSH band index in its PERSISTED form — [[bandedSignatures]] with
+    * the 4-long band signature flattened to scalar columns: narrow
+    * `(doc_id, band_id, b0..b3)` rows (~48 bytes), the silver artifact a
+    * production near-dup pipeline keeps warm (q200's corpus side reads
+    * exactly this at deployment instead of re-banding the standing corpus).
+    * Scalars rather than the array so the layer's MERGE key-compare, the
+    * DuckDB scratch-rebuild replay and parquet column stats all see plain
+    * BIGINTs. */
+  def lshIndexRows(docsDf: DataFrame): DataFrame =
+    bandedSignatures(shingledFrom(docsDf))
+      .select(col("doc_id"), col("band_id").cast(LongType).as("band_id"),
+        col("band_sig")(0).as("b0"), col("band_sig")(1).as("b1"),
+        col("band_sig")(2).as("b2"), col("band_sig")(3).as("b3"))
+
+  /** Staged-temp-root cleanup shared by the q389/q390 index-maintenance
+    * queries — q377/q383/q386's lifecycle discipline (localCheckpoint the
+    * result, then delete the root so no side effects escape the query). */
+  private def deleteStagedRoot(rootPath: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(rootPath)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   def minhashLshCandidates(s: SparkSession, dir: String): DataFrame = {
     val sh = shingledFrom(docs(s, dir))
     val bands = bandedSignatures(sh)
@@ -730,6 +756,77 @@ object Dedup extends QueryModule {
     "q200_incremental_lsh" -> ((s, dir) =>
       incrementalLshAdmission(s, dir)),
 
+    // CDC-maintained LSH band index (q389) — the THIRD delta-maintained
+    // index, completing the set that the 100 TB cost model's rule (2)
+    // requires: exact-fingerprint (q383), IVF-PQ cells+codes (q386), and
+    // now the MinHash band index that q200's admission probe reads at
+    // deployment. Band rows are content-local per document (its 8 band
+    // values derive from ITS OWN shingles alone), so the arriving batch's
+    // rows need no old-state combine: the standing index (doc_id % 10 != 7,
+    // q200's batch convention) is persisted via VersionedLayer and ADVANCED
+    // by MERGE of the batch slice on (doc_id, band_id). The registered
+    // result is the maintained index itself while the oracle REBUILDS it
+    // from scratch over all documents — hash equality IS the IVM proof
+    // (delta-advance ≡ scratch rebuild), the q383/q386 contract. Nothing
+    // ever re-shingles the standing corpus: the merge's anti-join over
+    // narrow (doc_id, band_id) keys is the only pass over the big index,
+    // and at 25 B docs the nightly delta is 8 × batch rows ≈ 100 GB vs a
+    // 10 TB standing index that is read, never re-banded.
+    "q389_lsh_index_cdc" -> ((s, dir) => {
+      import graft.sources.VersionedLayer
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q389_lsh_idx")
+      val root = rootPath.toString
+      try {
+        // One shingle+signature pass serves both slices (q386's discipline:
+        // band rows are per-document, so split-after-encode is row-identical
+        // to encoding each slice separately — production bands ONLY the
+        // arriving batch; here the standing build is part of the measured
+        // run anyway, so sharing the pass just avoids a second corpus scan).
+        val idx = lshIndexRows(docs(s, dir)).localCheckpoint()
+        VersionedLayer.write(idx.filter(!(col("doc_id") % 10 === 7)), root)
+        VersionedLayer.merge(idx.filter(col("doc_id") % 10 === 7),
+          root, Seq("doc_id", "band_id"))
+        VersionedLayer.read(s, root)
+          .orderBy(col("doc_id"), col("band_id"))
+          .localCheckpoint() // detach from the staged files before deletion
+      } finally deleteStagedRoot(rootPath)
+    }),
+
+    // Index-lifecycle audit (q390) — the nightly maintenance cadence END TO
+    // END: standing write, three successive batch MERGEs (the small-file
+    // accumulation a week of deltas actually produces), COMPACT (coalesce
+    // rewrite bounding the file count — no shuffle), then VACUUM (dropping
+    // every superseded version). The registered result is the per-band
+    // bucket-occupancy audit of the SURVIVING snapshot — docs indexed,
+    // distinct buckets, largest bucket: the skew numbers that price q36's
+    // bucket join and decide whether a band needs salting. The oracle
+    // rebuilds the same audit from scratch over all documents, so a compact
+    // or vacuum that loses or duplicates even ONE index row breaks the hash
+    // — the data-preservation proof for the maintenance operations
+    // themselves, which q383/q386/q389 assume but never exercise.
+    "q390_index_lifecycle" -> ((s, dir) => {
+      import graft.sources.VersionedLayer
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q390_lsh_life")
+      val root = rootPath.toString
+      try {
+        val idx = lshIndexRows(docs(s, dir)).localCheckpoint()
+        VersionedLayer.write(idx.filter(col("doc_id") % 10 <= 6), root)
+        for (b <- 7 to 9)
+          VersionedLayer.merge(idx.filter(col("doc_id") % 10 === b),
+            root, Seq("doc_id", "band_id"))
+        VersionedLayer.compact(s, root, targetFiles = 2)
+        VersionedLayer.vacuum(s, root, keepLast = 1)
+        VersionedLayer.read(s, root)
+          .groupBy(col("band_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("band_id"))
+          .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_buckets"),
+            max(col("n")).as("max_bucket"))
+          .orderBy(col("band_id"))
+          .localCheckpoint() // detach from the staged files before deletion
+      } finally deleteStagedRoot(rootPath)
+    }),
+
     // SimHash signatures.
     "q37_simhash" -> ((s, dir) =>
       simhashSignatures(s, dir)
@@ -953,7 +1050,47 @@ object Dedup extends QueryModule {
     })
   )
 
+  /** Scratch rebuild of the persisted LSH band index ([[lshIndexRows]]) as a
+    * WITH prefix ending in `bands(doc_id, band_id, b0..b3)` — the shared
+    * body of the q389/q390 index-maintenance oracles: one text, so the
+    * engine's maintained index and the oracle's rebuilt one cannot drift on
+    * the signature/banding definition (the q386 `ivfPqIndexSql` pattern on
+    * the text side). */
+  private val lshIndexCte: String = {
+    val mins = (0 until 32)
+      .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
+    val bandSelects = (0 until 8)
+      .map(b => s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, m${4 * b} AS b0, " +
+        s"m${4 * b + 1} AS b1, m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+       |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
+       |       FROM toks WHERE len(w) >= 5),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hs AS (SELECT doc_id, CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h FROM ex),
+       |sigs AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // q389: the oracle rebuilds the band index FROM SCRATCH over ALL
+    // documents — equality with the engine's write+MERGE-maintained layer
+    // is the IVM correctness proof (q383/q386's contract).
+    "q389_lsh_index_cdc" ->
+      (lshIndexCte +
+        "\nSELECT doc_id, band_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id, band_id"),
+
+    // q390: same scratch rebuild, aggregated to the per-band bucket audit —
+    // a compact/vacuum that loses or duplicates one row breaks the hash.
+    "q390_index_lifecycle" ->
+      (lshIndexCte + """,
+        |g AS (SELECT band_id, b0, b1, b2, b3, count(*) AS n
+        |      FROM bands GROUP BY 1, 2, 3, 4, 5)
+        |SELECT band_id, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_buckets,
+        |       CAST(max(n) AS BIGINT) AS max_bucket
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "q152_fuzzy_match" ->
       """WITH p AS (SELECT p_partkey, p_name,
         |             string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2] AS blk

@@ -39,6 +39,68 @@ class Round18InvariantsSpec extends AnyFunSuite with Matchers {
     after shouldBe before
   }
 
+  test("q389: the merge delta is exactly the batch's band rows (8 per doc), and maintained == rebuilt") {
+    // only-delta-partitions property on the TEXT index: the nightly merge
+    // upserts 8 narrow band rows per arriving document that shingles —
+    // never O(standing index)
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nBatchDocs = operators.Dedup.shingledFrom(d.filter(col("doc_id") % 10 === 7)).count()
+    nBatchDocs should be > 0L
+    val delta = operators.Dedup.lshIndexRows(d.filter(col("doc_id") % 10 === 7))
+    delta.count() shouldBe nBatchDocs * 8
+    // IVM identity: the MERGE-advanced layer == scratch rebuild over all
+    // documents (band rows are content-local per doc, so a drift here means
+    // the signature pipeline saw different inputs per slice)
+    val maintained = SparkEntry.queries("q389_lsh_index_cdc")(spark, sf0001)
+    val scratch = operators.Dedup.lshIndexRows(d)
+    maintained.exceptAll(scratch).count() shouldBe 0L
+    scratch.exceptAll(maintained).count() shouldBe 0L
+  }
+
+  test("q389/q390 end-to-end leave no staged layer roots behind") {
+    def staged(prefix: String) = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      .filter(p => p.getFileName.toString.startsWith(prefix)).count()
+    val before = staged("graft_q389") + staged("graft_q390")
+    SparkEntry.queries("q389_lsh_index_cdc")(spark, sf0001).count() should be > 0L
+    SparkEntry.queries("q390_index_lifecycle")(spark, sf0001).count() should be > 0L
+    (staged("graft_q389") + staged("graft_q390")) shouldBe before
+  }
+
+  test("q390 lifecycle: merges accumulate files, compact bounds them, vacuum drops superseded versions") {
+    import graft.sources.VersionedLayer
+    val rootPath = java.nio.file.Files.createTempDirectory("graft_q390spec")
+    val root = rootPath.toString
+    try {
+      val idx = operators.Dedup.lshIndexRows(
+        spark.read.parquet(s"$sf0001/documents.parquet")).localCheckpoint()
+      VersionedLayer.write(idx.filter(col("doc_id") % 10 <= 6), root)
+      for (b <- 7 to 9)
+        VersionedLayer.merge(idx.filter(col("doc_id") % 10 === b),
+          root, Seq("doc_id", "band_id"))
+      val preCompact = VersionedLayer.latestVersion(spark, root).get
+      val rowsBefore = VersionedLayer.read(spark, root).count()
+      val vCompact = VersionedLayer.compact(spark, root, targetFiles = 2)
+      vCompact should be > preCompact
+      // the compaction CONTRACT: bounded file count, identical contents
+      VersionedLayer.dataFiles(spark, root, vCompact).size should be <= 2
+      VersionedLayer.read(spark, root).count() shouldBe rowsBefore
+      VersionedLayer.read(spark, root)
+        .exceptAll(VersionedLayer.read(spark, root, Some(preCompact)))
+        .count() shouldBe 0L
+      // vacuum drops every superseded version; the survivor stays readable
+      VersionedLayer.vacuum(spark, root, keepLast = 1)
+      VersionedLayer.committedVersions(spark, root) shouldBe Seq(vCompact)
+      VersionedLayer.versions(spark, root) shouldBe Seq(vCompact)
+      VersionedLayer.read(spark, root).count() shouldBe rowsBefore
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(rootPath)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("q387: the ledger's own arithmetic bounds hold on the live corpus") {
     val r = SparkEntry.queries("q387_dfcap_coverage")(spark, sf0001).collect()
     r.length shouldBe 1
