@@ -38,7 +38,12 @@ object StreamScaleCheck {
       // (arrival, ref) dedup entries, bound = flagged pairs in the horizon
       // (arrivals and their planted matches both grow with the replica
       // factor; state must track that bound, not history)
-      "q388_stream_embedding_admission")
+      "q388_stream_embedding_admission",
+      // round-18 second wave: streaming index maintenance — the stream is
+      // STATELESS (foreachBatch exactly-once merges; maxState must print 0
+      // at every scale); the growing artifact is the maintained layer,
+      // whose delta is 8 rows per arriving doc
+      "q391_stream_index_maintenance")
     for (dir <- dirs; q <- queries) {
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -1055,8 +1055,10 @@ object Dedup extends QueryModule {
     * body of the q389/q390 index-maintenance oracles: one text, so the
     * engine's maintained index and the oracle's rebuilt one cannot drift on
     * the signature/banding definition (the q386 `ivfPqIndexSql` pattern on
-    * the text side). */
-  private val lshIndexCte: String = {
+    * the text side). Shared with the streaming maintainer's oracle (q391,
+    * `streaming/StreamParity`) — all three maintenance paths (batch MERGE,
+    * lifecycle, streaming exactly-once) verify against ONE rebuild text. */
+  private[graft] val lshIndexCte: String = {
     val mins = (0 until 32)
       .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
     val bandSelects = (0 until 8)

@@ -342,6 +342,38 @@ object EventStream {
     }
   }
 
+  /** foreachBatch twin of [[runOnceAppendToMemory]] for streaming
+    * MAINTENANCE sinks: micro-batches drive an arbitrary batch-side writer
+    * (e.g. `VersionedLayer.idempotentMergeBatch`) instead of a memory sink.
+    * Same lifecycle discipline — transient tmpfs checkpoint, metrics
+    * listener, one-at-a-time guard + terminated-handle reset. The sink fn
+    * must be idempotent per batchId: AvailableNow restarts replay the last
+    * uncommitted batch (which is exactly what the idempotent-merge marker
+    * protocol absorbs). */
+  def runOnceForeachBatch(df: DataFrame, name: String,
+                          fn: (DataFrame, Long) => Unit,
+                          statePartitions: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    ensureMetricsListener(spark)
+    val ckpt = transientCheckpointDir()
+    try {
+      var w = df.writeStream.queryName(name).foreachBatch(fn)
+      ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
+      val q = w.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      recordMetrics(q, name)
+      // same sink-release rationale + one-at-a-time guard as above
+      assertNoActiveStreams(spark)
+      spark.streams.resetTerminated()
+    } finally {
+      if (statePartitions > 0) spark.conf.set(key, prev)
+      ckpt.foreach(deleteRecursively)
+    }
+  }
+
   /** Append-mode twin of [[runOnceToMemory]] for stateful pipelines whose
     * rows are final the moment they are emitted (dedup pass-through, closed
     * sessions). `maxFilesPerTrigger` > 0 forces one file per micro-batch so

@@ -72,6 +72,17 @@ object StreamParity extends QueryModule {
       spark.readStream.schema(Tables.events).parquet(stage)
 
   /** One staging directory per fixture file per JVM (bench reps reuse it). */
+  /** Staged temp-dir cleanup (q391's roots are per-invocation, not
+    * session-cached like [[stageDirs]] — the maintained layer must not leak
+    * between runs, the staged-temp-root discipline of q377/q383/q386). */
+  private def deleteStagedDir(rootPath: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(rootPath)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   private val stageDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -499,6 +510,58 @@ object StreamParity extends QueryModule {
         .orderBy(col("arr_id"), col("ref_id"))
     }),
 
+    // Streaming index maintenance (q391) — the maintainer set's STREAMING
+    // form: the LSH band index (q389's VersionedLayer table) advanced not
+    // by a nightly batch MERGE but by a REAL micro-batch stream of arriving
+    // documents, each micro-batch applying an EXACTLY-ONCE idempotent merge
+    // (VersionedLayer.idempotentMergeBatch — the txnAppId/txnVersion marker
+    // protocol, so an AvailableNow restart's batch replay is absorbed, not
+    // double-applied). Arrivals are the q200/q389 batch slice (doc_id % 10
+    // = 7) staged as FOUR json files with maxFilesPerTrigger=1, so the
+    // index genuinely advances through four separate merge commits — the
+    // accumulation a continuously-ingesting deployment produces. Banding
+    // runs INSIDE foreachBatch on just that batch's docs; band rows are
+    // content-local per document, so micro-batch partitioning cannot change
+    // the final rows — and the oracle is the SAME scratch rebuild as
+    // q389/q390 (Dedup.lshIndexCte, one SQL text): all three maintenance
+    // paths — batch MERGE, compact/vacuum lifecycle, streaming
+    // exactly-once — are proven to converge to the identical index. The
+    // stream itself is STATELESS (foreachBatch append; no watermark state,
+    // no sink tables) — the only growing artifact is the maintained layer,
+    // whose per-batch delta is 8 narrow rows per arriving doc.
+    "q391_stream_index_maintenance" -> ((s, dir) => {
+      import graft.operators.Dedup
+      import graft.sources.VersionedLayer
+      val d = Tables.read(s, dir, "documents")
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q391_lsh_idx")
+      val root = rootPath.toString
+      val stage = java.nio.file.Files.createTempDirectory("graft_q391_arrivals")
+      try {
+        VersionedLayer.write(
+          Dedup.lshIndexRows(d.filter(!(col("doc_id") % 10 === 7))), root)
+        // JSON strings round-trip exactly, so the streamed text is
+        // bit-identical to what the oracle tokenizes.
+        d.filter(col("doc_id") % 10 === 7).select(col("doc_id"), col("text"))
+          .repartition(4)
+          .write.mode("overwrite").json(stage.resolve("in").toString)
+        val arrivalSchema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", LongType)
+          .add("text", org.apache.spark.sql.types.StringType)
+        val arrivals = s.readStream.schema(arrivalSchema)
+          .option("maxFilesPerTrigger", 1)
+          .json(stage.resolve("in").toString)
+        EventStream.runOnceForeachBatch(arrivals, "q391_maint",
+          (b, id) => VersionedLayer.idempotentMergeBatch(
+            root, Seq("doc_id", "band_id"), "q391")(Dedup.lshIndexRows(b), id))
+        VersionedLayer.read(s, root)
+          .orderBy(col("doc_id"), col("band_id"))
+          .localCheckpoint() // detach from the staged files before deletion
+      } finally {
+        deleteStagedDir(rootPath)
+        deleteStagedDir(stage)
+      }
+    }),
+
     "q202_stream_join_equiv" -> ((s, dir) => {
       val ev = readEventsStream(s, dir)
       val impressions = ev.filter(col("event_type").isin("view", "click"))
@@ -625,6 +688,13 @@ object StreamParity extends QueryModule {
     // q388: exact all-pairs cosine between the perturbed arrivals and the
     // standing quarter slice (q385's planted-pair replay) — every planted
     // pair the streaming LSH probe must flag, recomputed from scratch.
+    // q391: the SAME scratch-rebuild text as q389/q390 (Dedup.lshIndexCte)
+    // — the streaming exactly-once path must converge to the identical
+    // index the batch MERGE path maintains.
+    "q391_stream_index_maintenance" ->
+      (graft.operators.Dedup.lshIndexCte +
+        "\nSELECT doc_id, band_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id, band_id"),
+
     "q388_stream_embedding_admission" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |            FROM embeddings WHERE vec_id % 4 = 0),

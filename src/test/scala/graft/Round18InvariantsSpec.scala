@@ -101,6 +101,64 @@ class Round18InvariantsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q391: four exactly-once micro-batch merges, stateless stream, replay is a no-op, maintained == rebuilt") {
+    import graft.sources.VersionedLayer
+    import org.apache.spark.sql.DataFrame
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rootPath = java.nio.file.Files.createTempDirectory("graft_q391spec_idx")
+    val stage = java.nio.file.Files.createTempDirectory("graft_q391spec_arr")
+    try {
+      val root = rootPath.toString
+      VersionedLayer.write(
+        operators.Dedup.lshIndexRows(d.filter(!(col("doc_id") % 10 === 7))), root)
+      d.filter(col("doc_id") % 10 === 7).select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").json(stage.resolve("in").toString)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      val arrivals = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(stage.resolve("in").toString)
+      val sink = (b: DataFrame, id: Long) => VersionedLayer.idempotentMergeBatch(
+        root, Seq("doc_id", "band_id"), "q391spec")(operators.Dedup.lshIndexRows(b), id)
+      streaming.EventStream.runOnceForeachBatch(arrivals, "q391spec", sink)
+      // four staged files -> four micro-batch merges on top of the standing write
+      VersionedLayer.committedVersions(spark, root).size shouldBe 5
+      // the stream carries NO state: foreachBatch append, no watermark ops
+      val m = streaming.EventStream.lastRunMetrics.get
+      m.sink shouldBe "q391spec"
+      m.maxStateRows shouldBe 0L
+      m.numBatches should be >= 4
+      // exactly-once: replaying an already-marked batchId is a no-op
+      // (marker protocol — no new version, snapshot untouched)
+      val rows = VersionedLayer.read(spark, root).count()
+      sink(d.filter(col("doc_id") % 10 === 7).select(col("doc_id"), col("text")), 0L)
+      VersionedLayer.committedVersions(spark, root).size shouldBe 5
+      VersionedLayer.read(spark, root).count() shouldBe rows
+      // stream-maintained == scratch rebuild (the q383/q386/q389 identity,
+      // now through the micro-batch path)
+      val maintained = VersionedLayer.read(spark, root)
+      val scratch = operators.Dedup.lshIndexRows(d)
+      maintained.exceptAll(scratch).count() shouldBe 0L
+      scratch.exceptAll(maintained).count() shouldBe 0L
+    } finally {
+      import scala.jdk.CollectionConverters._
+      for (rp <- Seq(rootPath, stage)) {
+        val walk = java.nio.file.Files.walk(rp)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+  }
+
+  test("q391 end-to-end leaves no staged roots behind") {
+    def staged() = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      .filter(p => p.getFileName.toString.startsWith("graft_q391_")).count()
+    val before = staged()
+    SparkEntry.queries("q391_stream_index_maintenance")(spark, sf0001).count() should be > 0L
+    staged() shouldBe before
+  }
+
   test("q387: the ledger's own arithmetic bounds hold on the live corpus") {
     val r = SparkEntry.queries("q387_dfcap_coverage")(spark, sf0001).collect()
     r.length shouldBe 1
