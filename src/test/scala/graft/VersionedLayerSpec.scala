@@ -131,6 +131,26 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
       .map(_.getInt(0)).toSet shouldBe Set(1, 2, 3, 4)
   }
 
+  test("replay cursors (_txn markers) outlive vacuum: a replayed batch after vacuum is still a no-op") {
+    // The documented retention contract: [[vacuum]] collects snapshots and
+    // claim/commit markers but NEVER _txn replay cursors — a restarted
+    // stream may replay a batch OLDER than the oldest kept snapshot, and
+    // dropping its marker would double-apply the merge.
+    val root = tmpRoot()
+    val sink = VersionedLayer.idempotentMergeBatch(root, Seq("k"), "appV") _
+    sink(Seq((1, "a")).toDF("k", "s"), 0L)
+    sink(Seq((2, "b")).toDF("k", "s"), 1L)
+    sink(Seq((3, "c")).toDF("k", "s"), 2L)
+    VersionedLayer.vacuum(spark, root, keepLast = 1)
+    val vAfter = VersionedLayer.latestVersion(spark, root)
+    // batch 0's snapshot is vacuumed away; its cursor must still block replay
+    sink(Seq((1, "a")).toDF("k", "s"), 0L)
+    VersionedLayer.latestVersion(spark, root) shouldBe vAfter
+    VersionedLayer.read(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap shouldBe
+      Map(1 -> "a", 2 -> "b", 3 -> "c")
+  }
+
   test("snapshot diff classifies inserts, deletes, updates, and drops unchanged rows") {
     val root = tmpRoot()
     VersionedLayer.write(Seq((1, "a"), (2, "b"), (3, "c"), (4, null)).toDF("k", "s"), root)
