@@ -616,14 +616,7 @@ object Curation extends QueryModule {
         VersionedLayer.read(s, root)
           .orderBy(col("fp"))
           .localCheckpoint() // detach from the staged files before deletion
-      } finally {
-        import java.nio.file.{Files, Path}
-        import scala.jdk.CollectionConverters._
-        val walk = Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      } finally graft.sources.TempRoots.deleteRecursively(rootPath)
     }),
 
     "q88_source_cap" -> ((s, dir) =>

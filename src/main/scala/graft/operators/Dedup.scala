@@ -316,18 +316,6 @@ object Dedup extends QueryModule {
         col("band_sig")(0).as("b0"), col("band_sig")(1).as("b1"),
         col("band_sig")(2).as("b2"), col("band_sig")(3).as("b3"))
 
-  /** Staged-temp-root cleanup shared by the q389/q390 index-maintenance
-    * queries — q377/q383/q386's lifecycle discipline (localCheckpoint the
-    * result, then delete the root so no side effects escape the query). */
-  private def deleteStagedRoot(rootPath: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Path}
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(rootPath)
-    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-    finally walk.close()
-  }
-
   def minhashLshCandidates(s: SparkSession, dir: String): DataFrame = {
     val sh = shingledFrom(docs(s, dir))
     val bands = bandedSignatures(sh)
@@ -789,7 +777,7 @@ object Dedup extends QueryModule {
         VersionedLayer.read(s, root)
           .orderBy(col("doc_id"), col("band_id"))
           .localCheckpoint() // detach from the staged files before deletion
-      } finally deleteStagedRoot(rootPath)
+      } finally graft.sources.TempRoots.deleteRecursively(rootPath)
     }),
 
     // Index-lifecycle audit (q390) — the nightly maintenance cadence END TO
@@ -824,7 +812,7 @@ object Dedup extends QueryModule {
             max(col("n")).as("max_bucket"))
           .orderBy(col("band_id"))
           .localCheckpoint() // detach from the staged files before deletion
-      } finally deleteStagedRoot(rootPath)
+      } finally graft.sources.TempRoots.deleteRecursively(rootPath)
     }),
 
     // SimHash signatures.
@@ -1050,6 +1038,21 @@ object Dedup extends QueryModule {
     })
   )
 
+  /** The 32 universal-hash minimum aggregates of the MinHash oracle
+    * pipeline, generated ONCE — every MinHash oracle (q36/q145/q200/q252/
+    * q308 and [[lshIndexCte]] for q389/q390/q391) derives its SQL from this
+    * string, so the hash constants can never drift between oracles (they
+    * mirror [[minhashSignatures]] exactly). */
+  private val minhashMinsSql: String = (0 until 32)
+    .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
+
+  /** The 8×4 band projections over `sigs` — the SQL mirror of
+    * [[bandedSignatures]]'s slicing, shared by the same oracles. */
+  private val bandSelectsSql: String = (0 until 8)
+    .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
+      s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
+    .mkString(" UNION ALL ")
+
   /** Scratch rebuild of the persisted LSH band index ([[lshIndexRows]]) as a
     * WITH prefix ending in `bands(doc_id, band_id, b0..b3)` — the shared
     * body of the q389/q390 index-maintenance oracles: one text, so the
@@ -1059,8 +1062,10 @@ object Dedup extends QueryModule {
     * `streaming/StreamParity`) — all three maintenance paths (batch MERGE,
     * lifecycle, streaming exactly-once) verify against ONE rebuild text. */
   private[graft] val lshIndexCte: String = {
-    val mins = (0 until 32)
-      .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
+    val mins = minhashMinsSql
+    // CAST band_id to BIGINT here (the index tables emit it as a column;
+    // the candidate-stage oracles keep it internal) — otherwise identical
+    // to [[bandSelectsSql]]
     val bandSelects = (0 until 8)
       .map(b => s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, m${4 * b} AS b0, " +
         s"m${4 * b + 1} AS b1, m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
@@ -1200,12 +1205,8 @@ object Dedup extends QueryModule {
     // CANDIDATE GENERATION exactly, not just the verified similarity math.
     // The 32 min-aggregates and 8 band projections are generated by code.
     "q308_capture_recapture" -> {
-      val mins = (0 until 32)
-        .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
-      val bandSelects = (0 until 8)
-        .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
-          s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
-        .mkString(" UNION ALL ")
+      val mins = minhashMinsSql
+      val bandSelects = bandSelectsSql
       s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
          |shg AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
          |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
@@ -1264,12 +1265,8 @@ object Dedup extends QueryModule {
          |FROM x""".stripMargin
     },
     "q36_minhash_lsh" -> {
-      val mins = (0 until 32)
-        .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
-      val bandSelects = (0 until 8)
-        .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
-          s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
-        .mkString(" UNION ALL ")
+      val mins = minhashMinsSql
+      val bandSelects = bandSelectsSql
       s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
          |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
          |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
@@ -1299,12 +1296,8 @@ object Dedup extends QueryModule {
     // corpus remainder only, and the final frame is one row per batch doc
     // with its best verified match and admission verdict.
     "q200_incremental_lsh" -> {
-      val mins = (0 until 32)
-        .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
-      val bandSelects = (0 until 8)
-        .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
-          s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
-        .mkString(" UNION ALL ")
+      val mins = minhashMinsSql
+      val bandSelects = bandSelectsSql
       s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
          |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
          |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
@@ -1345,12 +1338,8 @@ object Dedup extends QueryModule {
     },
 
     "q145_lsh_audit" -> {
-      val mins = (0 until 32)
-        .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
-      val bandSelects = (0 until 8)
-        .map(b => s"SELECT doc_id, $b AS band_id, m${4 * b} AS b0, m${4 * b + 1} AS b1, " +
-          s"m${4 * b + 2} AS b2, m${4 * b + 3} AS b3 FROM sigs")
-        .mkString(" UNION ALL ")
+      val mins = minhashMinsSql
+      val bandSelects = bandSelectsSql
       s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
          |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
          |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingles
@@ -1456,8 +1445,7 @@ object Dedup extends QueryModule {
         |SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q252_minhash_k_curve" -> {
-      val mins = (0 until 32)
-        .map(i => s"min(((2*$i+1)*h + $i*1099511628211) % 4294967311) AS m$i").mkString(", ")
+      val mins = minhashMinsSql
       val kRows = Seq(4, 8, 16, 32).map { k =>
         val mm = (0 until k)
           .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")

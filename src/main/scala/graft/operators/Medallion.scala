@@ -317,15 +317,7 @@ object Medallion extends QueryModule {
         VersionedLayer.diff(s, root, v1, v3, Seq("o_orderkey"))
           .orderBy(col("o_orderkey"))
           .localCheckpoint() // detach from the staged files before deletion
-      } finally {
-        // recursive delete of the staged layer root (children first)
-        import java.nio.file.{Files, Path}
-        import scala.jdk.CollectionConverters._
-        val walk = Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      } finally graft.sources.TempRoots.deleteRecursively(rootPath)
     }),
 
     "q08_group_count" -> ((s, dir) =>

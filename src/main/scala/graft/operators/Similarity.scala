@@ -1413,14 +1413,7 @@ object Similarity extends QueryModule {
         VersionedLayer.read(s, root)
           .orderBy(col("vec_id"), col("b"))
           .localCheckpoint() // detach from the staged files before deletion
-      } finally {
-        import java.nio.file.{Files, Path}
-        import scala.jdk.CollectionConverters._
-        val walk = Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      } finally graft.sources.TempRoots.deleteRecursively(rootPath)
     }),
 
     // kNN label transfer through the seeded IVF index (see

@@ -282,15 +282,9 @@ object EventStream {
     Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
   }
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    try {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    } catch { case _: Throwable => () } // cleanup is best-effort; tmpfs clears on reboot
-  }
+  // cleanup is best-effort (swallow = true); tmpfs clears on reboot
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    graft.sources.TempRoots.deleteRecursively(root, swallow = true)
 
   /** Guard for the session-wide `resetTerminated()` calls below: this
     * engine's documented invariant is one stream at a time (Verify, Bench
@@ -307,33 +301,44 @@ object EventStream {
         active.map(_.name).mkString(", "))
   }
 
-  /** Sink the aggregation to an in-memory table (tests / demos) and process
-    * all data currently available, then stop. */
-  def runOnceToMemory(agg: DataFrame, tableName: String,
-                      statePartitions: Int = 8): Unit = {
-    // Same state-store sizing knob as [[runOnceAppendToMemory]] (see there).
-    val spark = agg.sparkSession
+  /** The ONE run-once stream lifecycle, shared by all three public runners
+    * ([[runOnceToMemory]] / [[runOnceAppendToMemory]] /
+    * [[runOnceForeachBatch]] — only the writer configuration differs):
+    *
+    *  - State-store sizing: a stateful stream instantiates one store per
+    *    shuffle partition per stateful operator per micro-batch — at the
+    *    session's batch-side 32 partitions that is pure fixed overhead for
+    *    a low-cardinality stream (the stream-stream join paid ~5 s/run in
+    *    it). Real deployments size state partitions to the stream's key
+    *    cardinality, so the knob is explicit; the partition count is
+    *    captured at stream START (and pinned by the checkpoint), after
+    *    which the session conf is restored for the batch world. Streams
+    *    here run one-at-a-time (Verify/Bench/specs are sequential), so the
+    *    temporary conf swap cannot leak into a concurrent batch plan.
+    *  - Transient tmpfs checkpoint (see [[transientCheckpointDir]]) —
+    *    deleted after termination.
+    *  - Terminated-handle release: the manager's handle on a terminated
+    *    run otherwise pins the MemorySink (and its rows) for the session
+    *    lifetime even after the caller drops the temp view.
+    *    resetTerminated() clears ALL terminated handles session-wide,
+    *    which is only safe because streams here run one-at-a-time — the
+    *    assert makes a future concurrent caller fail loudly instead of
+    *    silently losing handles. */
+  private def runOnce(df: DataFrame, name: String, statePartitions: Int)(
+      configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]
+        => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+    val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
     ensureMetricsListener(spark)
     val ckpt = transientCheckpointDir()
     try {
-      var w = agg.writeStream
-        .format("memory")
-        .queryName(tableName)
-        .outputMode(OutputMode.Complete())
-        .trigger(Trigger.AvailableNow())
+      var w = configure(df.writeStream)
       ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
-      val q = w.start()
+      val q = w.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      recordMetrics(q, tableName)
-      // Drop the manager's handle on the terminated run: it otherwise pins
-      // the MemorySink (and its rows) for the session lifetime even after
-      // the caller drops the temp view. resetTerminated() clears ALL
-      // terminated handles session-wide, which is only safe because streams
-      // here run one-at-a-time — assert that invariant so a future
-      // concurrent caller fails loudly instead of silently losing handles.
+      recordMetrics(q, name)
       assertNoActiveStreams(spark)
       spark.streams.resetTerminated()
     } finally {
@@ -342,80 +347,38 @@ object EventStream {
     }
   }
 
+  /** Sink the aggregation to an in-memory table (tests / demos) and process
+    * all data currently available, then stop. Lifecycle: [[runOnce]]. */
+  def runOnceToMemory(agg: DataFrame, tableName: String,
+                      statePartitions: Int = 8): Unit =
+    runOnce(agg, tableName, statePartitions)(
+      _.format("memory").queryName(tableName).outputMode(OutputMode.Complete()))
+
   /** foreachBatch twin of [[runOnceAppendToMemory]] for streaming
     * MAINTENANCE sinks: micro-batches drive an arbitrary batch-side writer
     * (e.g. `VersionedLayer.idempotentMergeBatch`) instead of a memory sink.
-    * Same lifecycle discipline — transient tmpfs checkpoint, metrics
-    * listener, one-at-a-time guard + terminated-handle reset. The sink fn
-    * must be idempotent per batchId: AvailableNow restarts replay the last
-    * uncommitted batch (which is exactly what the idempotent-merge marker
-    * protocol absorbs). */
+    * The sink fn must be idempotent per batchId: AvailableNow restarts
+    * replay the last uncommitted batch (which is exactly what the
+    * idempotent-merge marker protocol absorbs). Lifecycle: [[runOnce]]. */
   def runOnceForeachBatch(df: DataFrame, name: String,
                           fn: (DataFrame, Long) => Unit,
-                          statePartitions: Int = 8): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
-    ensureMetricsListener(spark)
-    val ckpt = transientCheckpointDir()
-    try {
-      var w = df.writeStream.queryName(name).foreachBatch(fn)
-      ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
-      val q = w.trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      recordMetrics(q, name)
-      // same sink-release rationale + one-at-a-time guard as above
-      assertNoActiveStreams(spark)
-      spark.streams.resetTerminated()
-    } finally {
-      if (statePartitions > 0) spark.conf.set(key, prev)
-      ckpt.foreach(deleteRecursively)
-    }
-  }
+                          statePartitions: Int = 8): Unit =
+    runOnce(df, name, statePartitions)(_.queryName(name).foreachBatch(fn))
 
   /** Append-mode twin of [[runOnceToMemory]] for stateful pipelines whose
     * rows are final the moment they are emitted (dedup pass-through, closed
     * sessions). `maxFilesPerTrigger` > 0 forces one file per micro-batch so
     * cross-batch state transitions (watermark advance, timeout firing,
     * redelivery arriving after the original) actually happen instead of
-    * collapsing into one batch. */
+    * collapsing into one batch. Lifecycle: [[runOnce]]. */
   def runOnceAppendToMemory(df: DataFrame, tableName: String,
                             maxFilesPerTrigger: Int = 0,
-                            statePartitions: Int = 8): Unit = {
-    // State-store sizing: a stateful stream instantiates one store per
-    // shuffle partition per stateful operator per micro-batch — at the
-    // session's batch-side 32 partitions that is pure fixed overhead for a
-    // low-cardinality stream (the stream-stream join paid ~5 s/run in it).
-    // Real deployments size state partitions to the stream's key
-    // cardinality, so the knob is explicit here; the partition count is
-    // captured at stream START (and pinned by the checkpoint), after which
-    // the session conf is restored for the batch world. Streams here run
-    // one-at-a-time (Verify/Bench/specs are sequential), so the temporary
-    // conf swap cannot leak into a concurrent batch plan.
-    val spark = df.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
-    ensureMetricsListener(spark)
-    val ckpt = transientCheckpointDir()
-    try {
-      var w = df.writeStream
-        .format("memory")
-        .queryName(tableName)
+                            statePartitions: Int = 8): Unit =
+    runOnce(df, tableName, statePartitions) { w0 =>
+      val w = w0.format("memory").queryName(tableName)
         .outputMode(OutputMode.Append())
       if (maxFilesPerTrigger > 0)
-        w = w.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
-      val q = w.trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      recordMetrics(q, tableName)
-      // same sink-release rationale + one-at-a-time guard as above
-      assertNoActiveStreams(spark)
-      spark.streams.resetTerminated()
-    } finally {
-      if (statePartitions > 0) spark.conf.set(key, prev)
-      ckpt.foreach(deleteRecursively)
+        w.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else w
     }
-  }
 }

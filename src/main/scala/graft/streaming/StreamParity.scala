@@ -72,17 +72,6 @@ object StreamParity extends QueryModule {
       spark.readStream.schema(Tables.events).parquet(stage)
 
   /** One staging directory per fixture file per JVM (bench reps reuse it). */
-  /** Staged temp-dir cleanup (q391's roots are per-invocation, not
-    * session-cached like [[stageDirs]] — the maintained layer must not leak
-    * between runs, the staged-temp-root discipline of q377/q383/q386). */
-  private def deleteStagedDir(rootPath: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    val walk = java.nio.file.Files.walk(rootPath)
-    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    finally walk.close()
-  }
-
   private val stageDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -539,8 +528,13 @@ object StreamParity extends QueryModule {
       try {
         VersionedLayer.write(
           Dedup.lshIndexRows(d.filter(!(col("doc_id") % 10 === 7))), root)
-        // JSON strings round-trip exactly, so the streamed text is
-        // bit-identical to what the oracle tokenizes.
+        // Staging assumption (same contract as q201/q212's JSON doc
+        // streams): fixture text is valid UTF-8, which the JSON writer
+        // round-trips exactly — the streamed text is then bit-identical to
+        // what the oracle tokenizes from parquet. Malformed UTF-8 would be
+        // re-encoded with replacement chars and hash-fail THIS query while
+        // q389/q390 (direct parquet readers) pass; that asymmetry is the
+        // diagnostic signature, not a silent divergence.
         d.filter(col("doc_id") % 10 === 7).select(col("doc_id"), col("text"))
           .repartition(4)
           .write.mode("overwrite").json(stage.resolve("in").toString)
@@ -557,8 +551,11 @@ object StreamParity extends QueryModule {
           .orderBy(col("doc_id"), col("band_id"))
           .localCheckpoint() // detach from the staged files before deletion
       } finally {
-        deleteStagedDir(rootPath)
-        deleteStagedDir(stage)
+        // q391's roots are per-invocation, not session-cached like
+        // stageDirs — the maintained layer must not leak between runs
+        // (the q377/q383/q386 staged-temp-root discipline)
+        graft.sources.TempRoots.deleteRecursively(rootPath)
+        graft.sources.TempRoots.deleteRecursively(stage)
       }
     }),
 

@@ -58,8 +58,11 @@ class Round18InvariantsSpec extends AnyFunSuite with Matchers {
   }
 
   test("q389/q390 end-to-end leave no staged layer roots behind") {
-    def staged(prefix: String) = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
-      .filter(p => p.getFileName.toString.startsWith(prefix)).count()
+    def staged(prefix: String) = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      try l.filter(p => p.getFileName.toString.startsWith(prefix)).count()
+      finally l.close()
+    }
     val before = staged("graft_q389") + staged("graft_q390")
     SparkEntry.queries("q389_lsh_index_cdc")(spark, sf0001).count() should be > 0L
     SparkEntry.queries("q390_index_lifecycle")(spark, sf0001).count() should be > 0L
@@ -92,13 +95,7 @@ class Round18InvariantsSpec extends AnyFunSuite with Matchers {
       VersionedLayer.committedVersions(spark, root) shouldBe Seq(vCompact)
       VersionedLayer.versions(spark, root) shouldBe Seq(vCompact)
       VersionedLayer.read(spark, root).count() shouldBe rowsBefore
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(rootPath)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally graft.sources.TempRoots.deleteRecursively(rootPath)
   }
 
   test("q391: four exactly-once micro-batch merges, stateless stream, replay is a no-op, maintained == rebuilt") {
@@ -141,19 +138,17 @@ class Round18InvariantsSpec extends AnyFunSuite with Matchers {
       maintained.exceptAll(scratch).count() shouldBe 0L
       scratch.exceptAll(maintained).count() shouldBe 0L
     } finally {
-      import scala.jdk.CollectionConverters._
-      for (rp <- Seq(rootPath, stage)) {
-        val walk = java.nio.file.Files.walk(rp)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      graft.sources.TempRoots.deleteRecursively(rootPath)
+      graft.sources.TempRoots.deleteRecursively(stage)
     }
   }
 
   test("q391 end-to-end leaves no staged roots behind") {
-    def staged() = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
-      .filter(p => p.getFileName.toString.startsWith("graft_q391_")).count()
+    def staged() = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      try l.filter(p => p.getFileName.toString.startsWith("graft_q391_")).count()
+      finally l.close()
+    }
     val before = staged()
     SparkEntry.queries("q391_stream_index_maintenance")(spark, sf0001).count() should be > 0L
     staged() shouldBe before
