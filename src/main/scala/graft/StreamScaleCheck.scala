@@ -43,7 +43,9 @@ object StreamScaleCheck {
       // STATELESS (foreachBatch exactly-once merges; maxState must print 0
       // at every scale); the growing artifact is the maintained layer,
       // whose delta is 8 rows per arriving doc
-      "q391_stream_index_maintenance")
+      "q391_stream_index_maintenance",
+      // dense twin of q391: stateless exactly-once ANN-index maintenance
+      "q392_stream_ann_index_maintenance")
     for (dir <- dirs; q <- queries) {
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

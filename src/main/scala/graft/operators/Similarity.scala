@@ -1133,6 +1133,40 @@ object Similarity extends QueryModule {
         col("pos").cast(LongType).as("b"), col("col").cast(LongType).as("code"))
   }
 
+  /** Encode an ARBITRARY `(vec_id, v)` frame against the FROZEN seeded
+    * model of `dir`'s corpus — the per-micro-batch encode step of the
+    * streaming index maintainer (q392, `streaming/StreamParity`): cell from
+    * the kCells lowest-id centroids (rounded-cosine argmax, −cid tiebreak —
+    * [[seededAssigned]]'s rule verbatim) and m PQ codes from the seeded
+    * codebooks ([[seededPqModel]]'s assignment verbatim). Because cell and
+    * codes are content-local per vector under the frozen model, this is
+    * row-identical to [[annIndexRows]] on the same ids — which is exactly
+    * what lets the streaming MERGE path verify against the same scratch-
+    * rebuild oracle. The model comes from `dir` (a production deployment
+    * loads its persisted quantizer); only the encoded vectors come from the
+    * caller's frame. */
+  private[graft] def annIndexRowsOf(s: SparkSession, dir: String, vecs: DataFrame,
+                                    kCells: Int = 8, m: Int = 8, ks: Int = 32): DataFrame = {
+    val (books, subDim, _) = seededPqModel(s, dir, m, ks)
+    val cents = emb(s, dir).filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cells = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct(round(cosineFast(s, col("v"), col("cv")), 6).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("v"))
+    cells
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map(b =>
+          cellOfRounded(s, slice(col("v"), b * subDim + 1, subDim), books(b))): _*).as("codes"))
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        posexplode(col("codes")))
+      .select(col("vec_id"), col("cell"),
+        col("pos").cast(LongType).as("b"), col("col").cast(LongType).as("code"))
+  }
+
   /** The quarter-sample Gram matrix shared by the spectral diagnostics
     * (q336 λ₁, q378 top-2 spectrum): upper-triangle products generated
     * row-locally, map-side combined to ≤2080 rows per partition before the
@@ -1936,7 +1970,10 @@ object Similarity extends QueryModule {
     * the prefix of [[ivfPqRrSql]] (the q381/q382 probe oracles) and as the
     * body of the q386 index-maintenance oracle — one text, so the engine's
     * persisted index and the probes that consume it can never drift. */
-  private val ivfPqIndexSql: String =
+  // private[graft]: shared with the q392 streaming-maintenance oracle
+  // (streaming/StreamParity) — stream path and batch path verify against
+  // ONE rebuild text, the lshIndexCte pattern on the dense side.
+  private[graft] val ivfPqIndexSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
       |a AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS cos FROM e CROSS JOIN c),

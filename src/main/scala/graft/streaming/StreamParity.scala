@@ -559,6 +559,54 @@ object StreamParity extends QueryModule {
       }
     }),
 
+    // Streaming ANN-index maintenance (q392) — q391's exactly-once
+    // foreachBatch pattern on the DENSE side, completing the maintenance
+    // MATRIX: {exact-fp, LSH bands, IVF-PQ} × {batch MERGE, streaming
+    // exactly-once} (q383/q389 × q386/q391/q392; the lifecycle ops proven
+    // once in q390 apply to all). Arriving vectors (q386's batch slice,
+    // staged as four json files — doubles round-trip exactly, the q388
+    // contract) are ENCODED INSIDE foreachBatch against the frozen seeded
+    // model (annIndexRowsOf — cell + m PQ codes from the corpus-trained
+    // quantizer, content-local per vector) and merged through the
+    // txn-marker protocol. Oracle = the SAME ivfPqIndexSql scratch rebuild
+    // as q386/q381/q382: the streaming path, the batch CDC path, and the
+    // probe oracles all verify against ONE SQL text. Stateless stream;
+    // the growing artifact is the maintained index (1 + m narrow rows per
+    // arriving vector).
+    "q392_stream_ann_index_maintenance" -> ((s, dir) => {
+      import graft.operators.Similarity
+      import graft.sources.{TempRoots, VersionedLayer}
+      import graft.functions.VectorFunctions
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q392_ann_idx")
+      val root = rootPath.toString
+      val stage = java.nio.file.Files.createTempDirectory("graft_q392_arrivals")
+      try {
+        VersionedLayer.write(
+          Similarity.annIndexRows(s, dir, col("vec_id") % 10 =!= 0), root)
+        Tables.read(s, dir, "embeddings")
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+          .repartition(4)
+          .write.mode("overwrite").json(stage.resolve("in").toString)
+        val arrivalSchema = new org.apache.spark.sql.types.StructType()
+          .add("vec_id", LongType)
+          .add("v", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))
+        val arrivals = s.readStream.schema(arrivalSchema)
+          .option("maxFilesPerTrigger", 1)
+          .json(stage.resolve("in").toString)
+        EventStream.runOnceForeachBatch(arrivals, "q392_maint",
+          (b, id) => VersionedLayer.idempotentMergeBatch(
+            root, Seq("vec_id", "b"), "q392")(Similarity.annIndexRowsOf(s, dir, b), id))
+        VersionedLayer.read(s, root)
+          .orderBy(col("vec_id"), col("b"))
+          .localCheckpoint() // detach from the staged files before deletion
+      } finally {
+        graft.sources.TempRoots.deleteRecursively(rootPath)
+        graft.sources.TempRoots.deleteRecursively(stage)
+      }
+    }),
+
     "q202_stream_join_equiv" -> ((s, dir) => {
       val ev = readEventsStream(s, dir)
       val impressions = ev.filter(col("event_type").isin("view", "click"))
@@ -685,6 +733,17 @@ object StreamParity extends QueryModule {
     // q388: exact all-pairs cosine between the perturbed arrivals and the
     // standing quarter slice (q385's planted-pair replay) — every planted
     // pair the streaming LSH probe must flag, recomputed from scratch.
+    // q392: the SAME scratch-rebuild text as q386 (Similarity.ivfPqIndexSql)
+    // — the streaming exactly-once path must converge to the identical
+    // ANN index the batch MERGE path maintains.
+    "q392_stream_ann_index_maintenance" ->
+      (graft.operators.Similarity.ivfPqIndexSql +
+        """
+          |SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cell,
+          |       CAST(codes.b AS BIGINT) AS b, CAST(codes.code AS BIGINT) AS code
+          |FROM asg JOIN codes USING (vec_id)
+          |ORDER BY vec_id, b""".stripMargin),
+
     // q391: the SAME scratch-rebuild text as q389/q390 (Dedup.lshIndexCte)
     // — the streaming exactly-once path must converge to the identical
     // index the batch MERGE path maintains.

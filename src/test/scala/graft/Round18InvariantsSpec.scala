@@ -154,6 +154,41 @@ class Round18InvariantsSpec extends AnyFunSuite with Matchers {
     staged() shouldBe before
   }
 
+  test("q392: frame encoder == predicate encoder, stream-maintained == rebuilt, stateless") {
+    // content-locality under the frozen model: encoding a passed (vec_id, v)
+    // frame must be row-identical to the predicate-filtered corpus encode —
+    // the identity that lets the streaming MERGE path share q386's oracle
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val byFrame = operators.Similarity.annIndexRowsOf(spark, sf0001, vecs)
+    val byPred = operators.Similarity.annIndexRows(spark, sf0001, col("vec_id") % 10 === 0)
+    byFrame.exceptAll(byPred).count() shouldBe 0L
+    byPred.exceptAll(byFrame).count() shouldBe 0L
+    // the streaming path (four exactly-once merges) converges to the
+    // scratch rebuild, and the stream itself carries no state
+    val maintained = SparkEntry.queries("q392_stream_ann_index_maintenance")(spark, sf0001)
+    val m = streaming.EventStream.lastRunMetrics.get
+    m.sink shouldBe "q392_maint"
+    m.maxStateRows shouldBe 0L
+    m.numBatches should be >= 4
+    val scratch = operators.Similarity.annIndexRows(spark, sf0001, lit(true))
+    maintained.exceptAll(scratch).count() shouldBe 0L
+    scratch.exceptAll(maintained).count() shouldBe 0L
+  }
+
+  test("q392 end-to-end leaves no staged roots behind") {
+    def staged() = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      try l.filter(p => p.getFileName.toString.startsWith("graft_q392")).count()
+      finally l.close()
+    }
+    val before = staged()
+    SparkEntry.queries("q392_stream_ann_index_maintenance")(spark, sf0001).count() should be > 0L
+    staged() shouldBe before
+  }
+
   test("q387: the ledger's own arithmetic bounds hold on the live corpus") {
     val r = SparkEntry.queries("q387_dfcap_coverage")(spark, sf0001).collect()
     r.length shouldBe 1
