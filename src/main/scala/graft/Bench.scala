@@ -41,7 +41,13 @@ object Bench {
     // itself) with SPARK_GRAFT_BENCH_NOWARM=1.
     val warm = !sys.env.get("SPARK_GRAFT_BENCH_NOWARM").contains("1")
     val results = selected.flatMap { case (name, fn) =>
-      if (warm) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+      // NonFatal only: an OOM/VM error in warm-up means the timed reps
+      // would run in a poisoned JVM — propagate instead of silently
+      // corrupting the min-of-N numbers the round verdicts rest on.
+      if (warm) {
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

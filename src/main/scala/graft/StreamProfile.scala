@@ -31,9 +31,13 @@ object StreamProfile {
       val t0 = System.nanoTime()
       var w = agg.writeStream.format("memory").queryName(s"prof_$name")
         .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
-      if (sys.env.get("SPARK_GRAFT_SHM_CKPT").contains("1"))
-        w = w.option("checkpointLocation",
-          s"/dev/shm/graft_prof_ckpt_${System.nanoTime()}")
+      // tmpfs checkpoints are RAM — delete after the run (the harness's
+      // transientCheckpointDir discipline), or repeated profiling sessions
+      // exhaust /dev/shm and state commits start failing
+      val ckpt = if (sys.env.get("SPARK_GRAFT_SHM_CKPT").contains("1"))
+        Some(java.nio.file.Paths.get(s"/dev/shm/graft_prof_ckpt_${System.nanoTime()}"))
+      else None
+      ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
       val q = w.start()
       val tStart = (System.nanoTime() - t0) / 1e9
       q.awaitTermination()
@@ -48,6 +52,7 @@ object StreamProfile {
       }
       spark.streams.resetTerminated()
       spark.catalog.dropTempView(s"prof_$name")
+      ckpt.foreach(p => graft.sources.TempRoots.deleteRecursively(p, swallow = true))
       spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 

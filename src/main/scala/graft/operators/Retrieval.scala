@@ -56,6 +56,22 @@ object Retrieval extends QueryModule {
   def docFreqs(tf: DataFrame): DataFrame =
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** q91's rare-term candidate stage: posting lists with df ≤ `dfCap`
+    * stream ordered distinct pairs via the bounded explode (the pair array
+    * never materializes inside one row — the dedup tiers' pattern). ONE
+    * implementation shared with the q387 ledger so the ledger prices
+    * EXACTLY the stage q91 runs — a drifted copy would report a pair count
+    * for a stage that no longer exists, and the ledger's oracle (which
+    * mirrors the ledger, not q91) could not catch it. */
+  private def rareTermCandidates(tf: DataFrame, dfq: DataFrame, dfCap: Int): DataFrame =
+    tf.join(dfq, "term").filter(col("df") <= dfCap)
+      .groupBy(col("term")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), explode(col("ds")).as("x"))
+      .select(col("x"), explode(expr("filter(ds, y -> y > x)")).as("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"))
+      .distinct()
+
   /** Session-materialized (doc_id, term, tf) inverted-index base — the
     * SILVER INDEX a production retrieval stack persists once and serves
     * every ranking/intersection/similarity query from (same lifecycle and
@@ -210,17 +226,7 @@ object Retrieval extends QueryModule {
           .cast(DecimalType(18, 6)).as("w"))
     val norms = w.groupBy(col("doc_id"))
       .agg(sum((col("w") * col("w")).cast(DecimalType(38, 12))).as("nsq"))
-    // rare-term posting lists stream ordered candidate pairs (same
-    // bounded-memory explode pattern as the dedup tiers — the pair array
-    // never materializes inside one row)
-    val rare = tf.join(dfq, "term").filter(col("df") <= dfCap)
-      .groupBy(col("term")).agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val cand = rare
-      .select(col("ds"), explode(col("ds")).as("x"))
-      .select(col("x"), explode(expr("filter(ds, y -> y > x)")).as("y"))
-      .select(col("x").as("id_a"), col("y").as("id_b"))
-      .distinct()
+    val cand = rareTermCandidates(tf, dfq, dfCap)
     val dots = cand
       .join(w.select(col("doc_id").as("id_a"), col("term"), col("w").as("wa")), Seq("id_a"))
       .join(w.select(col("doc_id").as("id_b"), col("term"), col("w").as("wb")), Seq("id_b", "term"))
@@ -676,15 +682,9 @@ object Retrieval extends QueryModule {
         sum(when(col("df") > cap, col("df")).otherwise(0L)).as("posting_mass_dropped"),
         sum(when(col("df") <= cap && col("df") >= 2,
           expr("df * (df - 1) div 2")).otherwise(0L)).as("pair_budget"))
-      // the exact candidate stage q91 runs (same rare-list bounded explode)
-      val rare = tf.join(dfq, "term").filter(col("df") <= cap)
-        .groupBy(col("term")).agg(collect_list(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) >= 2)
-      val nCand = rare
-        .select(col("ds"), explode(col("ds")).as("x"))
-        .select(col("x"), explode(expr("filter(ds, y -> y > x)")).as("y"))
-        .select(col("x").as("id_a"), col("y").as("id_b"))
-        .distinct()
+      // THE candidate stage q91 runs — the shared [[rareTermCandidates]],
+      // not a copy, so the ledger cannot drift from the stage it prices
+      val nCand = rareTermCandidates(tf, dfq, cap)
         .agg(count(lit(1)).as("n_candidate_pairs"))
       termStats.crossJoin(nCand)
         .select(col("n_terms"), col("n_capped_terms"),

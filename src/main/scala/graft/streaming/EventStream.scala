@@ -337,7 +337,16 @@ object EventStream {
       var w = configure(df.writeStream)
       ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
       val q = w.trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // If the wait is interrupted (test-timeout abort, shutdown hook) the
+      // query is still ACTIVE — stop it before the finally block deletes
+      // its checkpoint, or the running micro-batch dies on a confusing
+      // state-commit FileNotFound instead of a clean stop.
+      try q.awaitTermination()
+      catch {
+        case t: Throwable =>
+          try q.stop() catch { case _: Throwable => () }
+          throw t
+      }
       recordMetrics(q, name)
       assertNoActiveStreams(spark)
       spark.streams.resetTerminated()

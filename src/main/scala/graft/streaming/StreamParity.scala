@@ -494,9 +494,17 @@ object StreamParity extends QueryModule {
         .dropDuplicatesWithinWatermark("vec_id", "ref_id")
       val sink = s"q388_sink_${sinkSeq.incrementAndGet()}"
       EventStream.runOnceAppendToMemory(flagged, sink)
-      s.table(sink)
+      // Materialize the flagged pairs and release BOTH run artifacts — the
+      // memory sink (session-lived otherwise: the round-17 q10 heap-tax
+      // class q379/q384 already cure) and the arrivals staging dir (the
+      // q377/q386 staged-temp-root discipline).
+      val out = s.table(sink)
         .select(col("vec_id").as("arr_id"), col("ref_id"), col("sim"))
         .orderBy(col("arr_id"), col("ref_id"))
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
+      graft.sources.TempRoots.deleteRecursively(stage)
+      out
     }),
 
     // Streaming index maintenance (q391) — the maintainer set's STREAMING

@@ -31,12 +31,14 @@ class Round18InvariantsSpec extends AnyFunSuite with Matchers {
   }
 
   test("q386 end-to-end leaves no staged layer roots behind") {
-    val before = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
-      .filter(p => p.getFileName.toString.startsWith("graft_q386")).count()
+    def staged386() = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      try l.filter(p => p.getFileName.toString.startsWith("graft_q386")).count()
+      finally l.close()
+    }
+    val before = staged386()
     SparkEntry.queries("q386_ann_index_cdc")(spark, sf0001).count() should be > 0L
-    val after = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
-      .filter(p => p.getFileName.toString.startsWith("graft_q386")).count()
-    after shouldBe before
+    staged386() shouldBe before
   }
 
   test("q389: the merge delta is exactly the batch's band rows (8 per doc), and maintained == rebuilt") {
@@ -187,6 +189,23 @@ class Round18InvariantsSpec extends AnyFunSuite with Matchers {
     val before = staged()
     SparkEntry.queries("q392_stream_ann_index_maintenance")(spark, sf0001).count() should be > 0L
     staged() shouldBe before
+  }
+
+  test("q388 releases its memory sink and its arrivals staging dir") {
+    // the round-17 q10 heap-tax class: session-lived memory sinks + leaked
+    // staging dirs accumulate across bench reps (q379/q384's cure, now
+    // applied to q388 too — found by the round-18 self-review)
+    def staged() = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      try l.filter(p => p.getFileName.toString.startsWith("graft_q388")).count()
+      finally l.close()
+    }
+    val before = staged()
+    val r = SparkEntry.queries("q388_stream_embedding_admission")(spark, sf0001)
+    r.count() should be > 0L // readable after the sink is gone (materialized)
+    staged() shouldBe before
+    spark.catalog.listTables()
+      .filter(col("name").startsWith("q388_sink")).count() shouldBe 0L
   }
 
   test("q387: the ledger's own arithmetic bounds hold on the live corpus") {

@@ -217,7 +217,12 @@ class ScrubSpec extends AnyFunSuite with Matchers {
     // small-table join must not trip the corpus-re-scan pin (round-17
     // advice: a bare FileScan count overstated what is pinned).
     withClue("documents-table FileScan count in the final plan:\n") {
-      "FileScan[^\\n]*documents".r.findAllIn(finalPlan).size should be <= 3
+      // lower bound guards against the pin going VACUOUS: plan rendering
+      // truncates Location strings (spark.sql.maxMetadataStringLength), and
+      // a path too long to keep its 'documents' tail would make the regex
+      // match 0 scans and silently disable the ceiling this test exists for
+      "FileScan[^\\n]*documents".r.findAllIn(finalPlan).size should
+        (be >= 1 and be <= 3)
     }
   }
 }
