@@ -2,42 +2,60 @@ package graft.sources
 
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, max, min, struct, when}
+import org.apache.spark.sql.types._
 
 /** Dependency-free versioned table layer reproducing the Delta-format
   * semantics the reference actually relies on (`glue/etl_api.py:25,38,49`
   * persists every layer `format("delta")` with `mode("overwrite")`):
-  * atomic full-snapshot overwrite — readers never observe a half-written
-  * layer — plus version time travel and multi-writer commit arbitration.
-  * (The offline build environment carries no Delta/Iceberg jars; this
-  * reconstructs the reader-visible contract on plain parquet.)
+  * atomic snapshot publish — readers never observe a half-written layer —
+  * plus version time travel, multi-writer commit arbitration, and (since
+  * round 19) MANIFEST-BASED versions with per-file key stats, so MERGE
+  * rewrites only the files a delta actually touches instead of copying the
+  * whole table per commit. (The offline build environment carries no
+  * Delta/Iceberg jars; this reconstructs the reader-visible contract on
+  * plain parquet.)
   *
   * Layout under `root/`:
-  *   - `v=N/`          parquet snapshot directories;
-  *   - `_claims/N`     claim files — the arbitration log (who owns number N);
-  *   - `_commits/N`    commit markers — the publication log. A version is
-  *                     readable iff its commit marker exists; everything
-  *                     else (`_staged-*`, claimed-but-unmarked `v=N`) is
-  *                     invisible writer debris until [[vacuum]].
+  *   - `_data/<uuid>/part-*.parquet`  immutable data files. Each write
+  *                      operation stages its output under a writer-unique
+  *                      pool directory; once referenced by a committed
+  *                      manifest a file is never modified, only dropped by
+  *                      [[vacuum]] when no retained version references it.
+  *                      One physical file can back MANY versions — that
+  *                      sharing is what makes incremental commits O(delta);
+  *   - `_manifests/N`   version manifests (JSON): the table schema plus the
+  *                      list of data files composing version N, with per-
+  *                      file row counts and min/max column stats;
+  *   - `_claims/N`      claim files — the arbitration log (who owns N);
+  *   - `_commits/N`     commit markers — the publication log. A version is
+  *                      readable iff its commit marker exists; everything
+  *                      else (`_staged-*` manifests, unmarked `_manifests/N`,
+  *                      unreferenced `_data` pools) is invisible writer
+  *                      debris until [[vacuum]];
+  *   - `_txn/<app>-<id>` streaming replay cursors ([[idempotentMergeBatch]]).
   *
   * Commit protocol (Delta-style optimistic arbitration, filesystem-only):
-  *   1. stage: the writer materializes the snapshot COMPLETELY under a
-  *      writer-unique scratch directory `root/_staged-<uuid>` — no two
-  *      writers ever touch the same staging path;
+  *   1. stage: the writer materializes any NEW data files under
+  *      `_data/<uuid>` and its manifest under `root/_staged-<uuid>` — no
+  *      two writers ever touch the same staging path;
   *   2. claim: it picks N = (highest claimed-or-committed) + 1 and tries to
   *      create `_claims/N` exclusively. Exclusive create is the
   *      filesystem's compare-and-swap — atomic on HDFS (the NameNode
   *      serializes namespace mutations) and on POSIX via O_EXCL (local
   *      filesystems go through `java.nio` precisely because the Hadoop
   *      local-FS shim's create is check-then-act, not atomic). Losing the
-  *      race just advances N and retries the (cheap) claim — the snapshot
-  *      itself is never rewritten;
-  *   3. publish: owning N, the writer clears any uncommitted `v=N` debris a
-  *      crashed predecessor left, renames its staging directory to `v=N`,
-  *      and creates `_commits/N`. Both steps are uncontended — only ever
-  *      executed by the unique claim winner of N.
+  *      race just advances N and retries the (cheap) claim — data files and
+  *      manifest are never re-staged;
+  *   3. publish: owning N, the writer clears any uncommitted `_manifests/N`
+  *      debris a crashed predecessor left, renames its staged manifest to
+  *      `_manifests/N`, and creates `_commits/N`. Both steps are
+  *      uncontended — only ever executed by the unique claim winner of N.
   *
   * Consequences readers can rely on:
   *   - concurrent writers serialize: every commit gets a distinct version,
@@ -47,18 +65,43 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
   *   - a reader that resolved version N keeps reading N's immutable files
   *     even while N+1 lands (snapshot isolation);
   *   - a writer that dies at ANY step leaves the committed state — and
-  *     every reader — untouched (atomicity): it leaves a `_staged-*`
-  *     orphan, a dangling claim, or an unmarked `v=N`, all invisible;
+  *     every reader — untouched (atomicity): it leaves an unreferenced
+  *     `_data` pool, a `_staged-*` manifest, a dangling claim, or an
+  *     unmarked `_manifests/N`, all invisible;
   *   - old snapshots stay readable by version until [[vacuum]] (time travel).
   *
   * Honest scope notes: on object stores without atomic exclusive-create
   * (raw S3) the claim step needs a consistent store or a commit service —
   * the same deployment constraint every filesystem-log table format has.
   * [[vacuum]] must not run concurrently with writers (it may collect an
-  * in-flight writer's debris) — the standard retention caveat. */
+  * in-flight writer's staging debris) — the standard retention caveat. */
 object VersionedLayer {
 
+  /** Per-file manifest entry: the data file's root-relative path, its row
+    * count, and min/max stats for `statsCols` (values serialized through a
+    * string cast; a column IN `statsCols` but ABSENT from `mins`/`maxs` is
+    * all-null in that file — which a keyed merge can skip outright, since
+    * null keys never equi-match). Stats exist for IO pruning only; the
+    * exact semi-join in [[merge]] makes pruning conservative-safe even when
+    * stats are missing (such files are simply always candidates). */
+  case class FileMeta(path: String, rows: Long, statsCols: Seq[String],
+                      mins: Map[String, String], maxs: Map[String, String])
+
+  private case class Manifest(schema: StructType, files: Seq[FileMeta])
+
   private val MaxClaimAttempts = 1000
+  /** Stats are collected for the first 32 orderable atomic columns —
+    * Delta's `dataSkippingNumIndexedCols` default, same rationale: stats
+    * collection reads the new files back column-pruned, and unbounded wide
+    * tables shouldn't pay for columns nobody merges on. */
+  private val MaxStatsCols = 32
+  /** A min/max string longer than this is dropped (the column reverts to
+    * stats-not-collected for that file): full document texts in a manifest
+    * would bloat it for columns nobody keys on, and a truncated max is not
+    * a valid upper bound without Delta's increment-last-char dance. */
+  private val MaxStatsLen = 256
+
+  private val om = new ObjectMapper()
 
   private def conf(spark: SparkSession) = spark.sparkContext.hadoopConfiguration
 
@@ -67,6 +110,8 @@ object VersionedLayer {
 
   private def claimDir(root: String) = new Path(root, "_claims")
   private def commitDir(root: String) = new Path(root, "_commits")
+  private def manifestDir(root: String) = new Path(root, "_manifests")
+  private def dataDir(root: String) = new Path(root, "_data")
 
   private def listVersionFiles(f: FileSystem, d: Path): Seq[Long] =
     if (!f.exists(d)) Seq.empty
@@ -98,47 +143,287 @@ object VersionedLayer {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     committedVersions(spark, root).lastOption
 
-  /** All snapshot versions present on disk (committed or not — uncommitted
+  /** All manifest versions present on disk (committed or not — uncommitted
     * ones are crashed/in-flight writers' claims, invisible to [[read]]). */
-  def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val f = fs(spark, root)
-    val r = new Path(root)
-    if (!f.exists(r)) Seq.empty
-    else f.listStatus(r).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    listVersionFiles(fs(spark, root), manifestDir(root))
+
+  // ---------------------------------------------------------------- manifests
+
+  private def writeManifestFile(f: FileSystem, p: Path, man: Manifest): Unit = {
+    val rootNode = om.createObjectNode()
+    rootNode.put("schema", man.schema.json)
+    val arr = rootNode.putArray("files")
+    for (e <- man.files) {
+      val n = arr.addObject()
+      n.put("path", e.path)
+      n.put("rows", e.rows)
+      val sc = n.putArray("statsCols")
+      e.statsCols.foreach(sc.add)
+      val mn = n.putObject("min")
+      e.mins.foreach { case (k, v) => mn.put(k, v) }
+      val mx = n.putObject("max")
+      e.maxs.foreach { case (k, v) => mx.put(k, v) }
+    }
+    val out = f.create(p, false)
+    try out.write(om.writeValueAsBytes(rootNode))
+    finally out.close()
   }
 
-  /** Atomic full-snapshot overwrite: write `df` as the next version and
-    * publish it. Returns the committed version number. Safe under writer
-    * crashes (debris stays invisible; a retry claims the next free number)
-    * and under concurrent writers (the claim CAS arbitrates — see the
-    * commit protocol above). */
-  def write(df: DataFrame, root: String): Long = {
+  private def readManifest(spark: SparkSession, root: String, version: Long): Manifest = {
+    val f = fs(spark, root)
+    val in = f.open(new Path(manifestDir(root), version.toString))
+    val json = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    val node = om.readTree(json)
+    val schema = DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType]
+    val files = node.get("files").elements().asScala.map { n =>
+      def strMap(field: String): Map[String, String] = {
+        val obj = n.get(field)
+        obj.fieldNames().asScala.map(k => k -> obj.get(k).asText).toMap
+      }
+      FileMeta(n.get("path").asText, n.get("rows").asLong,
+        n.get("statsCols").elements().asScala.map(_.asText).toSeq,
+        strMap("min"), strMap("max"))
+    }.toSeq
+    Manifest(schema, files)
+  }
+
+  /** Manifest entries of a version — for IO accounting and lifecycle
+    * audits: a path shared between two versions' manifests is a CARRIED
+    * file (zero write IO at the later commit); a path new to a version was
+    * rewritten/appended by that commit. */
+  def fileEntries(spark: SparkSession, root: String, version: Long): Seq[FileMeta] =
+    readManifest(spark, root, version).files
+
+  /** Data files of a version (root-relative paths), for file-count/size
+    * accounting. */
+  def dataFiles(spark: SparkSession, root: String, version: Long): Seq[String] =
+    fileEntries(spark, root, version).map(_.path)
+
+  // --------------------------------------------------------------- data files
+
+  /** Types whose min/max survive a string-cast round trip within one
+    * session (Spark's double/float casts are shortest-round-trip, decimals
+    * and integers are exact, date/timestamp strings are zero-padded and
+    * compared under the same session timezone that wrote them). Everything
+    * else (arrays, structs, maps, binary) gets no stats — merges on such
+    * keys stay correct via the exact discovery join, just unpruned. */
+  private def isStatsType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private def absRoot(spark: SparkSession, root: String): String =
+    fs(spark, root).makeQualified(new Path(root)).toUri.getPath
+
+  private def relativize(fileUri: String, rootAbs: String): String = {
+    val p = new Path(fileUri).toUri.getPath
+    require(p.startsWith(rootAbs + "/"), s"data file $p escapes layer root $rootAbs")
+    p.drop(rootAbs.length + 1)
+  }
+
+  /** Stage `df` as immutable parquet files under a fresh `_data/<uuid>`
+    * pool and return their manifest entries. Per-file stats come from ONE
+    * column-pruned read-back of just the new files (IO proportional to what
+    * was written, never to the table; a parquet-footer-only variant would
+    * drop even that, at the cost of reimplementing parquet's logical-type
+    * comparators — the read-back reuses Spark's own cast semantics
+    * instead). Returns the entries and the pool path (so a writer that
+    * loses a pinned-version race can delete exactly what it staged). */
+  private def stageDataFiles(df: DataFrame, root: String): (Seq[FileMeta], Path) = {
     val spark = df.sparkSession
+    val pool = new Path(dataDir(root), UUID.randomUUID().toString)
+    df.write.mode("overwrite").parquet(pool.toString)
+    val schema = df.schema
+    val statsCols = schema.fields.toSeq
+      .filter(f => isStatsType(f.dataType) && !f.name.contains('.') && !f.name.contains('`'))
+      .take(MaxStatsCols).map(_.name)
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: statsCols.flatMap(c => Seq(
+      min(col(c)).cast(StringType).as(s"__min__$c"),
+      max(col(c)).cast(StringType).as(s"__max__$c")))
+    val rows = spark.read.schema(schema).parquet(pool.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val rootAbs = absRoot(spark, root)
+    val entries = rows.toSeq.map { r =>
+      val mins = statsCols.flatMap(c => Option(r.getAs[String](s"__min__$c")).map(c -> _)).toMap
+      val maxs = statsCols.flatMap(c => Option(r.getAs[String](s"__max__$c")).map(c -> _)).toMap
+      // oversized stats (think: a full-text column) revert to not-collected
+      val keep = statsCols.filter(c =>
+        mins.get(c).forall(_.length <= MaxStatsLen) && maxs.get(c).forall(_.length <= MaxStatsLen))
+      val keepSet = keep.toSet
+      FileMeta(relativize(r.getString(0), rootAbs), r.getAs[Long]("__n"), keep,
+        mins.filter(kv => keepSet(kv._1)), maxs.filter(kv => keepSet(kv._1)))
+    }
+    (entries, pool)
+  }
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private def readFiles(spark: SparkSession, root: String, schema: StructType,
+                        files: Seq[FileMeta]): DataFrame =
+    if (files.isEmpty) emptyDf(spark, schema)
+    else spark.read.schema(schema).parquet(files.map(e => s"$root/${e.path}"): _*)
+
+  // ------------------------------------------------------------------ publish
+
+  /** Stage the manifest, win a version number, publish. `pinned = None`
+    * claims the next free number with retry (blind overwrites commute, any
+    * slot is fine); `pinned = Some(n)` is the serializable-merge discipline —
+    * the commit must land exactly at base+1 or not at all, so a lost CAS
+    * returns None and the caller re-derives from the advanced base. */
+  private def publish(spark: SparkSession, root: String, man: Manifest,
+                      pinned: Option[Long]): Option[Long] = {
     val f = fs(spark, root)
     val staged = new Path(root, s"_staged-${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staged.toString)
+    writeManifestFile(f, staged, man)
     f.mkdirs(claimDir(root))
-    def nextFree: Long =
-      (listVersionFiles(f, claimDir(root)) ++ listVersionFiles(f, commitDir(root)))
-        .maxOption.getOrElse(0L) + 1
-    var n = nextFree
-    var attempts = 0
-    while (!createExclusive(f, new Path(claimDir(root), n.toString))) {
-      attempts += 1
-      if (attempts >= MaxClaimAttempts)
-        throw new IllegalStateException(
-          s"could not claim a version under $root after $MaxClaimAttempts attempts")
-      n = math.max(nextFree, n + 1)
+    val won: Option[Long] = pinned match {
+      case Some(n) =>
+        if (createExclusive(f, new Path(claimDir(root), n.toString))) Some(n) else None
+      case None =>
+        def nextFree: Long =
+          (listVersionFiles(f, claimDir(root)) ++ listVersionFiles(f, commitDir(root)))
+            .maxOption.getOrElse(0L) + 1
+        var n = nextFree
+        var attempts = 0
+        while (!createExclusive(f, new Path(claimDir(root), n.toString))) {
+          attempts += 1
+          if (attempts >= MaxClaimAttempts)
+            throw new IllegalStateException(
+              s"could not claim a version under $root after $MaxClaimAttempts attempts")
+          n = math.max(nextFree, n + 1)
+        }
+        Some(n)
     }
-    // publish: this writer is the unique owner of n from here on
-    val dest = new Path(root, s"v=$n")
-    if (f.exists(dest)) f.delete(dest, true) // a crashed predecessor's unmarked debris
-    if (!f.rename(staged, dest))
-      throw new IllegalStateException(s"failed to move $staged to $dest")
-    f.mkdirs(commitDir(root))
-    f.create(new Path(commitDir(root), n.toString), false).close()
-    n
+    won match {
+      case Some(n) =>
+        f.mkdirs(manifestDir(root))
+        val dest = new Path(manifestDir(root), n.toString)
+        if (f.exists(dest)) f.delete(dest, false) // crashed predecessor's unmarked debris
+        if (!f.rename(staged, dest))
+          throw new IllegalStateException(s"failed to move $staged to $dest")
+        f.mkdirs(commitDir(root))
+        f.create(new Path(commitDir(root), n.toString), false).close()
+        Some(n)
+      case None =>
+        f.delete(staged, false)
+        None
+    }
+  }
+
+  /** Atomic snapshot overwrite: stage `df`'s files + manifest as the next
+    * version and publish it. Returns the committed version number. Safe
+    * under writer crashes (debris stays invisible; a retry claims the next
+    * free number) and under concurrent writers (the claim CAS arbitrates —
+    * see the commit protocol above). */
+  def write(df: DataFrame, root: String): Long = {
+    val (entries, _) = stageDataFiles(df, root)
+    publish(df.sparkSession, root, Manifest(df.schema, entries), None).get
+  }
+
+  // -------------------------------------------------------------------- merge
+
+  /** Which base files can contain a key present in `delta` — the file-prune
+    * core. Two phases, both delta-bounded:
+    *   1. stats prune: per-file [min,max] of the FIRST key column against
+    *      the delta's key envelope. The typed comparison runs IN Spark (the
+    *      stats strings are cast back to the column's type), so numeric /
+    *      date / string orderings are exactly the engine's own — no driver
+    *      re-implementation to drift. Files whose stats were not collected
+    *      stay candidates (conservative); files whose first key column is
+    *      entirely null can never equi-match and are skipped outright.
+    *   2. exact discovery: a key-columns-only scan of the candidates,
+    *      semi-joined against the delta's distinct keys (AQE broadcasts the
+    *      delta side when small) — `input_file_name()` names the files that
+    *      genuinely hold a matched key. This is Delta's MERGE touched-file
+    *      join; it reads only the key columns (a few percent of the bytes)
+    *      of only the stats-surviving files.
+    * Pruning on the first key column alone is conservative-correct for
+    * composite keys: a full-key match implies a first-component match. */
+  private def touchedFilePaths(spark: SparkSession, root: String, man: Manifest,
+                               delta: DataFrame, keyCols: Seq[String]): Set[String] = {
+    val k0 = keyCols.head
+    val k0Type = man.schema(man.schema.fieldIndex(k0)).dataType
+    val (collected, uncollected) = man.files.partition(_.statsCols.contains(k0))
+    val (ranged, allNullKey) = collected.partition(e => e.mins.contains(k0) && e.maxs.contains(k0))
+    val _ = allNullKey // null keys never equi-match: those files are never touched
+    val rangeCandidates: Seq[FileMeta] =
+      if (ranged.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val stats = ranged.zipWithIndex
+          .map { case (e, i) => (i, e.mins(k0), e.maxs(k0)) }
+          .toDF("__i", "__lo", "__hi")
+          .select(col("__i"), col("__lo").cast(k0Type).as("__lo"), col("__hi").cast(k0Type).as("__hi"))
+        val env = delta.agg(min(col(k0)).as("__dlo"), max(col(k0)).as("__dhi"))
+        val hits = stats.crossJoin(broadcast(env)) // env is one row by construction
+          .filter(col("__dlo").isNotNull &&
+            (col("__lo").isNull || col("__hi").isNull || // un-castable stats: stay candidates
+              (!(col("__hi") < col("__dlo")) && !(col("__lo") > col("__dhi")))))
+          .select(col("__i")).collect().map(_.getInt(0)).toSet
+        ranged.zipWithIndex.collect { case (e, i) if hits(i) => e }
+      }
+    val candidates = uncollected.filter(_.rows > 0) ++ rangeCandidates
+    if (candidates.isEmpty) Set.empty
+    else {
+      val rootAbs = absRoot(spark, root)
+      val scan = readFiles(spark, root, man.schema, candidates)
+        .select(keyCols.map(col) :+ input_file_name().as("__graft_file"): _*)
+      val deltaKeys = delta.select(keyCols.map(delta(_)): _*).dropDuplicates(keyCols)
+      scan.join(deltaKeys, keyCols, "left_semi")
+        .select(col("__graft_file")).distinct()
+        .collect().map(r => relativize(r.getString(0), rootAbs)).toSet
+    }
+  }
+
+  private def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toSeq.map(f =>
+      (if (have.contains(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Derive the next version's manifest from base + delta, rewriting ONLY
+    * the touched files: untouched base files are carried into the new
+    * manifest BY REFERENCE (zero IO — the copy-on-write granularity is the
+    * file, not the table). A pure insert (key-disjoint delta — the CDC
+    * maintainers' nightly case) therefore writes O(delta) bytes. Returns
+    * the manifest and the staged data pool (for lost-race cleanup). */
+  private def mergedSnapshot(spark: SparkSession, root: String, man: Manifest,
+                             delta: DataFrame, keyCols: Seq[String]): (Manifest, Path) = {
+    keyCols.foreach(k => require(
+      man.schema.fieldNames.contains(k) && delta.columns.contains(k),
+      s"merge key column $k must exist on both the table and the delta"))
+    // union schema, delta columns first — the same order and widening the
+    // previous full-rewrite merge produced via unionByName (additive schema
+    // evolution: a column new in the delta widens the table with nulls for
+    // pre-existing rows; a column the delta dropped arrives null on the
+    // delta's rows)
+    val unionSchema = delta.limit(0)
+      .unionByName(emptyDf(spark, man.schema), allowMissingColumns = true).schema
+    // a type-WIDENING commit (int -> long, ...) would leave carried files'
+    // physical type behind the manifest schema; that rare commit forces a
+    // full rewrite rather than betting on reader-side type promotion
+    val widened = man.schema.fields.exists(f =>
+      unionSchema.find(_.name == f.name).exists(_.dataType != f.dataType))
+    val touched: Set[String] =
+      if (widened) man.files.map(_.path).toSet
+      else touchedFilePaths(spark, root, man, delta, keyCols)
+    val (rewrittenFiles, carried) = man.files.partition(e => touched.contains(e.path))
+    val rewritten =
+      if (rewrittenFiles.isEmpty) delta
+      else delta.unionByName(
+        readFiles(spark, root, man.schema, rewrittenFiles)
+          .join(delta.select(keyCols.map(delta(_)): _*).dropDuplicates(keyCols),
+            keyCols, "left_anti"),
+        allowMissingColumns = true)
+    val (newEntries, pool) = stageDataFiles(alignTo(rewritten, unionSchema), root)
+    (Manifest(unionSchema, carried ++ newEntries), pool)
   }
 
   /** Keyed upsert (MERGE semantics, whole-row update): publish a new
@@ -147,12 +432,18 @@ object VersionedLayer {
     * keys insert. A missing/empty layer makes the delta the first snapshot.
     * Returns the committed version.
     *
-    * Scale shape: ONE wide operation — the left-anti join of the (100 TB)
-    * base against the delta's keys; a small delta broadcasts (AQE decides),
-    * so the common incremental-load case never shuffles the base. The new
-    * snapshot is staged completely before the claim CAS, so readers keep
-    * snapshot isolation and crashes leave only invisible debris, exactly as
-    * [[write]].
+    * Scale shape — the commit's IO is FILE-PRUNED copy-on-write:
+    *   - read side: one key-columns-only scan of the stats-surviving
+    *     candidate files plus one anti-join over just the touched files
+    *     (AQE broadcasts a small delta, so the base never shuffles);
+    *   - write side: only touched files are rewritten; every other file is
+    *     carried by reference. A nightly insert-mostly delta against a
+    *     10 TB standing index writes ~the delta, not ~10 TB — the write-
+    *     amplification fix the round-18 audit demanded. Keys uniformly
+    *     spread across every file (e.g. content hashes in a table of few
+    *     large files) still degrade toward a full rewrite — at scale,
+    *     key-local layout (range-partitioned ids) or many-file layout is
+    *     what keeps the touched set small, exactly as with Delta's MERGE.
     *
     * Concurrency contract: version arbitration still serializes writers
     * onto distinct versions, but merge derives its snapshot from the
@@ -166,20 +457,12 @@ object VersionedLayer {
   def merge(delta: DataFrame, root: String, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = delta.sparkSession
-    val snapshot = latestVersion(spark, root) match {
-      case None => delta
+    latestVersion(spark, root) match {
+      case None => write(delta, root)
       case Some(v) =>
-        val base = read(spark, root, Some(v))
-        // allowMissingColumns = additive schema evolution (Delta's
-        // mergeSchema): a column new in the delta widens the table with
-        // nulls for pre-existing rows; a column the delta dropped arrives
-        // null on the delta's rows. Key columns are always present on both
-        // sides (the anti-join requires them), so keys never null-fill.
-        delta.unionByName(base.join(delta.select(keyCols.map(delta(_)): _*)
-          .dropDuplicates(keyCols), keyCols, "left_anti"),
-          allowMissingColumns = true)
+        val (man, _) = mergedSnapshot(spark, root, readManifest(spark, root, v), delta, keyCols)
+        publish(spark, root, man, None).get
     }
-    write(snapshot, root)
   }
 
   /** [[merge]] with Delta's optimistic-concurrency discipline on top: the
@@ -200,9 +483,10 @@ object VersionedLayer {
     * publishing holds base+1 hostage, so losers wait `waitMs` per attempt
     * for the marker to appear and give up after `maxRetries` with a
     * diagnosis naming the dangling claim ([[vacuum]] collects it). Each
-    * retry re-stages the derived snapshot — the price of deriving from a
-    * moved base; the delta itself is never recomputed (cache it upstream
-    * if it is expensive).
+    * retry re-derives and re-stages against the moved base — but stages
+    * only the TOUCHED files' rewrite, not the table (file pruning applies
+    * on every attempt); the delta itself is never recomputed (cache it
+    * upstream if it is expensive).
     *
     * Concurrent [[mergeSerializable]] callers with commuting deltas all
     * land (asserted in VersionedLayerSpec with racing threads); mixing in
@@ -217,32 +501,24 @@ object VersionedLayer {
     var attempts = 0
     while (attempts < maxRetries) {
       val base = latestVersion(spark, root)
-      val snapshot = base match {
-        case None => delta
+      val (man, pool) = base match {
+        case None =>
+          val (entries, p) = stageDataFiles(delta, root)
+          (Manifest(delta.schema, entries), p)
         case Some(v) =>
-          val b = read(spark, root, Some(v))
-          delta.unionByName(b.join(delta.select(keyCols.map(delta(_)): _*)
-            .dropDuplicates(keyCols), keyCols, "left_anti"),
-            allowMissingColumns = true)
+          mergedSnapshot(spark, root, readManifest(spark, root, v), delta, keyCols)
       }
-      val n = base.getOrElse(0L) + 1
-      val staged = new Path(root, s"_staged-${UUID.randomUUID()}")
-      snapshot.write.mode("overwrite").parquet(staged.toString)
-      f.mkdirs(claimDir(root))
-      if (createExclusive(f, new Path(claimDir(root), n.toString))) {
-        val dest = new Path(root, s"v=$n")
-        if (f.exists(dest)) f.delete(dest, true)
-        if (!f.rename(staged, dest))
-          throw new IllegalStateException(s"failed to move $staged to $dest")
-        f.mkdirs(commitDir(root))
-        f.create(new Path(commitDir(root), n.toString), false).close()
-        return n
+      publish(spark, root, man, Some(base.getOrElse(0L) + 1)) match {
+        case Some(n) => return n
+        case None =>
+          // lost the claim: another writer owns base+1. Drop our staged
+          // pool, give the winner a beat to publish, re-derive from the
+          // moved base.
+          f.delete(pool, true)
+          if (latestVersion(spark, root).getOrElse(0L) < base.getOrElse(0L) + 1)
+            Thread.sleep(waitMs)
+          attempts += 1
       }
-      // lost the claim: another writer owns base+1. Drop our stale staging,
-      // give the winner a beat to publish, re-derive from the moved base.
-      f.delete(staged, true)
-      if (latestVersion(spark, root).getOrElse(0L) < n) Thread.sleep(waitMs)
-      attempts += 1
     }
     throw new IllegalStateException(
       s"mergeSerializable lost the commit race $maxRetries times under $root; " +
@@ -260,13 +536,13 @@ object VersionedLayer {
     * created AFTER the merge commits, so the crash window (merge committed,
     * marker missing) re-applies the merge on restart — harmless, because
     * re-merging the identical delta is content-idempotent (the snapshot at
-    * a duplicate version is byte-equal; asserted in the spec). Marker-first
-    * would instead DROP a batch when the crash lands between marker and
-    * merge — the unrecoverable side of the trade. Markers are per `appId`:
-    * distinct streams into one layer keep independent replay cursors.
-    * [[vacuum]] leaves `_txn` untouched (retention of replay cursors must
-    * outlive snapshot retention — a restarted query may replay a batch
-    * older than the oldest kept snapshot). */
+    * a duplicate version is content-equal; asserted in the spec). Marker-
+    * first would instead DROP a batch when the crash lands between marker
+    * and merge — the unrecoverable side of the trade. Markers are per
+    * `appId`: distinct streams into one layer keep independent replay
+    * cursors. [[vacuum]] leaves `_txn` untouched (retention of replay
+    * cursors must outlive snapshot retention — a restarted query may replay
+    * a batch older than the oldest kept snapshot). */
   def idempotentMergeBatch(root: String, keyCols: Seq[String], appId: String)
                           (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -283,11 +559,12 @@ object VersionedLayer {
   /** Compact the published snapshot into `targetFiles` parquet files and
     * publish the rewrite as a NEW version (contents identical — asserted in
     * the spec; prior versions stay time-travelable until [[vacuum]]). The
-    * small-file problem is operational reality at scale: a day of
-    * incremental merges leaves thousands of files whose per-file open/footer
-    * cost dominates scans; compaction trades one rewrite for every future
-    * read. `coalesce` (not `repartition`) — narrowing file count must not
-    * shuffle the data. */
+    * small-file problem is operational reality at scale — and MORE so with
+    * file-pruned merges, whose appended deltas accumulate small files by
+    * design: a week of incremental merges leaves thousands of files whose
+    * per-file open/footer cost dominates scans, and compaction trades one
+    * rewrite for every future read. `coalesce` (not `repartition`) —
+    * narrowing file count must not shuffle the data. */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 1): Long =
     write(read(spark, root).coalesce(math.max(targetFiles, 1)), root)
 
@@ -325,15 +602,8 @@ object VersionedLayer {
       .select(cols.map(c => col(s"_row.$c")) :+ col("_change"): _*)
   }
 
-  /** Data files of a committed version (for file-count/size accounting). */
-  def dataFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {
-    val f = fs(spark, root)
-    f.listStatus(new Path(root, s"v=$version")).toSeq
-      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-  }
-
   /** Read the published snapshot, or a specific committed version (time
-    * travel). Uncommitted `v=N` debris is not readable. */
+    * travel). Uncommitted manifest debris is not readable. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val committed = committedVersions(spark, root)
     val v = version match {
@@ -344,19 +614,25 @@ object VersionedLayer {
       case None => committed.lastOption.getOrElse(
         throw new IllegalStateException(s"no published version under $root"))
     }
-    spark.read.parquet(s"$root/v=$v")
+    val man = readManifest(spark, root, v)
+    readFiles(spark, root, man.schema, man.files)
   }
 
-  /** Drop all snapshots older than the `keepLast` most recent committed
-    * versions (never the published one), their claim/commit log entries,
-    * and writer debris — staged directories and unmarked claims. Time
-    * travel to vacuumed versions stops working, and vacuum must not run
-    * concurrently with writers — same contract as Delta's VACUUM. */
+  /** Drop all versions older than the `keepLast` most recent committed ones
+    * (never the published one): their manifests, claim/commit log entries,
+    * writer debris (`_staged-*` manifests, dangling claims), and — because
+    * data files are SHARED across versions — every data file no retained
+    * manifest references. Time travel to vacuumed versions stops working,
+    * and vacuum must not run concurrently with writers — same contract as
+    * Delta's VACUUM. `_txn` replay cursors are never collected (see
+    * [[idempotentMergeBatch]]). */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit = {
     val f = fs(spark, root)
     val keep = committedVersions(spark, root).takeRight(math.max(keepLast, 1)).toSet
+    val referenced: Set[String] =
+      keep.flatMap(v => readManifest(spark, root, v).files.map(_.path))
     for (v <- versions(spark, root) if !keep.contains(v))
-      f.delete(new Path(root, s"v=$v"), true)
+      f.delete(new Path(manifestDir(root), v.toString), false)
     for (d <- Seq(claimDir(root), commitDir(root)); v <- listVersionFiles(f, d)
          if !keep.contains(v))
       f.delete(new Path(d, v.toString), false)
@@ -364,5 +640,14 @@ object VersionedLayer {
     if (f.exists(r))
       for (st <- f.listStatus(r) if st.getPath.getName.startsWith("_staged-"))
         f.delete(st.getPath, true)
+    val dd = dataDir(root)
+    if (f.exists(dd))
+      for (pool <- f.listStatus(dd) if pool.isDirectory) {
+        for (file <- f.listStatus(pool.getPath)) {
+          val rel = s"_data/${pool.getPath.getName}/${file.getPath.getName}"
+          if (!referenced.contains(rel)) f.delete(file.getPath, true)
+        }
+        if (f.listStatus(pool.getPath).isEmpty) f.delete(pool.getPath, true)
+      }
   }
 }

@@ -43,14 +43,24 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
   test("an unpublished (crashed) write leaves readers on the old version") {
     val root = tmpRoot()
     VersionedLayer.write(Seq((1, "a")).toDF("k", "s"), root)
-    // simulate a writer that materialized v=2 but died before its marker
-    Seq((9, "x")).toDF("k", "s").write.parquet(root + "/v=2")
+    // simulate a writer that staged its data pool AND renamed its manifest
+    // to _manifests/2 but died before creating the commit marker
+    val debris = Seq((9, "x")).toDF("k", "s")
+    debris.write.parquet(root + "/_data/debris")
+    val part = new java.io.File(root + "/_data/debris").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val quotedSchema =
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(debris.schema.json)
+    Files.createDirectories(java.nio.file.Paths.get(root, "_manifests"))
+    Files.write(java.nio.file.Paths.get(root, "_manifests", "2"),
+      (s"""{"schema":$quotedSchema,"files":[{"path":"_data/debris/$part",""" +
+        s""""rows":1,"statsCols":[],"min":{},"max":{}}]}""").getBytes("UTF-8"))
     VersionedLayer.latestVersion(spark, root) shouldBe Some(1L)
     VersionedLayer.read(spark, root).collect().map(_.getInt(0)) shouldBe Array(1)
     // the retry claims the unclaimed number, clears the debris, publishes
     VersionedLayer.write(Seq((2, "b")).toDF("k", "s"), root) shouldBe 2L
     VersionedLayer.read(spark, root).collect().map(_.getInt(0)) shouldBe Array(2)
-    // the dead writer's data is gone, not resurrected under v=2
+    // the dead writer's manifest is gone, not resurrected as version 2
     VersionedLayer.read(spark, root, Some(2L)).collect().map(_.getInt(0)) shouldBe Array(2)
   }
 
@@ -213,6 +223,74 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
       (1 to 40).toArray
     // the un-compacted version remains readable until vacuum
     VersionedLayer.read(spark, root, Some(1L)).count() shouldBe 40
+  }
+
+  // ---- round-19 file-pruned merge: write IO is O(touched files), not O(table) ----
+
+  private def keyLocalLayer(root: String): Unit = {
+    // four key-local files — ids 1-10, 11-20, 21-30, 31-40, one file per commit
+    VersionedLayer.write((1 to 10).map(i => (i, s"v$i")).toDF("k", "s").coalesce(1), root)
+    for (b <- 1 to 3)
+      VersionedLayer.merge(
+        ((b * 10 + 1) to (b * 10 + 10)).map(i => (i, s"v$i")).toDF("k", "s").coalesce(1),
+        root, Seq("k"))
+  }
+
+  test("merge is file-pruned: a key-disjoint delta appends, carrying every base file by reference") {
+    val root = tmpRoot()
+    keyLocalLayer(root)
+    val v4 = VersionedLayer.latestVersion(spark, root).get
+    val before = VersionedLayer.dataFiles(spark, root, v4)
+    before.size shouldBe 4
+    // pure insert: keys 41..50 are disjoint from every file's [min,max]
+    val v5 = VersionedLayer.merge(
+      (41 to 50).map(i => (i, s"v$i")).toDF("k", "s").coalesce(1), root, Seq("k"))
+    val after = VersionedLayer.dataFiles(spark, root, v5)
+    // every pre-existing file is carried BY REFERENCE (identical physical
+    // path — zero bytes rewritten), plus exactly the appended delta file
+    before.foreach(p => after should contain(p))
+    (after.toSet -- before.toSet).size shouldBe 1
+    VersionedLayer.read(spark, root).count() shouldBe 50
+  }
+
+  test("merge rewrites only the files whose key range intersects the delta") {
+    val root = tmpRoot()
+    keyLocalLayer(root)
+    val v4 = VersionedLayer.latestVersion(spark, root).get
+    val entriesBefore = VersionedLayer.fileEntries(spark, root, v4)
+    val hot = entriesBefore.filter(e => e.mins("k") == "11").map(_.path)
+    hot.size shouldBe 1 // the [11,20] file
+    // update five keys inside [11,20] only
+    val v5 = VersionedLayer.merge(
+      (13 to 17).map(i => (i, "UP")).toDF("k", "s").coalesce(1), root, Seq("k"))
+    val after = VersionedLayer.dataFiles(spark, root, v5).toSet
+    // the three non-intersecting files are carried; the hot file is not
+    entriesBefore.map(_.path).filterNot(hot.contains).foreach(p => after should contain(p))
+    after should not contain hot.head
+    val snap = VersionedLayer.read(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    snap.size shouldBe 40
+    (13 to 17).foreach(i => snap(i) shouldBe "UP")
+    (Seq(11, 12, 18, 19, 20) ++ (1 to 10) ++ (21 to 40)).foreach(i => snap(i) shouldBe s"v$i")
+    // the pre-update snapshot still time-travels in full
+    VersionedLayer.read(spark, root, Some(v4)).filter("k = 15").head().getString(1) shouldBe "v15"
+  }
+
+  test("vacuum keeps every data file a retained version still references") {
+    val root = tmpRoot()
+    keyLocalLayer(root)
+    val vLast = VersionedLayer.latestVersion(spark, root).get
+    val referenced = VersionedLayer.dataFiles(spark, root, vLast).toSet
+    VersionedLayer.vacuum(spark, root, keepLast = 1)
+    // versions 1..3 are gone, but their files SHARED into v4 must survive
+    VersionedLayer.versions(spark, root) shouldBe Seq(vLast)
+    VersionedLayer.read(spark, root).count() shouldBe 40
+    // and the _data tree holds exactly the referenced parquet files
+    import scala.jdk.CollectionConverters._
+    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "_data"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .map(p => java.nio.file.Paths.get(root).relativize(p).toString).toSet
+    onDisk shouldBe referenced
   }
 
   test("merge evolves the schema additively (new delta column, null backfill)") {
