@@ -38,22 +38,29 @@ object StreamProfile {
         Some(java.nio.file.Paths.get(s"/dev/shm/graft_prof_ckpt_${System.nanoTime()}"))
       else None
       ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
-      val q = w.start()
-      val tStart = (System.nanoTime() - t0) / 1e9
-      q.awaitTermination()
-      val tTotal = (System.nanoTime() - t0) / 1e9
-      println(f"[sprof] $name%-22s start()=$tStart%6.2f s  total=$tTotal%6.2f s  stateParts=$stateParts")
-      q.recentProgress.foreach { p =>
-        val st = p.stateOperators.headOption
-        println(s"[sprof]   batch=${p.batchId} rows=${p.numInputRows} " +
-          s"durationMs=${p.durationMs} " +
-          st.fold("")(s => s"stateRows=${s.numRowsTotal} updMs=${s.allUpdatesTimeMs} " +
-            s"commitMs=${s.commitTimeMs} rmMs=${s.allRemovalsTimeMs}"))
+      // cleanup runs even when the profiled stream fails or is interrupted:
+      // a leaked /dev/shm checkpoint is exactly the exhaustion the tmpfs
+      // comment above warns about, and a leaked shuffle-partition override
+      // would skew every later profile leg
+      try {
+        val q = w.start()
+        val tStart = (System.nanoTime() - t0) / 1e9
+        q.awaitTermination()
+        val tTotal = (System.nanoTime() - t0) / 1e9
+        println(f"[sprof] $name%-22s start()=$tStart%6.2f s  total=$tTotal%6.2f s  stateParts=$stateParts")
+        q.recentProgress.foreach { p =>
+          val st = p.stateOperators.headOption
+          println(s"[sprof]   batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs} " +
+            st.fold("")(s => s"stateRows=${s.numRowsTotal} updMs=${s.allUpdatesTimeMs} " +
+              s"commitMs=${s.commitTimeMs} rmMs=${s.allRemovalsTimeMs}"))
+        }
+      } finally {
+        spark.streams.resetTerminated()
+        try spark.catalog.dropTempView(s"prof_$name") catch { case _: Exception => () }
+        ckpt.foreach(p => graft.sources.TempRoots.deleteRecursively(p, swallow = true))
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
-      spark.streams.resetTerminated()
-      spark.catalog.dropTempView(s"prof_$name")
-      ckpt.foreach(p => graft.sources.TempRoots.deleteRecursively(p, swallow = true))
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
     // finer q384 BATCH-leg breakdown: one stream run feeds a sink, then each

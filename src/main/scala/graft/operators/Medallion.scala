@@ -324,7 +324,74 @@ object Medallion extends QueryModule {
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
-        .orderBy(col("o_orderstatus"), col("o_orderpriority")))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    // File-pruned MERGE IO audit (q393) — the round-19 write-amplification
+    // fix under the driver gate. The layer's versions are manifests of
+    // shared immutable files with per-file key stats; MERGE rewrites only
+    // the files whose key range can hold a delta key and carries the rest
+    // by reference. This query builds a KEY-LOCAL layout (four commits,
+    // each one o_orderkey quartile coalesced to one file), then drives the
+    // two shapes that matter at 100 TB: a key-local UPDATE (every fifth key
+    // of quartile 1 — prunable to exactly that quartile's file) and a pure
+    // APPEND (keys shifted beyond the table's max — prunable to ZERO
+    // files). The registered result is the per-commit IO ledger —
+    // carried_rows (bytes NOT rewritten, by reference) vs rewritten_rows —
+    // plus each version's full content aggregates (count, key sum, exact
+    // decimal price sum). The oracle recomputes every cell from the orders
+    // table alone: the carried/rewritten split is forced by arithmetic
+    // (quartile populations), so a regression to full-snapshot rewrites
+    // (carried 0) or a pruning bug that rewrites extra quartiles
+    // hash-fails; the per-version aggregates prove no commit lost or
+    // duplicated a row (the q390 preservation contract, extended to
+    // partial rewrites). Scale: this is the ledger entry for "a nightly
+    // 100 GB delta writes ~100 GB, not the 10 TB standing table";
+    // everything driver-side is a bounded scalar fetch (max key, six
+    // 3-column aggregate rows, manifest entry lists).
+    "q393_pruned_merge_audit" -> ((s, dir) => {
+      import graft.sources.VersionedLayer
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q393_pruned")
+      val root = rootPath.toString
+      try {
+        val orders = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+        // span > m/4, so keys [0..m] land in exactly buckets 0..3 with no
+        // negative-division edge (fixture orderkeys are 0-based)
+        val span = m / 4 + 1
+        def quartile(b: Long) =
+          orders.filter(expr(s"o_orderkey div $span") === b)
+        VersionedLayer.write(quartile(0).coalesce(1), root)
+        for (b <- 1L to 3L)
+          VersionedLayer.merge(quartile(b).coalesce(1), root, Seq("o_orderkey"))
+        // key-local update: prunable to quartile 1's single file
+        VersionedLayer.merge(
+          quartile(1).filter(col("o_orderkey") % 5 === 2)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000)
+            .coalesce(1),
+          root, Seq("o_orderkey"))
+        // pure append: keys beyond every file's max — zero files rewritten
+        VersionedLayer.merge(
+          quartile(0).select((col("o_orderkey") + (m + 1)).as("o_orderkey"),
+            col("o_totalprice")).coalesce(1),
+          root, Seq("o_orderkey"))
+        val audit = (1L to 6L).map { v =>
+          val entries = VersionedLayer.fileEntries(s, root, v)
+          val prev = if (v == 1) Set.empty[String]
+          else VersionedLayer.fileEntries(s, root, v - 1).map(_.path).toSet
+          val carried = entries.filter(e => prev(e.path)).map(_.rows).sum
+          val rewritten = entries.filterNot(e => prev(e.path)).map(_.rows).sum
+          val snap = VersionedLayer.read(s, root, Some(v))
+            .agg(count(lit(1)), sum(col("o_orderkey")),
+              graft.functions.ExactAgg.exactSum(col("o_totalprice"), 2)).head
+          (v, carried, rewritten, snap.getLong(0), snap.getLong(1), snap.getDouble(2))
+        }
+        import s.implicits._
+        audit.toDF("step", "carried_rows", "rewritten_rows",
+          "snap_rows", "snap_key_sum", "snap_price_sum")
+          .orderBy(col("step"))
+      } finally graft.sources.TempRoots.deleteRecursively(rootPath)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,6 +447,53 @@ object Medallion extends QueryModule {
         |ORDER BY o_orderkey""".stripMargin,
     "q08_group_count" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Recomputes the q393 IO ledger from orders alone: quartile populations
+    // force the carried/rewritten split of each commit (steps 1-4 build one
+    // quartile file each; step 5 may rewrite ONLY quartile 1; step 6 appends
+    // with zero rewrites), and the cumulative per-version aggregates prove
+    // content preservation across partial rewrites.
+    "q393_pruned_merge_audit" ->
+      """WITH mm AS (SELECT max(o_orderkey) AS m,
+        |                   max(o_orderkey) // 4 + 1 AS span FROM orders),
+        |b AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |             o_orderkey // (SELECT span FROM mm) AS bk
+        |      FROM orders),
+        |g AS (SELECT bk, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(o_orderkey) AS BIGINT) AS ks,
+        |             CAST(sum(p) AS DECIMAL(28,2)) AS ps
+        |      FROM b GROUP BY bk),
+        |c AS (SELECT bk, n, ks, ps,
+        |             CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |             CAST(sum(ks) OVER w AS BIGINT) AS cks,
+        |             CAST(sum(ps) OVER w AS DECIMAL(28,2)) AS cps
+        |      FROM g
+        |      WINDOW w AS (ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |      FROM b WHERE bk = 1 AND o_orderkey % 5 = 2)
+        |SELECT CAST(bk + 1 AS BIGINT) AS step,
+        |       CAST(cn - n AS BIGINT) AS carried_rows,
+        |       n AS rewritten_rows,
+        |       cn AS snap_rows, cks AS snap_key_sum,
+        |       CAST(cps AS DOUBLE) AS snap_price_sum
+        |FROM c
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT),
+        |       (SELECT cn FROM c WHERE bk = 3) - (SELECT n FROM g WHERE bk = 1),
+        |       (SELECT n FROM g WHERE bk = 1),
+        |       (SELECT cn FROM c WHERE bk = 3),
+        |       (SELECT cks FROM c WHERE bk = 3),
+        |       CAST((SELECT cps FROM c WHERE bk = 3)
+        |            + 1000 * (SELECT n FROM u) AS DOUBLE)
+        |UNION ALL
+        |SELECT CAST(6 AS BIGINT),
+        |       (SELECT cn FROM c WHERE bk = 3),
+        |       (SELECT n FROM g WHERE bk = 0),
+        |       (SELECT cn FROM c WHERE bk = 3) + (SELECT n FROM g WHERE bk = 0),
+        |       (SELECT cks FROM c WHERE bk = 3) + (SELECT ks FROM g WHERE bk = 0)
+        |         + ((SELECT m FROM mm) + 1) * (SELECT n FROM g WHERE bk = 0),
+        |       CAST((SELECT cps FROM c WHERE bk = 3) + 1000 * (SELECT n FROM u)
+        |            + (SELECT ps FROM g WHERE bk = 0) AS DOUBLE)
+        |ORDER BY step""".stripMargin
   )
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import graft.QueryModule
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
@@ -1008,7 +1010,11 @@ object Similarity extends QueryModule {
     val seeds =
       if (modelCacheDisabled) collectSeeds
       else {
-        if (seedVecCache.size > 8) seedVecCache.clear()
+        // bound the cache by evicting ONE arbitrary entry, not clear():
+        // a full flush would wipe hot entries mid-use for every 9th
+        // distinct key, and racing callers could see each other's wipes
+        if (seedVecCache.size > 8)
+          seedVecCache.keys.asScala.nextOption().foreach(k => seedVecCache.remove(k))
         seedVecCache.computeIfAbsent((s.sparkContext.applicationId, dir, ks),
           _ => collectSeeds)
       }
@@ -1029,7 +1035,9 @@ object Similarity extends QueryModule {
     val coded =
       if (modelCacheDisabled) codesFrame
       else {
-        if (seededCodesCache.size > 8) seededCodesCache.clear()
+        // one-entry eviction, same rationale as seedVecCache above
+        if (seededCodesCache.size > 8)
+          seededCodesCache.keys.asScala.nextOption().foreach(k => seededCodesCache.remove(k))
         seededCodesCache.computeIfAbsent((s.sparkContext.applicationId, dir, m, ks),
           _ => codesFrame.localCheckpoint())
       }

@@ -464,6 +464,8 @@ object StreamParity extends QueryModule {
           | x + cast((vec_id * 31 + i * 17) % 2001 - 1000 as double) / 1000000.0)"""
           .stripMargin).as("v"))
       val stage = java.nio.file.Files.createTempDirectory("graft_q388_arrivals")
+      val sink = s"q388_sink_${sinkSeq.incrementAndGet()}"
+      try {
       copies
         .select(col("vec_id"),
           timestamp_seconds(lit(1704067200L) + col("vec_id")).as("ts"), col("v"))
@@ -492,19 +494,19 @@ object StreamParity extends QueryModule {
           round(VectorFunctions.cosineFast(s, col("v"), col("ref_v")), 6).as("sim"))
         .filter(col("sim") >= 0.9)
         .dropDuplicatesWithinWatermark("vec_id", "ref_id")
-      val sink = s"q388_sink_${sinkSeq.incrementAndGet()}"
       EventStream.runOnceAppendToMemory(flagged, sink)
-      // Materialize the flagged pairs and release BOTH run artifacts — the
-      // memory sink (session-lived otherwise: the round-17 q10 heap-tax
-      // class q379/q384 already cure) and the arrivals staging dir (the
-      // q377/q386 staged-temp-root discipline).
-      val out = s.table(sink)
+      // Materialize the flagged pairs — then the finally releases BOTH run
+      // artifacts even on a failed stream: the memory sink (session-lived
+      // otherwise: the round-17 q10 heap-tax class q379/q384 already cure)
+      // and the arrivals staging dir (the q391/q392 try/finally discipline).
+      s.table(sink)
         .select(col("vec_id").as("arr_id"), col("ref_id"), col("sim"))
         .orderBy(col("arr_id"), col("ref_id"))
         .localCheckpoint()
-      s.catalog.dropTempView(sink)
-      graft.sources.TempRoots.deleteRecursively(stage)
-      out
+      } finally {
+        try s.catalog.dropTempView(sink) catch { case _: Exception => () }
+        graft.sources.TempRoots.deleteRecursively(stage)
+      }
     }),
 
     // Streaming index maintenance (q391) — the maintainer set's STREAMING
