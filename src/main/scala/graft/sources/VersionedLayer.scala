@@ -454,14 +454,32 @@ object VersionedLayer {
     * [[mergeSerializable]], which adds Delta's conflict-detection retry
     * loop and makes racing mergers serializable; concurrent blind
     * [[write]] overwrites remain safe either way. */
+  /** Materialize the delta for the duration of a merge (Delta's
+    * materializeSource discipline): the pruned merge consumes the delta in
+    * up to three jobs — key envelope, touched-file discovery, rewrite — and
+    * without pinning it each job would recompute the delta's lineage (q392's
+    * per-micro-batch PQ encode, 3×), and a non-deterministic delta could
+    * even DIVERGE between discovery and write. Deltas the caller already
+    * persisted are used as-is (and not unpersisted behind the caller's
+    * back). */
+  private def withMaterializedDelta[T](delta: DataFrame)(body: DataFrame => T): T = {
+    val ownPin = delta.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val pinned = if (ownPin)
+      delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else delta
+    try body(pinned)
+    finally if (ownPin) { pinned.unpersist(false); () }
+  }
+
   def merge(delta: DataFrame, root: String, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = delta.sparkSession
     latestVersion(spark, root) match {
       case None => write(delta, root)
-      case Some(v) =>
-        val (man, _) = mergedSnapshot(spark, root, readManifest(spark, root, v), delta, keyCols)
+      case Some(v) => withMaterializedDelta(delta) { d =>
+        val (man, _) = mergedSnapshot(spark, root, readManifest(spark, root, v), d, keyCols)
         publish(spark, root, man, None).get
+      }
     }
   }
 
@@ -498,19 +516,20 @@ object VersionedLayer {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = delta.sparkSession
     val f = fs(spark, root)
-    var attempts = 0
-    while (attempts < maxRetries) {
-      val base = latestVersion(spark, root)
-      val (man, pool) = base match {
-        case None =>
-          val (entries, p) = stageDataFiles(delta, root)
-          (Manifest(delta.schema, entries), p)
-        case Some(v) =>
-          mergedSnapshot(spark, root, readManifest(spark, root, v), delta, keyCols)
-      }
-      publish(spark, root, man, Some(base.getOrElse(0L) + 1)) match {
-        case Some(n) => return n
-        case None =>
+    val committed: Option[Long] = withMaterializedDelta(delta) { d =>
+      var attempts = 0
+      var won: Option[Long] = None
+      while (won.isEmpty && attempts < maxRetries) {
+        val base = latestVersion(spark, root)
+        val (man, pool) = base match {
+          case None =>
+            val (entries, p) = stageDataFiles(d, root)
+            (Manifest(d.schema, entries), p)
+          case Some(v) =>
+            mergedSnapshot(spark, root, readManifest(spark, root, v), d, keyCols)
+        }
+        won = publish(spark, root, man, Some(base.getOrElse(0L) + 1))
+        if (won.isEmpty) {
           // lost the claim: another writer owns base+1. Drop our staged
           // pool, give the winner a beat to publish, re-derive from the
           // moved base.
@@ -518,12 +537,14 @@ object VersionedLayer {
           if (latestVersion(spark, root).getOrElse(0L) < base.getOrElse(0L) + 1)
             Thread.sleep(waitMs)
           attempts += 1
+        }
       }
+      won
     }
-    throw new IllegalStateException(
+    committed.getOrElse(throw new IllegalStateException(
       s"mergeSerializable lost the commit race $maxRetries times under $root; " +
         s"if no concurrent writer is live, a crashed writer's dangling claim " +
-        s"${latestVersion(spark, root).getOrElse(0L) + 1} is blocking the log — vacuum reclaims it")
+        s"${latestVersion(spark, root).getOrElse(0L) + 1} is blocking the log — vacuum reclaims it"))
   }
 
   /** Exactly-once-EFFECT Structured Streaming sink: merge each micro-batch
