@@ -815,6 +815,40 @@ object Dedup extends QueryModule {
       } finally graft.sources.TempRoots.deleteRecursively(rootPath)
     }),
 
+    // Index takedown (q394) — the COMPLIANCE leg of the maintenance matrix:
+    // documents leave the corpus (legal takedown, robots revocation, user
+    // deletion) and every derived artifact must forget them WITHOUT a
+    // rebuild. The standing LSH band index is laid out key-sorted (the
+    // sorted-compact shape — disjoint per-file doc_id ranges, the layout a
+    // weekly OPTIMIZE maintains), then VersionedLayer.deleteKeys removes
+    // every band row of the takedown set (doc_id % 13 = 5, a scattered
+    // per-document set — the realistic shape) by PREFIX key: the delete
+    // rewrites only the files whose doc_id range holds a takedown id, as
+    // anti-join survivors; at deployment scale (bounded takedown set vs a
+    // 10 TB index in thousands of sorted files) that is ~|takedown| file
+    // rewrites, not a table pass. The registered result is the index AFTER
+    // takedown; the oracle rebuilds from scratch and filters the takedown
+    // docs — hash equality proves the delete removed exactly the requested
+    // documents' rows and nothing else (band rows are per-document, so
+    // post-filtering the rebuild is the exact expected state).
+    "q394_index_takedown" -> ((s, dir) => {
+      import graft.sources.VersionedLayer
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q394_takedown")
+      val root = rootPath.toString
+      try {
+        val d = docs(s, dir)
+        val idx = lshIndexRows(d).localCheckpoint()
+        VersionedLayer.write(idx, root)
+        VersionedLayer.compact(s, root, targetFiles = 4, sortBy = Seq("doc_id"))
+        VersionedLayer.deleteKeys(
+          d.filter(col("doc_id") % 13 === 5).select(col("doc_id")),
+          root, Seq("doc_id"))
+        VersionedLayer.read(s, root)
+          .orderBy(col("doc_id"), col("band_id"))
+          .localCheckpoint() // detach from the staged files before deletion
+      } finally graft.sources.TempRoots.deleteRecursively(rootPath)
+    }),
+
     // SimHash signatures.
     "q37_simhash" -> ((s, dir) =>
       simhashSignatures(s, dir)
@@ -1087,6 +1121,14 @@ object Dedup extends QueryModule {
     "q389_lsh_index_cdc" ->
       (lshIndexCte +
         "\nSELECT doc_id, band_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id, band_id"),
+
+    // q394: scratch rebuild MINUS the takedown docs (band rows are
+    // per-document, so filtering the rebuild is exactly the state a correct
+    // delete must reach) — same shared CTE text as q389/q390/q391.
+    "q394_index_takedown" ->
+      (lshIndexCte +
+        "\nSELECT doc_id, band_id, b0, b1, b2, b3 FROM bands " +
+        "WHERE doc_id % 13 <> 5 ORDER BY doc_id, band_id"),
 
     // q390: same scratch rebuild, aggregated to the per-band bucket audit —
     // a compact/vacuum that loses or duplicates one row breaks the hash.

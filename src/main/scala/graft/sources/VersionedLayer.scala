@@ -203,16 +203,14 @@ object VersionedLayer {
 
   // --------------------------------------------------------------- data files
 
-  /** Types whose min/max survive a string-cast round trip within one
-    * session (Spark's double/float casts are shortest-round-trip, decimals
-    * and integers are exact, date/timestamp strings are zero-padded and
-    * compared under the same session timezone that wrote them). Everything
-    * else (arrays, structs, maps, binary) gets no stats — merges on such
-    * keys stay correct via the exact discovery join, just unpruned. */
+  /** Types whose parquet-footer statistics are mapped into manifest stats
+    * (see [[footerStats]]'s correctness contract). Everything else —
+    * timestamps (session-timezone rendering), decimals (scale plumbing),
+    * arrays/structs/maps/binary — gets no stats: merges on such keys stay
+    * correct via the exact discovery join, just unpruned. */
   private def isStatsType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-         StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
-    case _: DecimalType => true
+         StringType | BooleanType | DateType => true
     case _ => false
   }
 
@@ -226,40 +224,134 @@ object VersionedLayer {
   }
 
   /** Stage `df` as immutable parquet files under a fresh `_data/<uuid>`
-    * pool and return their manifest entries. Per-file stats come from ONE
-    * column-pruned read-back of just the new files (IO proportional to what
-    * was written, never to the table; a parquet-footer-only variant would
-    * drop even that, at the cost of reimplementing parquet's logical-type
-    * comparators — the read-back reuses Spark's own cast semantics
-    * instead). Returns the entries and the pool path (so a writer that
-    * loses a pinned-version race can delete exactly what it staged). */
+    * pool and return their manifest entries. Per-file row counts and
+    * min/max stats come from the PARQUET FOOTERS ([[footerStats]]) — a
+    * driver-side metadata read of KBs per file, NOT a second pass over the
+    * data (a read-back would re-scan everything a 100 TB blind write just
+    * wrote). Returns the entries and the pool path (so a writer that loses
+    * a pinned-version race can delete exactly what it staged). */
   private def stageDataFiles(df: DataFrame, root: String): (Seq[FileMeta], Path) = {
     val spark = df.sparkSession
     val pool = new Path(dataDir(root), UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(pool.toString)
-    val schema = df.schema
-    val statsCols = schema.fields.toSeq
-      .filter(f => isStatsType(f.dataType) && !f.name.contains('.') && !f.name.contains('`'))
-      .take(MaxStatsCols).map(_.name)
-    val aggs: Seq[Column] = count(lit(1)).as("__n") +: statsCols.flatMap(c => Seq(
-      min(col(c)).cast(StringType).as(s"__min__$c"),
-      max(col(c)).cast(StringType).as(s"__max__$c")))
-    val rows = spark.read.schema(schema).parquet(pool.toString)
-      .groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    val f = fs(spark, root)
     val rootAbs = absRoot(spark, root)
-    val entries = rows.toSeq.map { r =>
-      val mins = statsCols.flatMap(c => Option(r.getAs[String](s"__min__$c")).map(c -> _)).toMap
-      val maxs = statsCols.flatMap(c => Option(r.getAs[String](s"__max__$c")).map(c -> _)).toMap
-      // oversized stats (think: a full-text column) revert to not-collected
-      val keep = statsCols.filter(c =>
-        mins.get(c).forall(_.length <= MaxStatsLen) && maxs.get(c).forall(_.length <= MaxStatsLen))
-      val keepSet = keep.toSet
-      FileMeta(relativize(r.getString(0), rootAbs), r.getAs[Long]("__n"), keep,
-        mins.filter(kv => keepSet(kv._1)), maxs.filter(kv => keepSet(kv._1)))
-    }
+    val statsFields = df.schema.fields.toSeq
+      .filter(fd => isStatsType(fd.dataType)).take(MaxStatsCols)
+    val entries = f.listStatus(pool).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val (rows, statsCols, mins, maxs) = footerStats(st.getPath, conf(spark), statsFields)
+        if (rows == 0) None // empty part files are never referenced
+        else Some(FileMeta(relativize(st.getPath.toString, rootAbs), rows, statsCols, mins, maxs))
+      }
     (entries, pool)
+  }
+
+  /** Per-file (rowCount, statsCols, mins, maxs) from the parquet footer.
+    * CORRECTNESS CONTRACT: a wrong bound here would let the merge prune a
+    * file it must rewrite, so only primitive/logical type combinations
+    * whose footer statistics provably match Spark's ordering and string-
+    * cast round trip are mapped — plain INT32/INT64 (and date days),
+    * FLOAT/DOUBLE (dropped when a bound is NaN: parquet's NaN handling is
+    * undefined), BOOLEAN, and UTF8 binary (compared as unsigned bytes,
+    * Spark's own UTF8String order). Anything else — decimals, timestamps,
+    * int96, nested paths, absent or truncated-away statistics — simply
+    * yields NO stats for that column: the file stays a permanent merge
+    * candidate and the exact discovery join keeps correctness (pruning is
+    * an optimization, never an oracle). Cross-validated against a Spark
+    * min/max read-back in VersionedLayerSpec. */
+  private def footerStats(file: Path, hconf: org.apache.hadoop.conf.Configuration,
+                          statsFields: Seq[StructField])
+      : (Long, Seq[String], Map[String, String], Map[String, String]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hconf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      val parquetSchema = footer.getFileMetaData.getSchema
+      val mins = scala.collection.mutable.Map[String, String]()
+      val maxs = scala.collection.mutable.Map[String, String]()
+      val collected = scala.collection.mutable.ArrayBuffer[String]()
+      for (fd <- statsFields) {
+        val idx = parquetSchema.getFields.asScala.indexWhere(t => t.getName == fd.name)
+        val primitive = idx >= 0 && parquetSchema.getType(idx).isPrimitive
+        if (primitive) {
+          val pt = parquetSchema.getType(idx).asPrimitiveType()
+          // (convert, compare) for the provably-safe combinations; None = unmappable
+          val mapped: Option[(AnyRef => String, (AnyRef, AnyRef) => Int)] =
+            (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation, fd.dataType) match {
+              case (PrimitiveType.PrimitiveTypeName.INT32, _, IntegerType) |
+                   (PrimitiveType.PrimitiveTypeName.INT32, _, ShortType) |
+                   (PrimitiveType.PrimitiveTypeName.INT32, _, ByteType) =>
+                Some((v => v.toString,
+                  (a, b) => Integer.compare(a.asInstanceOf[java.lang.Integer], b.asInstanceOf[java.lang.Integer])))
+              case (PrimitiveType.PrimitiveTypeName.INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation, DateType) =>
+                Some((v => java.time.LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue()).toString,
+                  (a, b) => Integer.compare(a.asInstanceOf[java.lang.Integer], b.asInstanceOf[java.lang.Integer])))
+              case (PrimitiveType.PrimitiveTypeName.INT64, _, LongType) =>
+                Some((v => v.toString,
+                  (a, b) => java.lang.Long.compare(a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long])))
+              case (PrimitiveType.PrimitiveTypeName.FLOAT, _, FloatType) =>
+                Some((v => v.toString,
+                  (a, b) => java.lang.Float.compare(a.asInstanceOf[java.lang.Float], b.asInstanceOf[java.lang.Float])))
+              case (PrimitiveType.PrimitiveTypeName.DOUBLE, _, DoubleType) =>
+                Some((v => v.toString,
+                  (a, b) => java.lang.Double.compare(a.asInstanceOf[java.lang.Double], b.asInstanceOf[java.lang.Double])))
+              case (PrimitiveType.PrimitiveTypeName.BOOLEAN, _, BooleanType) =>
+                Some((v => v.toString,
+                  (a, b) => java.lang.Boolean.compare(a.asInstanceOf[java.lang.Boolean], b.asInstanceOf[java.lang.Boolean])))
+              case (PrimitiveType.PrimitiveTypeName.BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation, StringType) =>
+                Some((v => v.asInstanceOf[Binary].toStringUsingUTF8,
+                  (a, b) => java.util.Arrays.compareUnsigned(
+                    a.asInstanceOf[Binary].getBytes, b.asInstanceOf[Binary].getBytes)))
+              case _ => None
+            }
+          mapped.foreach { case (render, cmp) =>
+            var ok = true
+            var lo: AnyRef = null
+            var hi: AnyRef = null
+            for (b <- blocks if ok) {
+              val chunk = b.getColumns.asScala.find(c =>
+                c.getPath.size() == 1 && c.getPath.toDotString == fd.name)
+              chunk match {
+                case Some(c) =>
+                  val s = c.getStatistics
+                  if (s == null || s.isEmpty || !s.isNumNullsSet) ok = false
+                  else if (s.hasNonNullValue) {
+                    val (mn, mx) = (s.genericGetMin.asInstanceOf[AnyRef], s.genericGetMax.asInstanceOf[AnyRef])
+                    val nan = Seq(mn, mx).exists {
+                      case d: java.lang.Double => d.isNaN
+                      case fl: java.lang.Float => fl.isNaN
+                      case _ => false
+                    }
+                    if (nan) ok = false
+                    else {
+                      if (lo == null || cmp(mn, lo) < 0) lo = mn
+                      if (hi == null || cmp(mx, hi) > 0) hi = mx
+                    }
+                  } else if (s.getNumNulls != b.getRowCount) ok = false // stats absent, not all-null
+                case None => ok = false
+              }
+            }
+            if (ok) {
+              val (loS, hiS) = (Option(lo).map(render), Option(hi).map(render))
+              if (loS.forall(_.length <= MaxStatsLen) && hiS.forall(_.length <= MaxStatsLen)) {
+                collected += fd.name
+                loS.foreach(mins(fd.name) = _) // absent when the column is all-null
+                hiS.foreach(maxs(fd.name) = _)
+              }
+            }
+          }
+        }
+      }
+      (rowCount, collected.toSeq, mins.toMap, maxs.toMap)
+    } finally reader.close()
   }
 
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
@@ -329,9 +421,19 @@ object VersionedLayer {
 
   // -------------------------------------------------------------------- merge
 
+  /** Below this many stats-bearing files the envelope phase is skipped:
+    * the exact discovery join then opens every file's key column, which is
+    * cheaper than the extra pass over the delta the envelope costs — the
+    * envelope exists for the thousands-of-files regime, where it keeps the
+    * discovery scan off files a nightly delta cannot touch. Overridable for
+    * tests via -Dgraft.mergeEnvelopeMinFiles. */
+  private def envelopeMinFiles: Int =
+    sys.props.get("graft.mergeEnvelopeMinFiles").map(_.toInt).getOrElse(64)
+
   /** Which base files can contain a key present in `delta` — the file-prune
     * core. Two phases, both delta-bounded:
-    *   1. stats prune: per-file [min,max] of the FIRST key column against
+    *   1. stats prune (engaged above [[envelopeMinFiles]] stats-bearing
+    *      files): per-file [min,max] of the FIRST key column against
     *      the delta's key envelope. The typed comparison runs IN Spark (the
     *      stats strings are cast back to the column's type), so numeric /
     *      date / string orderings are exactly the engine's own — no driver
@@ -355,6 +457,7 @@ object VersionedLayer {
     val _ = allNullKey // null keys never equi-match: those files are never touched
     val rangeCandidates: Seq[FileMeta] =
       if (ranged.isEmpty) Seq.empty
+      else if (ranged.size < envelopeMinFiles) ranged // discovery opens them all
       else {
         import spark.implicits._
         val stats = ranged.zipWithIndex
@@ -577,6 +680,42 @@ object VersionedLayer {
     }
   }
 
+  /** Keyed delete (file-pruned copy-on-write): publish a new version
+    * without any row whose `keyCols` match a row of `keys` — the takedown /
+    * right-to-be-forgotten primitive a training-data pipeline must serve.
+    * Same two-phase pruning as [[merge]]: only files that can hold a
+    * matched key are rewritten (as their anti-join survivors); every other
+    * file is carried by reference, so deleting a bounded takedown set from
+    * a 10 TB index writes ~the touched files, not the table. `keyCols` need
+    * not be the table's merge key — deleting on a PREFIX (e.g. `doc_id`
+    * alone from a `(doc_id, band_id)` index) removes every row of that
+    * prefix. Deleting keys present in no file publishes a no-op version
+    * (same file set — the audit trail of a takedown that matched nothing).
+    * Single-merger discipline as [[merge]]; returns the committed version. */
+  def deleteKeys(keys: DataFrame, root: String, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val spark = keys.sparkSession
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val man = readManifest(spark, root, v)
+    keyCols.foreach(k => require(
+      man.schema.fieldNames.contains(k) && keys.columns.contains(k),
+      s"delete key column $k must exist on both the table and the key set"))
+    withMaterializedDelta(keys.select(keyCols.map(keys(_)): _*).dropDuplicates(keyCols)) { k =>
+      val touched = touchedFilePaths(spark, root, man, k, keyCols)
+      val (doomed, carried) = man.files.partition(e => touched.contains(e.path))
+      val next =
+        if (doomed.isEmpty) Manifest(man.schema, man.files)
+        else {
+          val survivors = readFiles(spark, root, man.schema, doomed)
+            .join(k, keyCols, "left_anti")
+          val (newEntries, _) = stageDataFiles(survivors, root)
+          Manifest(man.schema, carried ++ newEntries)
+        }
+      publish(spark, root, next, None).get
+    }
+  }
+
   /** Compact the published snapshot into `targetFiles` parquet files and
     * publish the rewrite as a NEW version (contents identical — asserted in
     * the spec; prior versions stay time-travelable until [[vacuum]]). The
@@ -584,10 +723,28 @@ object VersionedLayer {
     * file-pruned merges, whose appended deltas accumulate small files by
     * design: a week of incremental merges leaves thousands of files whose
     * per-file open/footer cost dominates scans, and compaction trades one
-    * rewrite for every future read. `coalesce` (not `repartition`) —
-    * narrowing file count must not shuffle the data. */
-  def compact(spark: SparkSession, root: String, targetFiles: Int = 1): Long =
-    write(read(spark, root).coalesce(math.max(targetFiles, 1)), root)
+    * rewrite for every future read. Default shape uses `coalesce` (not
+    * `repartition`) — narrowing file count must not shuffle the data.
+    *
+    * `sortBy` (Delta's OPTIMIZE ZORDER in its 1-D form) instead
+    * range-partitions the rewrite on those columns, giving the compacted
+    * files DISJOINT key ranges: that restores the per-file stats pruning
+    * that [[merge]]/[[deleteKeys]] rely on even for hash-valued keys
+    * (fingerprints), whose incremental appends otherwise overlap every
+    * file's range and degrade a keyed update toward a full rewrite. The
+    * sorted shape pays ONE shuffle of the table — the periodic-maintenance
+    * trade: nightly appends stay O(batch), the weekly sorted compact
+    * re-localizes the layout. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 1,
+              sortBy: Seq[String] = Nil): Long = {
+    val n = math.max(targetFiles, 1)
+    val snap = read(spark, root)
+    val shaped =
+      if (sortBy.isEmpty) snap.coalesce(n)
+      else snap.repartitionByRange(n, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    write(shaped, root)
+  }
 
   /** Snapshot diff — change-data-capture BETWEEN committed versions, the
     * reader-side analogue of Delta's change data feed reconstructed from

@@ -276,6 +276,122 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
     VersionedLayer.read(spark, root, Some(v4)).filter("k = 15").head().getString(1) shouldBe "v15"
   }
 
+  test("footer stats match a Spark min/max read-back on every mapped type") {
+    // The footerStats correctness contract: per-file manifest stats come
+    // from parquet footers (zero data IO); this cross-validates every
+    // mapped type — int, long, double, unicode string, boolean, date,
+    // an all-null column — against the engine's own min/max + string cast.
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot()
+    val df = spark.range(0, 1000, 1, 4).select(
+      col("id").cast("int").as("i"),
+      col("id").as("l"),
+      (col("id") * 1.5 - 250.0).as("d"),
+      concat(lit("sé☃-"), lpad(col("id").cast("string"), 4, "0")).as("s"),
+      (col("id") % 2 === 0).as("bo"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int")).as("dt"),
+      lit(null).cast("string").as("nul"))
+    VersionedLayer.write(df, root)
+    val entries = VersionedLayer.fileEntries(spark, root, 1L)
+    entries.size shouldBe 4
+    val mapped = Seq("i", "l", "d", "s", "bo", "dt")
+    for (e <- entries) {
+      e.statsCols should contain allElementsOf (mapped :+ "nul")
+      // all-null column: collected, no bounds (prunable as never-matching)
+      e.mins.contains("nul") shouldBe false
+      e.maxs.contains("nul") shouldBe false
+      val back = spark.read.schema(df.schema).parquet(root + "/" + e.path)
+      val aggs = count(lit(1)).as("n") +: mapped.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"lo_$c"), max(col(c)).cast("string").as(s"hi_$c")))
+      val r = back.agg(aggs.head, aggs.tail: _*).head()
+      r.getLong(0) shouldBe e.rows
+      for (c <- mapped) {
+        e.mins(c) shouldBe r.getAs[String](s"lo_$c")
+        e.maxs(c) shouldBe r.getAs[String](s"hi_$c")
+      }
+    }
+  }
+
+  test("the stats envelope path (forced) prunes identically to discovery") {
+    // Below graft.mergeEnvelopeMinFiles the envelope job is skipped and the
+    // exact discovery join does all pruning; force the threshold to 1 so
+    // this test drives the ENVELOPE code path the thousands-of-files regime
+    // uses, and pin the same file-level outcomes as the discovery tests.
+    val prev = System.getProperty("graft.mergeEnvelopeMinFiles")
+    System.setProperty("graft.mergeEnvelopeMinFiles", "1")
+    try {
+      val root = tmpRoot()
+      keyLocalLayer(root)
+      val v4 = VersionedLayer.latestVersion(spark, root).get
+      val before = VersionedLayer.fileEntries(spark, root, v4)
+      // pure append: the envelope alone excludes every file — zero rewrites
+      val v5 = VersionedLayer.merge(
+        (41 to 50).map(i => (i, s"v$i")).toDF("k", "s").coalesce(1), root, Seq("k"))
+      val after5 = VersionedLayer.dataFiles(spark, root, v5)
+      before.map(_.path).foreach(p => after5 should contain(p))
+      // key-local update: envelope narrows to the [11,20] file, discovery confirms
+      val hot = before.filter(_.mins("k") == "11").map(_.path).head
+      val v6 = VersionedLayer.merge(
+        Seq((15, "UP")).toDF("k", "s"), root, Seq("k"))
+      val after6 = VersionedLayer.dataFiles(spark, root, v6)
+      after6 should not contain hot
+      (before.map(_.path).toSet - hot).foreach(p => after6 should contain(p))
+      VersionedLayer.read(spark, root).count() shouldBe 50
+      VersionedLayer.read(spark, root).filter("k = 15").head().getString(1) shouldBe "UP"
+    } finally {
+      if (prev == null) System.clearProperty("graft.mergeEnvelopeMinFiles")
+      else System.setProperty("graft.mergeEnvelopeMinFiles", prev)
+    }
+  }
+
+  test("deleteKeys removes matched keys file-pruned, carrying untouched files") {
+    val root = tmpRoot()
+    keyLocalLayer(root)
+    val v4 = VersionedLayer.latestVersion(spark, root).get
+    val before = VersionedLayer.fileEntries(spark, root, v4)
+    val hot = before.filter(_.mins("k") == "11").map(_.path)
+    hot.size shouldBe 1
+    val v5 = VersionedLayer.deleteKeys(Seq(12, 15, 19).toDF("k"), root, Seq("k"))
+    val after = VersionedLayer.dataFiles(spark, root, v5)
+    // only the [11,20] file is rewritten; the other three carry by reference
+    before.map(_.path).filterNot(hot.contains).foreach(p => after should contain(p))
+    after should not contain hot.head
+    VersionedLayer.read(spark, root).collect().map(_.getInt(0)).sorted shouldBe
+      ((1 to 40).toSet -- Set(12, 15, 19)).toArray.sorted
+    // deleting keys present nowhere publishes a no-op version: same file set
+    val v6 = VersionedLayer.deleteKeys(Seq(999).toDF("k"), root, Seq("k"))
+    VersionedLayer.dataFiles(spark, root, v6).toSet shouldBe after.toSet
+    VersionedLayer.read(spark, root).count() shouldBe 37
+    // the pre-delete snapshot still time-travels in full
+    VersionedLayer.read(spark, root, Some(v4)).count() shouldBe 40
+  }
+
+  test("sorted compact restores key locality: the next keyed update prunes to one file") {
+    val root = tmpRoot()
+    // hash-spread layout: every file's key range overlaps the whole domain,
+    // the worst case for stats pruning (a fingerprint-keyed index's shape)
+    VersionedLayer.write((1 to 400).map(i => (i, s"v$i")).toDF("k", "s").repartition(4), root)
+    val vc = VersionedLayer.compact(spark, root, targetFiles = 4, sortBy = Seq("k"))
+    val entries = VersionedLayer.fileEntries(spark, root, vc)
+    entries.size should be >= 2
+    // range-partitioned rewrite => pairwise-DISJOINT per-file key ranges
+    val ranges = entries.map(e => (e.mins("k").toInt, e.maxs("k").toInt)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => hi1 should be < lo2
+      case _ => ()
+    }
+    // and a single-key update now touches exactly ONE file
+    val vu = VersionedLayer.merge(Seq((7, "UP")).toDF("k", "s"), root, Seq("k"))
+    val compactPaths = entries.map(_.path).toSet
+    val carriedN = VersionedLayer.fileEntries(spark, root, vu).count(e => compactPaths(e.path))
+    carriedN shouldBe entries.size - 1
+    val snap = VersionedLayer.read(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    snap.size shouldBe 400
+    snap(7) shouldBe "UP"
+    snap(8) shouldBe "v8"
+  }
+
   test("vacuum keeps every data file a retained version still references") {
     val root = tmpRoot()
     keyLocalLayer(root)
