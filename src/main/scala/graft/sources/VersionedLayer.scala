@@ -606,8 +606,8 @@ object VersionedLayer {
     * diagnosis naming the dangling claim ([[vacuum]] collects it). Each
     * retry re-derives and re-stages against the moved base — but stages
     * only the TOUCHED files' rewrite, not the table (file pruning applies
-    * on every attempt); the delta itself is never recomputed (cache it
-    * upstream if it is expensive).
+    * on every attempt), and the delta is materialized ONCE for all
+    * attempts ([[withMaterializedDelta]]), never recomputed.
     *
     * Concurrent [[mergeSerializable]] callers with commuting deltas all
     * land (asserted in VersionedLayerSpec with racing threads); mixing in
