@@ -1473,6 +1473,38 @@ object Similarity extends QueryModule {
       } finally graft.sources.TempRoots.deleteRecursively(rootPath)
     }),
 
+    // ANN-index takedown (q395) — q394's compliance leg on the DENSE side,
+    // completing the maintenance matrix {LSH bands, IVF-PQ} × {batch MERGE,
+    // streaming exactly-once, keyed DELETE}: vectors leave the corpus and
+    // the standing IVF-PQ index must forget them without a re-encode. The
+    // index is key-sorted-compacted (disjoint per-file vec_id ranges —
+    // the weekly OPTIMIZE layout), then deleteKeys removes every (cell +
+    // code) row of the scattered takedown set (vec_id % 13 = 5) by PREFIX
+    // key, rewriting only the files whose range holds a takedown id as
+    // anti-join survivors. The frozen seeded quantizer model is NOT
+    // retrained by a takedown (the model derives from the training-time
+    // corpus; deletion removes indexed vectors, not codebooks) — exactly
+    // how a production deployment handles deletion between refreshes. The
+    // oracle rebuilds the full index from scratch (the shared ivfPqIndexSql
+    // text) and filters the takedown ids: hash equality proves the delete
+    // removed exactly the requested vectors' rows and nothing else.
+    "q395_ann_index_takedown" -> ((s, dir) => {
+      import graft.sources.VersionedLayer
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q395_ann_takedown")
+      val root = rootPath.toString
+      try {
+        val idx = annIndexRows(s, dir, lit(true)).localCheckpoint()
+        VersionedLayer.write(idx, root)
+        VersionedLayer.compact(s, root, targetFiles = 4, sortBy = Seq("vec_id"))
+        VersionedLayer.deleteKeys(
+          emb(s, dir).filter(col("vec_id") % 13 === 5).select(col("vec_id")),
+          root, Seq("vec_id"))
+        VersionedLayer.read(s, root)
+          .orderBy(col("vec_id"), col("b"))
+          .localCheckpoint() // detach from the staged files before deletion
+      } finally graft.sources.TempRoots.deleteRecursively(rootPath)
+    }),
+
     // kNN label transfer through the seeded IVF index (see
     // [[knnClassifySeeded]]): held-out 20% classified by in-cell top-5
     // cosine majority vote over the labeled 80%.
@@ -2495,6 +2527,18 @@ object Similarity extends QueryModule {
           |SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cell,
           |       CAST(codes.b AS BIGINT) AS b, CAST(codes.code AS BIGINT) AS code
           |FROM asg JOIN codes USING (vec_id)
+          |ORDER BY vec_id, b""".stripMargin),
+
+    // q395: the same scratch rebuild MINUS the takedown vectors (index rows
+    // are per-vector under the frozen model, so filtering the rebuild is
+    // exactly the state a correct delete must reach).
+    "q395_ann_index_takedown" ->
+      (ivfPqIndexSql +
+        """
+          |SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cell,
+          |       CAST(codes.b AS BIGINT) AS b, CAST(codes.code AS BIGINT) AS code
+          |FROM asg JOIN codes USING (vec_id)
+          |WHERE asg.vec_id % 13 <> 5
           |ORDER BY vec_id, b""".stripMargin),
     // q381's PRIMARY oracle: the composed IVF-PQ top-5 itself (the audit
     // q382 reuses the same CTEs and scores it against the exact top-k).
