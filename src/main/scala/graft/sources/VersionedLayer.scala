@@ -668,12 +668,29 @@ object VersionedLayer {
     * cursors must outlive snapshot retention — a restarted query may replay
     * a batch older than the oldest kept snapshot). */
   def idempotentMergeBatch(root: String, keyCols: Seq[String], appId: String)
-                          (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+                          (batch: DataFrame, batchId: Long): Unit =
+    idempotentBatch(root, appId, batchId, batch.sparkSession) {
+      mergeSerializable(batch, root, keyCols); ()
+    }
+
+  /** [[deleteKeys]] as an exactly-once-EFFECT streaming sink — the
+    * takedown-request STREAM: each micro-batch of keys is deleted from the
+    * layer under the same `_txn` replay-cursor protocol as
+    * [[idempotentMergeBatch]] (marker after commit; the crash-window
+    * re-delete of an already-deleted key set is content-idempotent — the
+    * anti-join of keys no file contains publishes a no-op version). */
+  def idempotentDeleteBatch(root: String, keyCols: Seq[String], appId: String)
+                           (batch: DataFrame, batchId: Long): Unit =
+    idempotentBatch(root, appId, batchId, batch.sparkSession) {
+      deleteKeys(batch, root, keyCols); ()
+    }
+
+  private def idempotentBatch(root: String, appId: String, batchId: Long,
+                              spark: SparkSession)(commit: => Unit): Unit = {
     val f = fs(spark, root)
     val marker = new Path(new Path(root, "_txn"), s"$appId-$batchId")
     if (!f.exists(marker)) {
-      mergeSerializable(batch, root, keyCols)
+      commit
       f.mkdirs(new Path(root, "_txn"))
       createExclusive(f, marker) // a racing replica's loss means it already marked
       ()

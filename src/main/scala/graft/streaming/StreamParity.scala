@@ -617,6 +617,49 @@ object StreamParity extends QueryModule {
       }
     }),
 
+    // Streaming index takedown (q396) — the DELETE column of the
+    // maintenance matrix in its streaming form: takedown REQUESTS arrive as
+    // a real micro-batch stream (four json files, maxFilesPerTrigger=1 —
+    // the cadence of a compliance queue), and each batch is applied to the
+    // standing LSH band index through the exactly-once idempotentDeleteBatch
+    // sink (same _txn replay-cursor protocol as q391/q392's merges: an
+    // AvailableNow restart's replayed batch is absorbed; the crash-window
+    // re-delete is content-idempotent). Prefix-keyed: each arriving doc_id
+    // removes all 8 of its band rows. The oracle is the SAME filtered
+    // scratch rebuild as q394 (one text for the batch delete and the
+    // streaming delete), so all takedown paths are proven to converge to
+    // the identical index — the q389/q390/q391 one-oracle contract, now on
+    // the delete side. Stateless stream; the only artifact is the
+    // maintained layer, shrinking by exactly the requested documents.
+    "q396_stream_index_takedown" -> ((s, dir) => {
+      import graft.operators.Dedup
+      import graft.sources.VersionedLayer
+      val d = Tables.read(s, dir, "documents")
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_q396_takedown_idx")
+      val root = rootPath.toString
+      val stage = java.nio.file.Files.createTempDirectory("graft_q396_requests")
+      try {
+        VersionedLayer.write(Dedup.lshIndexRows(d), root)
+        d.filter(col("doc_id") % 13 === 5).select(col("doc_id"))
+          .repartition(4)
+          .write.mode("overwrite").json(stage.resolve("in").toString)
+        val requestSchema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", LongType)
+        val requests = s.readStream.schema(requestSchema)
+          .option("maxFilesPerTrigger", 1)
+          .json(stage.resolve("in").toString)
+        EventStream.runOnceForeachBatch(requests, "q396_takedown",
+          (b, id) => VersionedLayer.idempotentDeleteBatch(
+            root, Seq("doc_id"), "q396")(b, id))
+        VersionedLayer.read(s, root)
+          .orderBy(col("doc_id"), col("band_id"))
+          .localCheckpoint() // detach from the staged files before deletion
+      } finally {
+        graft.sources.TempRoots.deleteRecursively(rootPath)
+        graft.sources.TempRoots.deleteRecursively(stage)
+      }
+    }),
+
     "q202_stream_join_equiv" -> ((s, dir) => {
       val ev = readEventsStream(s, dir)
       val impressions = ev.filter(col("event_type").isin("view", "click"))
@@ -760,6 +803,14 @@ object StreamParity extends QueryModule {
     "q391_stream_index_maintenance" ->
       (graft.operators.Dedup.lshIndexCte +
         "\nSELECT doc_id, band_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id, band_id"),
+
+    // q396: the SAME filtered rebuild text as q394 — the streaming
+    // exactly-once delete path must converge to the identical index the
+    // batch deleteKeys path reaches.
+    "q396_stream_index_takedown" ->
+      (graft.operators.Dedup.lshIndexCte +
+        "\nSELECT doc_id, band_id, b0, b1, b2, b3 FROM bands " +
+        "WHERE doc_id % 13 <> 5 ORDER BY doc_id, band_id"),
 
     "q388_stream_embedding_admission" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

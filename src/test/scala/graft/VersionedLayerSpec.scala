@@ -141,6 +141,26 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
       .map(_.getInt(0)).toSet shouldBe Set(1, 2, 3, 4)
   }
 
+  test("idempotent streaming delete: replayed batch ids apply no second effect") {
+    val root = tmpRoot()
+    VersionedLayer.write(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "s"), root)
+    val sink = VersionedLayer.idempotentDeleteBatch(root, Seq("k"), "del1") _
+    sink(Seq(2).toDF("k"), 0L)
+    sink(Seq(4).toDF("k"), 1L)
+    VersionedLayer.read(spark, root).collect().map(_.getInt(0)).sorted shouldBe Array(1, 3)
+    val vAfter = VersionedLayer.latestVersion(spark, root)
+    // restart replays batch 1: marker short-circuits, no new version
+    sink(Seq(4).toDF("k"), 1L)
+    VersionedLayer.latestVersion(spark, root) shouldBe vAfter
+    // the crash window (delete committed, marker lost) re-deletes the same
+    // keys: a no-op version whose snapshot is content-identical
+    VersionedLayer.deleteKeys(Seq(4).toDF("k"), root, Seq("k"))
+    VersionedLayer.read(spark, root).collect().map(_.getInt(0)).sorted shouldBe Array(1, 3)
+    // independent per-app cursors: another app's same batch id still applies
+    VersionedLayer.idempotentDeleteBatch(root, Seq("k"), "del2")(Seq(1).toDF("k"), 1L)
+    VersionedLayer.read(spark, root).collect().map(_.getInt(0)) shouldBe Array(3)
+  }
+
   test("replay cursors (_txn markers) outlive vacuum: a replayed batch after vacuum is still a no-op") {
     // The documented retention contract: [[vacuum]] collects snapshots and
     // claim/commit markers but NEVER _txn replay cursors — a restarted
