@@ -74,7 +74,13 @@ import org.apache.spark.sql.types._
   * (raw S3) the claim step needs a consistent store or a commit service —
   * the same deployment constraint every filesystem-log table format has.
   * [[vacuum]] must not run concurrently with writers (it may collect an
-  * in-flight writer's staging debris) — the standard retention caveat. */
+  * in-flight writer's staging debris) — the standard retention caveat.
+  * A manifest holds one JSON entry per data file, so its size scales with
+  * the version's file count: bound file count operationally with
+  * [[compact]] (the same discipline Delta needs before its parquet
+  * checkpoints), and footer/stat reads parallelize on the driver but are
+  * still driver-side — the next step at extreme file counts would be
+  * Delta's checkpointed-log shape, not a different algorithm. */
 object VersionedLayer {
 
   /** Per-file manifest entry: the data file's root-relative path, its row
@@ -238,14 +244,26 @@ object VersionedLayer {
     val rootAbs = absRoot(spark, root)
     val statsFields = df.schema.fields.toSeq
       .filter(fd => isStatsType(fd.dataType)).take(MaxStatsCols)
-    val entries = f.listStatus(pool).toSeq
+    val parts = f.listStatus(pool).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-      .flatMap { st =>
-        val (rows, statsCols, mins, maxs) = footerStats(st.getPath, conf(spark), statsFields)
-        if (rows == 0) None // empty part files are never referenced
-        else Some(FileMeta(relativize(st.getPath.toString, rootAbs), rows, statsCols, mins, maxs))
+    // footer reads are independent driver-side IO — parallelize on a
+    // bounded pool so a many-file commit (sorted compact, wide blind
+    // write) doesn't serialize hundreds of thousands of metadata reads
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, parts.size)))
+    val entries = try {
+      val futs = parts.map { st =>
+        exec.submit(new java.util.concurrent.Callable[Option[FileMeta]] {
+          def call(): Option[FileMeta] = {
+            val (rows, statsCols, mins, maxs) = footerStats(st.getPath, conf(spark), statsFields)
+            if (rows == 0) None // empty part files are never referenced
+            else Some(FileMeta(relativize(st.getPath.toString, rootAbs), rows, statsCols, mins, maxs))
+          }
+        })
       }
+      futs.flatMap(_.get()) // ordered: futures mapped over the sorted listing
+    } finally exec.shutdown()
     (entries, pool)
   }
 
