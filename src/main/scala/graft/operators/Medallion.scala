@@ -355,7 +355,7 @@ object Medallion extends QueryModule {
       try {
         val orders = Tables.read(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
-        val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+        val m = orders.agg(max(col("o_orderkey"))).head().getLong(0)
         // span > m/4, so keys [0..m] land in exactly buckets 0..3 with no
         // negative-division edge (fixture orderkeys are 0-based)
         val span = m / 4 + 1
@@ -383,7 +383,7 @@ object Medallion extends QueryModule {
           val rewritten = entries.filterNot(e => prev(e.path)).map(_.rows).sum
           val snap = VersionedLayer.read(s, root, Some(v))
             .agg(count(lit(1)), sum(col("o_orderkey")),
-              graft.functions.ExactAgg.exactSum(col("o_totalprice"), 2)).head
+              graft.functions.ExactAgg.exactSum(col("o_totalprice"), 2)).head()
           (v, carried, rewritten, snap.getLong(0), snap.getLong(1), snap.getDouble(2))
         }
         import s.implicits._

@@ -339,7 +339,7 @@ object VersionedLayer {
                 c.getPath.size() == 1 && c.getPath.toDotString == fd.name)
               chunk match {
                 case Some(c) =>
-                  val s = c.getStatistics
+                  val s: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
                   if (s == null || s.isEmpty || !s.isNumNullsSet) ok = false
                   else if (s.hasNonNullValue) {
                     val (mn, mx) = (s.genericGetMin.asInstanceOf[AnyRef], s.genericGetMax.asInstanceOf[AnyRef])
