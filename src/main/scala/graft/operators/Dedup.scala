@@ -770,8 +770,14 @@ object Dedup extends QueryModule {
         // to encoding each slice separately — production bands ONLY the
         // arriving batch; here the standing build is part of the measured
         // run anyway, so sharing the pass just avoids a second corpus scan).
+        // the standing index is persisted hive-layouted by band (the shape
+        // q200's deployment probe wants: a single-band admission probe
+        // partition-prunes 7/8 of the index at the manifest, spec-pinned in
+        // VersionedLayerSpec); the CDC merge preserves the layout, so
+        // nightly maintenance never erodes the probe path
         val idx = lshIndexRows(docs(s, dir)).localCheckpoint()
-        VersionedLayer.write(idx.filter(!(col("doc_id") % 10 === 7)), root)
+        VersionedLayer.write(idx.filter(!(col("doc_id") % 10 === 7)), root,
+          layoutBy = Seq("band_id"))
         VersionedLayer.merge(idx.filter(col("doc_id") % 10 === 7),
           root, Seq("doc_id", "band_id"))
         VersionedLayer.read(s, root)

@@ -54,12 +54,30 @@ object Similarity extends QueryModule {
   // the Dedup silver-layer caches). Training is DETERMINISTIC (seeded,
   // content-hash sampled), so cached-vs-fresh results are identical —
   // asserted in DedupSimilaritySpec.
+  /** Access-ordered bounded cache for the seeded-model artifacts: eviction
+    * drops the LEAST-recently-used key, so a working set that fits never
+    * thrashes and the key being requested is never the victim (the
+    * arbitrary-victim ConcurrentHashMap eviction this replaces could evict
+    * and recompute the hot entry on every call once 9 keys were live).
+    * Value computation runs inside the lock — same serialization
+    * computeIfAbsent gave per bin, acceptable for a driver-side model
+    * cache whose values are computed once per session. */
+  private final class LruCache[K, V](cap: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = size() > cap
+    }
+    def getOrElseUpdate(k: K)(v: => V): V = m.synchronized {
+      val hit = m.get(k)
+      if (hit != null) hit else { val nv = v; m.put(k, nv); nv }
+    }
+  }
+
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), Array[Array[Double]]]()
   private val pqBookCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), Array[Array[Array[Double]]]]()
   private val seededCodesCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), DataFrame]()
+    new LruCache[(String, String, Int, Int), DataFrame](8)
   private val povDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), (Array[Double], Array[Double])]()
   private val gramCellsCache =
@@ -999,7 +1017,7 @@ object Similarity extends QueryModule {
     * which q392's four per-micro-batch encodes would pay 4× per invocation
     * (the retrain-inside-the-timed-query anti-pattern in miniature). */
   private val seedVecCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Array[Array[Double]]]()
+    new LruCache[(String, String, Int), Array[Array[Double]]](8)
 
   private def seededPqModel(s: SparkSession, dir: String, m: Int, ks: Int)
       : (Array[Array[Array[Double]]], Int, DataFrame) = {
@@ -1009,15 +1027,7 @@ object Similarity extends QueryModule {
         .map(_.getSeq[Double](0).toArray)
     val seeds =
       if (modelCacheDisabled) collectSeeds
-      else {
-        // bound the cache by evicting ONE arbitrary entry, not clear():
-        // a full flush would wipe hot entries mid-use for every 9th
-        // distinct key, and racing callers could see each other's wipes
-        if (seedVecCache.size > 8)
-          seedVecCache.keys.asScala.nextOption().foreach(k => seedVecCache.remove(k))
-        seedVecCache.computeIfAbsent((s.sparkContext.applicationId, dir, ks),
-          _ => collectSeeds)
-      }
+      else seedVecCache.getOrElseUpdate((s.sparkContext.applicationId, dir, ks))(collectSeeds)
     require(seeds.length == ks, s"corpus has fewer than $ks vectors")
     // dim derives from the data — a different embedding width must fail
     // fast here, not let slice() silently misalign the subvectors
@@ -1034,13 +1044,8 @@ object Similarity extends QueryModule {
           cellOfRounded(s, slice(col("v"), b * subDim + 1, subDim), books(b))): _*).as("codes"))
     val coded =
       if (modelCacheDisabled) codesFrame
-      else {
-        // one-entry eviction, same rationale as seedVecCache above
-        if (seededCodesCache.size > 8)
-          seededCodesCache.keys.asScala.nextOption().foreach(k => seededCodesCache.remove(k))
-        seededCodesCache.computeIfAbsent((s.sparkContext.applicationId, dir, m, ks),
-          _ => codesFrame.localCheckpoint())
-      }
+      else seededCodesCache.getOrElseUpdate((s.sparkContext.applicationId, dir, m, ks))(
+        codesFrame.localCheckpoint())
     (books, subDim, coded)
   }
 

@@ -89,11 +89,23 @@ object VersionedLayer {
     * all-null in that file — which a keyed merge can skip outright, since
     * null keys never equi-match). Stats exist for IO pruning only; the
     * exact semi-join in [[merge]] makes pruning conservative-safe even when
-    * stats are missing (such files are simply always candidates). */
+    * stats are missing (such files are simply always candidates).
+    *
+    * `partition` is the file's hive-layout values when the layer was
+    * written with `layoutBy` (decoded strings; [[HiveNullPartition]] stands
+    * for a null value) — these columns are NOT in the data file and are
+    * reconstructed as literals at read. Layout values also appear in
+    * `statsCols`/`mins`/`maxs` (min = max = the value), so the merge/delete
+    * stats envelope prunes on a layout key exactly as on a data column. */
   case class FileMeta(path: String, rows: Long, statsCols: Seq[String],
-                      mins: Map[String, String], maxs: Map[String, String])
+                      mins: Map[String, String], maxs: Map[String, String],
+                      partition: Map[String, String] = Map.empty)
 
-  private case class Manifest(schema: StructType, files: Seq[FileMeta])
+  private case class Manifest(schema: StructType, files: Seq[FileMeta],
+                              layout: Seq[String] = Nil)
+
+  /** Hive's directory name for a null partition value. */
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   private val MaxClaimAttempts = 1000
   /** Stats are collected for the first 32 orderable atomic columns —
@@ -159,6 +171,10 @@ object VersionedLayer {
   private def writeManifestFile(f: FileSystem, p: Path, man: Manifest): Unit = {
     val rootNode = om.createObjectNode()
     rootNode.put("schema", man.schema.json)
+    if (man.layout.nonEmpty) {
+      val lay = rootNode.putArray("layout")
+      man.layout.foreach(lay.add)
+    }
     val arr = rootNode.putArray("files")
     for (e <- man.files) {
       val n = arr.addObject()
@@ -170,6 +186,10 @@ object VersionedLayer {
       e.mins.foreach { case (k, v) => mn.put(k, v) }
       val mx = n.putObject("max")
       e.maxs.foreach { case (k, v) => mx.put(k, v) }
+      if (e.partition.nonEmpty) {
+        val pv = n.putObject("partition")
+        e.partition.foreach { case (k, v) => pv.put(k, v) }
+      }
     }
     val out = f.create(p, false)
     try out.write(om.writeValueAsBytes(rootNode))
@@ -183,16 +203,18 @@ object VersionedLayer {
     finally in.close()
     val node = om.readTree(json)
     val schema = DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType]
+    val layout = Option(node.get("layout"))
+      .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
     val files = node.get("files").elements().asScala.map { n =>
-      def strMap(field: String): Map[String, String] = {
-        val obj = n.get(field)
-        obj.fieldNames().asScala.map(k => k -> obj.get(k).asText).toMap
+      def strMap(field: String): Map[String, String] = Option(n.get(field)) match {
+        case None => Map.empty
+        case Some(obj) => obj.fieldNames().asScala.map(k => k -> obj.get(k).asText).toMap
       }
       FileMeta(n.get("path").asText, n.get("rows").asLong,
         n.get("statsCols").elements().asScala.map(_.asText).toSeq,
-        strMap("min"), strMap("max"))
+        strMap("min"), strMap("max"), strMap("partition"))
     }.toSeq
-    Manifest(schema, files)
+    Manifest(schema, files, layout)
   }
 
   /** Manifest entries of a version — for IO accounting and lifecycle
@@ -229,24 +251,76 @@ object VersionedLayer {
     p.drop(rootAbs.length + 1)
   }
 
+  /** Decode one hive path segment value (`%XX` escapes, as Hive/Spark's
+    * `escapePathName` produces). */
+  private def unescapePathName(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          val hex = s.substring(i + 1, i + 3)
+          try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+          catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Parse the layout values encoded in a staged file's pool-relative path
+    * (`band_id=3/part-…`): one `k=v` directory per layout column, in layout
+    * order — exactly what `DataFrameWriter.partitionBy` produces. */
+  private def partitionOfPath(poolRel: String, layout: Seq[String]): Map[String, String] = {
+    val segs = poolRel.split('/').dropRight(1)
+    require(segs.length == layout.size,
+      s"staged file $poolRel does not match layout ${layout.mkString(",")}")
+    layout.zip(segs).map { case (c, seg) =>
+      val eq = seg.indexOf('=')
+      require(eq > 0 && unescapePathName(seg.take(eq)) == c,
+        s"staged segment $seg does not encode layout column $c")
+      c -> unescapePathName(seg.drop(eq + 1))
+    }.toMap
+  }
+
+  private def listParquetRec(f: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = f.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st
+    }
+    buf.toSeq
+  }
+
   /** Stage `df` as immutable parquet files under a fresh `_data/<uuid>`
     * pool and return their manifest entries. Per-file row counts and
     * min/max stats come from the PARQUET FOOTERS ([[footerStats]]) — a
     * driver-side metadata read of KBs per file, NOT a second pass over the
     * data (a read-back would re-scan everything a 100 TB blind write just
-    * wrote). Returns the entries and the pool path (so a writer that loses
-    * a pinned-version race can delete exactly what it staged). */
-  private def stageDataFiles(df: DataFrame, root: String): (Seq[FileMeta], Path) = {
+    * wrote). With a non-empty `layout`, files are hive-partitioned under
+    * the pool (`partitionBy`), the partition values are recorded on each
+    * entry, and each layout column gains min = max = value stats (the
+    * partition-prune lever for the stats envelope AND [[readPartitions]]).
+    * Returns the entries and the pool path (so a writer that loses a
+    * pinned-version race can delete exactly what it staged). */
+  private def stageDataFiles(df: DataFrame, root: String,
+                             layout: Seq[String] = Nil): (Seq[FileMeta], Path) = {
     val spark = df.sparkSession
+    layout.foreach(c => require(df.columns.contains(c),
+      s"layout column $c is not a column of the staged frame"))
     val pool = new Path(dataDir(root), UUID.randomUUID().toString)
-    df.write.mode("overwrite").parquet(pool.toString)
+    if (layout.isEmpty) df.write.mode("overwrite").parquet(pool.toString)
+    else df.write.mode("overwrite").partitionBy(layout: _*).parquet(pool.toString)
     val f = fs(spark, root)
     val rootAbs = absRoot(spark, root)
     val statsFields = df.schema.fields.toSeq
-      .filter(fd => isStatsType(fd.dataType)).take(MaxStatsCols)
-    val parts = f.listStatus(pool).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+      .filter(fd => !layout.contains(fd.name) && isStatsType(fd.dataType))
+      .take(MaxStatsCols)
+    val poolAbs = f.makeQualified(pool).toUri.getPath
+    val parts = listParquetRec(f, pool)
+      .sortBy(st => st.getPath.toUri.getPath)
     // footer reads are independent driver-side IO — parallelize on a
     // bounded pool so a many-file commit (sorted compact, wide blind
     // write) doesn't serialize hundreds of thousands of metadata reads
@@ -258,12 +332,39 @@ object VersionedLayer {
           def call(): Option[FileMeta] = {
             val (rows, statsCols, mins, maxs) = footerStats(st.getPath, conf(spark), statsFields)
             if (rows == 0) None // empty part files are never referenced
-            else Some(FileMeta(relativize(st.getPath.toString, rootAbs), rows, statsCols, mins, maxs))
+            else {
+              val fileAbs = st.getPath.toUri.getPath
+              require(fileAbs.startsWith(poolAbs + "/"),
+                s"staged file $fileAbs escapes pool $poolAbs")
+              val part =
+                if (layout.isEmpty) Map.empty[String, String]
+                else partitionOfPath(fileAbs.drop(poolAbs.length + 1), layout)
+              // layout values double as min = max stats so the merge/delete
+              // envelope prunes on layout keys; null partitions get NO
+              // bounds (statsCols membership alone marks them all-null,
+              // which a keyed path skips — null keys never equi-match)
+              val layStats = part.filter { case (c, _) =>
+                isStatsType(df.schema(df.schema.fieldIndex(c)).dataType)
+              }
+              val layNull = layStats.collect { case (c, HiveNullPartition) => c }
+              val layBounds = layStats.filter { case (_, v) =>
+                v != HiveNullPartition && v.length <= MaxStatsLen }
+              Some(FileMeta(relativize(st.getPath.toString, rootAbs), rows,
+                statsCols ++ (layBounds.keys ++ layNull).toSeq.sorted,
+                mins ++ layBounds, maxs ++ layBounds, part))
+            }
           }
         })
       }
-      futs.flatMap(_.get()) // ordered: futures mapped over the sorted listing
-    } finally exec.shutdown()
+      futs.flatMap { fut =>
+        try fut.get() // ordered: futures mapped over the sorted listing
+        catch {
+          // surface the real footer-read failure, not the Future wrapper
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } finally exec.shutdownNow() // on failure, cancel in-flight reads too
     (entries, pool)
   }
 
@@ -375,10 +476,32 @@ object VersionedLayer {
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
+  /** Assemble a DataFrame over manifest entries. Unpartitioned entries scan
+    * with the full schema; hive-layouted entries scan with the schema MINUS
+    * their layout columns (those are not in the files) and reconstruct them
+    * as typed literals per partition group — one union branch per distinct
+    * partition tuple, each branch a plain pruned parquet scan. Mixed
+    * manifests (some files layouted, some not — never produced today, but
+    * representable) read correctly by grouping. */
   private def readFiles(spark: SparkSession, root: String, schema: StructType,
                         files: Seq[FileMeta]): DataFrame =
     if (files.isEmpty) emptyDf(spark, schema)
-    else spark.read.schema(schema).parquet(files.map(e => s"$root/${e.path}"): _*)
+    else if (files.forall(_.partition.isEmpty))
+      spark.read.schema(schema).parquet(files.map(e => s"$root/${e.path}"): _*)
+    else {
+      val groups = files.groupBy(_.partition).toSeq
+        .sortBy { case (p, _) => p.toSeq.sorted.mkString(",") }
+      groups.map { case (part, es) =>
+        val dataSchema = StructType(schema.fields.filterNot(f => part.contains(f.name)))
+        val scan = spark.read.schema(dataSchema).parquet(es.map(e => s"$root/${e.path}"): _*)
+        val withPart = part.foldLeft(scan) { case (df, (c, v)) =>
+          val dt = schema(schema.fieldIndex(c)).dataType
+          df.withColumn(c,
+            (if (v == HiveNullPartition) lit(null) else lit(v)).cast(dt))
+        }
+        withPart.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      }.reduce(_.unionByName(_))
+    }
 
   // ------------------------------------------------------------------ publish
 
@@ -431,22 +554,35 @@ object VersionedLayer {
     * version and publish it. Returns the committed version number. Safe
     * under writer crashes (debris stays invisible; a retry claims the next
     * free number) and under concurrent writers (the claim CAS arbitrates —
-    * see the commit protocol above). */
-  def write(df: DataFrame, root: String): Long = {
-    val (entries, _) = stageDataFiles(df, root)
-    publish(df.sparkSession, root, Manifest(df.schema, entries), None).get
+    * see the commit protocol above).
+    *
+    * `layoutBy` gives the layer a persistent hive-partitioned layout
+    * (`partitionBy` under each `_data` pool): [[merge]]/[[deleteKeys]]
+    * rewrites and [[compact]] PRESERVE it, every layout value is a per-file
+    * min = max stat (so keyed maintenance on a layout column prunes from
+    * the manifest alone), and [[readPartitions]] serves a partition-pruned
+    * probe that reads ONLY the matching files — the q200/q388 admission
+    * shape: a single-band probe of an 8-band LSH index scans 1/8 of it. */
+  def write(df: DataFrame, root: String, layoutBy: Seq[String] = Nil): Long = {
+    val (entries, _) = stageDataFiles(df, root, layoutBy)
+    publish(df.sparkSession, root, Manifest(df.schema, entries, layoutBy), None).get
   }
 
   // -------------------------------------------------------------------- merge
 
-  /** Below this many stats-bearing files the envelope phase is skipped:
-    * the exact discovery join then opens every file's key column, which is
-    * cheaper than the extra pass over the delta the envelope costs — the
-    * envelope exists for the thousands-of-files regime, where it keeps the
-    * discovery scan off files a nightly delta cannot touch. Overridable for
-    * tests via -Dgraft.mergeEnvelopeMinFiles. */
+  /** The stats-envelope phase runs whenever ≥2 stats-bearing files exist.
+    * Its only cost is one min/max aggregate over the ALREADY-MATERIALIZED
+    * delta ([[withMaterializedDelta]] pins it for the whole merge) plus a
+    * driver-side interval check — it never touches the base. An earlier
+    * threshold of 64 skipped it at small file counts on the inverted theory
+    * that discovery was cheaper; the real consequence was that a pure
+    * append (the nightly CDC case) paid a key-column scan of EVERY base
+    * file instead of pruning all of them from stats — the fixture-scale
+    * per-commit residual the round-19 audit isolated in the
+    * q389/q391/q392/q396 closes. Overridable via
+    * -Dgraft.mergeEnvelopeMinFiles (tests pin both paths). */
   private def envelopeMinFiles: Int =
-    sys.props.get("graft.mergeEnvelopeMinFiles").map(_.toInt).getOrElse(64)
+    sys.props.get("graft.mergeEnvelopeMinFiles").map(_.toInt).getOrElse(2)
 
   /** Which base files can contain a key present in `delta` — the file-prune
     * core. Two phases, both delta-bounded:
@@ -543,8 +679,11 @@ object VersionedLayer {
           .join(delta.select(keyCols.map(delta(_)): _*).dropDuplicates(keyCols),
             keyCols, "left_anti"),
         allowMissingColumns = true)
-    val (newEntries, pool) = stageDataFiles(alignTo(rewritten, unionSchema), root)
-    (Manifest(unionSchema, carried ++ newEntries), pool)
+    // the rewrite keeps the layer's layout: new files land hive-partitioned
+    // like the files they replace, so incremental maintenance never erodes
+    // the partition-pruned probe path
+    val (newEntries, pool) = stageDataFiles(alignTo(rewritten, unionSchema), root, man.layout)
+    (Manifest(unionSchema, carried ++ newEntries, man.layout), pool)
   }
 
   /** Keyed upsert (MERGE semantics, whole-row update): publish a new
@@ -636,34 +775,50 @@ object VersionedLayer {
                         maxRetries: Int = 30, waitMs: Long = 200): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = delta.sparkSession
-    val f = fs(spark, root)
-    val committed: Option[Long] = withMaterializedDelta(delta) { d =>
-      var attempts = 0
-      var won: Option[Long] = None
-      while (won.isEmpty && attempts < maxRetries) {
-        val base = latestVersion(spark, root)
-        val (man, pool) = base match {
+    withMaterializedDelta(delta) { d =>
+      serializableCommit(spark, root, "mergeSerializable", maxRetries, waitMs) { base =>
+        base match {
           case None =>
             val (entries, p) = stageDataFiles(d, root)
-            (Manifest(d.schema, entries), p)
+            (Manifest(d.schema, entries), Some(p))
           case Some(v) =>
-            mergedSnapshot(spark, root, readManifest(spark, root, v), d, keyCols)
-        }
-        won = publish(spark, root, man, Some(base.getOrElse(0L) + 1))
-        if (won.isEmpty) {
-          // lost the claim: another writer owns base+1. Drop our staged
-          // pool, give the winner a beat to publish, re-derive from the
-          // moved base.
-          f.delete(pool, true)
-          if (latestVersion(spark, root).getOrElse(0L) < base.getOrElse(0L) + 1)
-            Thread.sleep(waitMs)
-          attempts += 1
+            val (man, p) = mergedSnapshot(spark, root, readManifest(spark, root, v), d, keyCols)
+            (man, Some(p))
         }
       }
-      won
     }
-    committed.getOrElse(throw new IllegalStateException(
-      s"mergeSerializable lost the commit race $maxRetries times under $root; " +
+  }
+
+  /** The pinned-claim optimistic-retry loop shared by [[mergeSerializable]]
+    * and [[deleteKeysSerializable]]: derive a snapshot from the CURRENT
+    * base, try to publish at exactly base+1 (the claim CAS arbitrates), on
+    * a lost race drop the attempt's staged pool, wait for the winner's
+    * marker, and re-derive from the advanced base. `derive` receives the
+    * base version (None = empty layer) and returns the staged manifest plus
+    * the pool it staged (None when the derivation staged nothing — a no-op
+    * delete carries every file by reference). */
+  private def serializableCommit(spark: SparkSession, root: String, what: String,
+                                 maxRetries: Int, waitMs: Long)
+                                (derive: Option[Long] => (Manifest, Option[Path])): Long = {
+    val f = fs(spark, root)
+    var attempts = 0
+    var won: Option[Long] = None
+    while (won.isEmpty && attempts < maxRetries) {
+      val base = latestVersion(spark, root)
+      val (man, pool) = derive(base)
+      won = publish(spark, root, man, Some(base.getOrElse(0L) + 1))
+      if (won.isEmpty) {
+        // lost the claim: another writer owns base+1. Drop our staged
+        // pool, give the winner a beat to publish, re-derive from the
+        // moved base.
+        pool.foreach(p => f.delete(p, true))
+        if (latestVersion(spark, root).getOrElse(0L) < base.getOrElse(0L) + 1)
+          Thread.sleep(waitMs)
+        attempts += 1
+      }
+    }
+    won.getOrElse(throw new IllegalStateException(
+      s"$what lost the commit race $maxRetries times under $root; " +
         s"if no concurrent writer is live, a crashed writer's dangling claim " +
         s"${latestVersion(spark, root).getOrElse(0L) + 1} is blocking the log — vacuum reclaims it"))
   }
@@ -700,7 +855,13 @@ object VersionedLayer {
   def idempotentDeleteBatch(root: String, keyCols: Seq[String], appId: String)
                            (batch: DataFrame, batchId: Long): Unit =
     idempotentBatch(root, appId, batchId, batch.sparkSession) {
-      deleteKeys(batch, root, keyCols); ()
+      // serializable, not plain: the takedown stream's documented
+      // deployment runs NEXT TO the CDC merge stream on the same layer
+      // (q391/q392 + q396), and a plain delete racing a merge could lose
+      // either side's effect — a resurrected takedown being the worst
+      // direction. The pinned-claim loop makes merge+delete interleavings
+      // serializable (spec-pinned with racing threads).
+      deleteKeysSerializable(batch, root, keyCols); ()
     }
 
   private def idempotentBatch(root: String, appId: String, batchId: Long,
@@ -726,28 +887,71 @@ object VersionedLayer {
     * alone from a `(doc_id, band_id)` index) removes every row of that
     * prefix. Deleting keys present in no file publishes a no-op version
     * (same file set — the audit trail of a takedown that matched nothing).
-    * Single-merger discipline as [[merge]]; returns the committed version. */
+    * CONCURRENCY: like [[merge]], this form derives from the version it
+    * read and publishes at the next free number with NO conflict detection —
+    * single-writer discipline only. Any deployment with a concurrent writer
+    * on the layer (the q391/q392 + q396 matrix: a CDC merge stream racing a
+    * takedown stream) must use [[deleteKeysSerializable]], or a racing merge
+    * can silently resurrect the deleted keys. Returns the committed version. */
   def deleteKeys(keys: DataFrame, root: String, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
     val spark = keys.sparkSession
     val v = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
+    withMaterializedDelta(dedupedKeys(keys, keyCols)) { k =>
+      val (man, pool) = deletedSnapshot(spark, root, v, k, keyCols)
+      val _ = pool
+      publish(spark, root, man, None).get
+    }
+  }
+
+  /** [[deleteKeys]] with the same pinned-claim serializable discipline as
+    * [[mergeSerializable]] — the takedown form that is safe AGAINST
+    * CONCURRENT WRITERS on the layer: the commit may only land at base+1,
+    * so a merge (or another delete) that slipped in first costs a lost CAS
+    * and the delete re-derives from the advanced base — deleted keys can
+    * never be resurrected by a racing merge, and the racing merge's rows
+    * are never dropped by a stale delete derivation (spec-pinned with
+    * racing merge+delete threads). Same bounded-liveness trade as
+    * [[mergeSerializable]]: a crashed claim owner blocks base+1 until
+    * [[vacuum]] reclaims it. Requires a published version (an empty layer
+    * has nothing to delete). */
+  def deleteKeysSerializable(keys: DataFrame, root: String, keyCols: Seq[String],
+                             maxRetries: Int = 30, waitMs: Long = 200): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val spark = keys.sparkSession
+    latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    withMaterializedDelta(dedupedKeys(keys, keyCols)) { k =>
+      serializableCommit(spark, root, "deleteKeysSerializable", maxRetries, waitMs) { base =>
+        val v = base.getOrElse(throw new IllegalStateException(
+          s"no published version under $root"))
+        deletedSnapshot(spark, root, v, k, keyCols)
+      }
+    }
+  }
+
+  private def dedupedKeys(keys: DataFrame, keyCols: Seq[String]): DataFrame =
+    keys.select(keyCols.map(keys(_)): _*).dropDuplicates(keyCols)
+
+  /** Derive the post-delete manifest from base version `v`: files that can
+    * hold a matched key are rewritten as their anti-join survivors, every
+    * other file is carried by reference; zero matches carries the whole
+    * file set (the no-op audit version) and stages nothing. */
+  private def deletedSnapshot(spark: SparkSession, root: String, v: Long,
+                              k: DataFrame, keyCols: Seq[String]): (Manifest, Option[Path]) = {
     val man = readManifest(spark, root, v)
-    keyCols.foreach(k => require(
-      man.schema.fieldNames.contains(k) && keys.columns.contains(k),
-      s"delete key column $k must exist on both the table and the key set"))
-    withMaterializedDelta(keys.select(keyCols.map(keys(_)): _*).dropDuplicates(keyCols)) { k =>
-      val touched = touchedFilePaths(spark, root, man, k, keyCols)
-      val (doomed, carried) = man.files.partition(e => touched.contains(e.path))
-      val next =
-        if (doomed.isEmpty) Manifest(man.schema, man.files)
-        else {
-          val survivors = readFiles(spark, root, man.schema, doomed)
-            .join(k, keyCols, "left_anti")
-          val (newEntries, _) = stageDataFiles(survivors, root)
-          Manifest(man.schema, carried ++ newEntries)
-        }
-      publish(spark, root, next, None).get
+    keyCols.foreach(c => require(
+      man.schema.fieldNames.contains(c) && k.columns.contains(c),
+      s"delete key column $c must exist on both the table and the key set"))
+    val touched = touchedFilePaths(spark, root, man, k, keyCols)
+    val (doomed, carried) = man.files.partition(e => touched.contains(e.path))
+    if (doomed.isEmpty) (Manifest(man.schema, man.files, man.layout), None)
+    else {
+      val survivors = readFiles(spark, root, man.schema, doomed)
+        .join(k, keyCols, "left_anti")
+      val (newEntries, pool) = stageDataFiles(survivors, root, man.layout)
+      (Manifest(man.schema, carried ++ newEntries, man.layout), Some(pool))
     }
   }
 
@@ -773,12 +977,19 @@ object VersionedLayer {
   def compact(spark: SparkSession, root: String, targetFiles: Int = 1,
               sortBy: Seq[String] = Nil): Long = {
     val n = math.max(targetFiles, 1)
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    // compaction preserves the layer's hive layout; with a layout,
+    // `targetFiles` bounds files PER PARTITION VALUE (each write task
+    // splits by partition dir), which is the bound that matters — scans
+    // and probes are per-partition
+    val layout = readManifest(spark, root, v).layout
     val snap = read(spark, root)
     val shaped =
       if (sortBy.isEmpty) snap.coalesce(n)
       else snap.repartitionByRange(n, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
-    write(shaped, root)
+    write(shaped, root, layout)
   }
 
   /** Snapshot diff — change-data-capture BETWEEN committed versions, the
@@ -818,6 +1029,32 @@ object VersionedLayer {
   /** Read the published snapshot, or a specific committed version (time
     * travel). Uncommitted manifest debris is not readable. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    val man = resolvedManifest(spark, root, version)
+    readFiles(spark, root, man.schema, man.files)
+  }
+
+  /** Partition-pruned read of a hive-layouted layer: only the files whose
+    * layout values match EVERY `filters` entry are scanned — file selection
+    * happens in the MANIFEST, so a single-band probe of an 8-band index
+    * never opens (or even lists) the other 7 bands' files. Filter values
+    * are the decoded partition strings `partitionBy` wrote (`"3"` for a
+    * bigint 3, `"2020-01-01"` for a date); [[HiveNullPartition]] matches
+    * nothing (a null layout value never equi-matches a probe). Keys must be
+    * layout columns of the version read. */
+  def readPartitions(spark: SparkSession, root: String, filters: Map[String, String],
+                     version: Option[Long] = None): DataFrame = {
+    require(filters.nonEmpty, "readPartitions needs at least one layout filter")
+    val man = resolvedManifest(spark, root, version)
+    filters.keys.foreach(k => require(man.layout.contains(k),
+      s"$k is not a layout column of this layer (layout: ${man.layout.mkString(",")})"))
+    val hit = man.files.filter(e =>
+      filters.forall { case (k, v) =>
+        v != HiveNullPartition && e.partition.get(k).contains(v) })
+    readFiles(spark, root, man.schema, hit)
+  }
+
+  private def resolvedManifest(spark: SparkSession, root: String,
+                               version: Option[Long]): Manifest = {
     val committed = committedVersions(spark, root)
     val v = version match {
       case Some(x) =>
@@ -827,8 +1064,7 @@ object VersionedLayer {
       case None => committed.lastOption.getOrElse(
         throw new IllegalStateException(s"no published version under $root"))
     }
-    val man = readManifest(spark, root, v)
-    readFiles(spark, root, man.schema, man.files)
+    readManifest(spark, root, v)
   }
 
   /** Drop all versions older than the `keepLast` most recent committed ones
@@ -854,13 +1090,27 @@ object VersionedLayer {
       for (st <- f.listStatus(r) if st.getPath.getName.startsWith("_staged-"))
         f.delete(st.getPath, true)
     val dd = dataDir(root)
+    val rootAbs = absRoot(spark, root)
     if (f.exists(dd))
       for (pool <- f.listStatus(dd) if pool.isDirectory) {
-        for (file <- f.listStatus(pool.getPath)) {
-          val rel = s"_data/${pool.getPath.getName}/${file.getPath.getName}"
+        // recursive walk: hive-layouted pools nest files under k=v dirs
+        val it = f.listFiles(pool.getPath, true)
+        while (it.hasNext) {
+          val file = it.next()
+          val rel = relativize(file.getPath.toString, rootAbs)
           if (!referenced.contains(rel)) f.delete(file.getPath, true)
         }
-        if (f.listStatus(pool.getPath).isEmpty) f.delete(pool.getPath, true)
+        pruneEmptyDirs(f, pool.getPath)
+        ()
       }
+  }
+
+  /** Delete directories left empty by vacuumed files (partition dirs, then
+    * the pool itself); returns true when `d` was deleted. */
+  private def pruneEmptyDirs(f: FileSystem, d: Path): Boolean = {
+    var remaining = 0
+    for (st <- f.listStatus(d))
+      if (!(st.isDirectory && pruneEmptyDirs(f, st.getPath))) remaining += 1
+    remaining == 0 && f.delete(d, false)
   }
 }

@@ -505,7 +505,7 @@ object StreamParity extends QueryModule {
         .localCheckpoint()
       } finally {
         try s.catalog.dropTempView(sink) catch { case _: Exception => () }
-        graft.sources.TempRoots.deleteRecursively(stage)
+        graft.sources.TempRoots.deleteRecursively(stage, swallow = true)
       }
     }),
 
@@ -564,8 +564,8 @@ object StreamParity extends QueryModule {
         // q391's roots are per-invocation, not session-cached like
         // stageDirs — the maintained layer must not leak between runs
         // (the q377/q383/q386 staged-temp-root discipline)
-        graft.sources.TempRoots.deleteRecursively(rootPath)
-        graft.sources.TempRoots.deleteRecursively(stage)
+        graft.sources.TempRoots.deleteRecursively(rootPath, swallow = true)
+        graft.sources.TempRoots.deleteRecursively(stage, swallow = true)
       }
     }),
 
@@ -612,8 +612,8 @@ object StreamParity extends QueryModule {
           .orderBy(col("vec_id"), col("b"))
           .localCheckpoint() // detach from the staged files before deletion
       } finally {
-        graft.sources.TempRoots.deleteRecursively(rootPath)
-        graft.sources.TempRoots.deleteRecursively(stage)
+        graft.sources.TempRoots.deleteRecursively(rootPath, swallow = true)
+        graft.sources.TempRoots.deleteRecursively(stage, swallow = true)
       }
     }),
 
@@ -655,8 +655,8 @@ object StreamParity extends QueryModule {
           .orderBy(col("doc_id"), col("band_id"))
           .localCheckpoint() // detach from the staged files before deletion
       } finally {
-        graft.sources.TempRoots.deleteRecursively(rootPath)
-        graft.sources.TempRoots.deleteRecursively(stage)
+        graft.sources.TempRoots.deleteRecursively(rootPath, swallow = true)
+        graft.sources.TempRoots.deleteRecursively(stage, swallow = true)
       }
     }),
 

@@ -117,6 +117,35 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
     rows(0) shouldBe "base"
   }
 
+  test("racing serializable merge and delete both take effect (no resurrected takedown)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = tmpRoot()
+    VersionedLayer.write((0 to 19).map(i => (i, s"v$i")).toDF("k", "s"), root)
+    // the q391/q392 + q396 deployment matrix in miniature: a CDC merge
+    // stream and a compliance takedown stream racing on ONE layer. Both
+    // sides commit through the pinned-claim loop, so whichever loses the
+    // base+1 CAS re-derives from the winner's snapshot — a delete can
+    // never be undone by a racing merge (the resurrected-takedown
+    // anomaly plain deleteKeys permits), and a merge's rows can never be
+    // dropped by a stale delete derivation. Several rounds to exercise
+    // genuine interleavings, not one lucky ordering.
+    val rounds = 4
+    for (r <- 0 until rounds) {
+      val m = Future(VersionedLayer.mergeSerializable(
+        Seq((100 + r, s"m$r")).toDF("k", "s"), root, Seq("k")))
+      val d = Future(VersionedLayer.deleteKeysSerializable(
+        Seq(r).toDF("k"), root, Seq("k")))
+      Await.result(Future.sequence(Seq(m, d)), 5.minutes)
+    }
+    // dense log: base + 2 commits per round, every claim arbitrated
+    VersionedLayer.committedVersions(spark, root) shouldBe
+      (1L to (1 + 2 * rounds).toLong)
+    val keys = VersionedLayer.read(spark, root).collect().map(_.getInt(0)).toSet
+    keys shouldBe ((rounds to 19).toSet ++ (100 until 100 + rounds).toSet)
+  }
+
   test("idempotent streaming merge: replayed batch ids apply no second effect") {
     val root = tmpRoot()
     val sink = VersionedLayer.idempotentMergeBatch(root, Seq("k"), "app1") _
@@ -333,10 +362,11 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
   }
 
   test("the stats envelope path (forced) prunes identically to discovery") {
-    // Below graft.mergeEnvelopeMinFiles the envelope job is skipped and the
-    // exact discovery join does all pruning; force the threshold to 1 so
-    // this test drives the ENVELOPE code path the thousands-of-files regime
-    // uses, and pin the same file-level outcomes as the discovery tests.
+    // The envelope now runs by default from 2 stats-bearing files up (a
+    // pure append should touch zero files at ANY count); force the
+    // threshold to 1 so this test pins the envelope path even for a
+    // single-file base, with the same file-level outcomes as the
+    // discovery tests.
     val prev = System.getProperty("graft.mergeEnvelopeMinFiles")
     System.setProperty("graft.mergeEnvelopeMinFiles", "1")
     try {
@@ -362,6 +392,117 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
       if (prev == null) System.clearProperty("graft.mergeEnvelopeMinFiles")
       else System.setProperty("graft.mergeEnvelopeMinFiles", prev)
     }
+  }
+
+  test("layoutBy: hive-partitioned write round-trips; a single-band probe reads one partition's files only") {
+    val root = tmpRoot()
+    val df = (0 until 64).map(i => (i.toLong, (i % 8).toLong, s"p$i"))
+      .toDF("id", "band_id", "payload")
+    VersionedLayer.write(df.repartition(4), root, layoutBy = Seq("band_id"))
+    // full read reconstructs the layout column and round-trips content
+    val back = VersionedLayer.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    back shouldBe df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // the pruning assertion the round-19 verdict asked for: the probe's
+    // PHYSICAL scan touches band 3's files only — file selection happens in
+    // the manifest, so 7/8 of the index is never opened or listed
+    val probe = VersionedLayer.readPartitions(spark, root, Map("band_id" -> "3"))
+    probe.collect().map(_.getLong(0)).sorted shouldBe
+      (0 until 64).filter(_ % 8 == 3).map(_.toLong).toArray
+    val probeFiles = probe.inputFiles.toSeq
+    probeFiles should not be empty
+    probeFiles.foreach(_ should include("band_id=3"))
+    val v = VersionedLayer.latestVersion(spark, root).get
+    val entries = VersionedLayer.fileEntries(spark, root, v)
+    val band3 = entries.filter(_.partition.get("band_id").contains("3"))
+    probeFiles.size shouldBe band3.size
+    entries.size should be > band3.size // the other 7 bands exist and were skipped
+    // layout values double as min = max stats → the envelope prunes on them
+    band3.foreach { e =>
+      e.mins("band_id") shouldBe "3"
+      e.maxs("band_id") shouldBe "3"
+    }
+  }
+
+  test("layoutBy: merge, deleteKeys, compact and vacuum preserve the hive layout") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    val df = (0 until 64).map(i => (i.toLong, (i % 8).toLong, s"p$i"))
+      .toDF("id", "band_id", "payload")
+    VersionedLayer.write(df, root, layoutBy = Seq("band_id"))
+    VersionedLayer.merge(
+      Seq((3L, 3L, "UP"), (100L, 4L, "NEW")).toDF("id", "band_id", "payload"),
+      root, Seq("id", "band_id"))
+    val v = VersionedLayer.latestVersion(spark, root).get
+    VersionedLayer.fileEntries(spark, root, v)
+      .foreach(_.partition.keySet shouldBe Set("band_id"))
+    val snap = VersionedLayer.read(spark, root)
+    snap.count() shouldBe 65
+    snap.filter(col("id") === 3).head().getString(2) shouldBe "UP"
+    // probe after maintenance still reads one partition only
+    val probe4 = VersionedLayer.readPartitions(spark, root, Map("band_id" -> "4"))
+    probe4.inputFiles.toSeq.foreach(_ should include("band_id=4"))
+    probe4.collect().map(_.getLong(0)).toSet shouldBe
+      ((0 until 64).filter(_ % 8 == 4).map(_.toLong).toSet + 100L)
+    // takedown by prefix key, then compact, then vacuum — layout survives all
+    VersionedLayer.deleteKeys(Seq(3L).toDF("id"), root, Seq("id"))
+    VersionedLayer.compact(spark, root, targetFiles = 1)
+    VersionedLayer.vacuum(spark, root, keepLast = 1)
+    val vEnd = VersionedLayer.latestVersion(spark, root).get
+    val endEntries = VersionedLayer.fileEntries(spark, root, vEnd)
+    endEntries.foreach(_.partition.keySet shouldBe Set("band_id"))
+    endEntries.map(_.partition("band_id")).toSet shouldBe (0 to 7).map(_.toString).toSet
+    val end = VersionedLayer.read(spark, root)
+    end.count() shouldBe 64
+    end.filter(col("id") === 3).count() shouldBe 0
+    VersionedLayer.readPartitions(spark, root, Map("band_id" -> "5"))
+      .collect().map(_.getLong(0)).toSet shouldBe
+      (0 until 64).filter(_ % 8 == 5).map(_.toLong).toSet
+  }
+
+  test("a time-travel reader is bit-stable across racing merge + vacuum cycles") {
+    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, struct, xxhash64}
+    // The manifest layer shares immutable _data files ACROSS versions, so a
+    // pinned reader depends on files that later merges supersede and vacuum
+    // then evaluates for collection. This torture pins a middle version and
+    // hammers it with full scans WHILE merges rewrite files and vacuum
+    // repeatedly collects everything older than the pin: share-aware vacuum
+    // must keep every file the retained manifest references — one wrongly
+    // collected shared file breaks the reader mid-scan or shifts the hash.
+    val root = tmpRoot()
+    VersionedLayer.write(
+      (1 to 160).map(i => (i, s"v$i")).toDF("k", "s").repartition(16), root)
+    VersionedLayer.merge(Seq((1, "u1")).toDF("k", "s"), root, Seq("k"))
+    VersionedLayer.merge(Seq((200, "n200")).toDF("k", "s"), root, Seq("k"))
+    VersionedLayer.merge(Seq((80, "u80")).toDF("k", "s"), root, Seq("k"))
+    val pinV = VersionedLayer.latestVersion(spark, root).get // v4: mixed shared+rewritten files
+    def checksum(): (Long, Long) = {
+      val df = VersionedLayer.read(spark, root, Some(pinV))
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val expected = checksum()
+    @volatile var readerFailure: Option[Throwable] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() =>
+      try while (!stop.get()) { if (checksum() != expected) throw new AssertionError("snapshot drifted") }
+      catch { case t: Throwable => readerFailure = Some(t) })
+    reader.start()
+    try {
+      for (i <- 0 until 6) {
+        // updates hit keys spread over the pinned version's files, so each
+        // cycle rewrites a file the pin still references via sharing
+        VersionedLayer.mergeSerializable(
+          Seq((i * 23 + 3, s"w$i")).toDF("k", "s"), root, Seq("k"))
+        val latest = VersionedLayer.latestVersion(spark, root).get
+        VersionedLayer.vacuum(spark, root, keepLast = (latest - pinV + 1).toInt)
+      }
+    } finally { stop.set(true); reader.join() }
+    readerFailure.foreach(t => fail(s"concurrent reader broke: $t", t))
+    checksum() shouldBe expected
+    // everything older than the pin was genuinely collected, not retained
+    VersionedLayer.committedVersions(spark, root).head shouldBe pinV
   }
 
   test("deleteKeys removes matched keys file-pruned, carrying untouched files") {
