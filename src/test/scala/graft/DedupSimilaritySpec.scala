@@ -31,6 +31,34 @@ class DedupSimilaritySpec extends AnyFunSuite with Matchers {
     recall should be >= 0.8
   }
 
+  test("deployment probe shape: a single-band read of the persisted LSH index is partition-pruned and exact") {
+    // The q200/q388 admission probe at deployment reads the PERSISTED band
+    // index (q389's layer), not a re-banding of the corpus; with the index
+    // hive-layouted by band_id, a per-band probe must (a) return exactly
+    // that band's rows and (b) physically scan ONLY that band's files —
+    // the end-to-end fixture-data form of VersionedLayerSpec's synthetic
+    // pruning pin.
+    import graft.sources.{Tables, TempRoots, VersionedLayer}
+    val rootPath = java.nio.file.Files.createTempDirectory("graft_probe_layout")
+    try {
+      val idx = Dedup.lshIndexRows(Tables.read(spark, sf0001, "documents"))
+        .localCheckpoint()
+      VersionedLayer.write(idx, rootPath.toString, layoutBy = Seq("band_id"))
+      val probe = VersionedLayer.readPartitions(spark, rootPath.toString,
+        Map("band_id" -> "5"))
+      val got = probe.collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val want = idx.filter(col("band_id") === 5).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSet
+      got shouldBe want
+      want should not be empty
+      val files = probe.inputFiles.toSeq
+      files should not be empty
+      files.foreach(_ should include("band_id=5"))
+    } finally TempRoots.deleteRecursively(rootPath, swallow = true)
+  }
+
   test("SimHash: near-duplicate docs collide or nearly collide in hamming space") {
     val top = Dedup.ngramJaccardPairs(spark, sf0001)
       .orderBy(col("jaccard").desc).limit(5).collect()
