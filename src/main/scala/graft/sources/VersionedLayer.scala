@@ -617,17 +617,27 @@ object VersionedLayer {
       else if (ranged.size < envelopeMinFiles) ranged // discovery opens them all
       else {
         import spark.implicits._
-        val stats = ranged.zipWithIndex
-          .map { case (e, i) => (i, e.mins(k0), e.maxs(k0)) }
-          .toDF("__i", "__lo", "__hi")
-          .select(col("__i"), col("__lo").cast(k0Type).as("__lo"), col("__hi").cast(k0Type).as("__hi"))
-        val env = delta.agg(min(col(k0)).as("__dlo"), max(col(k0)).as("__dhi"))
-        val hits = stats.crossJoin(broadcast(env)) // env is one row by construction
-          .filter(col("__dlo").isNotNull &&
-            (col("__lo").isNull || col("__hi").isNull || // un-castable stats: stay candidates
-              (!(col("__hi") < col("__dlo")) && !(col("__lo") > col("__dhi")))))
-          .select(col("__i")).collect().map(_.getInt(0)).toSet
-        ranged.zipWithIndex.collect { case (e, i) if hits(i) => e }
+        // One agg job collects the delta's TYPED key bounds; the per-file
+        // interval check is then a LocalRelation filter with those bounds
+        // as literals — still Spark's own casts and orderings end to end
+        // (no driver re-implementation to drift), but without the
+        // broadcast-exchange + crossJoin jobs the one-row-frame formulation
+        // cost per commit (the round-20 CommitProfile finding: ~3 AQE jobs
+        // of pure overhead on every commit whose delta interleaves).
+        val bounds = delta.agg(min(col(k0)).as("__dlo"), max(col(k0)).as("__dhi")).head()
+        if (bounds.isNullAt(0)) Seq.empty // all-null delta keys never equi-match
+        else {
+          val (dlo, dhi) = (bounds.get(0), bounds.get(1))
+          val stats = ranged.zipWithIndex
+            .map { case (e, i) => (i, e.mins(k0), e.maxs(k0)) }
+            .toDF("__i", "__lo", "__hi")
+            .select(col("__i"), col("__lo").cast(k0Type).as("__lo"), col("__hi").cast(k0Type).as("__hi"))
+          val hits = stats
+            .filter(col("__lo").isNull || col("__hi").isNull || // un-castable stats: stay candidates
+              (!(col("__hi") < lit(dlo)) && !(col("__lo") > lit(dhi))))
+            .select(col("__i")).collect().map(_.getInt(0)).toSet
+          ranged.zipWithIndex.collect { case (e, i) if hits(i) => e }
+        }
       }
     val candidates = uncollected.filter(_.rows > 0) ++ rangeCandidates
     if (candidates.isEmpty) Set.empty
