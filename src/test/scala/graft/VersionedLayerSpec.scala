@@ -460,6 +460,36 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
       (0 until 64).filter(_ % 8 == 5).map(_.toLong).toSet
   }
 
+  test("layoutBy: a merge keyed on the layout column rewrites only that partition's files") {
+    // Layout values double as min = max stats, so a maintenance delta
+    // keyed FIRST on the layout column prunes to its partition from the
+    // manifest alone — the write-side counterpart of readPartitions'
+    // read-side pruning.
+    val root = tmpRoot()
+    val df = (0 until 64).map(i => (i.toLong, (i % 8).toLong, s"p$i"))
+      .toDF("id", "band_id", "payload")
+    VersionedLayer.write(df, root, layoutBy = Seq("band_id"))
+    val v1 = VersionedLayer.latestVersion(spark, root).get
+    val before = VersionedLayer.fileEntries(spark, root, v1)
+    val v2 = VersionedLayer.merge(
+      Seq((3L, 19L, "UP")).toDF("band_id", "id", "payload"),
+      root, Seq("band_id", "id"))
+    val after = VersionedLayer.fileEntries(spark, root, v2)
+    // every non-band-3 file carried BY REFERENCE (same path, zero IO)
+    for (e <- before if e.partition("band_id") != "3")
+      after.map(_.path) should contain(e.path)
+    // the rewrite is EXACT within the partition too: only the band-3
+    // file(s) actually holding the matched key are dropped — discovery
+    // narrows below the partition grain
+    val dropped = before.map(_.path).toSet -- after.map(_.path).toSet
+    dropped should not be empty
+    dropped.foreach(_ should include("band_id=3"))
+    val newFiles = after.filterNot(e => before.map(_.path).contains(e.path))
+    newFiles.foreach(_.partition("band_id") shouldBe "3")
+    VersionedLayer.read(spark, root).filter("id = 19").head().getString(2) shouldBe "UP"
+    VersionedLayer.read(spark, root).count() shouldBe 64
+  }
+
   test("a time-travel reader is bit-stable across racing merge + vacuum cycles") {
     import org.apache.spark.sql.functions.{bit_xor, col, count, lit, struct, xxhash64}
     // The manifest layer shares immutable _data files ACROSS versions, so a
