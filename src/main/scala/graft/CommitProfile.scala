@@ -46,8 +46,11 @@ object CommitProfile {
     val finished = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = Option(j.properties.getProperty("callSite.short"))
-          .orElse(Option(j.properties.getProperty("spark.job.description")))
+        // properties is nullable (a job can carry none) — a bare getProperty
+        // would NPE in the listener bus and silently drop the job's timing
+        val props = Option(j.properties)
+        val site = props.flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(props.flatMap(p => Option(p.getProperty("spark.job.description"))))
           .getOrElse(j.stageInfos.headOption.map(_.name).getOrElse("?"))
         jobStartNs.put(j.jobId, (site.take(60), System.nanoTime())); ()
       }
@@ -93,7 +96,10 @@ object CommitProfile {
     // warm code paths once off the record
     commitOnce("warmup", keyLocal = true, envelope = true)
     println("[cprof] === profiled runs ===")
-    for (env <- Seq(true, false)) {
+    // alternate on/off across two reps so in-JVM drift (JIT, GC pressure,
+    // page cache) cannot masquerade as an envelope cost difference
+    for (rep <- 1 to 2; env <- Seq(true, false)) {
+      val _ = rep
       commitOnce("key_local_append", keyLocal = true, envelope = env)
       commitOnce("interleaved_update", keyLocal = false, envelope = env)
     }

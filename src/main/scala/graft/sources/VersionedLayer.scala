@@ -313,6 +313,22 @@ object VersionedLayer {
     val spark = df.sparkSession
     layout.foreach(c => require(df.columns.contains(c),
       s"layout column $c is not a column of the staged frame"))
+    // A StringType layout value that is empty (or the literal hive null
+    // sentinel) would be written to the __HIVE_DEFAULT_PARTITION__ directory
+    // and read back as NULL — silent corruption, and a keyed delete on that
+    // column would skip files genuinely holding empty-string keys (a missed
+    // takedown). Fail the write instead. The check is one bounded job and
+    // only runs for string layout columns (no current caller uses one).
+    val stringLayout = layout.filter(c =>
+      df.schema(df.schema.fieldIndex(c)).dataType == StringType)
+    if (stringLayout.nonEmpty) {
+      val bad = df.filter(stringLayout.map(c =>
+        col(c) === "" || col(c) === HiveNullPartition).reduce(_ || _))
+        .limit(1).count()
+      require(bad == 0L,
+        s"layout column(s) ${stringLayout.mkString(",")} contain empty-string or " +
+          s"'$HiveNullPartition' values, which hive path encoding conflates with null")
+    }
     val pool = new Path(dataDir(root), UUID.randomUUID().toString)
     if (layout.isEmpty) df.write.mode("overwrite").parquet(pool.toString)
     else df.write.mode("overwrite").partitionBy(layout: _*).parquet(pool.toString)
@@ -574,9 +590,12 @@ object VersionedLayer {
   // -------------------------------------------------------------------- merge
 
   /** The stats-envelope phase runs whenever ≥2 stats-bearing files exist.
-    * Its only cost is one min/max aggregate over the ALREADY-MATERIALIZED
-    * delta ([[withMaterializedDelta]] pins it for the whole merge) plus a
-    * driver-side interval check — it never touches the base. An earlier
+    * On the merge path it is JOB-FREE since round 21: the delta's key
+    * bounds come from its staged files' parquet footers
+    * ([[boundsFromEntries]] — metadata staging reads anyway) and the
+    * per-file interval check runs driver-side through the engine's own
+    * cast/ordering; only the delete path (whose key set is never staged)
+    * still pays one min/max agg. It never touches the base. An earlier
     * threshold of 64 skipped it at small file counts on the inverted theory
     * that discovery was cheaper; the real consequence was that a pure
     * append (the nightly CDC case) paid a key-column scan of EVERY base
@@ -587,16 +606,75 @@ object VersionedLayer {
   private def envelopeMinFiles: Int =
     sys.props.get("graft.mergeEnvelopeMinFiles").map(_.toInt).getOrElse(2)
 
+  /** The delta's first-key envelope for the stats prune, as CATALYST-internal
+    * values of the key's type. `BoundsUnknown` = could not be derived without
+    * a job ([[touchedFilePaths]] falls back to one min/max agg);
+    * `BoundsAllNull` = provably no non-null delta key exists (nothing can
+    * equi-match); `BoundsRange` = the typed [lo, hi] envelope. */
+  private sealed trait KeyBounds
+  private case object BoundsUnknown extends KeyBounds
+  private case object BoundsAllNull extends KeyBounds
+  private case class BoundsRange(lo: Any, hi: Any) extends KeyBounds
+
+  /** Parse a manifest stats string back to the column type with the ENGINE'S
+    * OWN cast (catalyst `Cast` in TRY mode, evaluated driver-side — the same
+    * code a `col.cast(dt)` plan executes, null on an un-castable string, no
+    * driver re-implementation to drift). Returns a catalyst-internal value. */
+  private def castStatString(v: String, dt: DataType): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    Option(Cast(Literal.create(v, StringType), dt, Some("UTC"), EvalMode.TRY).eval(null))
+  }
+
+  /** The engine's own ordering for a stats-typed column's internal values —
+    * `TypeUtils.getInterpretedOrdering` is what Spark's comparison operators
+    * execute interpreted, so driver-side interval checks order exactly as a
+    * Spark filter would. */
+  private def statsOrdering(dt: DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
+  /** Derive the delta's key envelope from ALREADY-STAGED manifest entries —
+    * the parquet footers `stageDataFiles` read anyway — so the stats prune
+    * costs ZERO Spark jobs on the merge path (the round-20 CommitProfile
+    * finding: the bounds agg plus the LocalRelation interval filter were
+    * ~1.4 s of per-commit driver/plan overhead at fixture scale, paid even
+    * when the manifest already proved pruning impossible). Entries whose k0
+    * stats were not collected (unmappable type, truncated bound) yield
+    * `BoundsUnknown` and the caller falls back to the one-agg path —
+    * conservative, never wrong. */
+  private def boundsFromEntries(entries: Seq[FileMeta], k0: String,
+                                k0Type: DataType): KeyBounds =
+    if (entries.isEmpty) BoundsAllNull // empty delta: no key can equi-match
+    else if (entries.exists(e => !e.statsCols.contains(k0))) BoundsUnknown
+    else {
+      // k0 collected everywhere; entries with no bounds are all-null files
+      val ranged = entries.filter(e => e.mins.contains(k0) && e.maxs.contains(k0))
+      if (ranged.isEmpty) BoundsAllNull
+      else {
+        val parsed = ranged.map(e =>
+          (castStatString(e.mins(k0), k0Type), castStatString(e.maxs(k0), k0Type)))
+        if (parsed.exists(p => p._1.isEmpty || p._2.isEmpty)) BoundsUnknown
+        else {
+          val ord = statsOrdering(k0Type)
+          BoundsRange(parsed.map(_._1.get).min(ord), parsed.map(_._2.get).max(ord))
+        }
+      }
+    }
+
   /** Which base files can contain a key present in `delta` — the file-prune
     * core. Two phases, both delta-bounded:
     *   1. stats prune (engaged above [[envelopeMinFiles]] stats-bearing
-    *      files): per-file [min,max] of the FIRST key column against
-    *      the delta's key envelope. The typed comparison runs IN Spark (the
-    *      stats strings are cast back to the column's type), so numeric /
-    *      date / string orderings are exactly the engine's own — no driver
-    *      re-implementation to drift. Files whose stats were not collected
-    *      stay candidates (conservative); files whose first key column is
-    *      entirely null can never equi-match and are skipped outright.
+    *      files): per-file [min,max] of the FIRST key column against the
+    *      delta's key envelope. The envelope arrives job-free from the
+    *      staged delta's own footers where the caller could derive it
+    *      ([[boundsFromEntries]]); otherwise ONE min/max agg collects it.
+    *      The per-file interval check runs driver-side through the engine's
+    *      own cast and interpreted ordering ([[castStatString]] /
+    *      [[statsOrdering]] — the exact code a Spark filter executes, so
+    *      numeric / date / string orderings cannot drift), replacing the
+    *      LocalRelation filter whose per-commit plan compile the round-20
+    *      CommitProfile measured as pure overhead. Files whose stats were
+    *      not collected stay candidates (conservative); files whose first
+    *      key column is entirely null can never equi-match and are skipped.
     *   2. exact discovery: a key-columns-only scan of the candidates,
     *      semi-joined against the delta's distinct keys (AQE broadcasts the
     *      delta side when small) — `input_file_name()` names the files that
@@ -606,7 +684,8 @@ object VersionedLayer {
     * Pruning on the first key column alone is conservative-correct for
     * composite keys: a full-key match implies a first-component match. */
   private def touchedFilePaths(spark: SparkSession, root: String, man: Manifest,
-                               delta: DataFrame, keyCols: Seq[String]): Set[String] = {
+                               delta: DataFrame, keyCols: Seq[String],
+                               deltaBounds: KeyBounds = BoundsUnknown): Set[String] = {
     val k0 = keyCols.head
     val k0Type = man.schema(man.schema.fieldIndex(k0)).dataType
     val (collected, uncollected) = man.files.partition(_.statsCols.contains(k0))
@@ -616,27 +695,32 @@ object VersionedLayer {
       if (ranged.isEmpty) Seq.empty
       else if (ranged.size < envelopeMinFiles) ranged // discovery opens them all
       else {
-        import spark.implicits._
-        // One agg job collects the delta's TYPED key bounds; the per-file
-        // interval check is then a LocalRelation filter with those bounds
-        // as literals — still Spark's own casts and orderings end to end
-        // (no driver re-implementation to drift), but without the
-        // broadcast-exchange + crossJoin jobs the one-row-frame formulation
-        // cost per commit (the round-20 CommitProfile finding: ~3 AQE jobs
-        // of pure overhead on every commit whose delta interleaves).
-        val bounds = delta.agg(min(col(k0)).as("__dlo"), max(col(k0)).as("__dhi")).head()
-        if (bounds.isNullAt(0)) Seq.empty // all-null delta keys never equi-match
-        else {
-          val (dlo, dhi) = (bounds.get(0), bounds.get(1))
-          val stats = ranged.zipWithIndex
-            .map { case (e, i) => (i, e.mins(k0), e.maxs(k0)) }
-            .toDF("__i", "__lo", "__hi")
-            .select(col("__i"), col("__lo").cast(k0Type).as("__lo"), col("__hi").cast(k0Type).as("__hi"))
-          val hits = stats
-            .filter(col("__lo").isNull || col("__hi").isNull || // un-castable stats: stay candidates
-              (!(col("__hi") < lit(dlo)) && !(col("__lo") > lit(dhi))))
-            .select(col("__i")).collect().map(_.getInt(0)).toSet
-          ranged.zipWithIndex.collect { case (e, i) if hits(i) => e }
+        val bounds: Option[(Any, Any)] = deltaBounds match {
+          case BoundsRange(lo, hi) => Some((lo, hi))
+          case BoundsAllNull => None
+          case BoundsUnknown =>
+            // fallback: one agg job collects the delta's typed key bounds
+            // (external row values converted to catalyst-internal form so
+            // the same interpreted ordering applies)
+            val r = delta.agg(min(col(k0)).as("__dlo"), max(col(k0)).as("__dhi")).head()
+            if (r.isNullAt(0)) None // all-null delta keys never equi-match
+            else {
+              val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .createToCatalystConverter(k0Type)
+              Some((conv(r.get(0)), conv(r.get(1))))
+            }
+        }
+        bounds match {
+          case None => Seq.empty
+          case Some((dlo, dhi)) =>
+            val ord = statsOrdering(k0Type)
+            ranged.filter { e =>
+              val lo = castStatString(e.mins(k0), k0Type)
+              val hi = castStatString(e.maxs(k0), k0Type)
+              // un-castable stats: stay candidates; else interval overlap
+              lo.isEmpty || hi.isEmpty ||
+                (ord.compare(hi.get, dlo) >= 0 && ord.compare(lo.get, dhi) <= 0)
+            }
         }
       }
     val candidates = uncollected.filter(_.rows > 0) ++ rangeCandidates
@@ -663,9 +747,21 @@ object VersionedLayer {
     * manifest BY REFERENCE (zero IO — the copy-on-write granularity is the
     * file, not the table). A pure insert (key-disjoint delta — the CDC
     * maintainers' nightly case) therefore writes O(delta) bytes. Returns
-    * the manifest and the staged data pool (for lost-race cleanup). */
+    * the manifest and the staged data pools (for lost-race cleanup).
+    *
+    * Staging order (the round-21 job-free envelope): the DELTA is staged
+    * FIRST, its pool adopted directly into the manifest, and its parquet
+    * footers — which staging reads anyway for manifest stats — provide the
+    * stats envelope's key bounds with NO extra Spark job
+    * ([[boundsFromEntries]]). A pure append therefore runs TWO actions
+    * (delta stage + discovery) where the previous shape ran three-plus
+    * (bounds agg + interval-filter plan + discovery + stage); an update
+    * commit stages the touched files' survivors as a SECOND pool instead of
+    * re-writing the delta into a combined one — same rows, same bytes,
+    * fewer per-commit plans. Snapshot content is identical either way (the
+    * q393 ledger's carried/rewritten row sums are file-composition-proof). */
   private def mergedSnapshot(spark: SparkSession, root: String, man: Manifest,
-                             delta: DataFrame, keyCols: Seq[String]): (Manifest, Path) = {
+                             delta: DataFrame, keyCols: Seq[String]): (Manifest, Seq[Path]) = {
     keyCols.foreach(k => require(
       man.schema.fieldNames.contains(k) && delta.columns.contains(k),
       s"merge key column $k must exist on both the table and the delta"))
@@ -681,22 +777,36 @@ object VersionedLayer {
     // full rewrite rather than betting on reader-side type promotion
     val widened = man.schema.fields.exists(f =>
       unionSchema.find(_.name == f.name).exists(_.dataType != f.dataType))
-    val touched: Set[String] =
-      if (widened) man.files.map(_.path).toSet
-      else touchedFilePaths(spark, root, man, delta, keyCols)
-    val (rewrittenFiles, carried) = man.files.partition(e => touched.contains(e.path))
-    val rewritten =
-      if (rewrittenFiles.isEmpty) delta
-      else delta.unionByName(
-        readFiles(spark, root, man.schema, rewrittenFiles)
+    if (widened) {
+      val rewritten = delta.unionByName(
+        readFiles(spark, root, man.schema, man.files)
           .join(delta.select(keyCols.map(delta(_)): _*).dropDuplicates(keyCols),
             keyCols, "left_anti"),
         allowMissingColumns = true)
-    // the rewrite keeps the layer's layout: new files land hive-partitioned
-    // like the files they replace, so incremental maintenance never erodes
-    // the partition-pruned probe path
-    val (newEntries, pool) = stageDataFiles(alignTo(rewritten, unionSchema), root, man.layout)
-    (Manifest(unionSchema, carried ++ newEntries, man.layout), pool)
+      val (entries, pool) = stageDataFiles(alignTo(rewritten, unionSchema), root, man.layout)
+      (Manifest(unionSchema, entries, man.layout), Seq(pool))
+    } else {
+      // the staged delta keeps the layer's layout: new files land
+      // hive-partitioned like the standing ones, so incremental maintenance
+      // never erodes the partition-pruned probe path
+      val (deltaEntries, deltaPool) = stageDataFiles(alignTo(delta, unionSchema), root, man.layout)
+      val k0 = keyCols.head
+      val bounds = boundsFromEntries(deltaEntries, k0,
+        man.schema(man.schema.fieldIndex(k0)).dataType)
+      val touched = touchedFilePaths(spark, root, man, delta, keyCols, bounds)
+      val (rewrittenFiles, carried) = man.files.partition(e => touched.contains(e.path))
+      if (rewrittenFiles.isEmpty)
+        (Manifest(unionSchema, carried ++ deltaEntries, man.layout), Seq(deltaPool))
+      else {
+        val survivors = readFiles(spark, root, man.schema, rewrittenFiles)
+          .join(delta.select(keyCols.map(delta(_)): _*).dropDuplicates(keyCols),
+            keyCols, "left_anti")
+        val (survEntries, survPool) =
+          stageDataFiles(alignTo(survivors, unionSchema), root, man.layout)
+        (Manifest(unionSchema, carried ++ deltaEntries ++ survEntries, man.layout),
+          Seq(deltaPool, survPool))
+      }
+    }
   }
 
   /** Keyed upsert (MERGE semantics, whole-row update): publish a new
@@ -729,12 +839,15 @@ object VersionedLayer {
     * [[write]] overwrites remain safe either way. */
   /** Materialize the delta for the duration of a merge (Delta's
     * materializeSource discipline): the pruned merge consumes the delta in
-    * up to three jobs — key envelope, touched-file discovery, rewrite — and
-    * without pinning it each job would recompute the delta's lineage (q392's
-    * per-micro-batch PQ encode, 3×), and a non-deterministic delta could
-    * even DIVERGE between discovery and write. Deltas the caller already
-    * persisted are used as-is (and not unpersisted behind the caller's
-    * back). */
+    * up to three actions — staging write, touched-file discovery, survivor
+    * anti-join — and without pinning it each would recompute the delta's
+    * lineage (q392's per-micro-batch PQ encode, 3×), and a non-
+    * deterministic delta could even DIVERGE between discovery and write.
+    * The persist itself costs no extra job: it is lazy, and the staging
+    * write (the commit's first action since the round-21 stage-first
+    * restructure) populates the cache as it writes. Deltas the caller
+    * already persisted are used as-is (and not unpersisted behind the
+    * caller's back). */
   private def withMaterializedDelta[T](delta: DataFrame)(body: DataFrame => T): T = {
     val ownPin = delta.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val pinned = if (ownPin)
@@ -793,10 +906,9 @@ object VersionedLayer {
         base match {
           case None =>
             val (entries, p) = stageDataFiles(d, root)
-            (Manifest(d.schema, entries), Some(p))
+            (Manifest(d.schema, entries), Seq(p))
           case Some(v) =>
-            val (man, p) = mergedSnapshot(spark, root, readManifest(spark, root, v), d, keyCols)
-            (man, Some(p))
+            mergedSnapshot(spark, root, readManifest(spark, root, v), d, keyCols)
         }
       }
     }
@@ -805,26 +917,26 @@ object VersionedLayer {
   /** The pinned-claim optimistic-retry loop shared by [[mergeSerializable]]
     * and [[deleteKeysSerializable]]: derive a snapshot from the CURRENT
     * base, try to publish at exactly base+1 (the claim CAS arbitrates), on
-    * a lost race drop the attempt's staged pool, wait for the winner's
+    * a lost race drop the attempt's staged pools, wait for the winner's
     * marker, and re-derive from the advanced base. `derive` receives the
     * base version (None = empty layer) and returns the staged manifest plus
-    * the pool it staged (None when the derivation staged nothing — a no-op
-    * delete carries every file by reference). */
+    * the pools it staged (empty when the derivation staged nothing — a
+    * no-op delete carries every file by reference). */
   private def serializableCommit(spark: SparkSession, root: String, what: String,
                                  maxRetries: Int, waitMs: Long)
-                                (derive: Option[Long] => (Manifest, Option[Path])): Long = {
+                                (derive: Option[Long] => (Manifest, Seq[Path])): Long = {
     val f = fs(spark, root)
     var attempts = 0
     var won: Option[Long] = None
     while (won.isEmpty && attempts < maxRetries) {
       val base = latestVersion(spark, root)
-      val (man, pool) = derive(base)
+      val (man, pools) = derive(base)
       won = publish(spark, root, man, Some(base.getOrElse(0L) + 1))
       if (won.isEmpty) {
         // lost the claim: another writer owns base+1. Drop our staged
-        // pool, give the winner a beat to publish, re-derive from the
+        // pools, give the winner a beat to publish, re-derive from the
         // moved base.
-        pool.foreach(p => f.delete(p, true))
+        pools.foreach(p => f.delete(p, true))
         if (latestVersion(spark, root).getOrElse(0L) < base.getOrElse(0L) + 1)
           Thread.sleep(waitMs)
         attempts += 1
@@ -912,8 +1024,7 @@ object VersionedLayer {
     val v = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     withMaterializedDelta(dedupedKeys(keys, keyCols)) { k =>
-      val (man, pool) = deletedSnapshot(spark, root, v, k, keyCols)
-      val _ = pool
+      val (man, _) = deletedSnapshot(spark, root, v, k, keyCols)
       publish(spark, root, man, None).get
     }
   }
@@ -952,19 +1063,19 @@ object VersionedLayer {
     * other file is carried by reference; zero matches carries the whole
     * file set (the no-op audit version) and stages nothing. */
   private def deletedSnapshot(spark: SparkSession, root: String, v: Long,
-                              k: DataFrame, keyCols: Seq[String]): (Manifest, Option[Path]) = {
+                              k: DataFrame, keyCols: Seq[String]): (Manifest, Seq[Path]) = {
     val man = readManifest(spark, root, v)
     keyCols.foreach(c => require(
       man.schema.fieldNames.contains(c) && k.columns.contains(c),
       s"delete key column $c must exist on both the table and the key set"))
     val touched = touchedFilePaths(spark, root, man, k, keyCols)
     val (doomed, carried) = man.files.partition(e => touched.contains(e.path))
-    if (doomed.isEmpty) (Manifest(man.schema, man.files, man.layout), None)
+    if (doomed.isEmpty) (Manifest(man.schema, man.files, man.layout), Seq.empty)
     else {
       val survivors = readFiles(spark, root, man.schema, doomed)
         .join(k, keyCols, "left_anti")
       val (newEntries, pool) = stageDataFiles(survivors, root, man.layout)
-      (Manifest(man.schema, carried ++ newEntries, man.layout), Some(pool))
+      (Manifest(man.schema, carried ++ newEntries, man.layout), Seq(pool))
     }
   }
 

@@ -617,4 +617,119 @@ class VersionedLayerSpec extends AnyFunSuite with Matchers {
     r4.isNullAt(r4.fieldIndex("q")) shouldBe true
     VersionedLayer.read(spark, root).count() shouldBe 4L
   }
+
+  // ---- round-21 job-free envelope (delta bounds from staged footers) ------
+
+  test("job-free envelope: a prunable append merge runs exactly one Spark job") {
+    // The round-21 commit-path shape: the delta is staged FIRST, its
+    // footers provide the stats envelope's bounds (no min/max agg job, no
+    // interval-filter plan), the envelope prunes every key-local base file,
+    // and discovery is skipped — so the whole commit's Spark-side work is
+    // the one staging write. A regression that reintroduces a per-commit
+    // fixed job (the round-20 CommitProfile finding: ~1.4 s of driver/plan
+    // overhead per commit at fixture scale) fails this count.
+    val root = tmpRoot()
+    keyLocalLayer(root)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val v = VersionedLayer.merge(
+        (41 to 50).map(i => (i, s"v$i")).toDF("k", "s").coalesce(1), root, Seq("k"))
+      // listener events post asynchronously: wait until the count is stable
+      // for 500 ms (bounded at 5 s) before asserting
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var last = -1
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             (jobs.get() != last || System.nanoTime() - stableSince < 500L * 1000 * 1000)) {
+        if (jobs.get() != last) { last = jobs.get(); stableSince = System.nanoTime() }
+        Thread.sleep(20)
+      }
+      jobs.get() shouldBe 1 // the delta staging write — nothing else
+      // and the commit is still the correct file-pruned append
+      VersionedLayer.dataFiles(spark, root, v).size shouldBe 5
+      VersionedLayer.read(spark, root).count() shouldBe 50
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("footer-derived bounds prune identically on double and unicode string keys") {
+    // The driver-side interval check replays the engine's own cast +
+    // interpreted ordering; this pins the two orderings most likely to
+    // drift in a hand-rolled comparison — doubles rendered with exponents /
+    // negatives, and non-ASCII strings (UTF8 binary order) — by asserting
+    // the same file-level outcomes the in-plan filter produced.
+    val droot = tmpRoot()
+    for (lo <- Seq(-1.0e6, -0.5, 1.0e6)) {
+      val batch = (0 until 10).map(i => (lo + i * 0.25, s"d$lo:$i")).toDF("k", "s").coalesce(1)
+      if (lo == -1.0e6) VersionedLayer.write(batch, droot)
+      else VersionedLayer.merge(batch, droot, Seq("k"))
+    }
+    val before = VersionedLayer.fileEntries(spark, droot,
+      VersionedLayer.latestVersion(spark, droot).get)
+    before.size shouldBe 3
+    val hot = before.filter(_.mins("k") == "-0.5").map(_.path)
+    hot.size shouldBe 1
+    val v = VersionedLayer.merge(Seq((-0.25, "UP")).toDF("k", "s"), droot, Seq("k"))
+    val after = VersionedLayer.dataFiles(spark, droot, v).toSet
+    after should not contain hot.head
+    (before.map(_.path).toSet - hot.head).foreach(p => after should contain(p))
+    VersionedLayer.read(spark, droot).filter("k = -0.25").head().getString(1) shouldBe "UP"
+
+    val sroot = tmpRoot()
+    for ((pfx, i) <- Seq("alpha", "sé☃", "zulu").zipWithIndex) {
+      val batch = (0 until 10).map(j => (s"$pfx-$j", s"s$i:$j")).toDF("k", "s").coalesce(1)
+      if (i == 0) VersionedLayer.write(batch, sroot)
+      else VersionedLayer.merge(batch, sroot, Seq("k"))
+    }
+    val sBefore = VersionedLayer.fileEntries(spark, sroot,
+      VersionedLayer.latestVersion(spark, sroot).get)
+    sBefore.size shouldBe 3
+    val sHot = sBefore.filter(_.mins("k") == "sé☃-0").map(_.path)
+    sHot.size shouldBe 1
+    val sv = VersionedLayer.merge(Seq(("sé☃-5", "UP")).toDF("k", "s"), sroot, Seq("k"))
+    val sAfter = VersionedLayer.dataFiles(spark, sroot, sv).toSet
+    sAfter should not contain sHot.head
+    (sBefore.map(_.path).toSet - sHot.head).foreach(p => sAfter should contain(p))
+    VersionedLayer.read(spark, sroot).filter("s = 'UP'").head().getString(0) shouldBe "sé☃-5"
+  }
+
+  test("un-collectible delta stats fall back to the agg envelope and still prune") {
+    // A delta whose key bound exceeds the manifest stats length cap stages
+    // with NO k0 stats (footerStats drops >256-char bounds), so the
+    // job-free path reports BoundsUnknown and the commit falls back to the
+    // one-agg envelope — which must still prune to the one intersecting
+    // file, and the merged content must be exact.
+    val root = tmpRoot()
+    for ((pfx, i) <- Seq("a", "b", "c").zipWithIndex) {
+      val batch = (1 to 9).map(j => (s"$pfx$j", s"v$pfx$j")).toDF("k", "s").coalesce(1)
+      if (i == 0) VersionedLayer.write(batch, root)
+      else VersionedLayer.merge(batch, root, Seq("k"))
+    }
+    val before = VersionedLayer.fileEntries(spark, root,
+      VersionedLayer.latestVersion(spark, root).get)
+    before.size shouldBe 3
+    val hot = before.filter(_.mins("k") == "b1").map(_.path)
+    hot.size shouldBe 1
+    val longKey = "b5" + ("x" * 300) // sorts inside [b1, b9]; stats dropped
+    // delta = one matched key (b3 — forces a b-file rewrite) + the long
+    // insert whose bound exceeds the stats cap (forces BoundsUnknown)
+    val v = VersionedLayer.merge(
+      Seq((longKey, "LONG"), ("b3", "UP")).toDF("k", "s").coalesce(1), root, Seq("k"))
+    // the staged delta file carries no k stats (bound over the length cap)
+    val deltaEntries = VersionedLayer.fileEntries(spark, root, v)
+      .filterNot(e => before.map(_.path).contains(e.path))
+      .filter(_.rows == 2)
+    deltaEntries.exists(e => !e.statsCols.contains("k")) shouldBe true
+    val after = VersionedLayer.dataFiles(spark, root, v).toSet
+    after should not contain hot.head // agg fallback pruned to the b-file
+    (before.map(_.path).toSet - hot.head).foreach(p => after should contain(p))
+    VersionedLayer.read(spark, root).count() shouldBe 28
+    VersionedLayer.read(spark, root).filter("s = 'LONG'").head().getString(0) shouldBe longKey
+    VersionedLayer.read(spark, root).filter("k = 'b3'").head().getString(1) shouldBe "UP"
+  }
 }
