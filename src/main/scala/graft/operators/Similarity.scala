@@ -59,16 +59,23 @@ object Similarity extends QueryModule {
     * thrashes and the key being requested is never the victim (the
     * arbitrary-victim ConcurrentHashMap eviction this replaces could evict
     * and recompute the hot entry on every call once 9 keys were live).
-    * Value computation runs inside the lock — same serialization
-    * computeIfAbsent gave per bin, acceptable for a driver-side model
-    * cache whose values are computed once per session. */
+    * The map holds lazily-completed per-key cells: insertion happens under
+    * the map lock but the VALUE (a Spark collect/localCheckpoint) is
+    * computed outside it inside the cell's own lazy val, so concurrent
+    * queries building DIFFERENT models proceed in parallel — only callers
+    * of the SAME key serialize (on that key's cell), which is the wanted
+    * once-per-session semantics. */
   private final class LruCache[K, V](cap: Int) {
-    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = size() > cap
+    private final class Cell(v: => V) { lazy val value: V = v }
+    private val m = new java.util.LinkedHashMap[K, Cell](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, Cell]): Boolean = size() > cap
     }
-    def getOrElseUpdate(k: K)(v: => V): V = m.synchronized {
-      val hit = m.get(k)
-      if (hit != null) hit else { val nv = v; m.put(k, nv); nv }
+    def getOrElseUpdate(k: K)(v: => V): V = {
+      val cell = m.synchronized {
+        val hit = m.get(k)
+        if (hit != null) hit else { val nc = new Cell(v); m.put(k, nc); nc }
+      }
+      cell.value // computed outside the map lock; lazy val dedups per key
     }
   }
 

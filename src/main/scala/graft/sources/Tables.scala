@@ -114,6 +114,46 @@ object Tables {
     * this JVM (probe once per path; reads are hot). */
   private val tsChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Footer-probed physical type of events.ts per path, cached for the JVM:
+    * the probe (`spark.read.parquet(path)` schema inference) costs a footer
+    * read plus an analysis pass PER CALL, and the events table is read by
+    * ~100 registered queries × bench reps — a fixture file's physical
+    * schema cannot change under a running session, so probing it once is
+    * both safe and strictly cheaper. */
+  private val tsProbed =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  /** Footer probe via schema inference, cached per path. On a
+    * TIMESTAMP(NANOS) file in a session missing the legacy conf, Spark's
+    * reader throws its raw "Illegal Parquet type" before our branch runs —
+    * rethrow with the fix named so drift diagnoses itself. */
+  private def probeTsType(spark: SparkSession, path: String): DataType = {
+    def mentionsParquetType(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(c => String.valueOf(c.getMessage).contains("Parquet type"))
+    tsProbed.computeIfAbsent(path, { _ =>
+      try spark.read.parquet(path).schema("ts").dataType
+      catch {
+        case e: Exception if mentionsParquetType(e) =>
+          throw new IllegalStateException(
+            s"events.ts at $path could not be schema-probed (${e.getMessage}) — " +
+              s"a TIMESTAMP(NANOS) fixture needs the session built with " +
+              s"${nanosConf._1}=${nanosConf._2}", e)
+      }
+    })
+  }
+
+  /** Whether events at `path` carry the legacy raw-INT64 TIMESTAMP(NANOS)
+    * physical unit — the cached probe, shared with the streaming readers so
+    * a session never probes the same footer twice. */
+  def eventsLegacyNs(spark: SparkSession, path: String): Boolean =
+    probeTsType(spark, path) match {
+      case TimestampType | TimestampNTZType => false
+      case LongType                         => true
+      case other => throw new IllegalStateException(
+        s"events.ts at $path has unsupported parquet-mapped type $other")
+    }
+
   /** Scan a fixture table with its declared schema (never inferred).
     *
     * For `events` the physical type of `ts` has drifted across fixture
@@ -129,22 +169,7 @@ object Tables {
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       val path = s"$dir/$name.parquet"
-      // Footer probe via schema inference. On a TIMESTAMP(NANOS) file in a
-      // session missing the legacy conf, Spark's reader throws its raw
-      // "Illegal Parquet type" before our branch runs — rethrow with the
-      // fix named so drift diagnoses itself.
-      def mentionsParquetType(t: Throwable): Boolean =
-        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-          .exists(c => String.valueOf(c.getMessage).contains("Parquet type"))
-      val probedType =
-        try spark.read.parquet(path).schema("ts").dataType
-        catch {
-          case e: Exception if mentionsParquetType(e) =>
-            throw new IllegalStateException(
-              s"events.ts at $path could not be schema-probed (${e.getMessage}) — " +
-                s"a TIMESTAMP(NANOS) fixture needs the session built with " +
-                s"${nanosConf._1}=${nanosConf._2}", e)
-        }
+      val probedType = probeTsType(spark, path)
       val df = probedType match {
         case TimestampType | TimestampNTZType =>
           // µs fixture: direct schema'd read (session tz is UTC everywhere,

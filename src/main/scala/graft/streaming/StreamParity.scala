@@ -5,7 +5,7 @@ import graft.functions.ExactAgg.exactSum
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Streaming⇄batch parity as an ORACLED query (q197): the round-12 verdict's
   * missing piece — `streaming/EventStream.scala` was spec-only because the
@@ -51,15 +51,10 @@ object StreamParity extends QueryModule {
   }
 
   /** Whether the fixture file carries the legacy raw-INT64 TIMESTAMP(NANOS)
-    * physical unit (footer probe — no data pages read; see Tables.read for
-    * the drift history this guards against). */
+    * physical unit (cached footer probe — no data pages read; see
+    * Tables.read for the drift history this guards against). */
   private def legacyNsTs(spark: SparkSession, path: String): Boolean =
-    spark.read.parquet(path).schema("ts").dataType match {
-      case TimestampType | TimestampNTZType => false
-      case LongType                         => true
-      case other => throw new IllegalStateException(
-        s"events.ts at $path has unsupported parquet-mapped type $other")
-    }
+    Tables.eventsLegacyNs(spark, path)
 
   /** File-source stream over a staged directory, branching on the fixture's
     * physical timestamp unit exactly like the batch reader. */
