@@ -729,7 +729,10 @@ object VersionedLayer {
       val rootAbs = absRoot(spark, root)
       val scan = readFiles(spark, root, man.schema, candidates)
         .select(keyCols.map(col) :+ input_file_name().as("__graft_file"): _*)
-      val deltaKeys = delta.select(keyCols.map(delta(_)): _*).dropDuplicates(keyCols)
+      // no dropDuplicates: a LEFT SEMI join is set-semantic on its probe
+      // side, so deduping the delta keys only added an exchange + aggregate
+      // per commit (the broadcast hash relation dedups keys internally)
+      val deltaKeys = delta.select(keyCols.map(delta(_)): _*)
       scan.join(deltaKeys, keyCols, "left_semi")
         .select(col("__graft_file")).distinct()
         .collect().map(r => relativize(r.getString(0), rootAbs)).toSet
@@ -780,8 +783,7 @@ object VersionedLayer {
     if (widened) {
       val rewritten = delta.unionByName(
         readFiles(spark, root, man.schema, man.files)
-          .join(delta.select(keyCols.map(delta(_)): _*).dropDuplicates(keyCols),
-            keyCols, "left_anti"),
+          .join(delta.select(keyCols.map(delta(_)): _*), keyCols, "left_anti"),
         allowMissingColumns = true)
       val (entries, pool) = stageDataFiles(alignTo(rewritten, unionSchema), root, man.layout)
       (Manifest(unionSchema, entries, man.layout), Seq(pool))
@@ -798,9 +800,11 @@ object VersionedLayer {
       if (rewrittenFiles.isEmpty)
         (Manifest(unionSchema, carried ++ deltaEntries, man.layout), Seq(deltaPool))
       else {
+        // no dropDuplicates: LEFT ANTI is set-semantic on its probe side
+        // (and null keys never equi-match regardless) — deduping only
+        // added an exchange + aggregate per touched-file rewrite
         val survivors = readFiles(spark, root, man.schema, rewrittenFiles)
-          .join(delta.select(keyCols.map(delta(_)): _*).dropDuplicates(keyCols),
-            keyCols, "left_anti")
+          .join(delta.select(keyCols.map(delta(_)): _*), keyCols, "left_anti")
         val (survEntries, survPool) =
           stageDataFiles(alignTo(survivors, unionSchema), root, man.layout)
         (Manifest(unionSchema, carried ++ deltaEntries ++ survEntries, man.layout),
